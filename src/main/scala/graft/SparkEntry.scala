@@ -1,13 +1,295 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{LatestRowView, Transforms}
+import graft.sources.Incremental
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each query is named for the SURVEY.md §2 operator(s) it exercises; the
+  * implementation lives in the graft.* library modules, this object is the
+  * registry. Oracle parity rules (driver hash-compares vs DuckDB at
+  * sf0.01):
+  *  - identical output column names on both sides (aliased everywhere);
+  *  - no order-dependent float sums: money columns are 2-decimal doubles,
+  *    summed exactly as integer cents via `round(x*100)`; quantities are
+  *    integral doubles (exact IEEE sums); DuckDB integer sums cast back to
+  *    BIGINT (DuckDB sum(bigint) is HUGEINT);
+  *  - timestamps formatted to strings where emitted.
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.sources.Tables.load(s, dir, name)
+
+  /** Exact integer-cents sum of a 2-decimal double column (order-independent). */
+  private def centsSum(c: Column): Column = sum(round(c * 100).cast("long"))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A1/A2/A4 — grouped aggregation with partial (map-side) combine.
+    "q01_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          centsSum(col("l_extendedprice")).as("sum_base_cents"),
+          centsSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_cents"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // F1/P1 — filter + projection, both pushed to the parquet scan.
+    "q02_filter_project" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01"))
+          && col("l_discount") > lit(0.05))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    }),
+
+    // J2 — dim joins (broadcast) + agg: revenue by nation.
+    "q03_revenue_by_nation" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val customer = t(s, dir, "customer")
+      val nation = t(s, dir, "nation")
+      orders
+        .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+        .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(centsSum(col("o_totalprice")).as("revenue_cents"),
+             count(lit(1)).as("n_orders"))
+    }),
+
+    // J2 — fact-to-dim broadcast join + agg over two keys.
+    "q04_parts_per_brand" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val part = t(s, dir, "part")
+      li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+             count(lit(1)).as("n_lines"))
+    }),
+
+    // W1 — latest-row-per-key view (the reference's Athena `_lv` view).
+    "q05_latest_row_view" -> ((s, dir) => {
+      LatestRowView.latestPerKey(t(s, dir, "events"),
+          Seq("user_id"), Seq(col("ts"), col("event_id")))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+    }),
+
+    // J1/U3 — anti join: customers with no orders.
+    "q06_customers_no_orders" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // semi join: suppliers with any recent lineitem.
+    "q07_active_suppliers" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1998-01-01")))
+      sup.join(li, sup("s_suppkey") === li("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+    }),
+
+    // U1 — union + grouped count over the unioned tag.
+    "q08_union_counts" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey").as("key"))
+        .withColumn("side", lit("customer"))
+      val o = t(s, dir, "orders").select(col("o_custkey").as("key"))
+        .withColumn("side", lit("orders"))
+      c.unionByName(o).groupBy(col("side"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("key")).as("n_keys"))
+    }),
+
+    // U3 — except: customer keys that never appear in orders.
+    "q09_except_keys" -> ((s, dir) => {
+      t(s, dir, "customer").select(col("c_custkey").as("key"))
+        .except(t(s, dir, "orders").select(col("o_custkey").as("key")))
+    }),
+
+    // O2/W — top-3 orders per customer by price (deterministic tie-break).
+    "q10_topk_orders_per_customer" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // F1/A4 — watermark slice: events in the last 7 days of the table.
+    "q11_watermark_slice" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val wm = e.agg((max(col("ts")) - expr("INTERVAL 7 DAYS")).as("wm"))
+      e.join(broadcast(wm))
+        .filter(col("ts") >= col("wm"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), max(col("user_id")).as("max_user"))
+    }),
+
+    // C4 — time-based partition-column derivation (YYYYMM).
+    "q12_partition_yyyymm" -> ((s, dir) => {
+      val spec = graft.model.PartitionSpec(1, graft.model.PartitionSpec.TimeBased, "ts", "YYYYMMDD")
+      val (df, cols) = Transforms.derivePartitions(t(s, dir, "events"), Seq(spec))
+      df.groupBy(col(cols.head).as("ts_yyyymmdd"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // C5 — non-time range-bucket partition derivation (integer div).
+    "q13_range_bucket" -> ((s, dir) => {
+      val spec = graft.model.PartitionSpec(1, graft.model.PartitionSpec.NonTimeBased, "o_orderkey", "1K")
+      val (df, cols) = Transforms.derivePartitions(t(s, dir, "orders"), Seq(spec))
+      df.groupBy(col(cols.head).as("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("min_key"))
+    }),
+
+    // P2/C2/C3 — temporal clamp projection (CASE WHEN).
+    "q14_ts_clamp" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          date_format(
+            Transforms.clampTimestamp(col("o_orderdate"), "1996-01-01 00:00:00", "1999-12-31 00:00:00"),
+            "yyyy-MM-dd").as("clamped_date"))
+    }),
+
+    // C1/P3 — coalesce tracking expression (expr_column add + drop).
+    "q15_coalesce_expr" -> ((s, dir) => {
+      val df = Transforms.withExprColumn(
+        t(s, dir, "lineitem").withColumn("maybe_flag", nullif(col("l_returnflag"), lit("N"))),
+        "coalesce(maybe_flag, l_linestatus)")
+      Transforms.dropExprColumn(
+        df.groupBy(col(Transforms.ExprColumn).as("flag")).agg(count(lit(1)).as("n")))
+    }),
+
+    // A6 — argmax: order date of each customer's highest-keyed order.
+    "q16_argmax_order" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max_by(date_format(col("o_orderdate"), "yyyy-MM-dd"), col("o_orderkey")).as("last_order_date"),
+             max(col("o_orderkey")).as("max_orderkey"))
+    }),
+
+    // A3/J3 — count reconciliation over a watermark window as one pass.
+    "q17_count_reconcile" -> ((s, dir) => {
+      t(s, dir, "lineitem").agg(
+        count(lit(1)).as("source_count"),
+        count(when(col("l_shipdate") >= to_timestamp(lit("1997-06-01")), lit(1))).as("window_count"))
+    }),
+
+    // A7 — distinct.
+    "q18_distinct_types" -> ((s, dir) => {
+      t(s, dir, "events").select(col("event_type")).distinct()
+    }),
+
+    // O1 — global sort (range partitioned in Spark; output is the sorted relation).
+    "q19_sorted_nations" -> ((s, dir) => {
+      t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"), col("r_name"))
+        .orderBy(col("n_nationkey"))
+    }),
+  )
+
+  // ----------------------------------------------------------- oracle SQL
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         sum(l_quantity) AS sum_qty,
+         cast(sum(cast(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+         cast(sum(cast(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+         min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+         count(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_discount > 0.05""",
+    "q03_revenue_by_nation" ->
+      """SELECT n_name,
+         cast(sum(cast(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+         count(*) AS n_orders
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name""",
+    "q04_parts_per_brand" ->
+      """SELECT p_brand, sum(l_quantity) AS sum_qty, count(*) AS n_lines
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand""",
+    "q05_latest_row_view" ->
+      """SELECT user_id, event_id, event_type,
+         strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events) WHERE rn = 1""",
+    "q06_customers_no_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "q07_active_suppliers" ->
+      """SELECT s_suppkey, s_name FROM supplier
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_suppkey = s_suppkey AND l_shipdate >= TIMESTAMP '1998-01-01')""",
+    "q08_union_counts" ->
+      """SELECT side, count(*) AS n, count(DISTINCT key) AS n_keys FROM (
+           SELECT c_custkey AS key, 'customer' AS side FROM customer
+           UNION ALL
+           SELECT o_custkey AS key, 'orders' AS side FROM orders
+         ) GROUP BY side""",
+    "q09_except_keys" ->
+      """SELECT c_custkey AS key FROM customer
+         EXCEPT SELECT o_custkey AS key FROM orders""",
+    "q10_topk_orders_per_customer" ->
+      """SELECT o_custkey, o_orderkey FROM (
+           SELECT o_custkey, o_orderkey,
+                  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+           FROM orders) WHERE rn <= 3""",
+    "q11_watermark_slice" ->
+      """SELECT event_type, count(*) AS n, max(user_id) AS max_user
+         FROM events
+         WHERE ts >= (SELECT max(ts) - INTERVAL 7 DAY FROM events)
+         GROUP BY event_type""",
+    "q12_partition_yyyymm" ->
+      """SELECT strftime(ts, '%Y%m%d') AS ts_yyyymmdd, count(*) AS n
+         FROM events GROUP BY 1""",
+    "q13_range_bucket" ->
+      """SELECT cast(floor(o_orderkey / 1000) AS BIGINT) AS bucket,
+         count(*) AS n, min(o_orderkey) AS min_key
+         FROM orders GROUP BY 1""",
+    "q14_ts_clamp" ->
+      """SELECT o_orderkey,
+         strftime(CASE WHEN o_orderdate < TIMESTAMP '1996-01-01' THEN TIMESTAMP '1996-01-01'
+                       WHEN o_orderdate > TIMESTAMP '1999-12-31' THEN TIMESTAMP '1999-12-31'
+                       ELSE o_orderdate END, '%Y-%m-%d') AS clamped_date
+         FROM orders""",
+    "q15_coalesce_expr" ->
+      """SELECT coalesce(nullif(l_returnflag, 'N'), l_linestatus) AS flag, count(*) AS n
+         FROM lineitem GROUP BY 1""",
+    "q16_argmax_order" ->
+      """SELECT o_custkey,
+         arg_max(strftime(o_orderdate, '%Y-%m-%d'), o_orderkey) AS last_order_date,
+         max(o_orderkey) AS max_orderkey
+         FROM orders GROUP BY o_custkey""",
+    "q17_count_reconcile" ->
+      """SELECT count(*) AS source_count,
+         count(CASE WHEN l_shipdate >= TIMESTAMP '1997-06-01' THEN 1 END) AS window_count
+         FROM lineitem""",
+    "q18_distinct_types" ->
+      "SELECT DISTINCT event_type FROM events",
+    "q19_sorted_nations" ->
+      """SELECT n_nationkey, n_name, r_name
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         ORDER BY n_nationkey""",
+  )
 }

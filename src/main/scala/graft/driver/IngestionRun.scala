@@ -1,0 +1,87 @@
+package graft.driver
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model._
+import graft.operators.{LatestRowView, Transforms, Validation}
+import graft.sources.Incremental
+import graft.state.LogStore
+
+/** One incremental-ingestion run for one spec — the Spark-native
+  * re-expression of the reference's whole table lifecycle
+  * (start_ingestion.py §3.1 + IngestTable.extract_and_load_table §3.2):
+  *
+  *   watermark recovery → incremental slice → partition derivation →
+  *   partitioned parquet append → count validation → log append →
+  *   (first run + view_needed) latest-row view.
+  *
+  * The chunk loop, thread pool, crawler poll and Athena round-trips of the
+  * reference all collapse into Spark jobs: the slice is ONE declarative
+  * plan (filter pushed to the scan), the write is one partitioned job, the
+  * validation one filter+count over the just-written files, and the
+  * catalog is the SparkSession's own.
+  *
+  * Scale: the source scan parallelism comes from the source itself (file
+  * splits or partitioned JDBC); derived partition columns keep the lake
+  * prunable; `maxRecordsPerFile` bounds small-file explosion that the
+  * reference's per-400k-chunk appends cause (SURVEY.md §7.4).
+  */
+final class IngestionRun(spark: SparkSession, lakeRoot: String, logStore: LogStore,
+                         inclusiveBump: Boolean = true) {
+
+  def lakePath(spec: IngestionSpec): String =
+    s"$lakeRoot/${spec.databasename}/${spec.tablename}"
+
+  /** Execute one run; returns the RunLog rows appended. */
+  def run(spec: IngestionSpec, source: DataFrame): Seq[RunLog] = {
+    val prior = logStore.forIngestion(spec.lakeIngestionId).collect().toSeq
+    val (start, reason) = LogStore.nextStartValue(
+      prior, spec.dateNotAvailable == 1, inclusiveBump)
+    val firstTime = reason == ReasonCode.FirstTime
+
+    Validation.validatePartitionSpecs(spec.partitions) match {
+      case Left(err) =>
+        val row = RunLog(spec.lakeIngestionId, RunStatus.Failed, start, start,
+          0L, 0L, s"partition-config-invalid: $err", LogStore.now())
+        logStore.append(Seq(row)); return Seq(row)
+      case Right(_) => ()
+    }
+
+    val slice = Incremental.incrementalSlice(source, spec.deltaExpr, start)
+    val (_, hiOpt, n) = Incremental.deltaBounds(slice, spec.deltaExpr)
+    if (n == 0L) {
+      // "Empty Dataframe" short-circuit (reference: ingest_mysql_data.py:365-368)
+      val row = RunLog(spec.lakeIngestionId, RunStatus.NoData, start, start, 0L, 0L,
+        reason, LogStore.now())
+      logStore.append(Seq(row)); return Seq(row)
+    }
+    val end = hiOpt.get
+
+    val (withParts, partCols) = Transforms.derivePartitions(slice, spec.partitions)
+    val writer = withParts.write
+      .mode(SaveMode.Append)
+      .option("compression", "snappy")
+      .option("maxRecordsPerFile", 5000000)
+    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+      .parquet(lakePath(spec))
+    val loaded = RunLog(spec.lakeIngestionId, RunStatus.DataLoaded, start, end, n, 0L,
+      reason, LogStore.now())
+
+    val lake = spark.read.parquet(lakePath(spec))
+    val (target, ok) = Validation.reconcileCounts(lake, spec.deltaExpr, start, end, n)
+    val validated =
+      if (ok) loaded.copy(executionStatus = RunStatus.Success, targetCount = target,
+        reasonCode = ReasonCode.ValidationSuccess)
+      else loaded.copy(executionStatus = RunStatus.ValidationFailure, targetCount = target,
+        reasonCode = ReasonCode.ValidationFailure)
+
+    if (ok && firstTime && spec.viewNeeded == 1 && spec.primaryKeyCols.nonEmpty)
+      LatestRowView.createView(lake, spec.primaryKeyCols,
+        Seq(expr(spec.deltaExpr)), spec.viewName)
+
+    val rows = Seq(loaded, validated)
+    logStore.append(rows)
+    rows
+  }
+}

@@ -1,0 +1,76 @@
+package graft.state
+
+import java.sql.Timestamp
+import java.time.LocalDateTime
+import java.time.format.DateTimeFormatter
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.{ReasonCode, RunLog, RunStatus}
+
+/** Append-only execution-log state store + watermark recovery.
+  *
+  * The reference persists one CSV per run under a date-bucketed S3 prefix
+  * and rediscovers the latest via a day→month→prev-month→all fallback walk
+  * (reference: common_utils.py:292-401). Here the log is ONE append-only
+  * parquet table per lake — the "latest state" is a filter + max aggregate,
+  * and the fallback walk disappears (SURVEY.md §2.10).
+  */
+final class LogStore(spark: SparkSession, path: String) {
+  import spark.implicits._
+
+  def append(rows: Seq[RunLog]): Unit =
+    spark.createDataset(rows).write.mode(SaveMode.Append).parquet(path)
+
+  def read(): Dataset[RunLog] =
+    try spark.read.parquet(path).as[RunLog]
+    catch { case _: org.apache.spark.sql.AnalysisException => spark.emptyDataset[RunLog] }
+
+  def forIngestion(id: Long): Dataset[RunLog] =
+    read().filter(_.lakeIngestionId == id)
+}
+
+object LogStore {
+  val TsFmt: DateTimeFormatter = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+
+  /** First-run defaults (reference: ingest_mysql_data.py:113-124). */
+  val FirstRunDatetime = "2020-01-01 00:00:00"
+  val FirstRunInt = "1"
+
+  /** Watermark recovery + bump (reference: ingest_mysql_data.py:110-149).
+    *
+    * start value = max(end_value) over prior `success` rows, bumped by
+    * +1 second (datetime mode) or +1 (integer mode). The +1s bump can skip
+    * rows that land in the boundary second after the run — kept for parity
+    * but `inclusiveBump=false` switches to the principled `> last` form
+    * (SURVEY.md §7.4).
+    */
+  def nextStartValue(priorSuccess: Seq[RunLog], dateNotAvailable: Boolean,
+                     inclusiveBump: Boolean = true): (String, String) = {
+    val ends = priorSuccess.filter(_.executionStatus == RunStatus.Success).map(_.endValue)
+      .filter(v => v != null && v.nonEmpty)
+    if (ends.isEmpty) {
+      val start = if (dateNotAvailable) FirstRunInt else FirstRunDatetime
+      (start, ReasonCode.FirstTime)
+    } else if (dateNotAvailable) {
+      val last = ends.map(_.toLong).max
+      val start = if (inclusiveBump) (last + 1).toString else last.toString
+      (start, ReasonCode.Subsequent)
+    } else {
+      val last = ends.map(e => LocalDateTime.parse(e, TsFmt)).max(Ordering.fromLessThan[LocalDateTime](_ isBefore _))
+      val bumped = if (inclusiveBump) last.plusSeconds(1) else last
+      (bumped.format(TsFmt), ReasonCode.Subsequent)
+    }
+  }
+
+  def now(): Timestamp = new Timestamp(System.currentTimeMillis())
+
+  /** Latest log row per ingestion id — argmax by insert time with a
+    * deterministic status tie-break (reference picks max insert_datetime
+    * with ties unhandled, start_ingestion.py:96-97; SURVEY.md §7.4).
+    */
+  def latestPerIngestion(logs: DataFrame): DataFrame =
+    graft.operators.LatestRowView.latestPerKey(
+      logs, Seq("lakeIngestionId"), Seq(col("insertDatetime"), col("executionStatus")))
+}
