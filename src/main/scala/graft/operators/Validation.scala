@@ -15,10 +15,22 @@ object Validation {
     * to the source count. Spark *is* the lake SQL engine here — one
     * filter+count job over the just-written parquet, with the filter pushed
     * to the scan.
+    *
+    * For a coalesce delta the window predicate is the OR-decomposed form
+    * `(a BETWEEN s AND e OR b BETWEEN s AND e)` — matching the reference's
+    * Athena count (aws_utils.py:145-154). This is load-bearing, not just an
+    * index trick: the run's end bound is the conservative
+    * `least(max(a), max(b))`, so rows whose coalesce value exceeds it are
+    * only re-counted through their other column.
     */
   def reconcileCounts(lake: DataFrame, deltaExpr: String, start: String, end: String,
                       sourceCount: Long): (Long, Boolean) = {
-    val target = lake.filter(expr(deltaExpr).between(lit(start), lit(end))).count()
+    val pred = graft.sources.Incremental.parseCoalesceExpr(deltaExpr) match {
+      case Some((a, b)) =>
+        graft.sources.Incremental.coalesceOrBetween(Seq(col(a), col(b)), start, end)
+      case None => expr(deltaExpr).between(lit(start), lit(end))
+    }
+    val target = lake.filter(pred).count()
     (target, target == sourceCount)
   }
 
