@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextFunctions
 import graft.operators.{LatestRowView, Transforms}
 import graft.sources.Incremental
 
@@ -202,6 +203,107 @@ object SparkEntry {
         .select(col("n_nationkey"), col("n_name"), col("r_name"))
         .orderBy(col("n_nationkey"))
     }),
+
+    // ---- training-data pipeline operators (documents / embeddings) ----
+
+    // T1 — token counting + per-language corpus stats.
+    "q20_token_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.wsTokenCount(col("text")).cast("long")).as("sum_tokens"),
+          sum(col("n_chars")).as("sum_chars"))
+    }),
+
+    // T2 — quality filtering on exact integer signals.
+    "q21_quality_flags" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .filter(col("n_chars") >= 100 && TextFunctions.wsTokenCount(col("text")) >= 20)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_pass"))
+    }),
+
+    // D1 — exact dedup accounting (hash-groupBy on content digest).
+    "q22_exact_dedup" -> ((s, dir) => {
+      t(s, dir, "documents").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_uniq"))
+    }),
+
+    // D2 — MinHash+LSH near-dedup survivors (rows-only oracle).
+    "q23_minhash_dedup" -> ((s, dir) => {
+      functions.Dedup.minhashDedup(t(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
+    // D3 — SimHash near-dedup survivors via custom Catalyst expression
+    // (rows-only oracle).
+    "q24_simhash_dedup" -> ((s, dir) => {
+      functions.Dedup.simhashDedup(t(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id"), col("lang"))
+    }),
+
+    // D4 — per-doc fingerprints + n-gram-Jaccard candidate degree
+    // (rows-only oracle; always |documents| rows).
+    "q25_ngram_jaccard_profile" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = functions.Dedup.ngramJaccardPairs(docs, "text", "doc_id", threshold = 0.2)
+      val degree = pairs.select(col("idA").as("doc_id"))
+        .unionByName(pairs.select(col("idB").as("doc_id")))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_cand"))
+      docs.select(col("doc_id"))
+        .join(degree, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n_cand"), lit(0L)).as("n_cand"))
+    }),
+
+    // D5 — embedding-cosine near-dup dedup survivors (rows-only oracle).
+    "q26_embedding_neardup" -> ((s, dir) => {
+      functions.Similarity.cosineNearDupDedup(
+          t(s, dir, "embeddings"), "vec_id", "embedding", dim = 64)
+        .select(col("vec_id"), col("label"))
+    }),
+
+    // V1 — exact brute-force cosine top-k (rows-only oracle).
+    "q27_cosine_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") <= 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      functions.Similarity.bruteForceTopK(queries, emb, k = 10)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos"), 4).as("cos_r"))
+    }),
+
+    // V2 — LSH-bucketed approximate top-k (rows-only oracle).
+    "q28_ann_lsh_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") <= 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      functions.Similarity.annTopK(queries, emb, k = 10, dim = 64)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos"), 4).as("cos_r"))
+    }),
+
+    // T3 — heuristic language ID vs labeled lang (rows-only oracle).
+    "q29_langid_eval" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("lang"), TextFunctions.langId(col("text")).as("predicted"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // T4 — document fingerprinting: whole-doc + winnowed shingle sketch
+    // (rows-only oracle; xxhash64 is Spark-specific).
+    "q30_fingerprints" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.docFingerprint(col("text")).as("fp_doc"),
+        TextFunctions.minShingleFingerprint(col("text")).as("fp_shingle"))
+    }),
+
+    // T5 — composite quality score (rows-only oracle; float heuristic).
+    "q31_quality_scores" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        round(TextFunctions.qualityScore(col("text")), 4).as("quality"))
+    }),
   )
 
   // ----------------------------------------------------------- oracle SQL
@@ -291,5 +393,17 @@ object SparkEntry {
       """SELECT n_nationkey, n_name, r_name
          FROM nation JOIN region ON n_regionkey = r_regionkey
          ORDER BY n_nationkey""",
+    "q20_token_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+         cast(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS sum_tokens,
+         cast(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM documents GROUP BY lang""",
+    "q21_quality_flags" ->
+      """SELECT source, count(*) AS n_pass FROM documents
+         WHERE n_chars >= 100 AND len(string_split_regex(trim(text), '\s+')) >= 20
+         GROUP BY source""",
+    "q22_exact_dedup" ->
+      """SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_uniq
+         FROM documents""",
   )
 }

@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector similarity over an embedding column (`array<float>`):
+  * brute-force cosine top-k as the exact baseline, and a random-
+  * hyperplane-LSH bucketed variant as the scale path.
+  *
+  * Scale model: brute force is a broadcast of the (small) query set and
+  * ONE pass over the corpus — embarrassingly parallel, no corpus shuffle;
+  * the only shuffle is the per-query top-k (tiny). The LSH variant cuts
+  * the compared fraction to the bucket hit rate; both share the same
+  * codegen'd dot-product kernel (higher-order functions, no UDF).
+  * Embedding-cosine near-dup reuses the LSH signature as its bucket key.
+  */
+object Similarity {
+
+  /** Codegen'd dot product over two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2norm(a) * l2norm(b))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Exact brute-force top-k: broadcast the query set, one corpus pass,
+    * per-query top-k via row_number (deterministic: cosine desc, id asc).
+    * Output: (query_id, neighbor_id, cos).
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     qId: String = "query_id", qVec: String = "query_vec",
+                     cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val joined = corpus.crossJoin(broadcast(queries))
+      .filter(col(qId) =!= col(cId)) // a vector is not its own neighbor
+      .select(col(qId), col(cId).as("neighbor_id"),
+        cosine(asDouble(col(qVec)), asDouble(col(cVec))).as("cos"))
+    val w = Window.partitionBy(col(qId)).orderBy(col("cos").desc, col("neighbor_id").asc)
+    joined.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+  }
+
+  /** Deterministic random hyperplanes: `nPlanes` unit-free normals of
+    * dimension `dim`, seeded — driver-side tiny, broadcast as literals.
+    */
+  def hyperplanes(dim: Int, nPlanes: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit LSH signature of a vector under the given hyperplanes —
+    * one small integer per row, computed in codegen.
+    */
+  def lshSignature(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(asDouble(vec), lit(p.toArray)) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Approximate top-k: compare only corpus vectors whose LSH signature
+    * matches the query's (equi-join on the signature). Recall rises with
+    * fewer planes / multi-probe; precision of returned scores is exact
+    * (true cosine on the candidates).
+    */
+  def annTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+              nPlanes: Int = 8,
+              qId: String = "query_id", qVec: String = "query_vec",
+              cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val planes = hyperplanes(dim, nPlanes)
+    val q = queries.withColumn("__sig", lshSignature(col(qVec), planes))
+    val c = corpus.withColumn("__sig", lshSignature(col(cVec), planes))
+    val joined = c.join(broadcast(q), Seq("__sig"))
+      .filter(col(qId) =!= col(cId))
+      .select(col(qId), col(cId).as("neighbor_id"),
+        cosine(asDouble(col(qVec)), asDouble(col(cVec))).as("cos"))
+    val w = Window.partitionBy(col(qId)).orderBy(col("cos").desc, col("neighbor_id").asc)
+    joined.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+  }
+
+  /** Embedding-cosine near-dup pairs: bucket by LSH signature, verify
+    * true cosine ≥ threshold inside buckets. (idA < idB).
+    */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                         threshold: Double = 0.95, nPlanes: Int = 8): DataFrame = {
+    val planes = hyperplanes(dim, nPlanes)
+    val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("__sig", lshSignature(col("v"), planes))
+    val a = sig.select(col("__sig"), col("id").as("idA"), col("v").as("vA"))
+    val b = sig.select(col("__sig"), col("id").as("idB"), col("v").as("vB"))
+    a.join(b, Seq("__sig"))
+      .filter(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"),
+        cosine(asDouble(col("vA")), asDouble(col("vB"))).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Near-dedup on embeddings: drop members with a smaller-id near-dup. */
+  def cosineNearDupDedup(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                         threshold: Double = 0.95, nPlanes: Int = 8): DataFrame = {
+    val losers = cosineNearDupPairs(df, idCol, vecCol, dim, threshold, nPlanes)
+      .select(col("idB").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+}

@@ -1,0 +1,127 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, language ID, quality scoring, and document
+  * fingerprinting. Everything is a composition of codegen'd built-ins
+  * (higher-order array functions, regexes, xxhash64) — no UDFs, so the
+  * whole pipeline stays inside whole-stage codegen and scales linearly
+  * with executors: every function is a narrow per-row projection, zero
+  * shuffles.
+  */
+object TextFunctions {
+
+  // ------------------------------------------------------------ tokenizing
+
+  /** Whitespace token count (the cheap estimator). */
+  def wsTokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** Lowercased word tokens: runs of letters/digits (BPE-ish pre-token
+    * split on non-alphanumerics).
+    */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
+
+  /** Word n-gram shingles of the token array; documents shorter than `n`
+    * tokens yield one whole-document shingle.
+    */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+
+  // ------------------------------------------------------------- lang id
+
+  /** Tiny per-language stopword profiles for the n-gram/stopword
+    * heuristic. Public knowledge (most frequent function words).
+    */
+  val StopwordProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "of", "and", "to", "in", "is", "that", "it", "for", "on", "with", "as"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den", "von", "sich"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "se", "no", "por", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "est", "dans", "que", "pour"),
+  )
+
+  /** Fraction of tokens found in `words` (multiset-aware: counts every
+    * occurrence, unlike array_intersect's set semantics).
+    */
+  def stopwordRatio(toks: Column, words: Seq[String]): Column = {
+    val hits = size(filter(toks, t => t.isin(words.map(lit): _*)))
+    when(size(toks) === 0, lit(0.0)).otherwise(hits.cast("double") / size(toks))
+  }
+
+  /** Fraction of CJK codepoints — scripts without whitespace tokenization
+    * need a character-class signal, not stopwords.
+    */
+  def cjkRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(
+        (length(text) - length(regexp_replace(text, "[\\u4e00-\\u9fff]", ""))).cast("double")
+          / length(text))
+
+  /** Heuristic language ID: CJK-ratio gate for zh, else argmax of
+    * stopword-profile hit ratios, `und` when nothing scores. One
+    * projection — `greatest` over per-language structs keeps the argmax
+    * in codegen.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scored = StopwordProfiles.toSeq.map { case (lang, words) =>
+      struct(stopwordRatio(toks, words).as("score"), lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(cjkRatio(text) > 0.3, lit("zh"))
+      .when(best.getField("score") > 0.0, best.getField("lang"))
+      .otherwise(lit("und"))
+  }
+
+  // ------------------------------------------------------- quality scoring
+
+  /** Punctuation density over all characters. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(
+        (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double")
+          / length(text))
+
+  /** Mean token length in characters. */
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+  }
+
+  /** Composite quality score in [0,1] — the classic pre-training filters
+    * (length band, word shape, punctuation sanity, stopword signal), each
+    * clamped to a sub-score and averaged. Thresholds are heuristic, the
+    * shape (pure column expression, tune-by-config) is the point.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = wsTokenCount(text).cast("double")
+    val lenScore = least(nTok / lit(20.0), lit(1.0)) // ≥20 tokens → full marks
+    val mtl = meanTokenLen(text)
+    val shapeScore = when(mtl.between(3.0, 12.0), lit(1.0)).otherwise(lit(0.0))
+    val punctScore = when(punctRatio(text) < 0.2, lit(1.0)).otherwise(lit(0.0))
+    val stopScore = least(
+      stopwordRatio(tokens(text), StopwordProfiles("en")) * lit(5.0), lit(1.0))
+    (lenScore + shapeScore + punctScore + stopScore) / lit(4.0)
+  }
+
+  // ------------------------------------------------------- fingerprinting
+
+  /** Whole-document 64-bit fingerprint of whitespace-normalized text. */
+  def docFingerprint(text: Column): Column =
+    xxhash64(concat_ws(" ", tokens(text)))
+
+  /** Winnowed shingle fingerprint: min xxhash64 over word n-gram shingles
+    * — a 1-permutation MinHash, stable under local edits far from the
+    * minimum shingle (rolling-hash document sketching).
+    */
+  def minShingleFingerprint(text: Column, n: Int = 5): Column =
+    array_min(transform(shingles(tokens(text), n), s => xxhash64(s)))
+}

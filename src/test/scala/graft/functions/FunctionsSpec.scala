@@ -1,0 +1,185 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------- text
+
+  test("wsTokenCount: whitespace runs, empty and blank strings") {
+    val got = Seq("a b  c", "  ", "", "one").toDF("t")
+      .select(TextFunctions.wsTokenCount($"t")).as[Int].collect().toSeq
+    assert(got == Seq(3, 0, 0, 1))
+  }
+
+  test("tokens splits on non-alphanumerics and lowercases") {
+    val got = Seq("Hello, World! x2").toDF("t")
+      .select(TextFunctions.tokens($"t")).as[Seq[String]].head()
+    assert(got == Seq("hello", "world", "x2"))
+  }
+
+  test("shingles: n-grams and short-doc fallback") {
+    val df = Seq("a b c d").toDF("t")
+    val got = df.select(TextFunctions.shingles(TextFunctions.tokens($"t"), 3))
+      .as[Seq[String]].head()
+    assert(got == Seq("a b c", "b c d"))
+    val short = df.select(TextFunctions.shingles(TextFunctions.tokens($"t"), 9))
+      .as[Seq[String]].head()
+    assert(short == Seq("a b c d"))
+  }
+
+  test("langId: stopword argmax + CJK gate") {
+    val got = Seq(
+      "the cat is on the mat and it is happy",
+      "der Hund ist nicht mit der Katze und das ist gut",
+      "el perro es un animal que no es el gato",
+      "le chien est dans la maison et les chats",
+      "这是一个中文句子没有空格",
+    ).toDF("t").select(TextFunctions.langId($"t")).as[String].collect().toSeq
+    assert(got == Seq("en", "de", "es", "fr", "zh"))
+  }
+
+  test("qualityScore in [0,1]; junk scores below clean prose") {
+    val rows = Seq(
+      "the quick brown fox jumps over the lazy dog and it is a fine day in the park with the sun",
+      "!!! ### $$$ %%% ^^^ &&& *** ((( )))",
+    ).toDF("t").select(TextFunctions.qualityScore($"t")).as[Double].collect()
+    assert(rows.forall(s => s >= 0.0 && s <= 1.0))
+    assert(rows(0) > rows(1))
+  }
+
+  test("fingerprints are stable under whitespace normalization only") {
+    val df = Seq(("a b c d e f", "a  b   c d e f", "a b c d e CHANGED"))
+      .toDF("x", "y", "z")
+    val r = df.select(
+      TextFunctions.docFingerprint($"x"), TextFunctions.docFingerprint($"y"),
+      TextFunctions.docFingerprint($"z")).head()
+    assert(r.getLong(0) == r.getLong(1))
+    assert(r.getLong(0) != r.getLong(2))
+  }
+
+  test("minShingleFingerprint survives a far-from-minimum edit") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val df = Seq((base, base + " tail tail2")).toDF("a", "b")
+    val r = df.select(TextFunctions.minShingleFingerprint($"a"),
+      TextFunctions.minShingleFingerprint($"b")).head()
+    // appending tokens adds shingles; min over a superset can only stay or drop
+    assert(r.getLong(1) <= r.getLong(0))
+  }
+
+  // ---------------------------------------------------------- simhash
+
+  test("SimHash64: deterministic, order-insensitive-ish, near texts near in hamming") {
+    val a = "the quick brown fox jumps over the lazy dog " * 4
+    val b = a.replace("lazy", "sleepy") // small edit
+    val c = "completely different words entirely unrelated content here " * 4
+    val df = Seq((a, a, b, c)).toDF("a1", "a2", "b", "c")
+    def sh(c0: org.apache.spark.sql.Column) = SimHash64.simhash64(TextFunctions.tokens(c0))
+    val r = df.select(sh($"a1"), sh($"a2"), sh($"b"), sh($"c")).head()
+    val (h1, h2, hb, hc) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(h1 == h2)
+    def hamming(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(hamming(h1, hb) < hamming(h1, hc))
+    assert(hamming(h1, hb) <= 16)
+  }
+
+  test("SimHash64 works inside whole-stage codegen (many-row projection)") {
+    val n = spark.range(1000)
+      .select(concat(lit("doc text number "), $"id".cast("string")).as("t"))
+      .select(SimHash64.simhash64(TextFunctions.tokens($"t")).as("h"))
+      .select(countDistinct($"h")).as[Long].head()
+    assert(n > 500) // distinct docs hash apart
+  }
+
+  // ------------------------------------------------------------ dedup
+
+  private def docs(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+
+  test("exactDedup keeps min id per identical text") {
+    val df = docs((1L, "same text"), (2L, "same text"), (3L, "other text"))
+    val got = Dedup.exactDedup(df, "text", "doc_id").select($"doc_id")
+      .as[Long].collect().toSet
+    assert(got == Set(1L, 3L))
+  }
+
+  test("minhash LSH finds a near-duplicate and dedup drops the higher id") {
+    val base = (1 to 60).map(i => s"word$i").mkString(" ")
+    val near = base.replace("word30", "changed")
+    val far = (1 to 60).map(i => s"other$i").mkString(" ")
+    val df = docs((10L, base), (20L, near), (30L, far))
+    val pairs = Dedup.minhashCandidatePairs(df, "text", "doc_id")
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.exists(p => p._1 == 10L && p._2 == 20L && p._3 > 0.7))
+    assert(!pairs.exists(p => p._2 == 30L || p._1 == 30L))
+    val kept = Dedup.minhashDedup(df, "text", "doc_id").select($"doc_id")
+      .as[Long].collect().toSet
+    assert(kept == Set(10L, 30L))
+  }
+
+  test("simhashDedup drops near text, keeps far text") {
+    val base = (1 to 80).map(i => s"word$i").mkString(" ")
+    val near = base.replace("word30", "changed")
+    val far = (1 to 80).map(i => s"zz$i qq$i").mkString(" ")
+    val kept = Dedup.simhashDedup(docs((1L, base), (2L, near), (3L, far)),
+      "text", "doc_id", maxHamming = 6).select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+  }
+
+  test("ngramJaccardPairs reports true jaccard on candidates") {
+    val base = (1 to 60).map(i => s"word$i").mkString(" ")
+    val near = base + " extra"
+    val got = Dedup.ngramJaccardPairs(docs((1L, base), (2L, near)), "text", "doc_id",
+      threshold = 0.5).as[(Long, Long, Double)].collect()
+    assert(got.length == 1 && got.head._3 > 0.9)
+  }
+
+  // ------------------------------------------------------- similarity
+
+  test("cosine and dot on known vectors") {
+    val df = Seq((Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(2.0, 0.0))).toDF("x", "y", "z")
+    val r = df.select(
+      Similarity.cosine($"x", $"y"), Similarity.cosine($"x", $"z"),
+      Similarity.dot($"x", $"z")).head()
+    assert(math.abs(r.getDouble(0)) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+    assert(r.getDouble(2) == 2.0)
+  }
+
+  test("bruteForceTopK returns nearest first, deterministic ties") {
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.0f, 1.0f)),
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((100L, Seq(1.0f, 0.0f))).toDF("query_id", "query_vec")
+    val got = Similarity.bruteForceTopK(queries, corpus, k = 2)
+      .orderBy($"cos".desc).select($"neighbor_id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 2L))
+  }
+
+  test("annTopK candidates are exact-cosine scored and within brute-force set") {
+    val corpus = (0 until 50).map { i =>
+      (i.toLong, Seq.tabulate(8)(j => math.sin(i * 8 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" === 7L)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val ann = Similarity.annTopK(queries, corpus, k = 5, dim = 8)
+      .select($"neighbor_id", $"cos").as[(Long, Double)].collect().toMap
+    val bf = Similarity.bruteForceTopK(queries, corpus, k = 50)
+      .select($"neighbor_id", $"cos").as[(Long, Double)].collect().toMap
+    assert(ann.nonEmpty)
+    ann.foreach { case (id, cos) => assert(math.abs(bf(id) - cos) < 1e-12) }
+  }
+
+  test("cosineNearDupDedup drops a scaled copy (cosine 1.0), keeps orthogonal") {
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f, 3.0f, 4.0f)),
+      (2L, Seq(2.0f, 4.0f, 6.0f, 8.0f)), // same direction
+      (3L, Seq(-4.0f, 3.0f, -2.0f, 1.0f)),
+    ).toDF("vec_id", "embedding")
+    val kept = Similarity.cosineNearDupDedup(df, "vec_id", "embedding", dim = 4)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+  }
+}
