@@ -304,6 +304,51 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         round(TextFunctions.qualityScore(col("text")), 4).as("quality"))
     }),
+
+    // ST1 — event-time tumbling window agg (the batch form of the
+    // streaming hourlyTypeCounts; identical plan modulo watermark).
+    "q32_hourly_events" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("value_cents"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          col("event_type"), col("n"), col("value_cents"))
+    }),
+
+    // ST2 — session windows over user activity (rows-only oracle;
+    // session_window has no DuckDB analog).
+    "q33_session_windows" -> ((s, dir) => {
+      graft.streaming.EventsStream.sessionWindowsBatch(t(s, dir, "events"), gapMinutes = 60)
+        .select(col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("n_events"))
+    }),
+
+    // M1 — multimodal: binary media column decode + resize + frame-sample
+    // plans (rows-only oracle; decode kernel is a deterministic stub).
+    "q34_multimodal_decode" -> ((s, dir) => {
+      val media = functions.Multimodal.withFakeMedia(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id", "video")
+      media.select(col("doc_id"),
+          functions.Multimodal.decodeMediaMeta(col("content")).as("meta"))
+        .select(col("doc_id"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          functions.Multimodal.resizedDims(col("meta.width"), col("meta.height"), 512).as("resized"),
+          size(functions.Multimodal.frameSampleIndices(col("meta.nFrames"), 16)).as("n_sampled"))
+        .select(col("doc_id"), col("width"), col("height"),
+          col("resized.width").as("rw"), col("resized.height").as("rh"), col("n_sampled"))
+    }),
+
+    // M2 — batched mapPartitions feature extraction over binary payloads
+    // (rows-only oracle).
+    "q35_media_features" -> ((s, dir) => {
+      val media = functions.Multimodal.withFakeMedia(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id")
+      functions.Multimodal.extractFeatures(media, "doc_id")(s)
+        .toDF().select(col("id"), col("width"), col("height"),
+          round(element_at(col("features"), 1), 4).as("f0"))
+    }),
   )
 
   // ----------------------------------------------------------- oracle SQL
@@ -405,5 +450,10 @@ object SparkEntry {
     "q22_exact_dedup" ->
       """SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_uniq
          FROM documents""",
+    "q32_hourly_events" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+         event_type, count(*) AS n,
+         cast(sum(cast(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+         FROM events GROUP BY 1, 2""",
   )
 }

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming re-expression of the reference's micro-batch
+  * incremental semantics (SURVEY.md §2.10): the persisted-watermark +
+  * `delta >= start` protocol becomes `readStream` + `withWatermark` +
+  * checkpointed offsets, and the day-window BETWEEN loop becomes real
+  * event-time tumbling windows.
+  *
+  * Everything here works identically under `spark.read` (batch) and
+  * `spark.readStream` — the transforms take a plain DataFrame, so tests
+  * drive them with the file-stream source and `processAllAvailable()`.
+  */
+object EventsStream {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+
+  final case class UserSession(user_id: Long, session_start: Timestamp,
+                               session_end: Timestamp, n_events: Long)
+
+  private final case class SessionState(start: Long, last: Long, n: Long)
+
+  /** File-stream source over an events parquet directory. Handles the
+    * ns-precision timestamp the same way Tables.load does (nanos → long
+    * → µs truncation), because the streaming reader rejects
+    * TIMESTAMP(NANOS) identically.
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(dir).schema
+    spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling event-time window aggregation with a late-data watermark —
+    * the principled version of the reference's strictly-`>= watermark`
+    * scan that silently drops regressed rows (SURVEY.md §2.10 "late
+    * data"). Counts and integer-cents sums only: deterministic under
+    * any partition/arrival order.
+    */
+  def hourlyTypeCounts(events: DataFrame, lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("value_cents"))
+
+  /** Per-user event-time sessionization via mapGroupsWithState: a session
+    * closes after `gapMinutes` of event-time silence. State is one small
+    * struct per user — the scale limit is live keys, not events.
+    * Emits the *current* session per user each batch (Update mode).
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, UserSession](GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(
+            SessionState(sorted.head.ts.getTime, sorted.head.ts.getTime, 0L))
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            st = if (t - st.last > gapMs) SessionState(t, t, 1L)
+                 else st.copy(last = math.max(st.last, t), n = st.n + 1)
+          }
+          state.update(st)
+          UserSession(userId, new Timestamp(st.start), new Timestamp(st.last), st.n)
+      }
+  }
+
+  /** Batch-mode session windows (the same semantics Catalyst-native):
+    * `session_window` merges events within the gap — use this form when
+    * the data is at rest; it's one shuffle on (user, window).
+    */
+  def sessionWindowsBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
+  /** Run a streaming query over `dir` into an in-memory table and block
+    * until all available files are processed — the local smoke harness
+    * (AvailableNow semantics without an external trigger loop).
+    */
+  def runToMemory(spark: SparkSession, dir: String, queryName: String,
+                  transform: DataFrame => DataFrame,
+                  outputMode: String = "append"): Unit = {
+    val q = transform(readEvents(spark, dir))
+      .writeStream.outputMode(outputMode)
+      .format("memory").queryName(queryName)
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+  }
+}

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+class EventsStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming hourly counts equal the batch equivalent over the same files") {
+    // the file-stream source wants a directory; stage the single file
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$SfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    // update mode: append would hold back windows the watermark hasn't
+    // passed (i.e. the tail of the data) — with a single batch, update
+    // emits each window exactly once with its final counts
+    EventsStream.runToMemory(spark, dir.toString, "hourly",
+      df => EventsStream.hourlyTypeCounts(df), outputMode = "update")
+    val streamed = spark.table("hourly")
+      .select($"hour_start", $"event_type", $"n", $"value_cents")
+    val batch = Tables.load(spark, SfDir, "events")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(round($"value" * 100).cast("long")).as("value_cents"))
+      .select($"window.start".as("hour_start"), $"event_type", $"n", $"value_cents")
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
+  test("sessionize: gap splits sessions, state carries across batches") {
+    def ev(id: Long, user: Long, minute: Long) =
+      EventsStream.Event(id, new Timestamp(minute * 60000L), user, "click", 1.0)
+    // user 1: events at t0,t5 then a 90-minute gap then t95,t96 → 2 sessions
+    val events = Seq(ev(1, 1, 0), ev(2, 1, 5), ev(3, 1, 95), ev(4, 1, 96),
+      ev(5, 2, 10)).toDS()
+    val out = EventsStream.sessionize(events, gapMinutes = 30).collect()
+      .map(s => s.user_id -> s).toMap
+    // mapGroupsWithState in batch mode sees one batch per key; final state
+    // reflects the LAST session after the gap reset
+    assert(out(1L).n_events == 2L)
+    assert(out(1L).session_start.getTime == 95 * 60000L)
+    assert(out(2L).n_events == 1L)
+  }
+
+  test("sessionWindowsBatch merges events within the gap") {
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 10:10:00"),
+      (1L, "2024-01-01 12:00:00"),
+      (2L, "2024-01-01 09:00:00"),
+    ).toDF("user_id", "s").select($"user_id", to_timestamp($"s").as("ts"))
+    val got = EventsStream.sessionWindowsBatch(df, gapMinutes = 30)
+      .select($"user_id", $"n_events").as[(Long, Long)].collect().toSeq.sorted
+    assert(got == Seq((1L, 1L), (1L, 2L), (2L, 1L)))
+  }
+}
