@@ -42,12 +42,27 @@ object Dedup {
 
   // ------------------------------------------------- MinHash signatures D2
 
-  /** 64-bit base hashes of the document's word n-gram shingles — the ONE
-    * string-hashing pass; the k MinHash permutations are derived from
-    * these longs (see minhashSignature).
+  /** Per-token 64-bit hashes — the ONE string-hashing pass. */
+  def tokenHashes(text: Column): Column =
+    transform(tokens(text), t => xxhash64(t))
+
+  /** n-gram shingle hashes rolled over pre-hashed tokens: each shingle is
+    * the hash of `shingleLen` consecutive token hashes — integer ops
+    * only, no n-gram strings materialized. Documents shorter than
+    * `shingleLen` collapse to one whole-document hash.
+    *
+    * IMPORTANT: `th` must be a *materialized column reference* (own
+    * projection), not the tokenHashes expression — element_at on a
+    * non-bound expression re-evaluates the whole subtree per access
+    * (measured 4× slowdown), and expression-tree blowup hits the
+    * optimizer (see minhashSignature).
     */
-  def shingleHashes(text: Column, shingleLen: Int = 5): Column =
-    transform(shingles(tokens(text), shingleLen), s => xxhash64(s))
+  def rollingShingleHashes(th: Column, shingleLen: Int = 5): Column = {
+    val whole = aggregate(th, lit(42L), (acc, h) => xxhash64(acc, h))
+    when(size(th) < shingleLen, array(whole))
+      .otherwise(transform(sequence(lit(0), size(th) - shingleLen), i =>
+        xxhash64((0 until shingleLen).map(j => element_at(th, i + lit(j + 1))): _*)))
+  }
 
   /** k-permutation MinHash signature from pre-hashed shingles: element i =
     * min over shingles of xxhash64(baseHash, i) — rehashing a long is a
@@ -64,10 +79,11 @@ object Dedup {
   def minhashSignature(baseHashes: Column, k: Int): Column =
     array((0 until k).map(i => array_min(transform(baseHashes, h => xxhash64(h, lit(i))))): _*)
 
-  /** doc → (id, sig) with the two-projection structure described above. */
+  /** doc → (id, sig) with the per-step projections described above. */
   private def signatures(df: DataFrame, textCol: String, idCol: String,
                          k: Int, shingleLen: Int): DataFrame =
-    df.select(col(idCol).as("id"), shingleHashes(col(textCol), shingleLen).as("__sh"))
+    df.select(col(idCol).as("id"), tokenHashes(col(textCol)).as("__th"))
+      .select(col("id"), rollingShingleHashes(col("__th"), shingleLen).as("__sh"))
       .select(col("id"), minhashSignature(col("__sh"), k).as("sig"))
 
   /** Estimated Jaccard from two signatures: fraction of equal positions. */
