@@ -59,6 +59,7 @@ final class IngestionRun(spark: SparkSession, lakeRoot: String, logStore: LogSto
     val end = hiOpt.get
 
     val (withParts, partCols) = Transforms.derivePartitions(slice, spec.partitions)
+    val filesBefore = graft.sink.Rollback.listFiles(spark, lakePath(spec))
     val writer = withParts.write
       .mode(SaveMode.Append)
       .option("compression", "snappy")
@@ -73,8 +74,14 @@ final class IngestionRun(spark: SparkSession, lakeRoot: String, logStore: LogSto
     val validated =
       if (ok) loaded.copy(executionStatus = RunStatus.Success, targetCount = target,
         reasonCode = ReasonCode.ValidationSuccess)
-      else loaded.copy(executionStatus = RunStatus.ValidationFailure, targetCount = target,
-        reasonCode = ReasonCode.ValidationFailure)
+      else {
+        // K4 rollback parity: undo this run's files so the lake returns to
+        // its pre-run state and the next run re-extracts the same window
+        // (reference: start_ingestion.py:143-145)
+        val deleted = graft.sink.Rollback.deleteAdded(spark, lakePath(spec), filesBefore)
+        loaded.copy(executionStatus = RunStatus.ValidationFailure, targetCount = target,
+          reasonCode = s"${ReasonCode.ValidationFailure}: rolled back ${deleted.size} files")
+      }
 
     if (ok && firstTime && spec.viewNeeded == 1 && spec.primaryKeyCols.nonEmpty)
       LatestRowView.createView(lake, spec.primaryKeyCols,
