@@ -10,6 +10,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm-up: run every query once at the smallest SF so the timed pass
+    // measures steady-state execution (plans/codegen JIT'd, classes
+    // loaded), not one-off JVM warmup — the state a long-lived cluster
+    // session actually runs in
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).exists() && warmDir != sfDir)
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

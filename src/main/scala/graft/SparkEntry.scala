@@ -284,9 +284,11 @@ object SparkEntry {
     }),
 
     // T3 — heuristic language ID vs labeled lang (rows-only oracle).
+    // tokens materialized once; langIdWith references them per profile.
     "q29_langid_eval" -> ((s, dir) => {
       t(s, dir, "documents")
-        .select(col("lang"), TextFunctions.langId(col("text")).as("predicted"))
+        .select(col("lang"), col("text"), TextFunctions.tokens(col("text")).as("__t"))
+        .select(col("lang"), TextFunctions.langIdWith(col("__t"), col("text")).as("predicted"))
         .groupBy(col("lang"), col("predicted"))
         .agg(count(lit(1)).as("n"))
     }),
@@ -455,5 +457,48 @@ object SparkEntry {
          event_type, count(*) AS n,
          cast(sum(cast(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
          FROM events GROUP BY 1, 2""",
+    // session_window emulated with lag + cumulative session ids; Spark's
+    // windows are end-exclusive, so a gap of exactly 60min splits (>=)
+    "q33_session_windows" ->
+      """WITH lagged AS (
+           SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+           FROM events),
+         sessions AS (
+           SELECT user_id, ts,
+                  sum(CASE WHEN prev IS NULL OR epoch(ts - prev) >= 3600 THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+           FROM lagged)
+         SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                count(*) AS n_events
+         FROM sessions GROUP BY user_id, sid""",
+    "q31_quality_scores" ->
+      """WITH toks AS (
+           SELECT doc_id, text,
+                  list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                              x -> length(x) > 0) AS t,
+                  CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(string_split_regex(trim(text), '\s+')) END AS ntok
+           FROM documents),
+         m AS (
+           SELECT doc_id, text, ntok,
+                  CASE WHEN len(t) = 0 THEN 0.0
+                       ELSE cast(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t)
+                  END AS mtl,
+                  CASE WHEN length(text) = 0 THEN 0.0
+                       ELSE cast(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+                            / length(text)
+                  END AS punct,
+                  CASE WHEN len(t) = 0 THEN 0.0
+                       ELSE cast(len(list_filter(t, x -> x IN
+                         ('the','of','and','to','in','is','that','it','for','on','with','as'))) AS DOUBLE)
+                            / len(t)
+                  END AS stopr
+           FROM toks)
+         SELECT doc_id,
+                round((least(cast(ntok AS DOUBLE) / 20.0, 1.0)
+                       + (CASE WHEN mtl BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+                       + (CASE WHEN punct < 0.2 THEN 1.0 ELSE 0.0 END)
+                       + least(stopr * 5.0, 1.0)) / 4.0, 4) AS quality
+         FROM m""",
   )
 }

@@ -145,11 +145,12 @@ object Dedup {
                    maxHamming: Int = 3): DataFrame = {
     val withSig = df.select(col(idCol).as("id"),
       SimHash64.simhash64(tokens(col(textCol))).as("sim"))
-    val blocks = (0 until 4).map { blk =>
-      withSig.select(lit(blk).as("blk"),
-        shiftright(col("sim"), blk * 16).bitwiseAND(lit(0xFFFFL)).as("bucket"),
-        col("id"), col("sim"))
-    }.reduce(_ unionByName _)
+    // one pass: posexplode the 4 block buckets (a per-block union would
+    // rescan the source and recompute the simhash once per block)
+    val blocks = withSig
+      .select(col("id"), col("sim"), posexplode(array((0 until 4).map(blk =>
+        shiftright(col("sim"), blk * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .toDF("id", "sim", "blk", "bucket")
     val a = blocks.select(col("blk"), col("bucket"), col("id").as("idA"), col("sim").as("simA"))
     val b = blocks.select(col("blk"), col("bucket"), col("id").as("idB"), col("sim").as("simB"))
     a.join(b, Seq("blk", "bucket"))

@@ -68,9 +68,13 @@ object TextFunctions {
     * stopword-profile hit ratios, `und` when nothing scores. One
     * projection — `greatest` over per-language structs keeps the argmax
     * in codegen.
+    *
+    * `toks` should be a materialized column of `tokens(text)` when
+    * scoring many profiles (each profile references it; a raw expression
+    * would be re-derived per profile — see SCALE.md expression-tree
+    * discipline). `langId(text)` is the convenience form.
     */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
+  def langIdWith(toks: Column, text: Column): Column = {
     val scored = StopwordProfiles.toSeq.map { case (lang, words) =>
       struct(stopwordRatio(toks, words).as("score"), lit(lang).as("lang"))
     }
@@ -79,6 +83,8 @@ object TextFunctions {
       .when(best.getField("score") > 0.0, best.getField("lang"))
       .otherwise(lit("und"))
   }
+
+  def langId(text: Column): Column = langIdWith(tokens(text), text)
 
   // ------------------------------------------------------- quality scoring
 
