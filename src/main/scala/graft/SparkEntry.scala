@@ -351,6 +351,65 @@ object SparkEntry {
         .toDF().select(col("id"), col("width"), col("height"),
           round(element_at(col("features"), 1), 4).as("f0"))
     }),
+
+    // AJ — as-of join (composed, one shuffle): each order's most recent
+    // strictly-earlier order of the same customer.
+    "q36_asof_prev_order" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      operators.AsofJoin.asofPrior(
+          o.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+          o.select(col("o_custkey"), col("o_orderdate")),
+          keys = Seq("o_custkey"), leftTime = "o_orderdate", rightTime = "o_orderdate",
+          payload = Seq("o_orderdate"))
+        .select(col("o_orderkey"),
+          date_format(col("__asof.o_orderdate"), "yyyy-MM-dd").as("prev_date"))
+    }),
+
+    // G1 — ROLLUP grouping sets.
+    "q37_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+    }),
+
+    // G2 — CUBE grouping sets.
+    "q38_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // G3 — pivot (fixed value set → conditional aggregation in the oracle).
+    "q39_pivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(col("l_quantity")))
+        .select(col("l_linestatus"),
+          col("A").as("qty_a"), col("N").as("qty_n"), col("R").as("qty_r"))
+    }),
+
+    // E2E — the full incremental ingestion lifecycle as a gate query
+    // (rows-only oracle): two runs over a watermark-split source into a
+    // throwaway lake; emits the deterministic log fields.
+    "q40_ingestion_lifecycle" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q40").toString
+      val store = new graft.state.LogStore(s, s"$tmp/logs")
+      val run = new graft.driver.IngestionRun(s, s"$tmp/lake", store)
+      val spec = graft.model.IngestionSpec(40L, "table", "local", "gate", "events",
+        "ts", "", 0, 1, "fs", "", "event_id", "lv", "events_lv", 1,
+        Seq(graft.model.PartitionSpec(1, graft.model.PartitionSpec.TimeBased, "ts", "YYYYMMDD")),
+        "gate")
+      val ev = t(s, dir, "events")
+      val cut = "2024-01-15 00:00:00"
+      val logs1 = run.run(spec, ev.filter(col("ts") < lit(cut)))
+      val logs2 = run.run(spec, ev)
+      val logs3 = run.run(spec, ev) // no new data
+      s.createDataset((logs1 ++ logs2 ++ logs3).map(l =>
+        (l.executionStatus, l.startValue, l.endValue, l.sourceCount, l.targetCount, l.reasonCode)))
+        .toDF("status", "start_value", "end_value", "source_count", "target_count", "reason")
+    }),
   )
 
   // ----------------------------------------------------------- oracle SQL
@@ -500,5 +559,22 @@ object SparkEntry {
                        + (CASE WHEN punct < 0.2 THEN 1.0 ELSE 0.0 END)
                        + least(stopr * 5.0, 1.0)) / 4.0, 4) AS quality
          FROM m""",
+    "q36_asof_prev_order" ->
+      """SELECT o1.o_orderkey,
+         strftime(o2.o_orderdate, '%Y-%m-%d') AS prev_date
+         FROM orders o1 ASOF LEFT JOIN orders o2
+           ON o1.o_custkey = o2.o_custkey AND o2.o_orderdate < o1.o_orderdate""",
+    "q37_rollup" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q38_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+    "q39_pivot" ->
+      """SELECT l_linestatus,
+         sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END) AS qty_a,
+         sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END) AS qty_n,
+         sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS qty_r
+         FROM lineitem GROUP BY l_linestatus""",
   )
 }

@@ -32,7 +32,21 @@ final class LogStore(spark: SparkSession, path: String) {
 }
 
 object LogStore {
-  val TsFmt: DateTimeFormatter = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+  /** Accepts optional fractional seconds — delta columns are often µs
+    * precision and `end_value` records them exactly (a plain
+    * seconds-only parse crashed watermark recovery on such logs).
+    */
+  val TsFmt: DateTimeFormatter = new java.time.format.DateTimeFormatterBuilder()
+    .appendPattern("yyyy-MM-dd HH:mm:ss")
+    .optionalStart()
+    .appendFraction(java.time.temporal.ChronoField.NANO_OF_SECOND, 1, 9, true)
+    .optionalEnd()
+    .toFormatter()
+
+  private val PlainFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+  private val FracFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+  private def fmtTs(t: LocalDateTime): String =
+    if (t.getNano == 0) t.format(PlainFmt) else t.format(FracFmt)
 
   /** First-run defaults (reference: ingest_mysql_data.py:113-124). */
   val FirstRunDatetime = "2020-01-01 00:00:00"
@@ -60,7 +74,7 @@ object LogStore {
     } else {
       val last = ends.map(e => LocalDateTime.parse(e, TsFmt)).max(Ordering.fromLessThan[LocalDateTime](_ isBefore _))
       val bumped = if (inclusiveBump) last.plusSeconds(1) else last
-      (bumped.format(TsFmt), ReasonCode.Subsequent)
+      (fmtTs(bumped), ReasonCode.Subsequent)
     }
   }
 
