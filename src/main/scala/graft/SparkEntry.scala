@@ -389,6 +389,23 @@ object SparkEntry {
           col("A").as("qty_a"), col("N").as("qty_n"), col("R").as("qty_r"))
     }),
 
+    // ST3 — REAL Structured Streaming under the DuckDB oracle: stream the
+    // events files through the watermarked hourly aggregation into a
+    // memory sink, return the final table (update mode: one emission per
+    // window on a single batch). Same oracle SQL as the batch form.
+    "q41_stream_hourly" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q41")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        tmp.resolve("events.parquet"))
+      val name = "graft_q41_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      graft.streaming.EventsStream.runToMemory(s, tmp.toString, name,
+        df => graft.streaming.EventsStream.hourlyTypeCounts(df), outputMode = "update")
+      s.table(name).select(
+        date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("n"), col("value_cents"))
+    }),
+
     // E2E — the full incremental ingestion lifecycle as a gate query
     // (rows-only oracle): two runs over a watermark-split source into a
     // throwaway lake; emits the deterministic log fields.
@@ -576,5 +593,10 @@ object SparkEntry {
          sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END) AS qty_n,
          sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS qty_r
          FROM lineitem GROUP BY l_linestatus""",
+    "q41_stream_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+         event_type, count(*) AS n,
+         cast(sum(cast(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+         FROM events GROUP BY 1, 2""",
   )
 }

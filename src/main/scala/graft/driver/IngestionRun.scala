@@ -28,7 +28,8 @@ import graft.state.LogStore
   * reference's per-400k-chunk appends cause (SURVEY.md §7.4).
   */
 final class IngestionRun(spark: SparkSession, lakeRoot: String, logStore: LogStore,
-                         inclusiveBump: Boolean = true) {
+                         inclusiveBump: Boolean = true,
+                         overwritePartitions: Boolean = false) {
 
   def lakePath(spec: IngestionSpec): String =
     s"$lakeRoot/${spec.databasename}/${spec.tablename}"
@@ -60,8 +61,15 @@ final class IngestionRun(spark: SparkSession, lakeRoot: String, logStore: LogSto
 
     val (withParts, partCols) = Transforms.derivePartitions(slice, spec.partitions)
     val filesBefore = graft.sink.Rollback.listFiles(spark, lakePath(spec))
+    // overwritePartitions: idempotent re-runs — replace exactly the
+    // partitions this run touches instead of appending (the at-scale
+    // alternative to delete-rollback; needs derived partition columns)
+    val mode =
+      if (overwritePartitions && partCols.nonEmpty) SaveMode.Overwrite else SaveMode.Append
+    if (mode == SaveMode.Overwrite)
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val writer = withParts.write
-      .mode(SaveMode.Append)
+      .mode(mode)
       .option("compression", "snappy")
       .option("maxRecordsPerFile", 5000000)
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
