@@ -101,9 +101,17 @@ object Dedup {
     */
   def minhashCandidatePairs(df: DataFrame, textCol: String, idCol: String,
                             k: Int = 64, bands: Int = 16, threshold: Double = 0.5,
-                            shingleLen: Int = 5): DataFrame = {
+                            shingleLen: Int = 5, cacheSignatures: Boolean = true): DataFrame = {
     val r = k / bands
-    val sigs = signatures(df, textCol, idCol, k, shingleLen)
+    // the signature relation feeds three plan branches (band keys + two
+    // pair re-attach joins); caching avoids recomputing the hash pipeline
+    // per branch. Spark evicts under memory pressure; at true corpus
+    // scale write the signatures to parquet once and read them back
+    // instead (same shape, durable).
+    val sigsPlan = signatures(df, textCol, idCol, k, shingleLen)
+    val sigs = if (cacheSignatures)
+      sigsPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else sigsPlan
     val bandKeys = sigs
       .select(col("id"), posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
         xxhash64(concat_ws("|",
