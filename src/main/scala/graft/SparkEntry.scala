@@ -406,6 +406,48 @@ object SparkEntry {
         col("event_type"), col("n"), col("value_cents"))
     }),
 
+    // W2 — running-total window frame (rowsBetween) per customer.
+    "q42_running_total" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      t(s, dir, "orders")
+        .withColumn("run_cents", sum(round(col("o_totalprice") * 100).cast("long")).over(w))
+        .select(col("o_orderkey"), col("run_cents"))
+    }),
+
+    // W3 — lag: days since the customer's previous order.
+    "q43_order_gaps" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+        .select(col("o_orderkey"),
+          datediff(col("o_orderdate"), col("prev_date")).as("gap_days"))
+    }),
+
+    // C8 — in-data string functions: concat/substring/split projection.
+    "q44_string_ops" -> ((s, dir) => {
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        concat_ws("#", col("c_mktsegment"), col("c_name")).as("tag"),
+        substring(col("c_name"), 1, 8).as("prefix"),
+        size(split(col("c_name"), "#")).cast("long").as("n_parts"))
+    }),
+
+    // JSON — opaque-string JSON column access (reference carries json as
+    // string; access via get_json_object, SURVEY §1.2).
+    "q45_json_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy()
+        .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+    }),
+
     // E2E — the full incremental ingestion lifecycle as a gate query
     // (rows-only oracle): two runs over a watermark-split source into a
     // throwaway lake; emits the deterministic log fields.
@@ -598,5 +640,27 @@ object SparkEntry {
          event_type, count(*) AS n,
          cast(sum(cast(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
          FROM events GROUP BY 1, 2""",
+    "q42_running_total" ->
+      """SELECT o_orderkey,
+         cast(sum(cast(round(o_totalprice*100) AS BIGINT))
+           OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cents
+         FROM orders""",
+    "q43_order_gaps" ->
+      """SELECT o_orderkey,
+         cast(datediff('day',
+           lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           o_orderdate) AS INT) AS gap_days
+         FROM orders""",
+    "q44_string_ops" ->
+      """SELECT c_custkey,
+         concat_ws('#', c_mktsegment, c_name) AS tag,
+         substring(c_name, 1, 8) AS prefix,
+         len(string_split(c_name, '#')) AS n_parts
+         FROM customer""",
+    "q45_json_extract" ->
+      """SELECT count(k) AS n_with_k, cast(sum(k) AS BIGINT) AS sum_k,
+         min(k) AS min_k, max(k) AS max_k
+         FROM (SELECT cast(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)""",
   )
 }
