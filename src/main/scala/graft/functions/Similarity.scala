@@ -30,18 +30,34 @@ object Similarity {
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
   /** Exact brute-force top-k: broadcast the query set, one corpus pass,
-    * per-query top-k via row_number (deterministic: cosine desc, id asc).
-    * Output: (query_id, neighbor_id, cos).
+    * per-query top-k via the bounded TopKByScore aggregator
+    * (deterministic: cosine desc, id asc). Output:
+    * (query_id, neighbor_id, cos).
+    *
+    * The aggregator's partial aggregation trims every map partition to k
+    * candidates per query before the shuffle — O(k·queries) exchanged,
+    * vs a window plan sorting the whole |corpus|×|queries| score set.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      qId: String = "query_id", qVec: String = "query_vec",
-                     cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
-    val joined = corpus.crossJoin(broadcast(queries))
+                     cId: String = "vec_id", cVec: String = "embedding"): DataFrame =
+    topkOf(corpus.crossJoin(broadcast(queries))
       .filter(col(qId) =!= col(cId)) // a vector is not its own neighbor
       .select(col(qId), col(cId).as("neighbor_id"),
-        cosine(asDouble(col(qVec)), asDouble(col(cVec))).as("cos"))
-    val w = Window.partitionBy(col(qId)).orderBy(col("cos").desc, col("neighbor_id").asc)
-    joined.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+        cosine(asDouble(col(qVec)), asDouble(col(cVec))).as("cos")), k, qId)
+
+  /** (query_id, neighbor_id, cos) → top-k per query via the aggregator. */
+  private def topkOf(scored: DataFrame, k: Int, qId: String): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val agg = new TopKByScore(k).toColumn
+    scored.select(col(qId).cast("long"), col("neighbor_id").cast("long"), col("cos"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(agg)
+      .flatMap { case (q, top) => top.map(t => (q, t._1, t._2)) }
+      .toDF(qId, "neighbor_id", "cos")
   }
 
   /** Deterministic random hyperplanes: `nPlanes` unit-free normals of
@@ -72,12 +88,10 @@ object Similarity {
     val planes = hyperplanes(dim, nPlanes)
     val q = queries.withColumn("__sig", lshSignature(col(qVec), planes))
     val c = corpus.withColumn("__sig", lshSignature(col(cVec), planes))
-    val joined = c.join(broadcast(q), Seq("__sig"))
+    topkOf(c.join(broadcast(q), Seq("__sig"))
       .filter(col(qId) =!= col(cId))
       .select(col(qId), col(cId).as("neighbor_id"),
-        cosine(asDouble(col(qVec)), asDouble(col(cVec))).as("cos"))
-    val w = Window.partitionBy(col(qId)).orderBy(col("cos").desc, col("neighbor_id").asc)
-    joined.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+        cosine(asDouble(col(qVec)), asDouble(col(cVec))).as("cos")), k, qId)
   }
 
   /** Embedding-cosine near-dup pairs: bucket by LSH signature, verify
