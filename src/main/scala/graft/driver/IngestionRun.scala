@@ -68,7 +68,14 @@ final class IngestionRun(spark: SparkSession, lakeRoot: String, logStore: LogSto
       if (overwritePartitions && partCols.nonEmpty) SaveMode.Overwrite else SaveMode.Append
     if (mode == SaveMode.Overwrite)
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    val writer = withParts.write
+    // cluster rows by the delta field inside each output file: parquet
+    // row-group min/max stats on the watermark column then prune most of
+    // the file on incremental/validation scans
+    val clustered =
+      if (spec.deltaField.nonEmpty && withParts.columns.contains(spec.deltaField))
+        withParts.sortWithinPartitions(spec.deltaField)
+      else withParts
+    val writer = clustered.write
       .mode(mode)
       .option("compression", "snappy")
       .option("maxRecordsPerFile", 5000000)
@@ -77,7 +84,9 @@ final class IngestionRun(spark: SparkSession, lakeRoot: String, logStore: LogSto
     val loaded = RunLog(spec.lakeIngestionId, RunStatus.DataLoaded, start, end, n, 0L,
       reason, LogStore.now())
 
-    val lake = spark.read.parquet(lakePath(spec))
+    // mergeSchema: sources evolve (columns added between runs); the lake
+    // read presents the union schema with nulls for pre-evolution files
+    val lake = spark.read.option("mergeSchema", "true").parquet(lakePath(spec))
     val (target, ok) = Validation.reconcileCounts(lake, spec.deltaExpr, start, end, n)
     val validated =
       if (ok) loaded.copy(executionStatus = RunStatus.Success, targetCount = target,
