@@ -20,8 +20,16 @@ import graft.model.{ReasonCode, RunLog, RunStatus}
 final class LogStore(spark: SparkSession, path: String) {
   import spark.implicits._
 
-  def append(rows: Seq[RunLog]): Unit =
+  /** Synchronized: concurrent append jobs into ONE directory collide in
+    * the FileOutputCommitter's shared `_temporary/0` staging area (all
+    * jobs use job-id 0), which loses files under the Orchestrator's
+    * parallel specs. Log rows are a handful per run, so a driver-side
+    * lock costs nothing; cross-process writers would need a
+    * transactional table format instead.
+    */
+  def append(rows: Seq[RunLog]): Unit = LogStore.lockFor(path).synchronized {
     spark.createDataset(rows).write.mode(SaveMode.Append).parquet(path)
+  }
 
   def read(): Dataset[RunLog] =
     try spark.read.parquet(path).as[RunLog]
@@ -32,6 +40,13 @@ final class LogStore(spark: SparkSession, path: String) {
 }
 
 object LogStore {
+  /** Per-path append locks (JVM-wide, covers multiple LogStore
+    * instances over one log directory).
+    */
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(path: String): Object =
+    locks.computeIfAbsent(path, _ => new Object)
+
   /** Accepts optional fractional seconds — delta columns are often µs
     * precision and `end_value` records them exactly (a plain
     * seconds-only parse crashed watermark recovery on such logs).
