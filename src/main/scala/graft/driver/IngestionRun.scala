@@ -49,7 +49,19 @@ final class IngestionRun(spark: SparkSession, lakeRoot: String, logStore: LogSto
       case Right(_) => ()
     }
 
-    val slice = Incremental.incrementalSlice(source, spec.deltaExpr, start)
+    val lakeExists = new java.io.File(lakePath(spec)).exists()
+    val rawSlice = Incremental.incrementalSlice(source, spec.deltaExpr, start)
+    // non-inclusive (`>=` boundary) watermarks re-extract rows already
+    // loaded at the boundary instant; drop them by primary key so the
+    // boundary second is exactly-once (the +1s reference mode can't
+    // overlap by construction — and silently loses late boundary rows)
+    val slice =
+      if (!inclusiveBump && lakeExists && spec.primaryKeyCols.nonEmpty) {
+        val existing = spark.read.parquet(lakePath(spec))
+          .filter(expr(spec.deltaExpr) >= lit(start))
+          .select(spec.primaryKeyCols.map(col): _*)
+        rawSlice.join(existing, spec.primaryKeyCols, "left_anti")
+      } else rawSlice
     val (_, hiOpt, n) = Incremental.deltaBounds(slice, spec.deltaExpr)
     if (n == 0L) {
       // "Empty Dataframe" short-circuit (reference: ingest_mysql_data.py:365-368)
@@ -58,6 +70,14 @@ final class IngestionRun(spark: SparkSession, lakeRoot: String, logStore: LogSto
       logStore.append(Seq(row)); return Seq(row)
     }
     val end = hiOpt.get
+
+    // rows already in the lake inside this run's window (only possible in
+    // non-inclusive mode) — validation compares against pre + source
+    val preWindowCount =
+      if (!inclusiveBump && lakeExists)
+        spark.read.parquet(lakePath(spec))
+          .filter(expr(spec.deltaExpr).between(lit(start), lit(end))).count()
+      else 0L
 
     val (withParts, partCols) = Transforms.derivePartitions(slice, spec.partitions)
     val filesBefore = graft.sink.Rollback.listFiles(spark, lakePath(spec))
@@ -87,7 +107,8 @@ final class IngestionRun(spark: SparkSession, lakeRoot: String, logStore: LogSto
     // mergeSchema: sources evolve (columns added between runs); the lake
     // read presents the union schema with nulls for pre-evolution files
     val lake = spark.read.option("mergeSchema", "true").parquet(lakePath(spec))
-    val (target, ok) = Validation.reconcileCounts(lake, spec.deltaExpr, start, end, n)
+    val (target, ok) =
+      Validation.reconcileCounts(lake, spec.deltaExpr, start, end, n + preWindowCount)
     val validated =
       if (ok) loaded.copy(executionStatus = RunStatus.Success, targetCount = target,
         reasonCode = ReasonCode.ValidationSuccess)

@@ -102,6 +102,27 @@ class IngestionRunSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/lake/testdb/events_src").exists())
   }
 
+  test("boundary-second rows: +1s bump skips them (parity), > semantics catches them") {
+    // FIXTURES.md §4 scenario: rows landing in the watermark's boundary
+    // second AFTER a run. Reference semantics (+1s bump) silently skip
+    // them; inclusiveBump=false re-extracts the boundary second.
+    def lifecycle(inclusive: Boolean): Long = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-bound").toString
+      val store = new graft.state.LogStore(spark, s"$dir/logs")
+      val run = new IngestionRun(spark, s"$dir/lake", store, inclusiveBump = inclusive)
+      val spec = mkSpec(Nil)
+      run.run(spec, srcRows(Seq((1L, "a", "2023-01-01 10:00:00"))))
+      // a second row arrives with the SAME boundary second
+      val batch2 = srcRows(Seq(
+        (1L, "a", "2023-01-01 10:00:00"), (2L, "late", "2023-01-01 10:00:00")))
+      run.run(spec, batch2)
+      spark.read.parquet(s"$dir/lake/testdb/events_src")
+        .select($"id").distinct().count()
+    }
+    assert(lifecycle(inclusive = true) == 1)  // row 2 skipped forever (reference quirk)
+    assert(lifecycle(inclusive = false) == 2) // principled mode re-extracts the second
+  }
+
   test("overwritePartitions mode makes same-window re-runs idempotent") {
     val dir = java.nio.file.Files.createTempDirectory("graft-e2e-ow").toString
     val storeA = new graft.state.LogStore(spark, s"$dir/logsA")
