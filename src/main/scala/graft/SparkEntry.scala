@@ -558,14 +558,18 @@ object SparkEntry {
       """SELECT n_nationkey, n_name, r_name
          FROM nation JOIN region ON n_regionkey = r_regionkey
          ORDER BY n_nationkey""",
+    // empty-text guard: DuckDB string_split_regex('') is [''] (len 1),
+    // Spark wsTokenCount('') is 0 — CASE keeps parity if empty docs appear
     "q20_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
-         cast(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS sum_tokens,
+         cast(sum(CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS sum_tokens,
          cast(sum(n_chars) AS BIGINT) AS sum_chars
          FROM documents GROUP BY lang""",
     "q21_quality_flags" ->
       """SELECT source, count(*) AS n_pass FROM documents
-         WHERE n_chars >= 100 AND len(string_split_regex(trim(text), '\s+')) >= 20
+         WHERE n_chars >= 100 AND trim(text) <> ''
+           AND len(string_split_regex(trim(text), '\s+')) >= 20
          GROUP BY source""",
     "q22_exact_dedup" ->
       """SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_uniq

@@ -52,15 +52,20 @@ final class IngestionRun(spark: SparkSession, lakeRoot: String, logStore: LogSto
     val lakeExists = new java.io.File(lakePath(spec)).exists()
     val rawSlice = Incremental.incrementalSlice(source, spec.deltaExpr, start)
     // non-inclusive (`>=` boundary) watermarks re-extract rows already
-    // loaded at the boundary instant; drop them by primary key so the
-    // boundary second is exactly-once (the +1s reference mode can't
-    // overlap by construction — and silently loses late boundary rows)
+    // loaded at the boundary instant; drop rows whose (primary key, delta
+    // value) BOTH match a lake row, so the boundary second is exactly-once
+    // while UPDATED versions of boundary rows (same pk, newer delta) still
+    // load. (The +1s reference mode can't overlap by construction — and
+    // silently loses late boundary rows.)
     val slice =
       if (!inclusiveBump && lakeExists && spec.primaryKeyCols.nonEmpty) {
+        val dedupKeys = spec.primaryKeyCols :+ "__graft_delta"
         val existing = spark.read.parquet(lakePath(spec))
           .filter(expr(spec.deltaExpr) >= lit(start))
-          .select(spec.primaryKeyCols.map(col): _*)
-        rawSlice.join(existing, spec.primaryKeyCols, "left_anti")
+          .select(spec.primaryKeyCols.map(col) :+ expr(spec.deltaExpr).as("__graft_delta"): _*)
+        rawSlice.withColumn("__graft_delta", expr(spec.deltaExpr))
+          .join(existing, dedupKeys, "left_anti")
+          .drop("__graft_delta")
       } else rawSlice
     val (_, hiOpt, n) = Incremental.deltaBounds(slice, spec.deltaExpr)
     if (n == 0L) {
@@ -71,14 +76,6 @@ final class IngestionRun(spark: SparkSession, lakeRoot: String, logStore: LogSto
     }
     val end = hiOpt.get
 
-    // rows already in the lake inside this run's window (only possible in
-    // non-inclusive mode) — validation compares against pre + source
-    val preWindowCount =
-      if (!inclusiveBump && lakeExists)
-        spark.read.parquet(lakePath(spec))
-          .filter(expr(spec.deltaExpr).between(lit(start), lit(end))).count()
-      else 0L
-
     val (withParts, partCols) = Transforms.derivePartitions(slice, spec.partitions)
     val filesBefore = graft.sink.Rollback.listFiles(spark, lakePath(spec))
     // overwritePartitions: idempotent re-runs — replace exactly the
@@ -88,6 +85,31 @@ final class IngestionRun(spark: SparkSession, lakeRoot: String, logStore: LogSto
       if (overwritePartitions && partCols.nonEmpty) SaveMode.Overwrite else SaveMode.Append
     if (mode == SaveMode.Overwrite)
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    // Validation invariant: lake_window_after == pre_window + slice_window,
+    // every count over ONE shared predicate (Validation.windowPredicate —
+    // mixed predicates mean spurious mismatches and rollback loops):
+    //  - sliceWindowCount: slice rows INSIDE the claimed window. With a
+    //    coalesce delta, a long-ago-created recently-modified row can
+    //    exceed the conservative `least(max,max)` end — it is written but
+    //    validated by the NEXT run's window (which re-extracts it), so it
+    //    must not inflate this run's expectation.
+    //  - preWindowCount: lake rows already inside the window before this
+    //    run (boundary re-extraction in non-inclusive mode, re-extracted
+    //    over-the-end rows from a prior coalesce run). Under dynamic
+    //    overwrite the run's touched partitions are REPLACED, so pre rows
+    //    inside them don't survive and are excluded from the expectation.
+    val sliceWindowCount = Validation.windowCount(slice, spec.deltaExpr, start, end)
+    val preWindowCount =
+      if (!lakeExists) 0L
+      else {
+        val preWindow = spark.read.parquet(lakePath(spec))
+          .filter(Validation.windowPredicate(spec.deltaExpr, start, end))
+        if (mode == SaveMode.Overwrite) {
+          val touched = withParts.select(partCols.map(col): _*).distinct()
+          preWindow.join(touched, partCols, "left_anti").count()
+        } else preWindow.count()
+      }
     // cluster rows by the delta field inside each output file: parquet
     // row-group min/max stats on the watermark column then prune most of
     // the file on incremental/validation scans
@@ -107,8 +129,8 @@ final class IngestionRun(spark: SparkSession, lakeRoot: String, logStore: LogSto
     // mergeSchema: sources evolve (columns added between runs); the lake
     // read presents the union schema with nulls for pre-evolution files
     val lake = spark.read.option("mergeSchema", "true").parquet(lakePath(spec))
-    val (target, ok) =
-      Validation.reconcileCounts(lake, spec.deltaExpr, start, end, n + preWindowCount)
+    val (target, ok) = Validation.reconcileCounts(lake, spec.deltaExpr, start, end,
+      sliceWindowCount + preWindowCount)
     val validated =
       if (ok) loaded.copy(executionStatus = RunStatus.Success, targetCount = target,
         reasonCode = ReasonCode.ValidationSuccess)

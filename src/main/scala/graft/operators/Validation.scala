@@ -23,14 +23,24 @@ object Validation {
     * `least(max(a), max(b))`, so rows whose coalesce value exceeds it are
     * only re-counted through their other column.
     */
-  def reconcileCounts(lake: DataFrame, deltaExpr: String, start: String, end: String,
-                      sourceCount: Long): (Long, Boolean) = {
-    val pred = graft.sources.Incremental.parseCoalesceExpr(deltaExpr) match {
+  /** The validation-window predicate — the ONE definition every count in
+    * a run must share (expected-side and lake-side counts over different
+    * predicates produce spurious mismatches).
+    */
+  def windowPredicate(deltaExpr: String, start: String, end: String):
+      org.apache.spark.sql.Column =
+    graft.sources.Incremental.parseCoalesceExpr(deltaExpr) match {
       case Some((a, b)) =>
         graft.sources.Incremental.coalesceOrBetween(Seq(col(a), col(b)), start, end)
       case None => expr(deltaExpr).between(lit(start), lit(end))
     }
-    val target = lake.filter(pred).count()
+
+  def windowCount(df: DataFrame, deltaExpr: String, start: String, end: String): Long =
+    df.filter(windowPredicate(deltaExpr, start, end)).count()
+
+  def reconcileCounts(lake: DataFrame, deltaExpr: String, start: String, end: String,
+                      sourceCount: Long): (Long, Boolean) = {
+    val target = windowCount(lake, deltaExpr, start, end)
     (target, target == sourceCount)
   }
 

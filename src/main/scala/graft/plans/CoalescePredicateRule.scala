@@ -39,10 +39,9 @@ object CoalescePredicateRule extends Rule[LogicalPlan] {
           decompose(LessThanOrEqual(_, v), a, b)
         case LessThan(Coalesce(Seq(a, b)), v: Literal) =>
           decompose(LessThan(_, v), a, b)
-        case And(GreaterThanOrEqual(Coalesce(Seq(a1, b1)), lo: Literal),
-                 LessThanOrEqual(Coalesce(Seq(a2, b2)), hi: Literal))
-            if a1.semanticEquals(a2) && b1.semanticEquals(b2) =>
-          decompose(x => And(GreaterThanOrEqual(x, lo), LessThanOrEqual(x, hi)), a1, b1)
+        // NOTE: no combined-BETWEEN case — transformUp decomposes the GTE
+        // and LTE children first, so an And(GTE(coalesce), LTE(coalesce))
+        // pattern can never be reached here
       }
       if (rewritten fastEquals cond) f else Filter(rewritten, child)
   }

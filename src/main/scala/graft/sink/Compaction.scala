@@ -36,13 +36,25 @@ object Compaction {
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(staging)
 
-    // swap: the staged rewrite replaces the original atomically-ish
-    // (rename); on any failure the original is untouched
+    // swap via rename (atomic on HDFS/local; on S3 slot in a committer or
+    // table format). Crash window: between the two renames the live path
+    // is absent but the `.__precompact` backup holds the full table —
+    // hence the stale-backup refusal below: its presence means a prior
+    // swap died mid-flight and must be restored by an operator, not
+    // silently clobbered.
     val hPath = new org.apache.hadoop.fs.Path(path)
     val hStaging = new org.apache.hadoop.fs.Path(staging)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val backup = new org.apache.hadoop.fs.Path(s"$path.__precompact")
-    fs.rename(hPath, backup)
+    if (fs.exists(backup)) {
+      fs.delete(hStaging, true)
+      throw new IllegalStateException(
+        s"stale backup $backup exists (prior compaction died mid-swap); restore it first")
+    }
+    if (!fs.rename(hPath, backup)) {
+      fs.delete(hStaging, true)
+      throw new RuntimeException(s"compaction: could not move $path aside")
+    }
     if (!fs.rename(hStaging, hPath)) {
       fs.rename(backup, hPath) // restore on failure
       throw new RuntimeException(s"compaction swap failed for $path")

@@ -123,6 +123,52 @@ class IngestionRunSpec extends SparkSpec {
     assert(lifecycle(inclusive = false) == 2) // principled mode re-extracts the second
   }
 
+  test("non-inclusive mode loads an UPDATED version of a boundary row (same pk, newer delta)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bound-upd").toString
+    val store = new graft.state.LogStore(spark, s"$dir/logs")
+    val run = new IngestionRun(spark, s"$dir/lake", store, inclusiveBump = false)
+    val spec = mkSpec(Nil)
+    run.run(spec, srcRows(Seq((1L, "v1", "2023-01-01 10:00:00"))))
+    // the same pk is UPDATED at a newer delta; dedup must not drop it
+    val logs2 = run.run(spec, srcRows(Seq((1L, "v2", "2023-01-01 10:00:05"))))
+    assert(logs2.last.executionStatus == RunStatus.Success)
+    val latest = graft.operators.LatestRowView.latestPerKey(
+      spark.read.parquet(s"$dir/lake/testdb/events_src"), Seq("id"), Seq(col("mtime")))
+    assert(latest.select($"v").as[String].head() == "v2")
+  }
+
+  test("coalesce delta: recently-modified old row beyond the conservative end validates and is re-extracted") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-coal-loop").toString
+    val store = new graft.state.LogStore(spark, s"$dir/logs")
+    val run = new IngestionRun(spark, s"$dir/lake", store)
+    val spec = mkSpec(Nil).copy(deltaFieldExpr = "coalesce(mtime, ctime)")
+    def src(rows: Seq[(Long, Option[String], String)]) = rows
+      .toDF("id", "m", "c")
+      .select($"id", to_timestamp($"m").as("mtime"), to_timestamp($"c").as("ctime"))
+
+    // run 1: baseline watermark at 2024-05-01
+    assert(run.run(spec, src(Seq((1L, None, "2024-05-01 00:00:00"))))
+      .last.executionStatus == RunStatus.Success)
+    // run 2: rowX was created long ago but modified AFTER the conservative
+    // end (least(max(m), max(c)) = rowY's created) — previously a
+    // permanent validation-failure/rollback loop
+    val batch = src(Seq(
+      (2L, Some("2024-06-10 00:00:00"), "2022-01-01 00:00:00"), // rowX
+      (3L, None, "2024-06-01 00:00:00")))                       // rowY
+    val logs2 = run.run(spec, batch)
+    assert(logs2.last.executionStatus == RunStatus.Success)
+    assert(logs2.last.endValue == "2024-06-01 00:00:00") // conservative bound
+    assert(spark.read.parquet(s"$dir/lake/testdb/events_src").count() == 3)
+    // run 3 re-extracts rowX past the bound — still green (at-least-once;
+    // the latest-row view dedups)
+    val logs3 = run.run(spec, batch)
+    assert(logs3.last.executionStatus != RunStatus.ValidationFailure)
+    val latest = graft.operators.LatestRowView.latestPerKey(
+      spark.read.parquet(s"$dir/lake/testdb/events_src"),
+      Seq("id"), Seq(expr("coalesce(mtime, ctime)")))
+    assert(latest.count() == 3)
+  }
+
   test("overwritePartitions mode makes same-window re-runs idempotent") {
     val dir = java.nio.file.Files.createTempDirectory("graft-e2e-ow").toString
     val storeA = new graft.state.LogStore(spark, s"$dir/logsA")

@@ -27,36 +27,64 @@ class SinkSpec extends SparkSpec {
       "INSERT INTO db.t (id, v) VALUES (?, ?) ON DUPLICATE KEY UPDATE id = VALUES(id), v = VALUES(v)")
   }
 
-  test("validation failure rolls the lake back to its pre-run state") {
+  test("pre-existing window rows are absorbed by append accounting (no rollback loop)") {
     import org.apache.spark.sql.functions._
     import graft.model._
-    // a source whose delta expression lies (coalesce column outside the
-    // window) to force a count mismatch is hard to fabricate through the
-    // public API; instead assert the rollback path via a doctored lake:
-    // write run 1, corrupt the lake by appending a foreign file, then
-    // check reconcile failure semantics directly
-    val dir = java.nio.file.Files.createTempDirectory("graft-rbrun").toString
+    val dir = java.nio.file.Files.createTempDirectory("graft-absorb").toString
     val store = new graft.state.LogStore(spark, s"$dir/logs")
     val run = new graft.driver.IngestionRun(spark, s"$dir/lake", store)
     val spec = IngestionSpec(9L, "table", "local", "db", "t", "mtime", "", 0, 1,
       "fs", "", "id", "lv", "t_lv", 0, Nil, "g")
     val src = Seq((1L, "2023-01-01 10:00:00")).toDF("id", "s")
       .select($"id", to_timestamp($"s").as("mtime"))
-    val logs = run.run(spec, src)
-    assert(logs.last.executionStatus == RunStatus.Success)
-    // plant a foreign row INSIDE the next run's validation window
-    // (watermark .. max delta) → target count exceeds source count
-    val lakeDir = s"$dir/lake/db/t"
+    assert(run.run(spec, src).last.executionStatus == RunStatus.Success)
+    // a row lands in the lake between runs INSIDE the next window (e.g. a
+    // backfill job): validation verifies THIS run's load, pre rows count
+    // toward the expectation instead of looping a rollback forever
     Seq((99L, "2023-01-15 00:00:00")).toDF("id", "s")
       .select($"id", to_timestamp($"s").as("mtime"))
-      .write.mode("append").parquet(lakeDir)
-    val before = Rollback.listFiles(spark, lakeDir)
+      .write.mode("append").parquet(s"$dir/lake/db/t")
     val src2 = Seq((1L, "2023-01-01 10:00:00"), (2L, "2023-02-01 10:00:00")).toDF("id", "s")
       .select($"id", to_timestamp($"s").as("mtime"))
     val logs2 = run.run(spec, src2)
-    assert(logs2.last.executionStatus == RunStatus.ValidationFailure)
-    assert(logs2.last.reasonCode.contains("rolled back"))
-    // the run's own files were deleted; the doctored pre-run state remains
-    assert(Rollback.listFiles(spark, lakeDir) == before)
+    assert(logs2.last.executionStatus == RunStatus.Success)
+    assert(spark.read.parquet(s"$dir/lake/db/t").count() == 3)
+  }
+
+  test("a source that changes mid-run (non-repeatable read) fails validation and rolls back") {
+    import org.apache.spark.sql.functions._
+    import graft.model._
+    val dir = java.nio.file.Files.createTempDirectory("graft-rbrun").toString
+    val store = new graft.state.LogStore(spark, s"$dir/logs")
+    val run = new graft.driver.IngestionRun(spark, s"$dir/lake", store)
+    val spec = IngestionSpec(9L, "table", "local", "db", "t", "mtime", "", 0, 1,
+      "fs", "", "id", "lv", "t_lv", 0, Nil, "g")
+    // a source mutating underneath the run: the phantom row materializes
+    // ONLY while a file-write task evaluates the source (FileFormatWriter
+    // on the task stack), so the counting actions see 1 row and the write
+    // lands 2 — both inside the window the counts derived
+    val unstable = spark.range(1).rdd.mapPartitions { _ =>
+      new Iterator[(Long, java.sql.Timestamp)] {
+        private var emitted = 0
+        // write frames only exist while the sink CONSUMES the iterator —
+        // check at hasNext time, not iterator-creation time
+        private def consumedByWriter = Thread.currentThread().getStackTrace.exists(f =>
+          f.getClassName.contains("FileFormat") || f.getClassName.contains("WriteFiles"))
+        override def hasNext: Boolean =
+          emitted == 0 || (emitted == 1 && consumedByWriter)
+        override def next(): (Long, java.sql.Timestamp) = {
+          emitted += 1
+          if (emitted == 1) (1L, java.sql.Timestamp.valueOf("2023-01-10 00:00:00"))
+          else (2L, java.sql.Timestamp.valueOf("2023-01-05 00:00:00"))
+        }
+      }
+    }
+    val src = spark.createDataFrame(unstable).toDF("id", "mtime")
+    val logs = run.run(spec, src)
+    assert(logs.last.executionStatus == RunStatus.ValidationFailure)
+    assert(logs.last.reasonCode.contains("rolled back"))
+    // rollback removed the phantom write; the lake dir holds no data files
+    assert(Rollback.listFiles(spark, s"$dir/lake/db/t")
+      .count(_.endsWith(".parquet")) == 0)
   }
 }
