@@ -29,7 +29,8 @@ import graft.state.LogStore
   */
 final class IngestionRun(spark: SparkSession, lakeRoot: String, logStore: LogStore,
                          inclusiveBump: Boolean = true,
-                         overwritePartitions: Boolean = false) {
+                         overwritePartitions: Boolean = false,
+                         cacheSlice: Boolean = true) {
 
   def lakePath(spec: IngestionSpec): String =
     s"$lakeRoot/${spec.databasename}/${spec.tablename}"
@@ -67,6 +68,19 @@ final class IngestionRun(spark: SparkSession, lakeRoot: String, logStore: LogSto
           .join(existing, dedupKeys, "left_anti")
           .drop("__graft_delta")
       } else rawSlice
+    // The slice feeds four plan branches (bounds, window count, write,
+    // boundary dedup's probe side) — persist it once instead of re-running
+    // the source scan + anti-join per branch. Incremental slices are small
+    // relative to the lake by construction (one watermark window), so this
+    // holds at scale too; MEMORY_AND_DISK spills rather than OOMs if a
+    // backfill window is huge (or pass cacheSlice=false to stream it).
+    // Side benefit: the run becomes snapshot-consistent against sources
+    // that mutate mid-run (all branches read the one materialization);
+    // count validation stays as the safety net for the recompute-on-
+    // executor-loss path, where a mutated source can still leak through.
+    if (cacheSlice)
+      slice.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val (_, hiOpt, n) = Incremental.deltaBounds(slice, spec.deltaExpr)
     if (n == 0L) {
       // "Empty Dataframe" short-circuit (reference: ingest_mysql_data.py:365-368)
@@ -150,5 +164,6 @@ final class IngestionRun(spark: SparkSession, lakeRoot: String, logStore: LogSto
     val rows = Seq(loaded, validated)
     logStore.append(rows)
     rows
+    } finally { if (cacheSlice) slice.unpersist() }
   }
 }

@@ -98,10 +98,43 @@ object EventsStream {
   def runToMemory(spark: SparkSession, dir: String, queryName: String,
                   transform: DataFrame => DataFrame,
                   outputMode: String = "append"): Unit = {
-    val q = transform(readEvents(spark, dir))
-      .writeStream.outputMode(outputMode)
-      .format("memory").queryName(queryName)
-      .start()
-    try { q.processAllAvailable() } finally q.stop()
+    // Stateful-query overhead on a small finite drain is dominated by
+    // per-partition state-store commits (numStateStores = shuffle
+    // partitions at query start) and checkpoint fsyncs — not by data.
+    // Narrow the state width, checkpoint on tmpfs when present, and in
+    // update mode skip no-data micro-batches (updates are emitted in the
+    // data batch; append mode NEEDS the no-data batch to advance the
+    // watermark and finalize windows, so it keeps the default). On a real
+    // cluster, size state partitions to live keys × throughput instead.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData =
+      spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled").getOrElse("true")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.min(8, prevParts.toInt).toString)
+    if (outputMode == "update")
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val shm = new java.io.File("/dev/shm")
+    val ckDir =
+      if (shm.isDirectory && shm.canWrite)
+        Some(java.nio.file.Files.createTempDirectory(shm.toPath, "graft-ck"))
+      else None
+    try {
+      var w = transform(readEvents(spark, dir))
+        .writeStream.outputMode(outputMode)
+        .format("memory").queryName(queryName)
+      ckDir.foreach(d => w = w.option("checkpointLocation", d.toString))
+      val q = w.start()
+      try { q.processAllAvailable() } finally q.stop()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+      ckDir.foreach { d =>
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(d.toFile)
+      }
+    }
   }
 }

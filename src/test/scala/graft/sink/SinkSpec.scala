@@ -56,7 +56,10 @@ class SinkSpec extends SparkSpec {
     import graft.model._
     val dir = java.nio.file.Files.createTempDirectory("graft-rbrun").toString
     val store = new graft.state.LogStore(spark, s"$dir/logs")
-    val run = new graft.driver.IngestionRun(spark, s"$dir/lake", store)
+    // cacheSlice=false: every branch re-scans the live source (the
+    // streaming-a-huge-backfill configuration), so the mid-run mutation
+    // must be caught by count validation, not prevented by the cache
+    val run = new graft.driver.IngestionRun(spark, s"$dir/lake", store, cacheSlice = false)
     val spec = IngestionSpec(9L, "table", "local", "db", "t", "mtime", "", 0, 1,
       "fs", "", "id", "lv", "t_lv", 0, Nil, "g")
     // a source mutating underneath the run: the phantom row materializes
@@ -86,5 +89,41 @@ class SinkSpec extends SparkSpec {
     // rollback removed the phantom write; the lake dir holds no data files
     assert(Rollback.listFiles(spark, s"$dir/lake/db/t")
       .count(_.endsWith(".parquet")) == 0)
+  }
+
+  test("with the default cached slice, a mid-run source mutation is snapshot-isolated away") {
+    import org.apache.spark.sql.functions._
+    import graft.model._
+    val dir = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    val store = new graft.state.LogStore(spark, s"$dir/logs")
+    val run = new graft.driver.IngestionRun(spark, s"$dir/lake", store)
+    val spec = IngestionSpec(9L, "table", "local", "db", "t", "mtime", "", 0, 1,
+      "fs", "", "id", "lv", "t_lv", 0, Nil, "g")
+    // same phantom-while-written source as above: with the slice persisted
+    // on first materialization, the write consumes the CACHED snapshot, so
+    // the phantom never lands and the run validates clean
+    val unstable = spark.range(1).rdd.mapPartitions { _ =>
+      new Iterator[(Long, java.sql.Timestamp)] {
+        private var emitted = 0
+        private def consumedByWriter = Thread.currentThread().getStackTrace.exists(f =>
+          f.getClassName.contains("FileFormat") || f.getClassName.contains("WriteFiles"))
+        override def hasNext: Boolean =
+          emitted == 0 || (emitted == 1 && consumedByWriter)
+        override def next(): (Long, java.sql.Timestamp) = {
+          emitted += 1
+          if (emitted == 1) (1L, java.sql.Timestamp.valueOf("2023-01-10 00:00:00"))
+          else (2L, java.sql.Timestamp.valueOf("2023-01-05 00:00:00"))
+        }
+      }
+    }
+    val src = spark.createDataFrame(unstable).toDF("id", "mtime")
+    // outside a write, the iterator emits exactly one row per partition —
+    // this is the stable row count the snapshot should pin
+    val stableCount = src.count()
+    val logs = run.run(spec, src)
+    assert(logs.last.executionStatus == RunStatus.Success)
+    // no phantom rows landed: the write consumed the cached snapshot (an
+    // uncached write would have doubled every partition)
+    assert(spark.read.parquet(s"$dir/lake/db/t").count() == stableCount)
   }
 }
