@@ -448,6 +448,131 @@ object SparkEntry {
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
     }),
 
+    // U — intersect: customer keys that placed a high-value order.
+    "q46_intersect_keys" -> ((s, dir) => {
+      t(s, dir, "customer").select(col("c_custkey").as("key"))
+        .intersect(t(s, dir, "orders")
+          .filter(col("o_totalprice") > 300000)
+          .select(col("o_custkey").as("key")))
+    }),
+
+    // A — exact interpolated percentiles per group over integer cents.
+    // p25/p50/p75 only: exactly-representable fractions make both
+    // engines' interpolation forms exact (0.9 would drift by an ulp).
+    "q47_percentiles" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+        .groupBy(col("o_orderstatus"))
+        .agg(expr("percentile(cents, array(0.25D, 0.5D, 0.75D))").as("p"))
+        .select(col("o_orderstatus"),
+          element_at(col("p"), 1).as("p25_cents"),
+          element_at(col("p"), 2).as("p50_cents"),
+          element_at(col("p"), 3).as("p75_cents"))
+    }),
+
+    // A — HLL sketch accuracy against the exact distinct count: the gate
+    // pins the exact count and that BOTH engines' sketches stay within
+    // 10% of it (the approximations themselves differ by design).
+    "q48_hll_accuracy" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"),
+          (abs(approx_count_distinct(col("user_id")) - countDistinct(col("user_id")))
+            <= countDistinct(col("user_id")) * 0.1).as("approx_ok"))
+    }),
+
+    // A — second moments (stddev/corr) computed from EXACT integer sums,
+    // so the doubles are order-independent: sum longs first, apply the
+    // textbook formulas once per group in the projection.
+    "q49_exact_moments" -> ((s, dir) => {
+      val qty = col("l_quantity").cast("long")
+      val d = round(col("l_discount") * 100).cast("long")
+      val dbl = (c: Column) => c.cast("double")
+      val g = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(qty).as("sx"), sum(qty * qty).as("sxx"),
+          sum(d).as("sy"), sum(d * d).as("syy"),
+          sum(qty * d).as("sxy"))
+      val (n, sx, sxx, sy, syy, sxy) =
+        (dbl(col("n")), dbl(col("sx")), dbl(col("sxx")),
+         dbl(col("sy")), dbl(col("syy")), dbl(col("sxy")))
+      g.select(col("l_returnflag"), col("n"),
+        sqrt((n * sxx - sx * sx) / (n * (n - 1))).as("stddev_qty"),
+        ((n * sxy - sx * sy)
+          / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))).as("corr_qty_disc"))
+    }),
+
+    // T — corpus n-gram stats: top-3 bigrams per language (count desc,
+    // bigram asc tie-break). One explode + one hash-agg + a tiny window
+    // over the per-(lang,bigram) counts.
+    "q50_top_bigrams" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(col("n").desc, col("bigram").asc)
+      t(s, dir, "documents")
+        .select(col("lang"), TextFunctions.tokens(col("text")).as("__t"))
+        .select(col("lang"), explode(TextFunctions.ngrams(col("__t"), 2)).as("bigram"))
+        .groupBy(col("lang"), col("bigram"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("lang"), col("bigram"), col("n"))
+    }),
+
+    // T — repetition signal: duplicate trigram fraction per document
+    // (C4/Gopher-style boilerplate detector). Pure projection, no shuffle.
+    "q51_repetition_profile" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__t"))
+        .select(col("doc_id"), TextFunctions.ngrams(col("__t"), 3).as("__g"))
+        .select(col("doc_id"), TextFunctions.dupFraction(col("__g")).as("dup_frac"))
+    }),
+
+    // W — event-time RANGE frame: per event, how many events the same
+    // user produced in the strictly-preceding hour (burst detection).
+    "q52_burst_window" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ms"))
+        .rangeBetween(-3600000L, -1L)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ms"))
+        .withColumn("n_prev_hour", count(lit(1)).over(w))
+        .select(col("event_id"), col("n_prev_hour"))
+    }),
+
+    // T — deterministic content-hash train/val/test split accounting.
+    "q53_hash_split" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("lang"), TextFunctions.hashSplit(col("text")).as("split"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // ST — streaming exact dedup: dropDuplicates state over the event
+    // stream emits each (user, type) pair once; the emitted KEY SET is
+    // deterministic (payloads of "first seen" would not be), so the gate
+    // compares it against batch DISTINCT.
+    "q54_stream_distinct_pairs" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q54")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        tmp.resolve("events.parquet"))
+      val name = "graft_q54_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      graft.streaming.EventsStream.runToMemory(s, tmp.toString, name,
+        df => df.select(col("user_id"), col("event_type"))
+          .dropDuplicates("user_id", "event_type"))
+      s.table(name)
+    }),
+
+    // V — exact all-pairs embedding near-dup (the O(n²) baseline that
+    // oracle-checks the cosine kernel; q26 is the LSH scale path).
+    "q55_cosine_neardup_exact" -> ((s, dir) => {
+      functions.Similarity.exactNearDupPairs(
+          t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.4)
+        .select(col("idA"), col("idB"), round(col("cos"), 4).as("cos_r"))
+    }),
+
     // E2E — the full incremental ingestion lifecycle as a gate query
     // (rows-only oracle): two runs over a watermark-split source into a
     // throwaway lake; emits the deterministic log fields.
@@ -666,5 +791,93 @@ object SparkEntry {
       """SELECT count(k) AS n_with_k, cast(sum(k) AS BIGINT) AS sum_k,
          min(k) AS min_k, max(k) AS max_k
          FROM (SELECT cast(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)""",
+    // the cosine is bitwise-identical across engines: both fold the
+    // 64-dim double product sequentially (DuckDB list_dot_product ==
+    // Spark aggregate(zip_with(...)) — verified on the full pair set)
+    "q27_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+           FROM e q JOIN e c ON c.vec_id <> q.vec_id WHERE q.vec_id <= 5)
+         SELECT query_id, neighbor_id, round(cos, 4) AS cos_r FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id ASC) AS rn
+           FROM scored) WHERE rn <= 10""",
+    "q46_intersect_keys" ->
+      """SELECT c_custkey AS key FROM customer
+         INTERSECT SELECT o_custkey AS key FROM orders WHERE o_totalprice > 300000""",
+    "q47_percentiles" ->
+      """SELECT o_orderstatus,
+         quantile_cont(cast(round(o_totalprice*100) AS BIGINT), 0.25) AS p25_cents,
+         quantile_cont(cast(round(o_totalprice*100) AS BIGINT), 0.5)  AS p50_cents,
+         quantile_cont(cast(round(o_totalprice*100) AS BIGINT), 0.75) AS p75_cents
+         FROM orders GROUP BY o_orderstatus""",
+    "q48_hll_accuracy" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+         abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+           <= 0.1 * count(DISTINCT user_id) AS approx_ok
+         FROM events GROUP BY event_type""",
+    "q49_exact_moments" ->
+      """WITH g AS (
+           SELECT l_returnflag, count(*) AS n,
+             cast(sum(cast(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+             cast(sum(cast(l_quantity AS BIGINT)*cast(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
+             cast(sum(cast(round(l_discount*100) AS BIGINT)) AS BIGINT) AS sy,
+             cast(sum(cast(round(l_discount*100) AS BIGINT)*cast(round(l_discount*100) AS BIGINT)) AS BIGINT) AS syy,
+             cast(sum(cast(l_quantity AS BIGINT)*cast(round(l_discount*100) AS BIGINT)) AS BIGINT) AS sxy
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, n,
+           sqrt((cast(n AS DOUBLE)*cast(sxx AS DOUBLE) - cast(sx AS DOUBLE)*cast(sx AS DOUBLE))
+                / (cast(n AS DOUBLE)*(cast(n AS DOUBLE)-1))) AS stddev_qty,
+           (cast(n AS DOUBLE)*cast(sxy AS DOUBLE) - cast(sx AS DOUBLE)*cast(sy AS DOUBLE))
+             / (sqrt(cast(n AS DOUBLE)*cast(sxx AS DOUBLE) - cast(sx AS DOUBLE)*cast(sx AS DOUBLE))
+                * sqrt(cast(n AS DOUBLE)*cast(syy AS DOUBLE) - cast(sy AS DOUBLE)*cast(sy AS DOUBLE))) AS corr_qty_disc
+         FROM g""",
+    "q50_top_bigrams" ->
+      """WITH toks AS (
+           SELECT lang, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                    x -> x <> '') AS t
+           FROM documents),
+         bg AS (SELECT lang, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+           FROM toks WHERE len(t) >= 2),
+         cnt AS (SELECT lang, bigram, count(*) AS n FROM bg GROUP BY 1, 2)
+         SELECT lang, bigram, n FROM (
+           SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram ASC) AS rn
+           FROM cnt) WHERE rn <= 3""",
+    "q51_repetition_profile" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                      x -> x <> '') AS t
+           FROM documents)
+         SELECT doc_id,
+           CASE WHEN len(t) < 3 THEN 0.0
+                ELSE 1.0 - cast(len(list_distinct(list_transform(range(1, len(t)-1),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS DOUBLE)
+                     / cast(len(t)-2 AS DOUBLE) END AS dup_frac
+         FROM toks""",
+    "q52_burst_window" ->
+      """SELECT event_id,
+         cast(count(*) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+           RANGE BETWEEN 3600000 PRECEDING AND 1 PRECEDING) AS BIGINT) AS n_prev_hour
+         FROM events""",
+    "q53_hash_split" ->
+      """SELECT lang,
+         CASE WHEN CAST(('0x' || substring(md5(text),1,8)) AS BIGINT) % 100 < 80 THEN 'train'
+              WHEN CAST(('0x' || substring(md5(text),1,8)) AS BIGINT) % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split,
+         count(*) AS n
+         FROM documents GROUP BY 1, 2""",
+    "q54_stream_distinct_pairs" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+    "q55_cosine_neardup_exact" ->
+      """WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings)
+         SELECT a.vec_id AS idA, b.vec_id AS idB,
+           round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_r
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4""",
   )
 }

@@ -16,15 +16,25 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Codegen'd dot product over two array<double> columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Dot product over two array<double> columns — the custom codegen'd
+    * DotProduct expression (the higher-order-function composition is
+    * CodegenFallback and ~10× slower on all-pairs scans; same IEEE fold
+    * order, so results are bitwise identical).
+    */
+  def dot(a: Column, b: Column): Column = DotProduct.dotProduct(a, b)
 
-  def l2norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Cosine from a pre-computed norm per side: on pair scans, compute
+    * `l2norm` ONCE per row before the join and pass the norm columns here
+    * — otherwise each norm is re-derived per PAIR (n² extra array walks
+    * instead of n).
+    */
+  def cosineWithNorms(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / (normA * normB)
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
@@ -39,11 +49,16 @@ object Similarity {
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      qId: String = "query_id", qVec: String = "query_vec",
-                     cId: String = "vec_id", cVec: String = "embedding"): DataFrame =
-    topkOf(corpus.crossJoin(broadcast(queries))
+                     cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val q = queries.select(col(qId), asDouble(col(qVec)).as("__qv"))
+      .withColumn("__qn", l2norm(col("__qv")))
+    val c = corpus.select(col(cId), asDouble(col(cVec)).as("__cv"))
+      .withColumn("__cn", l2norm(col("__cv")))
+    topkOf(c.crossJoin(broadcast(q))
       .filter(col(qId) =!= col(cId)) // a vector is not its own neighbor
       .select(col(qId), col(cId).as("neighbor_id"),
-        cosine(asDouble(col(qVec)), asDouble(col(cVec))).as("cos")), k, qId)
+        cosineWithNorms(col("__qv"), col("__cv"), col("__qn"), col("__cn")).as("cos")), k, qId)
+  }
 
   /** (query_id, neighbor_id, cos) → top-k per query via the aggregator. */
   private def topkOf(scored: DataFrame, k: Int, qId: String): DataFrame = {
@@ -85,12 +100,16 @@ object Similarity {
               qId: String = "query_id", qVec: String = "query_vec",
               cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
     val planes = hyperplanes(dim, nPlanes)
-    val q = queries.withColumn("__sig", lshSignature(col(qVec), planes))
-    val c = corpus.withColumn("__sig", lshSignature(col(cVec), planes))
+    val q = queries.select(col(qId), asDouble(col(qVec)).as("__qv"))
+      .withColumn("__sig", lshSignature(col("__qv"), planes))
+      .withColumn("__qn", l2norm(col("__qv")))
+    val c = corpus.select(col(cId), asDouble(col(cVec)).as("__cv"))
+      .withColumn("__sig", lshSignature(col("__cv"), planes))
+      .withColumn("__cn", l2norm(col("__cv")))
     topkOf(c.join(broadcast(q), Seq("__sig"))
       .filter(col(qId) =!= col(cId))
       .select(col(qId), col(cId).as("neighbor_id"),
-        cosine(asDouble(col(qVec)), asDouble(col(cVec))).as("cos")), k, qId)
+        cosineWithNorms(col("__qv"), col("__cv"), col("__qn"), col("__cn")).as("cos")), k, qId)
   }
 
   /** Embedding-cosine near-dup pairs: bucket by LSH signature, verify
@@ -99,14 +118,33 @@ object Similarity {
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                          threshold: Double = 0.95, nPlanes: Int = 8): DataFrame = {
     val planes = hyperplanes(dim, nPlanes)
-    val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val sig = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("__sig", lshSignature(col("v"), planes))
-    val a = sig.select(col("__sig"), col("id").as("idA"), col("v").as("vA"))
-    val b = sig.select(col("__sig"), col("id").as("idB"), col("v").as("vB"))
+      .withColumn("__n", l2norm(col("v")))
+    val a = sig.select(col("__sig"), col("id").as("idA"), col("v").as("vA"), col("__n").as("nA"))
+    val b = sig.select(col("__sig"), col("id").as("idB"), col("v").as("vB"), col("__n").as("nB"))
     a.join(b, Seq("__sig"))
       .filter(col("idA") < col("idB"))
       .select(col("idA"), col("idB"),
-        cosine(asDouble(col("vA")), asDouble(col("vB"))).as("cos"))
+        cosineWithNorms(col("vA"), col("vB"), col("nA"), col("nB")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Exact all-pairs near-dup pairs (idA < idB, true cosine ≥ threshold)
+    * — the O(n²) baseline that validates the LSH path's recall; broadcast
+    * nested-loop, so the corpus never shuffles. Use `cosineNearDupPairs`
+    * at corpus scale; run THIS on samples to measure the LSH recall.
+    */
+  def exactNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double): DataFrame = {
+    val e = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("__n", l2norm(col("v")))
+    val a = e.select(col("id").as("idA"), col("v").as("vA"), col("__n").as("nA"))
+    val b = e.select(col("id").as("idB"), col("v").as("vB"), col("__n").as("nB"))
+    a.crossJoin(broadcast(b))
+      .filter(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"),
+        cosineWithNorms(col("vA"), col("vB"), col("nA"), col("nB")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 

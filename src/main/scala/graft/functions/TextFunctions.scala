@@ -35,6 +35,40 @@ object TextFunctions {
         sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
 
+  /** Word n-grams joined with spaces; EMPTY for documents shorter than
+    * `n` tokens (counting semantics — unlike `shingles`, which falls back
+    * to one whole-document shingle for set-similarity semantics).
+    * `toks` should be a materialized column reference (expression-tree
+    * discipline, see SCALE.md).
+    */
+  def ngrams(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j + 1))): _*)))
+
+  /** Duplicate-n-gram fraction of a materialized n-gram column — the
+    * C4/Gopher-style repetition signal (boilerplate and looping text show
+    * high duplicate fractions). 0.0 for documents with no n-grams.
+    */
+  def dupFraction(grams: Column): Column =
+    when(size(grams) === 0, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(grams)).cast("double")
+        / size(grams).cast("double"))
+
+  /** Deterministic content-hash train/val/test assignment — the split a
+    * training pipeline needs to be stable across reruns AND engines
+    * (md5-prefix arithmetic, reproducible in any SQL dialect; no RNG, no
+    * row order dependence). Near-duplicate leakage across splits is the
+    * caller's problem: dedup first, then split.
+    */
+  def hashSplit(text: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    val h = conv(substring(md5(text), 1, 8), 16, 10).cast("long") % 100
+    when(h < trainPct, lit("train"))
+      .when(h < trainPct + valPct, lit("val"))
+      .otherwise(lit("test"))
+  }
+
   // ------------------------------------------------------------- lang id
 
   /** Tiny per-language stopword profiles for the n-gram/stopword

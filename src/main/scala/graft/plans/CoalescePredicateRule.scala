@@ -59,5 +59,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (new org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"),
         new ExpressionInfo(classOf[graft.functions.SimHash64].getName, "simhash64"),
         (children: Seq[Expression]) => graft.functions.SimHash64(children.head)))
+    ext.injectFunction(
+      (new org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product"),
+        new ExpressionInfo(classOf[graft.functions.DotProduct].getName, "dot_product"),
+        (children: Seq[Expression]) =>
+          graft.functions.DotProduct(children(0), children(1))))
   }
 }

@@ -182,4 +182,53 @@ class FunctionsSpec extends SparkSpec {
       .select($"vec_id").as[Long].collect().toSet
     assert(kept == Set(1L, 3L))
   }
+
+  test("exactNearDupPairs finds the scaled-copy pair and nothing else") {
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f, 3.0f, 4.0f)),
+      (2L, Seq(2.0f, 4.0f, 6.0f, 8.0f)),
+      (3L, Seq(-4.0f, 3.0f, -2.0f, 1.0f)),
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.exactNearDupPairs(df, "vec_id", "embedding", 0.95)
+      .select($"idA", $"idB").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("ngrams: counting semantics — empty below n, size-n+1 windows, order") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq("a b c d", "a b", "").toDF("text")
+      .select(TextFunctions.tokens(col("text")).as("t"))
+      .select(TextFunctions.ngrams(col("t"), 3).as("g"))
+    val got = df.as[Seq[String]].collect().toSeq
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1).isEmpty) // NO whole-doc fallback, unlike shingles
+    assert(got(2).isEmpty)
+  }
+
+  test("dupFraction: repeated trigrams raise the fraction; empty is 0") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq("x y z x y z x y z", "a b c d e", "ab").toDF("text")
+      .select(TextFunctions.tokens(col("text")).as("t"))
+      .select(TextFunctions.ngrams(col("t"), 3).as("g"))
+      .select(TextFunctions.dupFraction(col("g")).as("f"))
+    val got = df.as[Double].collect().toSeq
+    // 9 tokens → 7 trigrams, only 3 distinct ("x y z","y z x","z x y")
+    assert(math.abs(got(0) - (1.0 - 3.0 / 7.0)) < 1e-12)
+    assert(got(1) == 0.0) // all distinct
+    assert(got(2) == 0.0) // no trigrams
+  }
+
+  test("hashSplit is deterministic, total, and roughly proportioned") {
+    import org.apache.spark.sql.functions.col
+    val docs = (0 until 1000).map(i => s"document number $i").toDF("text")
+    val counts = docs.groupBy(TextFunctions.hashSplit(col("text")).as("s"))
+      .count().as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == 1000L)
+    assert(counts("train") > 700 && counts("train") < 900)
+    // stable across evaluations (content-hash, not RNG)
+    val again = docs.groupBy(TextFunctions.hashSplit(col("text")).as("s"))
+      .count().as[(String, Long)].collect().toMap
+    assert(again == counts)
+  }
 }
