@@ -78,12 +78,16 @@ object Dedup {
   def minhashSignature(baseHashes: Column, k: Int): Column =
     array((0 until k).map(i => array_min(transform(baseHashes, h => xxhash64(h, lit(i))))): _*)
 
-  /** doc → (id, sig) with the per-step projections described above. */
+  /** doc → (id, sig): token hashes (one string pass), then the FUSED
+    * shingle+permutation kernel (MinHashSig expression — bit-identical to
+    * the `rollingShingleHashes`+`minhashSignature` composition above, but
+    * codegen'd with no intermediate arrays; the composition is kept as
+    * the executable spec of the hash chain).
+    */
   private def signatures(df: DataFrame, textCol: String, idCol: String,
                          k: Int, shingleLen: Int): DataFrame =
     df.select(col(idCol).as("id"), tokenHashes(col(textCol)).as("__th"))
-      .select(col("id"), rollingShingleHashes(col("__th"), shingleLen).as("__sh"))
-      .select(col("id"), minhashSignature(col("__sh"), k).as("sig"))
+      .select(col("id"), MinHashSig.minhashSig(col("__th"), k, shingleLen).as("sig"))
 
   /** Estimated Jaccard from two signatures: fraction of equal positions. */
   def estJaccard(sigA: Column, sigB: Column, k: Int): Column =

@@ -218,6 +218,24 @@ class FunctionsSpec extends SparkSpec {
     assert(got(2) == 0.0) // no trigrams
   }
 
+  test("MinHashSig fused kernel is bit-identical to the composed hash pipeline") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog again and again",
+      "tiny doc", // < shingleLen tokens → whole-doc hash path
+      "a b c d e f g h i j k l m n o p",
+      "",
+    ).toDF("text")
+    val th = docs.select(Dedup.tokenHashes(col("text")).as("__th"))
+    val fused = th.select(MinHashSig.minhashSig(col("__th"), 64, 5).as("sig"))
+      .as[Seq[Long]].collect().toSeq
+    val composed = th
+      .select(Dedup.rollingShingleHashes(col("__th"), 5).as("__sh"))
+      .select(Dedup.minhashSignature(col("__sh"), 64).as("sig"))
+      .as[Seq[Long]].collect().toSeq
+    assert(fused == composed)
+  }
+
   test("hashSplit is deterministic, total, and roughly proportioned") {
     import org.apache.spark.sql.functions.col
     val docs = (0 until 1000).map(i => s"document number $i").toDF("text")
