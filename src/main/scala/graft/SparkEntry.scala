@@ -573,6 +573,54 @@ object SparkEntry {
         .select(col("idA"), col("idB"), round(col("cos"), 4).as("cos_r"))
     }),
 
+    // W — ntile bucketing over a total order (deterministic tie-break).
+    "q56_ntile" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), ntile(4).over(w).as("quartile"))
+    }),
+
+    // W — first/last/nth value over an unbounded frame per customer.
+    "q57_window_analytics" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      t(s, dir, "orders").select(col("o_orderkey"),
+        date_format(first(col("o_orderdate")).over(w), "yyyy-MM-dd").as("first_date"),
+        date_format(last(col("o_orderdate")).over(w), "yyyy-MM-dd").as("last_date"),
+        date_format(nth_value(col("o_orderdate"), 2).over(w), "yyyy-MM-dd").as("second_date"))
+    }),
+
+    // A — collect-to-array aggregation, emitted as a deterministic sorted
+    // join-string (raw array outputs don't hash stably across engines).
+    "q58_collect_sorted" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(concat_ws("|", array_sort(collect_set(col("source")))).as("sources"))
+    }),
+
+    // C12 — in-data regex breadth: extract / extract_all / replace.
+    "q59_regexp" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        regexp_extract(col("text"), "[0-9]+", 0).as("first_num"),
+        size(regexp_extract_all(col("text"), lit("[a-z]{4,}"), lit(0)))
+          .cast("long").as("n_long_words"),
+        length(regexp_replace(col("text"), "[aeiou]", "")).cast("long").as("n_non_vowel"))
+    }),
+
+    // C6 — calendar breakdown: quarter × ISO weekday, plus the epoch of
+    // the Monday-truncated week (date_trunc parity).
+    "q60_time_breakdown" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(quarter(col("o_orderdate")).as("q"),
+          (weekday(col("o_orderdate")) + 1).as("dow"))
+        .agg(count(lit(1)).as("n"),
+          min(unix_timestamp(date_trunc("week", col("o_orderdate")))).as("min_week_epoch"))
+    }),
+
     // E2E — the full incremental ingestion lifecycle as a gate query
     // (rows-only oracle): two runs over a watermark-split source into a
     // throwaway lake; emits the deterministic log fields.
@@ -871,6 +919,33 @@ object SparkEntry {
          FROM documents GROUP BY 1, 2""",
     "q54_stream_distinct_pairs" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    "q56_ntile" ->
+      """SELECT o_orderkey,
+         cast(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INT) AS quartile
+         FROM orders""",
+    "q57_window_analytics" ->
+      """SELECT o_orderkey,
+         strftime(first_value(o_orderdate) OVER w, '%Y-%m-%d') AS first_date,
+         strftime(last_value(o_orderdate) OVER w, '%Y-%m-%d') AS last_date,
+         strftime(nth_value(o_orderdate, 2) OVER w, '%Y-%m-%d') AS second_date
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
+    "q58_collect_sorted" ->
+      """SELECT lang,
+         array_to_string(list_sort(list(DISTINCT source)), '|') AS sources
+         FROM documents GROUP BY lang""",
+    "q59_regexp" ->
+      """SELECT doc_id,
+         regexp_extract(text, '[0-9]+') AS first_num,
+         cast(len(regexp_extract_all(text, '[a-z]{4,}')) AS BIGINT) AS n_long_words,
+         length(regexp_replace(text, '[aeiou]', '', 'g')) AS n_non_vowel
+         FROM documents""",
+    "q60_time_breakdown" ->
+      """SELECT cast(quarter(o_orderdate) AS INT) AS q,
+         cast(isodow(o_orderdate) AS INT) AS dow, count(*) AS n,
+         cast(min(epoch(date_trunc('week', o_orderdate))) AS BIGINT) AS min_week_epoch
+         FROM orders GROUP BY 1, 2""",
     "q55_cosine_neardup_exact" ->
       """WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings)
          SELECT a.vec_id AS idA, b.vec_id AS idB,

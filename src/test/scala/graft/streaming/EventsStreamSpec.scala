@@ -32,6 +32,20 @@ class EventsStreamSpec extends SparkSpec {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
+  test("streaming dropDuplicates emits exactly the batch-distinct key set") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sdedup")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$SfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    EventsStream.runToMemory(spark, dir.toString, "dedup_pairs",
+      df => df.select($"user_id", $"event_type").dropDuplicates("user_id", "event_type"))
+    val streamed = spark.table("dedup_pairs")
+    val batch = Tables.load(spark, SfDir, "events")
+      .select($"user_id", $"event_type").distinct()
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).isEmpty)
+  }
+
   test("sessionize: gap splits sessions, state carries across batches") {
     def ev(id: Long, user: Long, minute: Long) =
       EventsStream.Event(id, new Timestamp(minute * 60000L), user, "click", 1.0)
