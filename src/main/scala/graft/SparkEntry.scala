@@ -621,6 +621,29 @@ object SparkEntry {
           min(unix_timestamp(date_trunc("week", col("o_orderdate")))).as("min_week_epoch"))
     }),
 
+    // V — IVF-bucketed approximate top-k (rows-only oracle: centroid
+    // means are fp-order dependent, but k·|queries| output rows are not).
+    "q61_ann_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") <= 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      functions.Similarity.ivfTopK(queries, emb, k = 10)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos"), 4).as("cos_r"))
+    }),
+
+    // J — salted skew join: result must be IDENTICAL to the plain join
+    // (the oracle is the unsalted SQL), only the shuffle layout changes.
+    "q62_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey").as("pk"), col("l_orderkey"), col("l_quantity"))
+      val part = t(s, dir, "part")
+        .select(col("p_partkey").as("pk"), col("p_brand"))
+      operators.SkewJoin.saltedJoin(li, part, "pk", "l_orderkey", n = 8)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_lines"), sum(col("l_quantity")).as("sum_qty"))
+    }),
+
     // E2E — the full incremental ingestion lifecycle as a gate query
     // (rows-only oracle): two runs over a watermark-split source into a
     // throwaway lake; emits the deterministic log fields.
@@ -919,6 +942,38 @@ object SparkEntry {
          FROM documents GROUP BY 1, 2""",
     "q54_stream_distinct_pairs" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    // SQL re-derivation of langIdWith: per-profile stopword ratios,
+    // Spark's greatest-over-structs argmax (ties → larger lang string),
+    // CJK-ratio gate. Upgraded from rows-only once the arithmetic proved
+    // engine-portable.
+    "q29_langid_eval" ->
+      """WITH toks AS (
+           SELECT lang, text,
+             list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS t
+           FROM documents),
+         scored AS (
+           SELECT lang, text, t,
+             CASE WHEN len(t)=0 THEN 0.0 ELSE cast(len(list_filter(t, x -> x IN
+               ('the','of','and','to','in','is','that','it','for','on','with','as'))) AS DOUBLE)/len(t) END AS s_en,
+             CASE WHEN len(t)=0 THEN 0.0 ELSE cast(len(list_filter(t, x -> x IN
+               ('der','die','das','und','ist','nicht','mit','ein','zu','den','von','sich'))) AS DOUBLE)/len(t) END AS s_de,
+             CASE WHEN len(t)=0 THEN 0.0 ELSE cast(len(list_filter(t, x -> x IN
+               ('el','la','de','que','y','en','un','es','se','no','por','los'))) AS DOUBLE)/len(t) END AS s_es,
+             CASE WHEN len(t)=0 THEN 0.0 ELSE cast(len(list_filter(t, x -> x IN
+               ('le','la','de','et','les','des','un','une','est','dans','que','pour'))) AS DOUBLE)/len(t) END AS s_fr,
+             CASE WHEN length(text)=0 THEN 0.0
+                  ELSE cast(length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')) AS DOUBLE)/length(text)
+             END AS cjk
+           FROM toks),
+         best AS (
+           SELECT lang,
+             CASE WHEN cjk > 0.3 THEN 'zh'
+                  WHEN greatest(s_en, s_de, s_es, s_fr) > 0.0 THEN
+                    (SELECT max(x.l) FROM (VALUES (s_en,'en'),(s_de,'de'),(s_es,'es'),(s_fr,'fr')) x(s, l)
+                     WHERE x.s = greatest(s_en, s_de, s_es, s_fr))
+                  ELSE 'und' END AS predicted
+           FROM scored)
+         SELECT lang, predicted, count(*) AS n FROM best GROUP BY 1, 2""",
     "q56_ntile" ->
       """SELECT o_orderkey,
          cast(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INT) AS quartile
@@ -946,6 +1001,10 @@ object SparkEntry {
          cast(isodow(o_orderdate) AS INT) AS dow, count(*) AS n,
          cast(min(epoch(date_trunc('week', o_orderdate))) AS BIGINT) AS min_week_epoch
          FROM orders GROUP BY 1, 2""",
+    "q62_salted_join" ->
+      """SELECT p_brand, count(*) AS n_lines, sum(l_quantity) AS sum_qty
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand""",
     "q55_cosine_neardup_exact" ->
       """WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings)
          SELECT a.vec_id AS idA, b.vec_id AS idB,

@@ -112,6 +112,75 @@ object Similarity {
         cosineWithNorms(col("__qv"), col("__cv"), col("__qn"), col("__cn")).as("cos")), k, qId)
   }
 
+  /** IVF (inverted-file) approximate top-k: k-means centroids partition
+    * the corpus into `nCentroids` lists; each query probes only its
+    * `nProbe` nearest lists. The LSH alternative (`annTopK`) needs no
+    * training but can't adapt bucket sizes to the data; IVF trades a few
+    * Lloyd iterations for data-shaped buckets.
+    *
+    * All distributed work is DataFrame jobs with codegen'd DotProduct —
+    * assignment is an argmin over centroid literals (no shuffle), the
+    * centroid update is one hash aggregate over (cluster, dim); only the
+    * nCentroids×dim centroid table ever reaches the driver. At corpus
+    * scale: train on a sample, assign in one pass, and WRITE the corpus
+    * partitioned by cluster id so probes prune files at rest.
+    *
+    * Deterministic: init = lowest-id vectors; argmin ties → lowest
+    * cluster id; empty clusters keep their previous centroid. (Centroid
+    * means are float sums across partitions, so last-ulp centroid drift
+    * can reorder equal-distance probes — scores of RETURNED candidates
+    * are exact cosine regardless.)
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 3,
+              qId: String = "query_id", qVec: String = "query_vec",
+              cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val c0 = corpus.select(col(cId).as("id"), asDouble(col(cVec)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var centroids: Array[Array[Double]] = c0.orderBy(col("id")).limit(nCentroids)
+      .select(col("v")).collect()
+      .map(_.getAs[scala.collection.Seq[Double]](0).toArray)
+
+    // (2<v,c> − |c|², −cid) structs: greatest == nearest centroid with
+    // lowest-cid tie-break; |v|² is constant per row so argmax over this
+    // score is argmin of squared distance
+    def scoredStructs(v: Column) = centroids.zipWithIndex.map { case (cArr, i) =>
+      struct((dot(v, lit(cArr)) * 2 - lit(cArr.map(x => x * x).sum)).as("score"),
+        lit(-i).as("negcid"))
+    }
+    def nearestCid(v: Column): Column = -greatest(scoredStructs(v): _*).getField("negcid")
+    def probeCids(v: Column): Column =
+      transform(slice(reverse(array_sort(array(scoredStructs(v): _*))), 1, nProbe),
+        s => -s.getField("negcid"))
+
+    (1 to iters).foreach { _ =>
+      val means = c0.withColumn("cid", nearestCid(col("v")))
+        .select(col("cid"), posexplode(col("v")))
+        .toDF("cid", "pos", "x")
+        .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      means.foreach(r => next(r.getAs[Int]("cid"))(r.getAs[Int]("pos")) = r.getAs[Double]("m"))
+      centroids = next
+    }
+    // the cache only serves the Lloyd jobs; the final query re-reads the
+    // source in ONE pass (assign → probe-join → top-k), which is exactly
+    // the production shape where assignment lands in a cid-partitioned
+    // table instead of a cache
+    c0.unpersist()
+
+    val assigned = c0
+      .withColumn("cid", nearestCid(col("v")))
+      .withColumn("__cn", l2norm(col("v")))
+    val q = queries.select(col(qId), asDouble(col(qVec)).as("__qv"))
+      .withColumn("__qn", l2norm(col("__qv")))
+      .withColumn("cid", explode(probeCids(col("__qv"))))
+    topkOf(assigned.join(broadcast(q), Seq("cid"))
+      .filter(col(qId) =!= col("id"))
+      .select(col(qId), col("id").as("neighbor_id"),
+        cosineWithNorms(col("__qv"), col("v"), col("__qn"), col("__cn")).as("cos")), k, qId)
+  }
+
   /** Embedding-cosine near-dup pairs: bucket by LSH signature, verify
     * true cosine ≥ threshold inside buckets. (idA < idB).
     */

@@ -183,6 +183,39 @@ class FunctionsSpec extends SparkSpec {
     assert(kept == Set(1L, 3L))
   }
 
+  test("ivfTopK with nProbe = nCentroids degenerates to exact brute force") {
+    val corpus = (0 until 60).map { i =>
+      (i.toLong, Seq.tabulate(8)(j => math.sin(i * 8 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" <= 2L)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val ivf = Similarity.ivfTopK(queries, corpus, k = 5,
+        nCentroids = 4, nProbe = 4, iters = 2)
+      .select($"query_id", $"neighbor_id", $"cos")
+      .as[(Long, Long, Double)].collect().toSet
+    val bf = Similarity.bruteForceTopK(queries, corpus, k = 5)
+      .select($"query_id", $"neighbor_id", $"cos")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(ivf == bf) // probing every list == scanning everything
+  }
+
+  test("ivfTopK probes fewer lists but returns exact scores from the probed set") {
+    val corpus = (0 until 80).map { i =>
+      (i.toLong, Seq.tabulate(8)(j => math.cos(i * 3 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" === 1L)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val ivf = Similarity.ivfTopK(queries, corpus, k = 5,
+        nCentroids = 8, nProbe = 2, iters = 2)
+      .select($"neighbor_id", $"cos").as[(Long, Double)].collect().toMap
+    val bf = Similarity.bruteForceTopK(queries, corpus, k = 80)
+      .select($"neighbor_id", $"cos").as[(Long, Double)].collect().toMap
+    assert(ivf.nonEmpty)
+    // every returned score is the TRUE cosine (approximation only affects
+    // which candidates are seen, never their scores)
+    ivf.foreach { case (id, cos) => assert(math.abs(bf(id) - cos) < 1e-12) }
+  }
+
   test("exactNearDupPairs finds the scaled-copy pair and nothing else") {
     val df = Seq(
       (1L, Seq(1.0f, 2.0f, 3.0f, 4.0f)),
