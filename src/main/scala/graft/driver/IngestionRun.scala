@@ -113,7 +113,13 @@ final class IngestionRun(spark: SparkSession, lakeRoot: String, logStore: LogSto
     //    over-the-end rows from a prior coalesce run). Under dynamic
     //    overwrite the run's touched partitions are REPLACED, so pre rows
     //    inside them don't survive and are excluded from the expectation.
-    val sliceWindowCount = Validation.windowCount(slice, spec.deltaExpr, start, end)
+    // plain-column delta: end IS max(delta) over this slice and every
+    // slice row is >= start, so the window count equals n by construction
+    // — skip the extra count job. Only a coalesce delta can place rows
+    // beyond the conservative `least(max,max)` end.
+    val sliceWindowCount =
+      if (Incremental.parseCoalesceExpr(spec.deltaExpr).isEmpty) n
+      else Validation.windowCount(slice, spec.deltaExpr, start, end)
     val preWindowCount =
       if (!lakeExists) 0L
       else {
