@@ -644,6 +644,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_lines"), sum(col("l_quantity")).as("sum_qty"))
     }),
 
+    // ST — stream-static join: the event stream enriched against the
+    // static customer dim (broadcast; no stream-side shuffle for the
+    // join), then a watermarked aggregate — all under the batch oracle.
+    "q63_stream_static_join" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q63")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        tmp.resolve("events.parquet"))
+      val customer = t(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      val name = "graft_q63_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      graft.streaming.EventsStream.runToMemory(s, tmp.toString, name,
+        df => df.join(broadcast(customer), "user_id")
+          .withWatermark("ts", "30 minutes")
+          .groupBy(col("c_mktsegment"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 100).cast("long")).as("value_cents")),
+        outputMode = "update")
+      s.table(name)
+    }),
+
     // E2E — the full incremental ingestion lifecycle as a gate query
     // (rows-only oracle): two runs over a watermark-split source into a
     // throwaway lake; emits the deterministic log fields.
@@ -1005,6 +1026,11 @@ object SparkEntry {
       """SELECT p_brand, count(*) AS n_lines, sum(l_quantity) AS sum_qty
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY p_brand""",
+    "q63_stream_static_join" ->
+      """SELECT c_mktsegment, event_type, count(*) AS n,
+         cast(sum(cast(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY 1, 2""",
     "q55_cosine_neardup_exact" ->
       """WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings)
          SELECT a.vec_id AS idA, b.vec_id AS idB,

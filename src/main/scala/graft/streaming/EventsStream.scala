@@ -91,6 +91,39 @@ object EventsStream {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
+  /** Stream → foreachBatch → latest-row upsert into a parquet target:
+    * the micro-batch MERGE pattern (each batch folds into the target,
+    * keeping the newest row per key) — the streaming form of the
+    * reference's append-then-latest-view lifecycle
+    * (start_ingestion.py:333-384), with the view materialized instead of
+    * recomputed per query. Batches are tiny relative to the target, so
+    * the rewrite cost is the target scan; on a real lake use a
+    * transactional MERGE (Delta/Iceberg) instead of the tmp+swap.
+    */
+  def runForeachBatchUpsert(spark: SparkSession, dir: String, targetPath: String,
+                            keys: Seq[String], orderCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.Row
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val q = readEvents(spark, dir).writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val target = new org.apache.hadoop.fs.Path(targetPath)
+        val existing =
+          if (fs.exists(target)) spark.read.parquet(targetPath)
+          else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], batch.schema)
+        val merged = graft.operators.LatestRowView.latestPerKey(
+          existing.unionByName(batch.toDF()), keys,
+          orderCols.map(org.apache.spark.sql.functions.col))
+        val tmp = targetPath + ".graft-tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        fs.delete(target, true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp), target)
+        ()
+      }
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+  }
+
   /** Run a streaming query over `dir` into an in-memory table and block
     * until all available files are processed — the local smoke harness
     * (AvailableNow semantics without an external trigger loop).

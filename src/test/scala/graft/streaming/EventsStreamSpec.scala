@@ -46,6 +46,30 @@ class EventsStreamSpec extends SparkSpec {
     assert(streamed.except(batch).isEmpty)
   }
 
+  test("foreachBatch upsert leaves exactly the latest row per key") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fbu")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$SfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    val target = dir.resolve("target").toString
+    EventsStream.runForeachBatchUpsert(spark, dir.toString, target,
+      keys = Seq("user_id"), orderCols = Seq("ts", "event_id"))
+    val got = spark.read.parquet(target).select($"user_id", $"event_id")
+    val want = graft.operators.LatestRowView.latestPerKey(
+        Tables.load(spark, SfDir, "events"), Seq("user_id"), Seq($"ts", $"event_id"))
+      .select($"user_id", $"event_id")
+    assert(got.count() == want.count())
+    assert(got.except(want).isEmpty)
+    // a second drain over the same files is idempotent (same keys, same rows)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-fbu2")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$SfDir/events.parquet"),
+      dir2.resolve("events.parquet"))
+    EventsStream.runForeachBatchUpsert(spark, dir2.toString, target,
+      keys = Seq("user_id"), orderCols = Seq("ts", "event_id"))
+    assert(spark.read.parquet(target).count() == want.count())
+  }
+
   test("sessionize: gap splits sessions, state carries across batches") {
     def ev(id: Long, user: Long, minute: Long) =
       EventsStream.Event(id, new Timestamp(minute * 60000L), user, "click", 1.0)
