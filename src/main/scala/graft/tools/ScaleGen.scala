@@ -1,0 +1,50 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Derive a larger test set from sf0.1 by replicating fact tables with
+  * key offsets (dims unchanged) — a scaling probe for SCALE.md, not a
+  * benchmark target. `runMain graft.tools.ScaleGen <outDir> [factor]`.
+  *
+  * Offsets keep per-entity volumes realistic: new order/event/doc/vector
+  * ids per replica; user ids offset per replica (constant events/user);
+  * customer keys SHARED across replicas (fact-to-dim fan-in grows with
+  * scale, as it does in production). Document texts get a replica tag so
+  * the corpus doesn't collapse to one dedup class.
+  */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("/tmp/graft_sf1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val src = "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master(s"local[${Runtime.getRuntime.availableProcessors()}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def rep(name: String)(f: (DataFrame, Int) => DataFrame): Unit = {
+      val base = graft.sources.Tables.load(spark, src, name)
+      val all = (0 until factor).map(i => f(base, i)).reduce(_ unionByName _)
+      all.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"[scalegen] $name -> ${all.count()} rows")
+    }
+    // dims copied once
+    Seq("region", "nation", "customer", "supplier", "part").foreach { name =>
+      graft.sources.Tables.load(spark, src, name)
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+    }
+    val oOff = 2000000L
+    rep("orders")((df, i) => df.withColumn("o_orderkey", col("o_orderkey") + lit(i * oOff)))
+    rep("lineitem")((df, i) => df.withColumn("l_orderkey", col("l_orderkey") + lit(i * oOff)))
+    rep("events")((df, i) => df
+      .withColumn("event_id", col("event_id") + lit(i * 10000000L))
+      .withColumn("user_id", col("user_id") + lit(i * 1000L)))
+    rep("documents")((df, i) => df
+      .withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
+      .withColumn("text", concat(col("text"), lit(s" replica$i"))))
+    rep("embeddings")((df, i) => df
+      .withColumn("vec_id", col("vec_id") + lit(i * 1000000L)))
+    spark.stop()
+  }
+}
