@@ -72,6 +72,26 @@ class IngestionRunSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/lake/testdb/events_src").count() == 4)
   }
 
+  test("partition pruning: a partition-column filter prunes lake files at planning time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-prune").toString
+    val store = new LogStore(spark, s"$dir/logs")
+    val run = new IngestionRun(spark, s"$dir/lake", store)
+    val spec = mkSpec(Seq(PartitionSpec(1, PartitionSpec.TimeBased, "mtime", "YYYYMM")))
+    run.run(spec, srcRows(Seq(
+      (1L, "a", "2023-01-10 10:00:00"), (2L, "b", "2023-02-10 10:00:00"),
+      (3L, "c", "2023-03-10 10:00:00"))))
+    val pruned = spark.read.parquet(s"$dir/lake/testdb/events_src")
+      .filter(col("mtime_YYYYMM") === "202302")
+    assert(pruned.count() == 1)
+    // the filter must land in PartitionFilters (directory pruning — the
+    // whole point of the derived partition layout, matching the
+    // reference's Athena partition design), not in the data filters
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("mtime_YYYYMM"), s"partition filter not pruned:\n$plan")
+  }
+
   test("integer watermark mode (date_not_available = 1)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-e2e-int").toString
     val store = new LogStore(spark, s"$dir/logs")
