@@ -25,6 +25,36 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     graft.sources.Tables.load(s, dir, name)
 
+  /** Stage a table for the file-stream source: copies `$dir/events.parquet`
+    * whether it is a single file (driver testdata) or a parquet directory
+    * (ScaleGen output) — `Files.copy` alone would copy a directory as an
+    * EMPTY directory and silently break the streaming queries.
+    */
+  private def stageEvents(dir: String): java.nio.file.Path = {
+    import java.nio.file.{Files, Path, Paths}
+    val tmp = Files.createTempDirectory("graft-stage")
+    val src = Paths.get(s"$dir/events.parquet")
+    def copyTree(from: Path, to: Path): Unit = {
+      if (Files.isDirectory(from)) {
+        Files.createDirectories(to)
+        Files.list(from).forEach(c => copyTree(c, to.resolve(c.getFileName)))
+      } else Files.copy(from, to)
+    }
+    copyTree(src, tmp.resolve("events.parquet"))
+    tmp
+  }
+
+  /** Best-effort recursive delete of a staged temp dir (the memory-sink
+    * table holds the results; the files are dead weight after the drain).
+    */
+  private def dropStaged(p: java.nio.file.Path): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(p.toFile)
+  }
+
   /** Exact integer-cents sum of a 2-decimal double column (order-independent). */
   private def centsSum(c: Column): Column = sum(round(c * 100).cast("long"))
 
@@ -394,13 +424,11 @@ object SparkEntry {
     // memory sink, return the final table (update mode: one emission per
     // window on a single batch). Same oracle SQL as the batch form.
     "q41_stream_hourly" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-q41")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        tmp.resolve("events.parquet"))
+      val tmp = stageEvents(dir)
       val name = "graft_q41_" + java.util.UUID.randomUUID().toString.replace("-", "")
       graft.streaming.EventsStream.runToMemory(s, tmp.toString, name,
         df => graft.streaming.EventsStream.hourlyTypeCounts(df), outputMode = "update")
+      dropStaged(tmp)
       s.table(name).select(
         date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
         col("event_type"), col("n"), col("value_cents"))
@@ -554,14 +582,12 @@ object SparkEntry {
     // deterministic (payloads of "first seen" would not be), so the gate
     // compares it against batch DISTINCT.
     "q54_stream_distinct_pairs" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-q54")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        tmp.resolve("events.parquet"))
+      val tmp = stageEvents(dir)
       val name = "graft_q54_" + java.util.UUID.randomUUID().toString.replace("-", "")
       graft.streaming.EventsStream.runToMemory(s, tmp.toString, name,
         df => df.select(col("user_id"), col("event_type"))
           .dropDuplicates("user_id", "event_type"))
+      dropStaged(tmp)
       s.table(name)
     }),
 
@@ -648,10 +674,7 @@ object SparkEntry {
     // static customer dim (broadcast; no stream-side shuffle for the
     // join), then a watermarked aggregate — all under the batch oracle.
     "q63_stream_static_join" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-q63")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        tmp.resolve("events.parquet"))
+      val tmp = stageEvents(dir)
       val customer = t(s, dir, "customer")
         .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
       val name = "graft_q63_" + java.util.UUID.randomUUID().toString.replace("-", "")
@@ -662,6 +685,7 @@ object SparkEntry {
           .agg(count(lit(1)).as("n"),
             sum(round(col("value") * 100).cast("long")).as("value_cents")),
         outputMode = "update")
+      dropStaged(tmp)
       s.table(name)
     }),
 
@@ -682,6 +706,8 @@ object SparkEntry {
       val logs1 = run.run(spec, ev.filter(col("ts") < lit(cut)))
       val logs2 = run.run(spec, ev)
       val logs3 = run.run(spec, ev) // no new data
+      // the log rows are already collected — the throwaway lake is done
+      dropStaged(java.nio.file.Paths.get(tmp))
       s.createDataset((logs1 ++ logs2 ++ logs3).map(l =>
         (l.executionStatus, l.startValue, l.endValue, l.sourceCount, l.targetCount, l.reasonCode)))
         .toDF("status", "start_value", "end_value", "source_count", "target_count", "reason")

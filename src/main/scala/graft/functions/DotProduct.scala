@@ -24,10 +24,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * the full embeddings pair set).
   *
   * Contract: element nulls are not expected (embedding pipelines produce
-  * dense vectors); mismatched lengths fold over the shorter prefix.
+  * dense vectors); mismatched lengths yield NULL — the same propagation
+  * the zip_with composition had (null padding → null product → null sum),
+  * so a truncated/corrupt embedding is filtered out downstream instead of
+  * scoring a plausible partial dot product.
   */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -37,12 +41,21 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
         TypeCheckResult.TypeCheckFailure(s"dot_product needs two array<double>, got $l, $r")
     }
 
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    DotProduct.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (x.numElements() != y.numElements()) null
+    else DotProduct.compute(x, y)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.DotProduct.compute($a, $b);")
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.DotProduct.compute($a, $b);
+         |}
+       """.stripMargin)
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)

@@ -148,9 +148,14 @@ object Similarity {
       struct((dot(v, lit(cArr)) * 2 - lit(cArr.map(x => x * x).sum)).as("score"),
         lit(-i).as("negcid"))
     }
-    def nearestCid(v: Column): Column = -greatest(scoredStructs(v): _*).getField("negcid")
+    // greatest() needs ≥2 args — one centroid (tiny corpus / nCentroids=1)
+    // means everything lives in list 0
+    def nearestCid(v: Column): Column =
+      if (centroids.length < 2) lit(0)
+      else -greatest(scoredStructs(v): _*).getField("negcid")
     def probeCids(v: Column): Column =
-      transform(slice(reverse(array_sort(array(scoredStructs(v): _*))), 1, nProbe),
+      if (centroids.length < 2) array(lit(0))
+      else transform(slice(reverse(array_sort(array(scoredStructs(v): _*))), 1, nProbe),
         s => -s.getField("negcid"))
 
     (1 to iters).foreach { _ =>

@@ -62,7 +62,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (new org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product"),
         new ExpressionInfo(classOf[graft.functions.DotProduct].getName, "dot_product"),
-        (children: Seq[Expression]) =>
-          graft.functions.DotProduct(children(0), children(1))))
+        (children: Seq[Expression]) => {
+          require(children.length == 2,
+            s"dot_product(array<double>, array<double>) takes 2 arguments, got ${children.length}")
+          graft.functions.DotProduct(children(0), children(1))
+        }))
   }
 }

@@ -23,8 +23,14 @@ object Tables {
     if (nanoCols.isEmpty) spark.read.parquet(s"$dir/$name.parquet")
     else {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      nanoCols.foldLeft(spark.read.parquet(s"$dir/$name.parquet")) { (df, c) =>
-        df.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      // re-written copies of the table (lake output, ScaleGen) carry a
+      // normal µs TIMESTAMP — only convert columns that actually read
+      // back as raw nano longs
+      nanoCols.foldLeft(df) { (acc, c) =>
+        if (acc.schema(c).dataType == org.apache.spark.sql.types.LongType)
+          acc.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
+        else acc
       }
     }
   }

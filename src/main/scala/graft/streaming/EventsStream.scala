@@ -34,8 +34,13 @@ object EventsStream {
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(dir).schema
-    spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    // raw testdata carries TIMESTAMP(NANOS) (read back as nano longs);
+    // re-written copies already have a µs TIMESTAMP — convert only the
+    // long form
+    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else stream
   }
 
   /** Tumbling event-time window aggregation with a late-data watermark —
@@ -114,10 +119,21 @@ object EventsStream {
         val merged = graft.operators.LatestRowView.latestPerKey(
           existing.unionByName(batch.toDF()), keys,
           orderCols.map(org.apache.spark.sql.functions.col))
-        val tmp = targetPath + ".graft-tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        fs.delete(target, true)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp), target)
+        val tmp = new org.apache.hadoop.fs.Path(targetPath + ".graft-tmp")
+        val old = new org.apache.hadoop.fs.Path(targetPath + ".graft-old")
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        // never a window with NO target on disk: demote current, promote
+        // tmp, then drop the demoted copy — and verify every rename (a
+        // false return, e.g. cross-filesystem, must fail the batch loudly,
+        // not silently lose the target)
+        fs.delete(old, true)
+        if (fs.exists(target) && !fs.rename(target, old))
+          throw new java.io.IOException(s"upsert: cannot demote $target")
+        if (!fs.rename(tmp, target)) {
+          if (fs.exists(old)) fs.rename(old, target) // restore
+          throw new java.io.IOException(s"upsert: cannot promote $tmp to $target")
+        }
+        fs.delete(old, true)
         ()
       }
       .start()

@@ -27,7 +27,8 @@ object ScaleGen {
       val base = graft.sources.Tables.load(spark, src, name)
       val all = (0 until factor).map(i => f(base, i)).reduce(_ unionByName _)
       all.write.mode("overwrite").parquet(s"$out/$name.parquet")
-      println(s"[scalegen] $name -> ${all.count()} rows")
+      // count the WRITTEN files (metadata-only) instead of re-running the union
+      println(s"[scalegen] $name -> ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
     }
     // dims copied once
     Seq("region", "nation", "customer", "supplier", "part").foreach { name =>
@@ -37,9 +38,11 @@ object ScaleGen {
     val oOff = 2000000L
     rep("orders")((df, i) => df.withColumn("o_orderkey", col("o_orderkey") + lit(i * oOff)))
     rep("lineitem")((df, i) => df.withColumn("l_orderkey", col("l_orderkey") + lit(i * oOff)))
+    // user offset must clear the full user-id range (sf0.1 spans 0..1499;
+    // a 1000 offset would overlap replicas and double some users' volumes)
     rep("events")((df, i) => df
       .withColumn("event_id", col("event_id") + lit(i * 10000000L))
-      .withColumn("user_id", col("user_id") + lit(i * 1000L)))
+      .withColumn("user_id", col("user_id") + lit(i * 10000L)))
     rep("documents")((df, i) => df
       .withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
       .withColumn("text", concat(col("text"), lit(s" replica$i"))))

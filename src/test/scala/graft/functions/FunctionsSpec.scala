@@ -183,6 +183,27 @@ class FunctionsSpec extends SparkSpec {
     assert(kept == Set(1L, 3L))
   }
 
+  test("dot: mismatched-length arrays yield NULL, not a partial product") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (Seq(1.0, 2.0), Seq(3.0, 4.0)),
+      (Seq(1.0, 2.0, 5.0), Seq(3.0, 4.0)), // truncated/corrupt pair
+    ).toDF("a", "b")
+    val got = df.select(Similarity.dot(col("a"), col("b")).as("d"))
+      .as[Option[Double]].collect().toSeq
+    assert(got == Seq(Some(11.0), None))
+  }
+
+  test("ivfTopK handles a single centroid (greatest() needs two args)") {
+    val corpus = (0 until 10).map { i =>
+      (i.toLong, Seq.tabulate(4)(j => math.sin(i * 4 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" === 0L)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val got = Similarity.ivfTopK(queries, corpus, k = 3, nCentroids = 1, nProbe = 1, iters = 1)
+    assert(got.count() == 3)
+  }
+
   test("ivfTopK with nProbe = nCentroids degenerates to exact brute force") {
     val corpus = (0 until 60).map { i =>
       (i.toLong, Seq.tabulate(8)(j => math.sin(i * 8 + j).toFloat))
