@@ -104,7 +104,8 @@ object Dedup {
     */
   def minhashCandidatePairs(df: DataFrame, textCol: String, idCol: String,
                             k: Int = 64, bands: Int = 16, threshold: Double = 0.5,
-                            shingleLen: Int = 5, cacheSignatures: Boolean = true): DataFrame = {
+                            shingleLen: Int = 5, cacheSignatures: Boolean = true,
+                            maxBucketSize: Option[Int] = None): DataFrame = {
     val r = k / bands
     // the signature relation feeds three plan branches (band keys + two
     // pair re-attach joins); caching avoids recomputing the hash pipeline
@@ -121,7 +122,22 @@ object Dedup {
           transform(slice(col("sig"), b * lit(r) + lit(1), lit(r)),
             v => v.cast("string")))))))
       .toDF("id", "band", "bandhash")
-    val pairs = bandKeys.select(col("band"), col("bandhash"), col("id").as("idA"))
+    // hot-bucket guard: a boilerplate cluster of m docs puts m ids in one
+    // (band, bandhash) bucket → m² candidate pairs. With a cap, only the
+    // `cap` LOWEST ids per bucket act as left-side representatives while
+    // every id stays joinable on the right — each doc still pairs with
+    // its cluster's low-id representatives (so smaller-id-wins dedup
+    // keeps exactly one survivor per true duplicate cluster), but the
+    // self-join cost drops from m² to cap·m per bucket.
+    val reps = maxBucketSize match {
+      case Some(cap) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bandhash")).orderBy(col("id"))
+        bandKeys.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= cap).drop("__rn")
+      case None => bandKeys
+    }
+    val pairs = reps.select(col("band"), col("bandhash"), col("id").as("idA"))
       .join(bandKeys.select(col("band"), col("bandhash"), col("id").as("idB")),
         Seq("band", "bandhash"))
       .filter(col("idA") < col("idB"))

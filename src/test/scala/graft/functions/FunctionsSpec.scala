@@ -272,6 +272,24 @@ class FunctionsSpec extends SparkSpec {
     assert(got(2) == 0.0) // no trigrams
   }
 
+  test("minhash bucket cap: same dedup survivors on a boilerplate cluster, fewer pairs") {
+    import org.apache.spark.sql.functions.col
+    // 30 identical docs (one duplicate cluster) + 2 distinct docs
+    val docs = ((0 until 30).map(i => (i.toLong, "the same boilerplate footer text repeated on every page of the site")) ++
+      Seq((100L, "a genuinely unique document about spark joins and shuffles here"),
+          (101L, "another completely different text on parquet row group statistics")))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.minhashDedup(docs, "text", "doc_id")
+      .select(col("doc_id")).as[Long].collect().toSet
+    val capped = Dedup.minhashCandidatePairs(docs, "text", "doc_id",
+        maxBucketSize = Some(2))
+    val cappedLosers = capped.select(col("idB")).distinct().as[Long].collect().toSet
+    val cappedSurvivors = docs.select(col("doc_id")).as[Long].collect().toSet -- cappedLosers
+    assert(uncapped == cappedSurvivors) // cluster still collapses to doc 0
+    // and the candidate volume is bounded: ≤ cap·m per bucket, not m²
+    assert(capped.count() < 30L * 29 / 2)
+  }
+
   test("MinHashSig fused kernel is bit-identical to the composed hash pipeline") {
     import org.apache.spark.sql.functions.col
     val docs = Seq(
