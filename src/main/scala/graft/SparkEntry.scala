@@ -689,6 +689,25 @@ object SparkEntry {
       s.table(name)
     }),
 
+    // A/O2 — the bounded TopKByScore Aggregator itself under the oracle:
+    // same result set as the q10 window plan, but partial aggregation
+    // trims every map partition to k before the exchange (the shuffle
+    // carries O(k·customers), not all orders).
+    "q64_topk_aggregator" -> ((s, dir) => {
+      import s.implicits._
+      val agg = new functions.TopKByScore(3).toColumn
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .as[(Long, Long, Double)]
+        .groupByKey(_._1)
+        // TopKByScore tie-breaks equal scores by LOWEST id — same as the
+        // oracle's (o_totalprice DESC, o_orderkey ASC)
+        .mapValues(r => (r._2, r._3))
+        .agg(agg)
+        .flatMap { case (cust, top) => top.map(t => (cust, t._1)) }
+        .toDF("o_custkey", "o_orderkey")
+    }),
+
     // E2E — the full incremental ingestion lifecycle as a gate query
     // (rows-only oracle): two runs over a watermark-split source into a
     // throwaway lake; emits the deterministic log fields.
@@ -1057,6 +1076,12 @@ object SparkEntry {
          cast(sum(cast(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
          FROM events JOIN customer ON user_id = c_custkey
          GROUP BY 1, 2""",
+    "q64_topk_aggregator" ->
+      """SELECT o_custkey, o_orderkey FROM (
+           SELECT o_custkey, o_orderkey,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+           FROM orders) WHERE rn <= 3""",
     "q55_cosine_neardup_exact" ->
       """WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings)
          SELECT a.vec_id AS idA, b.vec_id AS idB,
