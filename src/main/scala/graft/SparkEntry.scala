@@ -708,6 +708,36 @@ object SparkEntry {
         .toDF("o_custkey", "o_orderkey")
     }),
 
+    // E2E — multi-spec orchestration (rows-only): three specs fan out
+    // concurrently (one with an invalid partition config to prove
+    // contained failure), then the per-spec statuses + lake counts are
+    // emitted. The thread-pool fan-out of the reference, as futures over
+    // one SparkSession.
+    "q65_orchestrated_runs" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q65").toString
+      val store = new graft.state.LogStore(s, s"$tmp/logs")
+      val orch = new graft.driver.Orchestrator(s, s"$tmp/lake", store, parallelism = 3)
+      def spec(id: Long, table: String, parts: Seq[graft.model.PartitionSpec]) =
+        graft.model.IngestionSpec(id, "table", "local", "gate", table,
+          "ts", "", 0, 1, "fs", "", "event_id", "lv", s"${table}_lv", 0, parts, "gate")
+      val ev = t(s, dir, "events")
+      val statuses = orch.runAll(
+        Seq(
+          spec(1L, "ev_day", Seq(graft.model.PartitionSpec(1, graft.model.PartitionSpec.TimeBased, "ts", "YYYYMMDD"))),
+          spec(2L, "ev_flat", Nil),
+          // invalid: time-based format on a non-time spec → contained failure
+          spec(3L, "ev_bad", Seq(graft.model.PartitionSpec(1, graft.model.PartitionSpec.NonTimeBased, "ts", "YYYYMMDD")))),
+        _ => ev)
+      val counts = Seq("ev_day", "ev_flat").map { t0 =>
+        t0 -> (try s.read.parquet(s"$tmp/lake/gate/$t0").count() catch { case _: Throwable => -1L })
+      }.toMap
+      dropStaged(java.nio.file.Paths.get(tmp))
+      statuses.toSeq.map { case (id, st) =>
+        (id, st, counts.getOrElse(if (id == 1L) "ev_day" else if (id == 2L) "ev_flat" else "", 0L))
+      }.toDF("spec_id", "status", "lake_rows")
+    }),
+
     // E2E — the full incremental ingestion lifecycle as a gate query
     // (rows-only oracle): two runs over a watermark-split source into a
     // throwaway lake; emits the deterministic log fields.
