@@ -708,6 +708,30 @@ object SparkEntry {
         .toDF("o_custkey", "o_orderkey")
     }),
 
+    // E2E — lake maintenance (rows-only): chunk-append a table in small
+    // pieces (the reference's per-400k-chunk write pattern), compact it,
+    // and emit the invariants: rows preserved, file count collapsed to
+    // the target, clustering column intact.
+    "q66_compaction" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q66").toString
+      val path = s"$tmp/lake/orders"
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"))
+      // simulate chunked appends: 8 separate small writes
+      (0 until 8).foreach { i =>
+        o.filter(pmod(col("o_orderkey"), lit(8)) === i)
+          .repartition(4).write.mode("append").parquet(path)
+      }
+      val filesBefore = graft.sink.Rollback.listFiles(s, path).count(_.endsWith(".parquet"))
+      val rows = graft.sink.Compaction.compactTable(s, path,
+        clusterBy = Some("o_orderdate"), targetRowsPerFile = 1000000L)
+      val filesAfter = graft.sink.Rollback.listFiles(s, path).count(_.endsWith(".parquet"))
+      val rowsAfter = s.read.parquet(path).count()
+      dropStaged(java.nio.file.Paths.get(tmp))
+      Seq((rows, rowsAfter == rows, filesBefore > filesAfter, filesAfter == 1))
+        .toDF("n_rows", "rows_preserved", "files_reduced", "single_file")
+    }),
+
     // E2E — multi-spec orchestration (rows-only): three specs fan out
     // concurrently (one with an invalid partition config to prove
     // contained failure), then the per-spec statuses + lake counts are
