@@ -746,20 +746,21 @@ object SparkEntry {
         graft.model.IngestionSpec(id, "table", "local", "gate", table,
           "ts", "", 0, 1, "fs", "", "event_id", "lv", s"${table}_lv", 0, parts, "gate")
       val ev = t(s, dir, "events")
-      val statuses = orch.runAll(
-        Seq(
-          spec(1L, "ev_day", Seq(graft.model.PartitionSpec(1, graft.model.PartitionSpec.TimeBased, "ts", "YYYYMMDD"))),
-          spec(2L, "ev_flat", Nil),
-          // invalid: time-based format on a non-time spec → contained failure
-          spec(3L, "ev_bad", Seq(graft.model.PartitionSpec(1, graft.model.PartitionSpec.NonTimeBased, "ts", "YYYYMMDD")))),
-        _ => ev)
-      val counts = Seq("ev_day", "ev_flat").map { t0 =>
-        t0 -> (try s.read.parquet(s"$tmp/lake/gate/$t0").count() catch { case _: Throwable => -1L })
+      val specs = Seq(
+        spec(1L, "ev_day", Seq(graft.model.PartitionSpec(1, graft.model.PartitionSpec.TimeBased, "ts", "YYYYMMDD"))),
+        spec(2L, "ev_flat", Nil),
+        // invalid: time-based format on a non-time spec → contained failure
+        spec(3L, "ev_bad", Seq(graft.model.PartitionSpec(1, graft.model.PartitionSpec.NonTimeBased, "ts", "YYYYMMDD"))))
+      val statuses = orch.runAll(specs, _ => ev)
+      // counts keyed off the SAME spec list — no duplicated id→table map
+      val counts = specs.map { sp =>
+        sp.lakeIngestionId ->
+          (try s.read.parquet(s"$tmp/lake/${sp.databasename}/${sp.tablename}").count()
+           catch { case _: Throwable => 0L })
       }.toMap
       dropStaged(java.nio.file.Paths.get(tmp))
-      statuses.toSeq.map { case (id, st) =>
-        (id, st, counts.getOrElse(if (id == 1L) "ev_day" else if (id == 2L) "ev_flat" else "", 0L))
-      }.toDF("spec_id", "status", "lake_rows")
+      statuses.toSeq.map { case (id, st) => (id, st, counts(id)) }
+        .toDF("spec_id", "status", "lake_rows")
     }),
 
     // E2E — the full incremental ingestion lifecycle as a gate query

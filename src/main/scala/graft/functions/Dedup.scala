@@ -125,10 +125,13 @@ object Dedup {
     // hot-bucket guard: a boilerplate cluster of m docs puts m ids in one
     // (band, bandhash) bucket → m² candidate pairs. With a cap, only the
     // `cap` LOWEST ids per bucket act as left-side representatives while
-    // every id stays joinable on the right — each doc still pairs with
-    // its cluster's low-id representatives (so smaller-id-wins dedup
-    // keeps exactly one survivor per true duplicate cluster), but the
-    // self-join cost drops from m² to cap·m per bucket.
+    // every id stays joinable on the right, bounding the self-join at
+    // cap·m per bucket. Recall trade-off, explicit: pairs between two
+    // docs that BOTH rank past the cap in every shared bucket are lost —
+    // exact for a bucket dominated by one duplicate cluster (everything
+    // pairs with the cluster's low-id reps), approximate when a bucket
+    // mixes unrelated clusters. Leave uncapped where exactness matters;
+    // the cap is the adversarial-skew guard.
     val reps = maxBucketSize match {
       case Some(cap) =>
         val w = org.apache.spark.sql.expressions.Window
