@@ -50,7 +50,13 @@ final class IngestionRun(spark: SparkSession, lakeRoot: String, logStore: LogSto
       case Right(_) => ()
     }
 
-    val lakeExists = new java.io.File(lakePath(spec)).exists()
+    // Hadoop FS, not java.io.File: the lake root may be any FileSystem
+    // scheme (s3a://, hdfs://). A local-only probe would return false
+    // there, silently skipping boundary dedup and pre-window accounting
+    // → validation mismatch → rollback loop on exactly the target cluster.
+    val lakeP = new org.apache.hadoop.fs.Path(lakePath(spec))
+    val lakeExists =
+      lakeP.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(lakeP)
     val rawSlice = Incremental.incrementalSlice(source, spec.deltaExpr, start)
     // non-inclusive (`>=` boundary) watermarks re-extract rows already
     // loaded at the boundary instant; drop rows whose (primary key, delta
