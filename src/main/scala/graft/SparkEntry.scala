@@ -37,7 +37,9 @@ object SparkEntry {
     def copyTree(from: Path, to: Path): Unit = {
       if (Files.isDirectory(from)) {
         Files.createDirectories(to)
-        Files.list(from).forEach(c => copyTree(c, to.resolve(c.getFileName)))
+        val children = Files.list(from)
+        try children.forEach(c => copyTree(c, to.resolve(c.getFileName)))
+        finally children.close()
       } else Files.copy(from, to)
     }
     copyTree(src, tmp.resolve("events.parquet"))
@@ -600,11 +602,13 @@ object SparkEntry {
     }),
 
     // W — ntile bucketing over a total order (deterministic tie-break).
+    // NOT `ntile(4).over(Window.orderBy(...))`: a no-partition window is
+    // a single-task sort of the whole table. ScalableNtile produces the
+    // identical assignment with every stage partition-parallel.
     "q56_ntile" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
-      t(s, dir, "orders")
-        .select(col("o_orderkey"), ntile(4).over(w).as("quartile"))
+      graft.operators.ScalableNtile.ntileByRange(
+          t(s, dir, "orders"), 4, col("o_totalprice"), Seq(col("o_orderkey")))
+        .select(col("o_orderkey"), col("__graft_ntile").as("quartile"))
     }),
 
     // W — first/last/nth value over an unbounded frame per customer.
@@ -1056,7 +1060,8 @@ object SparkEntry {
          FROM events""",
     "q53_hash_split" ->
       """SELECT lang,
-         CASE WHEN CAST(('0x' || substring(md5(text),1,8)) AS BIGINT) % 100 < 80 THEN 'train'
+         CASE WHEN text IS NULL THEN NULL
+              WHEN CAST(('0x' || substring(md5(text),1,8)) AS BIGINT) % 100 < 80 THEN 'train'
               WHEN CAST(('0x' || substring(md5(text),1,8)) AS BIGINT) % 100 < 90 THEN 'val'
               ELSE 'test' END AS split,
          count(*) AS n

@@ -23,11 +23,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * are bitwise identical across engines (verified against the oracle on
   * the full embeddings pair set).
   *
-  * Contract: element nulls are not expected (embedding pipelines produce
-  * dense vectors); mismatched lengths yield NULL — the same propagation
-  * the zip_with composition had (null padding → null product → null sum),
-  * so a truncated/corrupt embedding is filtered out downstream instead of
-  * scoring a plausible partial dot product.
+  * Contract: mismatched lengths AND element nulls yield NULL — the same
+  * propagation the zip_with composition had (null element → null product
+  * → null sum), so a truncated/corrupt/sparse embedding is filtered out
+  * downstream instead of scoring a plausible partial dot product. When
+  * both array types are statically `containsNull = false` the per-element
+  * null check is compiled out.
   */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -41,21 +42,40 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
         TypeCheckResult.TypeCheckFailure(s"dot_product needs two array<double>, got $l, $r")
     }
 
+  private def elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
+  })
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
     if (x.numElements() != y.numElements()) null
+    else if (elementsNullable) DotProduct.computeOrNull(x, y)
     else DotProduct.compute(x, y)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"""
-         |if ($a.numElements() != $b.numElements()) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  ${ev.value} = graft.functions.DotProduct.compute($a, $b);
-         |}
-       """.stripMargin)
+      if (elementsNullable)
+        s"""
+           |java.lang.Double ${ev.value}_r = null;
+           |if ($a.numElements() == $b.numElements()) {
+           |  ${ev.value}_r = graft.functions.DotProduct.computeOrNull($a, $b);
+           |}
+           |if (${ev.value}_r == null) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  ${ev.value} = ${ev.value}_r.doubleValue();
+           |}
+         """.stripMargin
+      else
+        s"""
+           |if ($a.numElements() != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  ${ev.value} = graft.functions.DotProduct.compute($a, $b);
+           |}
+         """.stripMargin)
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
@@ -70,6 +90,22 @@ object DotProduct {
     var acc = 0.0
     var i = 0
     while (i < n) {
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  /** Null-checking kernel for arrays whose type admits element nulls:
+    * any null element poisons the whole product to NULL (one boxed return
+    * per pair; the loop itself stays primitive).
+    */
+  def computeOrNull(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc += a.getDouble(i) * b.getDouble(i)
       i += 1
     }

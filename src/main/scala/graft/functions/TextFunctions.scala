@@ -61,12 +61,17 @@ object TextFunctions {
     * (md5-prefix arithmetic, reproducible in any SQL dialect; no RNG, no
     * row order dependence). Near-duplicate leakage across splits is the
     * caller's problem: dedup first, then split.
+    *
+    * NULL text returns NULL (not a silent bucket): a null document has no
+    * content hash, so callers must decide its fate explicitly rather than
+    * discover nulls pooled in one split.
     */
   def hashSplit(text: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
     val h = conv(substring(md5(text), 1, 8), 16, 10).cast("long") % 100
-    when(h < trainPct, lit("train"))
-      .when(h < trainPct + valPct, lit("val"))
-      .otherwise(lit("test"))
+    when(text.isNotNull,
+      when(h < trainPct, lit("train"))
+        .when(h < trainPct + valPct, lit("val"))
+        .otherwise(lit("test")))
   }
 
   // ------------------------------------------------------------- lang id

@@ -113,6 +113,14 @@ object EventsStream {
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         val target = new org.apache.hadoop.fs.Path(targetPath)
+        val oldP = new org.apache.hadoop.fs.Path(targetPath + ".graft-old")
+        // crash recovery: a crash between the demote rename (target →
+        // .graft-old) and the promote leaves the data orphaned at
+        // .graft-old with no target. Restore it before merging so the
+        // "never a window with NO usable target" guarantee holds across
+        // process deaths, not just within a batch.
+        if (!fs.exists(target) && fs.exists(oldP) && !fs.rename(oldP, target))
+          throw new java.io.IOException(s"upsert: cannot restore $oldP to $target")
         val existing =
           if (fs.exists(target)) spark.read.parquet(targetPath)
           else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], batch.schema)
@@ -120,7 +128,7 @@ object EventsStream {
           existing.unionByName(batch.toDF()), keys,
           orderCols.map(org.apache.spark.sql.functions.col))
         val tmp = new org.apache.hadoop.fs.Path(targetPath + ".graft-tmp")
-        val old = new org.apache.hadoop.fs.Path(targetPath + ".graft-old")
+        val old = oldP
         merged.write.mode("overwrite").parquet(tmp.toString)
         // never a window with NO target on disk: demote current, promote
         // tmp, then drop the demoted copy — and verify every rename (a
