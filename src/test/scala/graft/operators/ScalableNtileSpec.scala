@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** ScalableNtile must be bit-identical to the window-form ntile AND plan
+  * with no single-partition exchange (the whole point of the rewrite).
+  */
+class ScalableNtileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def reference(df: org.apache.spark.sql.DataFrame, n: Int) =
+    df.select($"id", ntile(n).over(Window.orderBy($"v".asc, $"id".asc)).as("tile"))
+
+  private def check(rows: Seq[(Long, Double)], n: Int, coarse: Int = 16): Unit = {
+    val df = rows.toDF("id", "v")
+    val got = ScalableNtile.ntileByRange(df, n, $"v", Seq($"id"), coarse)
+      .select($"id", $"__graft_ntile".as("tile"))
+    val want = reference(df, n)
+    assert(got.except(want).isEmpty && want.except(got).isEmpty,
+      s"mismatch for n=$n rows=${rows.size}")
+  }
+
+  test("matches window ntile: divisible, non-divisible, ties, N < n") {
+    val rng = new scala.util.Random(7)
+    val base = (1L to 100L).map(i => (i, rng.nextInt(20).toDouble)) // heavy ties
+    check(base, 4)       // 100 % 4 == 0
+    check(base.take(97), 4) // 97 % 4 == 1 → first tile padded
+    check(base.take(3), 7)  // N < n → tile == rank
+    check(base, 7, coarse = 3) // more tiles than coarse buckets
+    check(Seq((1L, 5.0)), 4)
+  }
+
+  test("constant value column: everything lands in one coarse bucket, still correct") {
+    check((1L to 10L).map(i => (i, 1.0)), 3)
+  }
+
+  test("plan has no single-partition exchange") {
+    val df = (1L to 1000L).map(i => (i, (i * 37 % 101).toDouble)).toDF("id", "v")
+    val got = ScalableNtile.ntileByRange(df, 4, $"v", Seq($"id"))
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), s"single-partition stage:\n$plan")
+    // the window that remains is partitioned by the coarse bucket
+    assert(plan.contains("Window"), "expected a (partitioned) window")
+  }
+}
