@@ -790,6 +790,36 @@ object SparkEntry {
         (l.executionStatus, l.startValue, l.endValue, l.sourceCount, l.targetCount, l.reasonCode)))
         .toDF("status", "start_value", "end_value", "source_count", "target_count", "reason")
     }),
+
+    // E2E — LIVE JDBC round-trip, oracle-checked: orders flow parquet →
+    // embedded Derby → partitioned JDBC read (pushdown WHERE subquery,
+    // strided pk predicates) → aggregate. The oracle computes the same
+    // aggregate straight from parquet, so a hash match proves the DB leg
+    // is lossless (the reference's actual core path,
+    // ingest_mysql_data.py:217-368, exercised against a real database).
+    "q67_jdbc_roundtrip" -> ((s, dir) => {
+      System.setProperty("derby.stream.error.file", "/tmp/derby.log")
+      val url = "jdbc:derby:memory:graftq67;create=true"
+      val drv = "org.apache.derby.jdbc.EmbeddedDriver"
+      // UPPERCASE write-side names: Spark quotes identifiers on CREATE,
+      // and Derby resolves unquoted subquery identifiers as uppercase
+      val orders = t(s, dir, "orders").select(
+        col("o_orderkey").as("O_ORDERKEY"),
+        col("o_orderstatus").as("O_ORDERSTATUS"),
+        col("o_totalprice").as("O_TOTALPRICE"))
+      val p = new java.util.Properties(); p.setProperty("driver", drv)
+      orders.write.mode("overwrite").jdbc(url, "APP.ORDERS_RT", p)
+      val maxKey = orders.agg(max(col("O_ORDERKEY"))).head().getLong(0)
+      val where = graft.sources.Incremental.pushdownWhere(
+        "O_ORDERKEY", "1", None, isDatetime = false)
+      val opts = graft.sources.Incremental.jdbcOptions(url, "APP", "ORDERS_RT",
+        Seq("O_ORDERKEY", "O_ORDERSTATUS", "O_TOTALPRICE"), where,
+        "O_ORDERKEY", "1", maxKey.toString, numPartitions = 8) + ("driver" -> drv)
+      graft.sources.Incremental.readJdbc(s, opts)
+        .groupBy(col("O_ORDERSTATUS").as("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("O_TOTALPRICE") * 100).cast("long")).as("cents"))
+    }),
   )
 
   // ----------------------------------------------------------- oracle SQL
@@ -1068,6 +1098,10 @@ object SparkEntry {
          FROM documents GROUP BY 1, 2""",
     "q54_stream_distinct_pairs" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    "q67_jdbc_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n,
+         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+         FROM orders WHERE o_orderkey >= 1 GROUP BY 1""",
     // SQL re-derivation of langIdWith: per-profile stopword ratios,
     // Spark's greatest-over-structs argmax (ties → larger lang string),
     // CJK-ratio gate. Upgraded from rows-only once the arithmetic proved

@@ -37,7 +37,12 @@ object JdbcSink {
     val sql = upsertSql(table, columns)
     df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       if (rows.nonEmpty) {
-        val conn = java.sql.DriverManager.getConnection(url)
+        // transient connect failures are the common DB-side flake; retry
+        // with backoff (reference: MySQLWrapper.py:34-41) before letting
+        // the task fail into Spark's own retry layer
+        val conn = graft.util.Retry.withBackoff(attempts = 3, baseDelayMs = 1000L) {
+          java.sql.DriverManager.getConnection(url)
+        }
         try {
           conn.setAutoCommit(false)
           val st = conn.prepareStatement(sql)

@@ -49,14 +49,20 @@ object Incremental {
 
   /** SQL-text form of the watermark WHERE clause for JDBC pushdown
     * subqueries, with the coalesce-OR index rewrite applied when the delta
-    * is a coalesce expression. `quote` wraps literals for datetime mode.
+    * is a coalesce expression. Datetime literals get MySQL-style single
+    * quotes; dialects with strict typing supply their own wrapper via the
+    * `litFn` overload (Derby: `v => s"TIMESTAMP('$v')"`).
     */
   def pushdownWhere(deltaExpr: String, start: String, end: Option[String],
-                    isDatetime: Boolean): String = {
-    def lit(v: String) = if (isDatetime) s"'$v'" else v
+                    isDatetime: Boolean): String =
+    pushdownWhere(deltaExpr, start, end,
+      if (isDatetime) (v: String) => s"'$v'" else (v: String) => v)
+
+  def pushdownWhere(deltaExpr: String, start: String, end: Option[String],
+                    litFn: String => String): String = {
     def pred(c: String) = end match {
-      case Some(e) => s"$c BETWEEN ${lit(start)} AND ${lit(e)}"
-      case None    => s"$c >= ${lit(start)}"
+      case Some(e) => s"$c BETWEEN ${litFn(start)} AND ${litFn(e)}"
+      case None    => s"$c >= ${litFn(start)}"
     }
     parseCoalesceExpr(deltaExpr) match {
       case Some((a, b)) => s"(${pred(a)} OR ${pred(b)})"
@@ -86,6 +92,17 @@ object Incremental {
       "fetchsize" -> fetchSize.toString,
     )
   }
+
+  /** Partitioned JDBC read with connect retry. `.load()` resolves the
+    * schema eagerly — one driver-side connect — which is exactly what the
+    * reference retries (MySQLWrapper.py:34-41); executor-side fetch
+    * failures ride Spark's own task-retry layer instead.
+    */
+  def readJdbc(spark: SparkSession, options: Map[String, String],
+               attempts: Int = 3, baseDelayMs: Long = 5000L): DataFrame =
+    graft.util.Retry.withBackoff(attempts, baseDelayMs) {
+      spark.read.format("jdbc").options(options).load()
+    }
 
   /** Incremental slice of a batch source: watermark filter on the delta
     * expression (the parquet/table-source equivalent of S1; filter is
