@@ -277,15 +277,21 @@ object SparkEntry {
 
     // D4 — per-doc fingerprints + n-gram-Jaccard candidate degree
     // (rows-only oracle; always |documents| rows).
+    // D4 — exact n-gram Jaccard, oracle-checked: the SAME kernel that
+    // verifies LSH candidates (Dedup.jaccard), run on a deterministic
+    // candidate set (consecutive doc_ids) so DuckDB can recompute every
+    // value. LSH candidate generation itself stays gated by q23's
+    // bit-parity spec + the recall spec.
     "q25_ngram_jaccard_profile" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val pairs = functions.Dedup.ngramJaccardPairs(docs, "text", "doc_id", threshold = 0.2)
-      val degree = pairs.select(col("idA").as("doc_id"))
-        .unionByName(pairs.select(col("idB").as("doc_id")))
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_cand"))
-      docs.select(col("doc_id"))
-        .join(degree, Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("n_cand"), lit(0L)).as("n_cand"))
+      val sets = t(s, dir, "documents").select(col("doc_id"),
+        array_distinct(functions.TextFunctions.shingles(
+          functions.TextFunctions.tokens(col("text")), 5)).as("sh"))
+      val a = sets.select(col("doc_id").as("idA"), col("sh").as("shA"))
+      val b = sets.select((col("doc_id") - 1).as("idA"),
+        col("doc_id").as("idB"), col("sh").as("shB"))
+      a.join(b, Seq("idA"))
+        .select(col("idA"), col("idB"),
+          functions.Dedup.jaccard(col("shA"), col("shB")).as("jaccard"))
     }),
 
     // D5 — embedding-cosine near-dup dedup survivors (rows-only oracle).
@@ -327,10 +333,13 @@ object SparkEntry {
 
     // T4 — document fingerprinting: whole-doc + winnowed shingle sketch
     // (rows-only oracle; xxhash64 is Spark-specific).
+    // T6 — document fingerprints, oracle-checked via the PORTABLE
+    // md5-prefix variant (DuckDB recomputes both values exactly); the
+    // xxhash64 fingerprints remain the fast path, pinned by spec.
     "q30_fingerprints" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"),
-        TextFunctions.docFingerprint(col("text")).as("fp_doc"),
-        TextFunctions.minShingleFingerprint(col("text")).as("fp_shingle"))
+        TextFunctions.docFingerprintPortable(col("text")).as("fp_doc"),
+        TextFunctions.minShingleFingerprintPortable(col("text")).as("fp_shingle"))
     }),
 
     // T5 — composite quality score (rows-only oracle; float heuristic).
@@ -1017,6 +1026,40 @@ object SparkEntry {
       """SELECT count(k) AS n_with_k, cast(sum(k) AS BIGINT) AS sum_k,
          min(k) AS min_k, max(k) AS max_k
          FROM (SELECT cast(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)""",
+    // exact Jaccard on the deterministic consecutive-id candidate set:
+    // DuckDB rebuilds the same distinct 5-gram shingle sets (whole-doc
+    // fallback for short docs) and the same double/double division
+    "q25_ngram_jaccard_profile" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                      x -> x <> '') AS t
+           FROM documents),
+         sets AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+                  ELSE list_transform(range(1, len(t)-3),
+                         i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]) END) AS sh
+           FROM toks)
+         SELECT a.doc_id AS idA, b.doc_id AS idB,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+           CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
+         FROM sets a JOIN sets b ON b.doc_id = a.doc_id + 1""",
+    // portable md5-prefix fingerprints: 15 hex chars → always-positive
+    // BIGINT, recomputable in any dialect (the xxhash64 pair is the
+    // Spark-only fast path, pinned by spec instead)
+    "q30_fingerprints" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                      x -> x <> '') AS t
+           FROM documents)
+         SELECT doc_id,
+           CAST(('0x' || substring(md5(array_to_string(t, ' ')), 1, 15)) AS BIGINT) AS fp_doc,
+           list_min(list_transform(
+             CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+                  ELSE list_transform(range(1, len(t)-3),
+                         i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]) END,
+             s -> CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT))) AS fp_shingle
+         FROM toks""",
     // the cosine is bitwise-identical across engines: both fold the
     // 64-dim double product sequentially (DuckDB list_dot_product ==
     // Spark aggregate(zip_with(...)) — verified on the full pair set)

@@ -204,6 +204,15 @@ object Dedup {
     * the distinct-shingle sets of candidate pairs only — the scalable
     * pattern (exact verify restricted to the candidate set, never n²).
     */
+  /** Exact Jaccard of two pre-distinct shingle-set columns — the one
+    * kernel behind candidate verification (ngramJaccardPairs) and the
+    * oracle-checked q25 profile. Double/double division of exact integer
+    * counts: bitwise-reproducible in any engine.
+    */
+  def jaccard(shA: Column, shB: Column): Column =
+    size(array_intersect(shA, shB)).cast("double") /
+      size(array_union(shA, shB)).cast("double")
+
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         shingleLen: Int = 5, threshold: Double = 0.5,
                         k: Int = 64, bands: Int = 16): DataFrame = {
@@ -214,9 +223,7 @@ object Dedup {
     cands
       .join(sets.withColumnRenamed("id", "idA").withColumnRenamed("sh", "shA"), Seq("idA"))
       .join(sets.withColumnRenamed("id", "idB").withColumnRenamed("sh", "shB"), Seq("idB"))
-      .select(col("idA"), col("idB"),
-        (size(array_intersect(col("shA"), col("shB"))).cast("double") /
-          size(array_union(col("shA"), col("shB")))).as("jaccard"))
+      .select(col("idA"), col("idB"), jaccard(col("shA"), col("shB")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }

@@ -169,4 +169,23 @@ object TextFunctions {
     */
   def minShingleFingerprint(text: Column, n: Int = 5): Column =
     array_min(transform(shingles(tokens(text), n), s => xxhash64(s)))
+
+  /** Engine-portable 60-bit fingerprint: md5-prefix arithmetic any SQL
+    * dialect can recompute (15 hex chars → always-positive BIGINT). The
+    * xxhash64 fingerprints above stay the fast path — one hash pass vs
+    * md5's four rounds — this one exists so fingerprints can be verified
+    * and joined ACROSS engines (same trick as [[hashSplit]]).
+    */
+  def md5Fingerprint(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** Portable whole-document fingerprint over normalized tokens. */
+  def docFingerprintPortable(text: Column): Column =
+    md5Fingerprint(concat_ws(" ", tokens(text)))
+
+  /** Portable winnowed shingle fingerprint (min md5-prefix over word
+    * n-gram shingles).
+    */
+  def minShingleFingerprintPortable(text: Column, n: Int = 5): Column =
+    array_min(transform(shingles(tokens(text), n), s => md5Fingerprint(s)))
 }
