@@ -829,6 +829,39 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(round(col("O_TOTALPRICE") * 100).cast("long")).as("cents"))
     }),
+
+    // E2E — file-drop ingestion (S8), oracle-checked: a bounded orders
+    // slice is written out as CSV drops, claimed by filename pattern
+    // through the processed-file manifest (the second pull must be a
+    // no-op), appended to a throwaway lake, and aggregated. The oracle
+    // recomputes the aggregate straight from parquet — a hash match
+    // proves claim/load is lossless AND exactly-once across pulls (a
+    // double-claim would double the counts).
+    "q68_file_drop" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q68").toString
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
+      val data = t(s, dir, "orders").filter(col("o_orderkey") <= 1000)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      def writeDrop(name: String, xs: Seq[(Long, Long)]): Unit =
+        java.nio.file.Files.write(java.nio.file.Paths.get(s"$tmp/in", name),
+          (Seq("o_orderkey,cents") ++ xs.map { case (k, c) => s"$k,$c" })
+            .mkString("\n").getBytes)
+      writeDrop("report_even.csv", data.filter(_._1 % 2 == 0).toSeq)
+      writeDrop("report_odd.csv", data.filter(_._1 % 2 == 1).toSeq)
+      writeDrop("notes.txt", Seq((0L, 0L))) // must NOT be claimed
+      val src = new graft.sources.FileDropSource(s, s"$tmp/in", s"$tmp/manifest")
+      val dropSpec = graft.sources.FileDropSpec("orders_rt", "report_.*\\.csv",
+        schemaDdl = Some("o_orderkey BIGINT, cents BIGINT"))
+      require(src.runOnce(dropSpec, s"$tmp/lake").size == 2)
+      require(src.runOnce(dropSpec, s"$tmp/lake").isEmpty) // manifest no-op
+      val row = s.read.parquet(s"$tmp/lake")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents")).head()
+      dropStaged(java.nio.file.Paths.get(tmp))
+      Seq((row.getLong(0), row.getLong(1))).toDF("n", "cents")
+    }),
   )
 
   // ----------------------------------------------------------- oracle SQL
@@ -1145,6 +1178,10 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n,
          CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
          FROM orders WHERE o_orderkey >= 1 GROUP BY 1""",
+    "q68_file_drop" ->
+      """SELECT count(*) AS n,
+         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+         FROM orders WHERE o_orderkey <= 1000""",
     // SQL re-derivation of langIdWith: per-profile stopword ratios,
     // Spark's greatest-over-structs argmax (ties → larger lang string),
     // CJK-ratio gate. Upgraded from rows-only once the arithmetic proved

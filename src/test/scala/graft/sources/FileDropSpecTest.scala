@@ -1,0 +1,67 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import graft.SparkSpec
+
+class FileDropSpecTest extends SparkSpec {
+
+  private def mkDrop(): String =
+    Files.createTempDirectory("graft-drop").toString
+
+  private def drop(dir: String, name: String, lines: String*): Unit =
+    Files.write(Paths.get(dir, name), (Seq("id,v") ++ lines).mkString("\n").getBytes,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+
+  private val spec = FileDropSpec("reports", pattern = "report_.*\\.csv",
+    schemaDdl = Some("id BIGINT, v STRING"))
+
+  test("claims by pattern once, skips claimed files on the next pull, loads re-drops") {
+    val dir = mkDrop()
+    val src = new FileDropSource(spark, s"$dir/in", s"$dir/manifest")
+    Files.createDirectories(Paths.get(s"$dir/in"))
+    drop(s"$dir/in", "report_a.csv", "1,x", "2,y")
+    drop(s"$dir/in", "report_b.csv", "3,z")
+    drop(s"$dir/in", "notes.txt", "9,ignored")
+
+    val run1 = src.runOnce(spec, s"$dir/lake")
+    assert(run1.map(_.name) == Seq("report_a.csv", "report_b.csv"), "pattern claim")
+    assert(spark.read.parquet(s"$dir/lake").count() == 3)
+
+    // second pull: nothing new → no-op, no lake write
+    assert(src.runOnce(spec, s"$dir/lake").isEmpty)
+    assert(spark.read.parquet(s"$dir/lake").count() == 3)
+
+    // a NEW file and a re-dropped file with CHANGED content both load
+    drop(s"$dir/in", "report_c.csv", "4,w")
+    drop(s"$dir/in", "report_a.csv", "1,x", "2,y", "5,new")
+    val run3 = src.runOnce(spec, s"$dir/lake")
+    assert(run3.map(_.name) == Seq("report_a.csv", "report_c.csv"))
+    // at-least-once: report_a's rows appear twice; lineage column tells which file
+    val lake = spark.read.parquet(s"$dir/lake")
+    assert(lake.count() == 3 + 1 + 3)
+    assert(lake.columns.contains("source_file"))
+  }
+
+  test("two sources share a manifest without claiming each other's files") {
+    val dir = mkDrop()
+    val src = new FileDropSource(spark, s"$dir/in", s"$dir/manifest")
+    Files.createDirectories(Paths.get(s"$dir/in"))
+    drop(s"$dir/in", "report_a.csv", "1,x")
+    drop(s"$dir/in", "audit_a.csv", "2,y")
+    val audit = FileDropSpec("audits", pattern = "audit_.*\\.csv",
+      schemaDdl = Some("id BIGINT, v STRING"))
+
+    assert(src.runOnce(spec, s"$dir/lakeR").map(_.name) == Seq("report_a.csv"))
+    assert(src.runOnce(audit, s"$dir/lakeA").map(_.name) == Seq("audit_a.csv"))
+    // each source's claim is independent: re-pull is a no-op for both
+    assert(src.runOnce(spec, s"$dir/lakeR").isEmpty)
+    assert(src.runOnce(audit, s"$dir/lakeA").isEmpty)
+  }
+
+  test("empty or missing drop directory is a clean no-op") {
+    val dir = mkDrop()
+    val src = new FileDropSource(spark, s"$dir/nonexistent", s"$dir/manifest")
+    assert(src.runOnce(spec, s"$dir/lake").isEmpty)
+  }
+}
