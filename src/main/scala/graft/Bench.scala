@@ -1,5 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: every SparkEntry query, n repeated passes (default 3),
+  * per-query MEDIANS — single-run times at this scale carry ±2 s of
+  * suite-order/GC noise (BENCH_r02's "regressions" were exactly that), so
+  * one pass is not evidence. Prints ONE JSON line for the driver.
+  *
+  * Failures are NOT silently swallowed into a fast time: a throwing query
+  * records no sample for that pass and is listed in `"errors"` — a query
+  * that "speeds up" by dying must be visible (round-2 lesson: a staging
+  * bug made streaming queries fail fast and look 10× faster).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,14 +18,15 @@ object Bench {
     // SPARK_GRAFT_CPUS set and expects local[32]-class parallelism.
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm-up: run every query once at the smallest SF so the timed pass
-    // measures steady-state execution (plans/codegen JIT'd, classes
+    // warm-up: run every query once at the smallest SF so the timed passes
+    // measure steady-state execution (plans/codegen JIT'd, classes
     // loaded), not one-off JVM warmup — the state a long-lived cluster
     // session actually runs in
     val warmDir = "/root/testdata/sf0.001"
@@ -22,15 +34,32 @@ object Bench {
       SparkEntry.queries.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val samples = scala.collection.mutable.Map[String, List[Double]]().withDefaultValue(Nil)
+    val errors = scala.collection.mutable.Map[String, String]()
+    for (_ <- 1 to nRuns; name <- names) {
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples(name)
+      } catch { case e: Throwable =>
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(120)
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def median(xs: List[Double]): Double = {
+      val s = xs.sorted
+      if (s.isEmpty) -1.0
+      else if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val med = names.map(n => n -> median(samples(n)))
+    val qs = med.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = med.collect { case (_, v) if v >= 0 => v }.sum
+    val errJson = errors.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":\"" + v.replace("\"", "'").replace("\n", " ") + "\"" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$nRuns,"errors":$errJson}""")
     spark.stop()
   }
 }
