@@ -862,6 +862,30 @@ object SparkEntry {
       dropStaged(java.nio.file.Paths.get(tmp))
       Seq((row.getLong(0), row.getLong(1))).toDF("n", "cents")
     }),
+
+    // E2E — transactional commit log, oracle-checked: two txn appends, a
+    // writer "crash" that stages a duplicate batch WITHOUT committing
+    // (must stay invisible — the rename-swap failure mode this table
+    // closes), a transactional compact, and a vacuum. The oracle
+    // recomputes the aggregate from parquet: a hash match proves
+    // crash-orphans never leak into reads and compaction is lossless.
+    "q69_tx_table" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q69").toString
+      val tbl = s"$tmp/tx/orders"
+      val o = t(s, dir, "orders").filter(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      graft.sink.TxTable.append(s, o.filter(col("o_orderkey") % 2 === 0), tbl)
+      graft.sink.TxTable.append(s, o.filter(col("o_orderkey") % 2 === 1), tbl)
+      o.limit(50).write.parquet(s"$tbl/batch-crashed") // staged, never committed
+      graft.sink.TxTable.compact(s, tbl, targetRowsPerFile = 1000000L)
+      graft.sink.TxTable.vacuum(s, tbl, minAgeMs = 0L)
+      val row = graft.sink.TxTable.read(s, tbl)
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents")).head()
+      dropStaged(java.nio.file.Paths.get(tmp))
+      Seq((row.getLong(0), row.getLong(1))).toDF("n", "cents")
+    }),
   )
 
   // ----------------------------------------------------------- oracle SQL
@@ -1182,6 +1206,10 @@ object SparkEntry {
       """SELECT count(*) AS n,
          CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
          FROM orders WHERE o_orderkey <= 1000""",
+    "q69_tx_table" ->
+      """SELECT count(*) AS n,
+         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+         FROM orders WHERE o_orderkey <= 2000""",
     // SQL re-derivation of langIdWith: per-profile stopword ratios,
     // Spark's greatest-over-structs argmax (ties → larger lang string),
     // CJK-ratio gate. Upgraded from rows-only once the arithmetic proved

@@ -1,0 +1,85 @@
+package graft.sink
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration._
+
+import graft.SparkSpec
+
+/** Crash-injection + concurrency pins for the transactional commit log:
+  * at every interruption point the table must read as EITHER the old
+  * state or the new — never missing, never doubled (the failure modes of
+  * the rename-swap pattern this replaces).
+  */
+class TxTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mk(): String =
+    java.nio.file.Files.createTempDirectory("graft-tx").toString + "/tbl"
+
+  private def ids(table: String): Set[Long] =
+    TxTable.read(spark, table).select($"id").as[Long].collect().toSet
+
+  test("appends are versioned and replayed in order") {
+    val t = mk()
+    assert(TxTable.append(spark, Seq(1L, 2L).toDF("id"), t) == 1L)
+    assert(TxTable.append(spark, Seq(3L).toDF("id"), t) == 2L)
+    assert(ids(t) == Set(1L, 2L, 3L))
+  }
+
+  test("crash before commit: staged files are invisible, vacuum reclaims them") {
+    val t = mk()
+    TxTable.append(spark, Seq(1L).toDF("id"), t)
+    // a writer died after staging, before commit: data dir, no log entry
+    Seq(99L).toDF("id").write.parquet(s"$t/batch-orphan")
+    assert(ids(t) == Set(1L), "orphan batch must be invisible to readers")
+    val gone = TxTable.vacuum(spark, t, minAgeMs = 0L)
+    assert(gone.exists(_.startsWith("batch-orphan/")))
+    assert(ids(t) == Set(1L), "vacuum must not touch committed data")
+  }
+
+  test("transactional compact: same rows, one commit, vacuum drops old files; no missing-table window") {
+    val t = mk()
+    (1 to 6).foreach(i => TxTable.append(spark, Seq(i.toLong).toDF("id"), t))
+    val before = TxTable.currentFiles(spark, t)
+    assert(before.size >= 6)
+    TxTable.compact(spark, t, targetRowsPerFile = 1000000L)
+    assert(ids(t) == (1L to 6L).toSet)
+    assert(TxTable.currentFiles(spark, t).size == 1)
+    // old files still on disk (still readable by a reader that planned
+    // pre-compact) until vacuum reclaims them
+    val gone = TxTable.vacuum(spark, t, minAgeMs = 0L)
+    assert(before.forall(gone.contains))
+    assert(ids(t) == (1L to 6L).toSet)
+  }
+
+  test("crash mid-compact (staged, not committed) leaves the old state intact") {
+    val t = mk()
+    TxTable.append(spark, Seq(1L, 2L).toDF("id"), t)
+    // simulate the compaction writer dying after staging its rewrite
+    TxTable.read(spark, t).repartition(1).write.parquet(s"$t/batch-halfcompact")
+    assert(ids(t) == Set(1L, 2L))
+    assert(TxTable.currentFiles(spark, t).size == TxTable.commits(spark, t).head.added.size)
+  }
+
+  test("overwrite swaps the full file set in one commit") {
+    val t = mk()
+    TxTable.append(spark, Seq(1L, 2L).toDF("id"), t)
+    TxTable.overwrite(spark, Seq(7L).toDF("id"), t)
+    assert(ids(t) == Set(7L))
+  }
+
+  test("racing writers: both commits land at distinct versions, no lost update") {
+    val t = mk()
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val fs = (1 to 4).map(i => Future {
+      TxTable.append(spark, Seq(i * 10L).toDF("id"), t)
+    })
+    val versions = Await.result(Future.sequence(fs), 2.minutes)
+    assert(versions.toSet == Set(1L, 2L, 3L, 4L), s"got $versions")
+    assert(ids(t) == Set(10L, 20L, 30L, 40L))
+  }
+
+  test("empty table reads as empty") {
+    assert(TxTable.read(spark, mk()).count() == 0L)
+  }
+}
