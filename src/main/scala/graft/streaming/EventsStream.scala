@@ -148,6 +148,34 @@ object EventsStream {
     try { q.processAllAvailable() } finally q.stop()
   }
 
+  /** TxTable-backed streaming upsert: each micro-batch folds into the
+    * target through ONE atomic commit (stage merged files, rename the
+    * commit JSON). The demote/promote rename windows of
+    * [[runForeachBatchUpsert]] do not exist here — a crash at any point
+    * leaves the previous committed version readable, and the next run's
+    * batch re-merge converges (same at-least-once + latest-row contract).
+    * This is the at-scale shape the rename variant's scaladoc promises
+    * ("use a transactional MERGE on a real lake") — provided in-engine.
+    */
+  def runForeachBatchUpsertTx(spark: SparkSession, dir: String, tablePath: String,
+                              keys: Seq[String], orderCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.Row
+    val q = readEvents(spark, dir).writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val existing = graft.sink.TxTable.read(spark, tablePath)
+        val base =
+          if (existing.columns.isEmpty) batch.toDF()
+          else existing.unionByName(batch.toDF())
+        val merged = graft.operators.LatestRowView.latestPerKey(
+          base, keys, orderCols.map(org.apache.spark.sql.functions.col))
+        graft.sink.TxTable.overwrite(spark, merged, tablePath)
+        ()
+      }
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+  }
+
   /** Run a streaming query over `dir` into an in-memory table and block
     * until all available files are processed — the local smoke harness
     * (AvailableNow semantics without an external trigger loop).

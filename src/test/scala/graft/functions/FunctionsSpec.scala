@@ -194,6 +194,17 @@ class FunctionsSpec extends SparkSpec {
     assert(got == Seq(Some(11.0), None))
   }
 
+  test("dot: element nulls poison the product to NULL, not a partial score") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0, 4.0)),
+      (Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](3.0, 4.0)), // sparse/corrupt
+    ).toDF("a", "b")
+    val got = df.select(Similarity.dot(col("a"), col("b")).as("d"))
+      .as[Option[Double]].collect().toSeq
+    assert(got == Seq(Some(11.0), None))
+  }
+
   test("ivfTopK handles a single centroid (greatest() needs two args)") {
     val corpus = (0 until 10).map { i =>
       (i.toLong, Seq.tabulate(4)(j => math.sin(i * 4 + j).toFloat))

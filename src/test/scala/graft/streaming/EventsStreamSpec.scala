@@ -70,6 +70,26 @@ class EventsStreamSpec extends SparkSpec {
     assert(spark.read.parquet(target).count() == want.count())
   }
 
+  test("TxTable-backed upsert matches latestPerKey with one commit per batch, no rename artifacts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fbutx")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$SfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    val table = dir.resolve("txtarget").toString
+    EventsStream.runForeachBatchUpsertTx(spark, dir.toString, table,
+      keys = Seq("user_id"), orderCols = Seq("ts", "event_id"))
+    val got = graft.sink.TxTable.read(spark, table).select($"user_id", $"event_id")
+    val want = graft.operators.LatestRowView.latestPerKey(
+        Tables.load(spark, SfDir, "events"), Seq("user_id"), Seq($"ts", $"event_id"))
+      .select($"user_id", $"event_id")
+    assert(got.count() == want.count())
+    assert(got.except(want).isEmpty)
+    // versioned commits, and none of the rename-swap artifacts on disk
+    assert(graft.sink.TxTable.commits(spark, table).nonEmpty)
+    assert(!new java.io.File(table + ".graft-old").exists())
+    assert(!new java.io.File(table + ".graft-tmp").exists())
+  }
+
   test("sessionize: gap splits sessions, state carries across batches") {
     def ev(id: Long, user: Long, minute: Long) =
       EventsStream.Event(id, new Timestamp(minute * 60000L), user, "click", 1.0)
