@@ -56,8 +56,17 @@ object Bench {
     val med = names.map(n => n -> median(samples(n)))
     val qs = med.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = med.collect { case (_, v) if v >= 0 => v }.sum
+    // full JSON string escape: exception text routinely carries
+    // backslashes (regexes, paths) and control chars — one bad escape
+    // invalidates the whole result line exactly when errors matter
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => " "
+      case c => c.toString
+    } + "\""
     val errJson = errors.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":\"" + v.replace("\"", "'").replace("\n", " ") + "\"" }
+      .map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$nRuns,"errors":$errJson}""")
     spark.stop()

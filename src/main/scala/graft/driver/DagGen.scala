@@ -55,11 +55,17 @@ object DagGen {
     }.mkString("[", ",", "]")
   }
 
-  /** Topologically order plans by their dependsOn edges; cycles are a
-    * config error and fail loudly.
+  /** Topologically order plans by their dependsOn edges; cycles AND
+    * dangling dependencies are config errors and fail loudly (a typo'd
+    * or all-inactive upstream silently treated as satisfied would run
+    * the dependent DAG against a lake its prerequisite never populated —
+    * the ExternalTaskSensor this models blocks instead).
     */
   def topoOrder(plans: Seq[DagPlan]): Seq[DagPlan] = {
     val byName = plans.map(p => p.group -> p).toMap
+    plans.foreach(p => p.dependsOn.foreach(d =>
+      require(byName.contains(d),
+        s"DAG '${p.group}' depends on '$d', which has no planned (active) specs")))
     val seen = scala.collection.mutable.LinkedHashSet[String]()
     def visit(p: DagPlan, path: List[String]): Unit = {
       if (seen(p.group)) return

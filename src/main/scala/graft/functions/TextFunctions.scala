@@ -179,13 +179,20 @@ object TextFunctions {
   def md5Fingerprint(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
-  /** Portable whole-document fingerprint over normalized tokens. */
+  /** Portable whole-document fingerprint over normalized tokens. NULL
+    * text → NULL (concat_ws would silently fold a null token array to ""
+    * — a concrete fingerprint for a missing document, and a divergence
+    * from any SQL oracle where md5(NULL) is NULL).
+    */
   def docFingerprintPortable(text: Column): Column =
-    md5Fingerprint(concat_ws(" ", tokens(text)))
+    when(text.isNotNull, md5Fingerprint(concat_ws(" ", tokens(text))))
 
   /** Portable winnowed shingle fingerprint (min md5-prefix over word
-    * n-gram shingles).
+    * n-gram shingles). NULL text → NULL (the short-doc shingle fallback
+    * would otherwise fold a null token array into [""] and fingerprint
+    * the empty string).
     */
   def minShingleFingerprintPortable(text: Column, n: Int = 5): Column =
-    array_min(transform(shingles(tokens(text), n), s => md5Fingerprint(s)))
+    when(text.isNotNull,
+      array_min(transform(shingles(tokens(text), n), s => md5Fingerprint(s))))
 }

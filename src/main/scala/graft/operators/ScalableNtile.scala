@@ -25,8 +25,10 @@ import org.apache.spark.sql.functions._
   *      and ANSI SQL's NTILE semantics, so output is bit-identical to the
   *      window form (and to DuckDB's NTILE for the oracle).
   *
-  * Requires a non-null numeric order value; `tieBreak` columns must make
-  * the total order unique for a deterministic assignment.
+  * Null order values take the lowest ranks (their own coarse bucket),
+  * matching the window form's ascending nulls-first order; `tieBreak`
+  * columns must make the total order unique for a deterministic
+  * assignment.
   */
 object ScalableNtile {
 
@@ -37,8 +39,13 @@ object ScalableNtile {
     if (b.isNullAt(0)) return df.withColumn("__graft_ntile", lit(null).cast("int"))
     val (lo, hi) = (b.getDouble(0), b.getDouble(1))
     val width = math.max((hi - lo) / coarse, java.lang.Double.MIN_NORMAL)
-    val bucket = least(greatest(floor((value.cast("double") - lit(lo)) / lit(width)), lit(0L)),
-      lit(coarse - 1L)).cast("long")
+    // nulls sort FIRST under the window form's default ascending order —
+    // give them their own lowest bucket so ranks (and tiles) match; a
+    // null bucket key would NPE the driver-side count collect and be
+    // dropped by the offsets join
+    val bucket = when(value.isNull, lit(-1L)).otherwise(
+      least(greatest(floor((value.cast("double") - lit(lo)) / lit(width)), lit(0L)),
+        lit(coarse - 1L)).cast("long"))
 
     val perBucket = df.groupBy(bucket.as("__cb")).count()
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)

@@ -3,8 +3,6 @@ package graft.sink
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.util.Retry
-
 /** Minimal transactional table: a versioned commit log over parquet —
   * the smallest useful form of the Delta/Iceberg core idea, built to
   * close the rename-swap crash windows VERDICT r2 flagged in
@@ -20,13 +18,14 @@ import graft.util.Retry
   * Every commit lists files `added` and files `removed` (table-relative
   * paths). The CURRENT table state = replay of all commits in version
   * order. Writers stage data files first — readers never see them — then
-  * publish with ONE atomic filesystem operation: a rename of the commit
-  * JSON into `_graft_txn/<next-version>.json`. Rename-if-absent is
-  * atomic on HDFS/local (two racing writers: exactly one wins, the loser
-  * re-reads state and retries at the next version — optimistic
-  * concurrency). There is NO window where the table is missing or
-  * doubled: a crash before the commit rename leaves only orphan data
-  * files (cleaned by `vacuum`), never a corrupted table.
+  * publish with ONE filesystem operation: a rename of the commit JSON
+  * into `_graft_txn/<next-version>.json` (racing writers are resolved by
+  * a per-table JVM lock plus no-replace-rename detection — see
+  * [[commit]] for the exact guarantees per layer; conflict-checked
+  * commits throw rather than replay a stale file set). There is NO
+  * window where the table is missing or doubled: a crash before the
+  * commit rename leaves only orphan data files (cleaned by `vacuum`),
+  * never a corrupted table.
   *
   * At 100 TB this also fixes read-side planning: the file list comes
   * from the log (a few KB per commit), not a recursive directory LIST —
@@ -63,9 +62,12 @@ object TxTable {
   }
 
   /** Live file set after replaying the log (table-relative paths). */
-  def currentFiles(spark: SparkSession, table: String): Seq[String] = {
+  def currentFiles(spark: SparkSession, table: String): Seq[String] =
+    replay(commits(spark, table))
+
+  private def replay(cs: Seq[Commit]): Seq[String] = {
     val live = scala.collection.mutable.LinkedHashSet[String]()
-    commits(spark, table).foreach { c => live ++= c.added; live --= c.removed.toSet }
+    cs.foreach { c => live ++= c.added; live --= c.removed.toSet }
     live.toSeq
   }
 
@@ -91,11 +93,17 @@ object TxTable {
 
   /** Transactional full overwrite: one commit swaps the entire file set —
     * the atomic replacement the rename-swap pattern approximates, with no
-    * missing-table window.
+    * missing-table window. Conflict-checked: if another commit lands
+    * between reading the state and publishing, this THROWS
+    * `ConcurrentModificationException` instead of silently resurrecting
+    * the concurrently-written files (retrying with a stale removed-list
+    * would merge two "full" states into a doubled table).
     */
   def overwrite(spark: SparkSession, df: DataFrame, table: String): Long = {
+    val cs = commits(spark, table)
     val files = stage(spark, df, table)
-    commit(spark, table, added = files, removed = currentFiles(spark, table))
+    commit(spark, table, added = files, removed = replay(cs),
+      expectedHead = Some(cs.lastOption.map(_.version).getOrElse(0L)))
   }
 
   /** Transactional compaction: rewrite the current state at a target file
@@ -106,28 +114,34 @@ object TxTable {
   def compact(spark: SparkSession, table: String,
               targetRowsPerFile: Long = 5000000L,
               clusterBy: Option[String] = None): Long = {
-    val before = currentFiles(spark, table)
+    val cs = commits(spark, table)
+    val before = replay(cs)
     if (before.isEmpty) return -1L
-    val df = read(spark, table)
+    val df = spark.read.parquet(before.map(f => s"$table/$f"): _*)
     val rows = df.count()
     val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
     val repart = df.repartition(nFiles)
     val clustered = clusterBy.filter(repart.columns.contains)
       .map(c => repart.sortWithinPartitions(c)).getOrElse(repart)
     val files = stage(spark, clustered, table)
-    commit(spark, table, added = files, removed = before)
+    // conflict-checked like overwrite: compacting a state that moved on
+    // would remove files a concurrent commit still expects
+    commit(spark, table, added = files, removed = before,
+      expectedHead = Some(cs.lastOption.map(_.version).getOrElse(0L)))
   }
 
   /** Delete data files no commit path can reach (crash orphans and
-    * compacted-away files). Safe at any time: the live set comes from the
-    * log, and staged-but-uncommitted batches younger than `minAgeMs` are
-    * kept so an in-flight writer isn't vacuumed mid-commit.
+    * compacted-away files). `minAgeMs` is the reader/writer grace window
+    * and applies to BOTH classes: staged-but-uncommitted batches younger
+    * than it are kept (an in-flight writer isn't vacuumed mid-commit),
+    * and compacted-away files younger than it are kept (a reader that
+    * planned against the pre-compact version can still finish). Run with
+    * minAgeMs larger than the longest expected query/commit.
     */
   def vacuum(spark: SparkSession, table: String, minAgeMs: Long = 3600000L): Seq[String] = {
     val fs = fsFor(spark, table)
     val root = new Path(table)
     if (!fs.exists(root)) return Nil
-    val referenced = commits(spark, table).flatMap(c => c.added ++ c.removed).toSet
     val live = currentFiles(spark, table).toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
     // qualify before relativizing: listFiles returns scheme-qualified
@@ -139,11 +153,10 @@ object TxTable {
       val st = it.next()
       val rel = qRoot.toUri.relativize(st.getPath.toUri).getPath
       val isLog = rel.startsWith("_graft_txn")
-      // removed-by-compaction files are referenced but not live → old
-      // versions are dropped here (no time travel in the minimal form)
-      val dead = !isLog &&
-        ((!referenced(rel) && st.getModificationTime < cutoff) ||
-          (referenced(rel) && !live(rel)))
+      // anything not in the live set — crash orphans AND removed-by-
+      // compaction files — is reclaimable once past the grace window
+      // (no time travel in the minimal form)
+      val dead = !isLog && !live(rel) && st.getModificationTime < cutoff
       if (dead && fs.delete(st.getPath, false)) deleted += rel
     }
     deleted.toList
@@ -167,30 +180,58 @@ object TxTable {
     out.toList.sorted
   }
 
-  /** Publish one commit: write JSON to a temp name, then atomically
-    * rename to the next version slot. A lost race (slot taken) re-reads
-    * the log and retries at the new head — bounded optimistic retry.
+  /** Publish one commit: write JSON to a temp name, then rename into the
+    * next version slot.
+    *
+    * Concurrency, by layer:
+    *  - same JVM: a per-table lock serializes version-select + publish —
+    *    necessary because LOCAL filesystem rename is POSIX rename(2),
+    *    which silently REPLACES an existing destination (two lock-free
+    *    local racers could both "win" a version and one commit would
+    *    vanish; HDFS rename returns false instead).
+    *  - cross process (HDFS/stores with no-replace rename): a lost race
+    *    surfaces as rename→false; a pure APPEND (expectedHead = None)
+    *    re-reads the head and retries, a conflict-checked commit
+    *    (overwrite/compact) throws ConcurrentModificationException —
+    *    its staged removed-set is stale and must be rebuilt, not
+    *    replayed. Cross-PROCESS writers on a plain local FS are outside
+    *    the guarantee (same caveat as LogStore's JVM-wide lock).
     */
   def commit(spark: SparkSession, table: String,
-             added: Seq[String], removed: Seq[String]): Long = {
-    val fs = fsFor(spark, table)
-    fs.mkdirs(new Path(logDir(table)))
-    Retry.withBackoff(attempts = 5, baseDelayMs = 50L) {
-      val version = commits(spark, table).lastOption.map(_.version).getOrElse(0L) + 1L
-      val target = new Path(f"${logDir(table)}/$version%08d.json")
-      if (fs.exists(target)) throw new java.io.IOException(s"commit race at v$version")
-      val tmp = new Path(s"${logDir(table)}/.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-      val out = fs.create(tmp, false)
-      try out.write(render(Commit(version, added, removed)).getBytes("UTF-8"))
-      finally out.close()
-      // rename-if-absent: atomic publish; false = lost the race → retry
-      if (!fs.rename(tmp, target)) {
-        fs.delete(tmp, false)
-        throw new java.io.IOException(s"commit race at v$version")
+             added: Seq[String], removed: Seq[String],
+             expectedHead: Option[Long] = None): Long =
+    lockFor(table).synchronized {
+      val fs = fsFor(spark, table)
+      fs.mkdirs(new Path(logDir(table)))
+      var attempt = 1
+      while (true) {
+        val head = commits(spark, table).lastOption.map(_.version).getOrElse(0L)
+        expectedHead.filter(_ != head).foreach { e =>
+          throw new java.util.ConcurrentModificationException(
+            s"$table advanced to v$head (expected v$e): restage against the current state")
+        }
+        val version = head + 1L
+        val target = new Path(f"${logDir(table)}/$version%08d.json")
+        val tmp = new Path(s"${logDir(table)}/.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+        val out = fs.create(tmp, false)
+        try out.write(render(Commit(version, added, removed)).getBytes("UTF-8"))
+        finally out.close()
+        if (!fs.exists(target) && fs.rename(tmp, target)) return version
+        fs.delete(tmp, false) // lost a cross-process race
+        if (expectedHead.isDefined)
+          throw new java.util.ConcurrentModificationException(
+            s"$table: lost commit race at v$version with a stale file set")
+        if (attempt >= 5)
+          throw new java.io.IOException(s"$table: commit race persisted for $attempt attempts")
+        Thread.sleep(50L * attempt)
+        attempt += 1
       }
-      version
+      throw new IllegalStateException("unreachable")
     }
-  }
+
+  private val tableLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(table: String): Object =
+    tableLocks.computeIfAbsent(table, _ => new Object)
 
   // Hand-rolled (de)serialization: no JSON lib on the offline classpath.
   // Paths are self-generated (uuid batch dirs + Spark part files) and

@@ -54,6 +54,12 @@ class DagGenSpec extends SparkSpec {
     val cyclic = DagGen.plan(Seq(mkSpec(1, "a", "t1"), mkSpec(2, "b", "t2")),
       dependsOn = Map("a" -> "b", "b" -> "a"))
     intercept[IllegalArgumentException] { DagGen.topoOrder(cyclic) }
+    // dangling edge (typo, or upstream fully inactive) must fail loudly,
+    // not run the dependent DAG against an unpopulated lake
+    val dangling = DagGen.plan(
+      Seq(mkSpec(1, "g2", "t1"), mkSpec(2, "g1", "t_off", active = 0)),
+      dependsOn = Map("g2" -> "g1"))
+    intercept[IllegalArgumentException] { DagGen.topoOrder(dangling) }
   }
 
   test("executeStages halts later stages after a failure; executeAll skips dependent DAGs") {

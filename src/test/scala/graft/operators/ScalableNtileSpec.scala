@@ -37,6 +37,16 @@ class ScalableNtileSpec extends SparkSpec {
     check((1L to 10L).map(i => (i, 1.0)), 3)
   }
 
+  test("null order values take the lowest ranks, matching the window form") {
+    val rows = Seq[(Long, java.lang.Double)](
+      (1L, 5.0), (2L, null), (3L, 1.0), (4L, null), (5L, 9.0), (6L, 3.0), (7L, 7.0))
+    val df = rows.toDF("id", "v")
+    val got = ScalableNtile.ntileByRange(df, 3, $"v", Seq($"id"), coarse = 4)
+      .select($"id", $"__graft_ntile".as("tile"))
+    val want = reference(df, 3)
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
   test("plan has no single-partition exchange") {
     val df = (1L to 1000L).map(i => (i, (i * 37 % 101).toDouble)).toDF("id", "v")
     val got = ScalableNtile.ntileByRange(df, 4, $"v", Seq($"id"))

@@ -82,4 +82,30 @@ class TxTableSpec extends SparkSpec {
   test("empty table reads as empty") {
     assert(TxTable.read(spark, mk()).count() == 0L)
   }
+
+  test("conflict-checked commit against a moved-on table throws instead of replaying a stale file set") {
+    val t = mk()
+    TxTable.append(spark, Seq(1L).toDF("id"), t)
+    val staleHead = TxTable.commits(spark, t).last.version
+    val staleFiles = TxTable.currentFiles(spark, t)
+    TxTable.append(spark, Seq(2L).toDF("id"), t) // table moves on
+    intercept[java.util.ConcurrentModificationException] {
+      TxTable.commit(spark, t, added = Nil, removed = staleFiles,
+        expectedHead = Some(staleHead))
+    }
+    assert(ids(t) == Set(1L, 2L), "failed conflict commit must not change state")
+  }
+
+  test("vacuum grace window protects compacted-away files for in-flight readers") {
+    val t = mk()
+    TxTable.append(spark, Seq(1L, 2L).toDF("id"), t)
+    val preCompact = TxTable.currentFiles(spark, t)
+    TxTable.compact(spark, t, targetRowsPerFile = 1000000L)
+    // a reader that planned pre-compact still has an hour by default
+    val gone = TxTable.vacuum(spark, t) // default minAgeMs = 1h
+    assert(gone.isEmpty, s"grace window violated: deleted $gone")
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(preCompact.forall(f => fs.exists(new org.apache.hadoop.fs.Path(s"$t/$f"))))
+  }
 }
