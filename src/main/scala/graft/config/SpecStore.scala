@@ -6,12 +6,13 @@ import org.apache.spark.sql.types._
 
 import graft.model.{IngestionSpec, PartitionSpec}
 
-/** Control-config source: CSV/JSON file → `Dataset[IngestionSpec]`
+/** Control-config source: CSV/JSON/XLSX file → `Dataset[IngestionSpec]`
   * (SURVEY.md §2.1 S4). The reference reads an Excel sheet from S3 into
   * pandas and `eval()`s the partition tuple cell
-  * (start_ingestion.py:222-270); here the store is plain CSV/JSON with a
-  * JSON-array partition column parsed through `from_json` — typed, no
-  * code execution.
+  * (start_ingestion.py:222-270); here the partition cell is a JSON array
+  * parsed through `from_json` — typed, no code execution — and the file
+  * may be CSV or the reference's native xlsx (via the dependency-free
+  * [[Xlsx]] codec), so existing control sheets load unchanged.
   */
 object SpecStore {
 
@@ -51,6 +52,26 @@ object SpecStore {
     val raw = spark.read.schema(schema)
       .option("header", "true").option("escape", "\"").csv(path)
     fromDataFrame(raw, dagGroups)
+  }
+
+  /** Load the reference's NATIVE config format: an xlsx control sheet
+    * (first row = headers matching [[schema]] column names; cells typed
+    * by schema cast, blank → NULL like the CSV path).
+    */
+  def loadXlsx(spark: SparkSession, path: String,
+               dagGroups: Seq[String] = Nil): Dataset[IngestionSpec] = {
+    val rows = Xlsx.read(path)
+    require(rows.nonEmpty, s"$path: empty sheet")
+    val header = rows.head.map(_.trim)
+    val idx = schema.fields.map(f => header.indexOf(f.name))
+    val strRows = rows.tail.map(r =>
+      org.apache.spark.sql.Row(idx.map(i =>
+        if (i < 0 || i >= r.size || r(i).isEmpty) null else r(i)): _*))
+    val strSchema = StructType(schema.fields.map(f => StructField(f.name, StringType, nullable = true)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(strRows.toList, 1), strSchema)
+    val typed = df.select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+    fromDataFrame(typed, dagGroups)
   }
 
   def fromDataFrame(raw: DataFrame, dagGroups: Seq[String] = Nil): Dataset[IngestionSpec] = {

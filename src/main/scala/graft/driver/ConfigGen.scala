@@ -75,4 +75,17 @@ object ConfigGen {
   def mergeConfig(existing: DataFrame, newRows: DataFrame): DataFrame =
     existing.unionByName(newRows, allowMissingColumns = true)
       .orderBy(col("lake_ingestion_id"))
+
+  /** K3 in the reference's NATIVE format: write the merged config as an
+    * xlsx control sheet (aws_utils.py:265-299 parity via the
+    * dependency-free [[graft.config.Xlsx]] codec). Config sheets are
+    * O(100) control rows — the driver-side collect is the point, one
+    * file a human can open.
+    */
+  def writeConfigXlsx(df: DataFrame, path: String): Unit = {
+    val header = df.columns.toSeq
+    val rows = df.collect().toSeq.map(r =>
+      header.indices.map(i => Option(r.get(i)).map(_.toString).getOrElse("")))
+    graft.config.Xlsx.write(path, header +: rows)
+  }
 }
