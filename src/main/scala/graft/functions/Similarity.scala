@@ -218,19 +218,33 @@ object Similarity {
         cosineWithNorms(col("__qv"), col("v"), col("__qn"), col("__cn")).as("cos")), k, qId)
   }
 
-  /** Embedding-cosine near-dup pairs: bucket by LSH signature, verify
-    * true cosine ≥ threshold inside buckets. (idA < idB).
+  /** Embedding-cosine near-dup pairs: MULTI-TABLE sign-bit LSH candidate
+    * generation (a pair is a candidate if its b-bit signature matches in
+    * ANY of the `nTables` independent tables — banding, like MinHash
+    * LSH), then exact cosine ≥ threshold verification on the deduped
+    * candidate list. (idA < idB.)
+    *
+    * A single table is structurally low-recall even for true near-dups:
+    * at cos 0.95 a pair collides in one 8-bit table with probability
+    * (1 − θ/π)^8 ≈ 0.43; across 8 tables, 1 − (1 − 0.43)^8 ≈ 0.99.
+    * Same 100 TB shape as the MinHash band join: the table join carries
+    * (table, sig, id) skinny rows; vectors re-attach to candidates only.
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-                         threshold: Double = 0.95, nPlanes: Int = 8): DataFrame = {
-    val planes = hyperplanes(dim, nPlanes)
-    val sig = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-      .withColumn("__sig", lshSignature(col("v"), planes))
+                         threshold: Double = 0.95,
+                         nTables: Int = 8, bitsPerTable: Int = 8): DataFrame = {
+    val tables = (0 until nTables).map(t => hyperplanes(dim, bitsPerTable, seed = 42L + t))
+    val base = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("__n", l2norm(col("v")))
-    val a = sig.select(col("__sig"), col("id").as("idA"), col("v").as("vA"), col("__n").as("nA"))
-    val b = sig.select(col("__sig"), col("id").as("idB"), col("v").as("vB"), col("__n").as("nB"))
-    a.join(b, Seq("__sig"))
+    val sigs = base.select(col("id"),
+      posexplode(array(tables.map(p => lshSignature(col("v"), p)): _*)).as(Seq("__tbl", "__sig")))
+    val pairs = sigs.select(col("__tbl"), col("__sig"), col("id").as("idA"))
+      .join(sigs.select(col("__tbl"), col("__sig"), col("id").as("idB")), Seq("__tbl", "__sig"))
       .filter(col("idA") < col("idB"))
+      .select(col("idA"), col("idB")).distinct()
+    pairs
+      .join(base.select(col("id").as("idA"), col("v").as("vA"), col("__n").as("nA")), Seq("idA"))
+      .join(base.select(col("id").as("idB"), col("v").as("vB"), col("__n").as("nB")), Seq("idB"))
       .select(col("idA"), col("idB"),
         cosineWithNorms(col("vA"), col("vB"), col("nA"), col("nB")).as("cos"))
       .filter(col("cos") >= threshold)
@@ -256,8 +270,9 @@ object Similarity {
 
   /** Near-dedup on embeddings: drop members with a smaller-id near-dup. */
   def cosineNearDupDedup(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-                         threshold: Double = 0.95, nPlanes: Int = 8): DataFrame = {
-    val losers = cosineNearDupPairs(df, idCol, vecCol, dim, threshold, nPlanes)
+                         threshold: Double = 0.95,
+                         nTables: Int = 8, bitsPerTable: Int = 8): DataFrame = {
+    val losers = cosineNearDupPairs(df, idCol, vecCol, dim, threshold, nTables, bitsPerTable)
       .select(col("idB").as(idCol)).distinct()
     df.join(losers, Seq(idCol), "left_anti")
   }

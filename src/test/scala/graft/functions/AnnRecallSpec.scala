@@ -46,6 +46,41 @@ class AnnRecallSpec extends SparkSpec {
     assert(r >= 0.70, f"IVF recall@10 degraded to $r%.4f")
   }
 
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select($"idA".cast("long"), $"idB".cast("long"))
+      .as[(Long, Long)].collect().toSet
+
+  test("near-dup pair recall on TRUE near-dups (the operator's contract) is ~1") {
+    // corpus ∪ deterministically perturbed copies: each copy has
+    // cos ≈ 0.997 with its source — the duplicate class this operator
+    // exists for. (At cos 0.95 one 8-bit table collides w.p. ≈ 0.43;
+    // any-of-8 ≈ 0.99 — multi-table is what makes this reliable.)
+    val base = emb.select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+    val shifted = base.select(($"vec_id" + 100000L).as("vec_id"),
+      expr("transform(embedding, (x, i) -> x * (1.0d + 0.08d * (double(i % 7) - 3.0d) / 3.0d))")
+        .as("embedding"))
+    val corpus = base.unionByName(shifted)
+    val truePairs = base.select($"vec_id".as("idA"), ($"vec_id" + 100000L).as("idB"))
+      .as[(Long, Long)].collect().toSet
+    val got = pairSet(Similarity.cosineNearDupPairs(corpus, "vec_id", "embedding",
+      dim = 64, threshold = 0.95))
+    val r = got.intersect(truePairs).size.toDouble / truePairs.size
+    info(f"near-dup pair recall @ cos>=0.95 = $r%.4f (${truePairs.size} planted dups)")
+    assert(r >= 0.95, f"planted near-dup recall degraded to $r%.4f")
+  }
+
+  test("moderate-similarity pairs (cos 0.4) are NOT the near-dup contract — recall documented, no false positives") {
+    val exact = pairSet(Similarity.exactNearDupPairs(emb, "vec_id", "embedding", 0.4))
+    val lsh = pairSet(Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+      dim = 64, threshold = 0.4))
+    val r = lsh.intersect(exact).size.toDouble / exact.size
+    info(f"pair recall @ cos>=0.4 = $r%.4f (${lsh.size}/${exact.size}) — " +
+      "for moderate thresholds lower bitsPerTable / raise nTables")
+    // returned scores are exact cosine → candidates never produce false positives
+    assert(lsh.subsetOf(exact))
+    assert(r >= 0.15, f"moderate-similarity diagnostic recall fell to $r%.4f")
+  }
+
   test("IVF with probe-all is exactly the brute-force answer (recall 1.0)") {
     val r = recallAt10(topSets(
       Similarity.ivfTopK(queries, emb, k = 10, nCentroids = 8, nProbe = 8)))
