@@ -901,6 +901,25 @@ object SparkEntry {
       dropStaged(java.nio.file.Paths.get(tmp))
       Seq((row.getLong(0), row.getLong(1))).toDF("n", "cents")
     }),
+
+    // T — deterministic stratified corpus sampling (content-hash rates
+    // per language): reproducible across engines, reruns, partitionings.
+    "q70_stratified_sample" -> ((s, dir) => {
+      functions.Sampling.stratifiedSample(t(s, dir, "documents"),
+          col("lang"), col("text"),
+          ratesBp = Map("en" -> 5000, "de" -> 2500), defaultBp = 1000)
+        .select(col("doc_id"), col("lang"))
+    }),
+
+    // T — token-budget corpus curation: per language, greedily keep the
+    // largest documents until 20k tokens (integer window cumsum).
+    "q71_token_budget" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        TextFunctions.wsTokenCount(col("text")).cast("long").as("n_tok"))
+      functions.Sampling.tokenBudget(docs, col("lang"), col("n_tok"),
+          col("doc_id"), budget = 20000L)
+        .select(col("doc_id"), col("lang"), col("n_tok"))
+    }),
   )
 
   // ----------------------------------------------------------- oracle SQL
@@ -1225,6 +1244,20 @@ object SparkEntry {
       """SELECT count(*) AS n,
          CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
          FROM orders WHERE o_orderkey <= 2000""",
+    "q70_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT) % 10000 <
+           CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 ELSE 1000 END""",
+    "q71_token_budget" ->
+      """WITH t AS (
+           SELECT doc_id, lang,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tok
+           FROM documents)
+         SELECT doc_id, lang, n_tok FROM (
+           SELECT *, sum(n_tok) OVER (PARTITION BY lang ORDER BY n_tok DESC, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+         WHERE cum <= 20000""",
     // SQL re-derivation of langIdWith: per-profile stopword ratios,
     // Spark's greatest-over-structs argmax (ties → larger lang string),
     // CJK-ratio gate. Upgraded from rows-only once the arithmetic proved
