@@ -920,6 +920,24 @@ object SparkEntry {
           col("doc_id"), budget = 20000L)
         .select(col("doc_id"), col("lang"), col("n_tok"))
     }),
+
+    // J — interval (range) join via the bucketized equi-join operator:
+    // events against deliberately bucket-MISALIGNED [day+5h, day+29h)
+    // windows. The oracle runs the raw theta-join — a hash match proves
+    // the rewrite exact; the Spark plan stays an equi-join (the naive
+    // form would be BroadcastNestedLoop, dead at scale).
+    "q72_interval_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val iv = ev.select(date_trunc("day", col("ts")).as("d")).distinct()
+        .select(col("d"),
+          (col("d") + expr("INTERVAL 5 HOURS")).as("start"),
+          (col("d") + expr("INTERVAL 29 HOURS")).as("end"))
+      graft.operators.RangeJoin.intervalJoin(
+          ev, col("ts"), iv, col("start"), col("end"), bucketMs = 21600000L)
+        .groupBy(date_format(col("d"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("value_cents"))
+    }),
   )
 
   // ----------------------------------------------------------- oracle SQL
@@ -1248,6 +1266,13 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
          WHERE CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT) % 10000 <
            CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 ELSE 1000 END""",
+    "q72_interval_join" ->
+      """WITH iv AS (SELECT DISTINCT date_trunc('day', ts) AS d FROM events)
+         SELECT strftime(iv.d, '%Y-%m-%d') AS day, count(*) AS n,
+           CAST(sum(CAST(round(e.value*100) AS BIGINT)) AS BIGINT) AS value_cents
+         FROM events e JOIN iv
+           ON e.ts >= iv.d + INTERVAL 5 HOUR AND e.ts < iv.d + INTERVAL 29 HOUR
+         GROUP BY 1""",
     "q71_token_budget" ->
       """WITH t AS (
            SELECT doc_id, lang,

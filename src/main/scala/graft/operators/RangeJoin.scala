@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Interval (range) join: left rows whose timestamp falls inside a
+  * right-side [start, end) interval.
+  *
+  * Spark has no native range-join strategy: `l JOIN r ON l.ts >= r.start
+  * AND l.ts < r.end` plans as BroadcastNestedLoopJoin — O(|L|·|R|)
+  * predicate evaluations, the classic silent scale-killer. This operator
+  * is the standard bucketization rewrite: both sides map to fixed-width
+  * time buckets (the interval explodes over every bucket it covers, the
+  * point side gets exactly one), the join becomes an EQUI-join on the
+  * bucket id, and the exact predicate re-verifies inside the (tiny)
+  * bucket-collision candidate set.
+  *
+  * Each point row carries ONE bucket and an interval covers any bucket at
+  * most once, so a matching pair meets exactly once — no post-distinct.
+  * Choose `bucketMs` ≈ the typical interval length: shorter buckets
+  * explode intervals wider, longer buckets admit more false candidates;
+  * both ends stay shuffle-bound to (bucket, payload) skinny rows.
+  */
+object RangeJoin {
+
+  def intervalJoin(left: DataFrame, ts: Column,
+                   right: DataFrame, start: Column, end: Column,
+                   bucketMs: Long = 3600000L): DataFrame = {
+    require(bucketMs > 0, s"bucketMs must be positive, got $bucketMs")
+    val lBucket = floor(unix_millis(ts) / lit(bucketMs.toDouble)).cast("long")
+    // end is EXCLUSIVE: the last covered bucket is the one holding end-1ms
+    val rFirst = floor(unix_millis(start) / lit(bucketMs.toDouble)).cast("long")
+    val rLast = floor((unix_millis(end) - 1) / lit(bucketMs.toDouble)).cast("long")
+    val l = left.withColumn("__rj_bucket", lBucket)
+    val r = right
+      .filter(end > start) // empty/negative intervals match nothing
+      .withColumn("__rj_bucket", explode(sequence(rFirst, rLast)))
+    l.join(r, Seq("__rj_bucket"))
+      .filter(ts >= start && ts < end)
+      .drop("__rj_bucket")
+  }
+}

@@ -1,0 +1,53 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Long) = new Timestamp(min * 60000L)
+
+  private val events = Seq(
+    (1L, ts(10)), (2L, ts(70)), (3L, ts(130)), (4L, ts(200)), (5L, ts(1000)))
+    .toDF("event_id", "ts")
+  // intervals deliberately MISALIGNED with any bucket width
+  private val intervals = Seq(
+    ("a", ts(5), ts(75)),     // catches 1, 2 — spans two 1h buckets
+    ("b", ts(60), ts(61)),    // sub-bucket sliver: catches nothing (70 > 61)
+    ("c", ts(125), ts(205)),  // catches 3, 4
+    ("d", ts(500), ts(400)))  // negative interval: must match nothing
+    .toDF("name", "start", "end")
+
+  private def naive = events.crossJoin(intervals)
+    .filter($"ts" >= $"start" && $"ts" < $"end")
+    .select($"event_id", $"name")
+
+  test("bucketized interval join equals the naive theta-join, across bucket widths") {
+    for (bucketMs <- Seq(60000L, 3600000L, 7200000L, 86400000L)) {
+      val got = RangeJoin.intervalJoin(events, $"ts", intervals, $"start", $"end", bucketMs)
+        .select($"event_id", $"name")
+      assert(got.except(naive).isEmpty && naive.except(got).isEmpty,
+        s"mismatch at bucketMs=$bucketMs")
+      assert(got.count() == naive.count(), s"dup rows at bucketMs=$bucketMs")
+    }
+  }
+
+  test("end is exclusive, start inclusive") {
+    val ev = Seq((1L, ts(100))).toDF("event_id", "ts")
+    val atStart = Seq(("s", ts(100), ts(101))).toDF("name", "start", "end")
+    val atEnd = Seq(("e", ts(99), ts(100))).toDF("name", "start", "end")
+    assert(RangeJoin.intervalJoin(ev, $"ts", atStart, $"start", $"end").count() == 1)
+    assert(RangeJoin.intervalJoin(ev, $"ts", atEnd, $"start", $"end").count() == 0)
+  }
+
+  test("plan is an equi-join, not a nested loop") {
+    val got = RangeJoin.intervalJoin(events, $"ts", intervals, $"start", $"end")
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$plan")
+    assert(plan.contains("Join") || plan.contains("join"), plan)
+  }
+}
