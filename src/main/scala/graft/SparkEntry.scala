@@ -921,6 +921,34 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_tok"))
     }),
 
+    // E2E — transactional ingestion, oracle-checked: two incremental runs
+    // of the events table into a TxTable lake (txLake mode: stage →
+    // validate → commit; non-inclusive watermark + pk dedup for an
+    // exactly-once boundary), then the lake content is aggregated. The
+    // oracle aggregates events directly — a hash match proves the
+    // two-run transactional lifecycle reconstructs the table exactly.
+    "q73_tx_ingestion" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q73").toString
+      val store = new graft.state.LogStore(s, s"$tmp/logs")
+      val run = new graft.driver.IngestionRun(s, s"$tmp/lake", store,
+        inclusiveBump = false, txLake = true)
+      val spec = graft.model.IngestionSpec(73L, "table", "local", "gate", "events",
+        "ts", "", 0, 1, "fs", "", "event_id", "lv", "events_tx_lv", 0,
+        Seq(graft.model.PartitionSpec(1, graft.model.PartitionSpec.TimeBased, "ts", "YYYYMMDD")),
+        "gate")
+      val ev = t(s, dir, "events")
+      val cut = "2024-01-15 00:00:00"
+      require(run.run(spec, ev.filter(col("ts") < lit(cut)))
+        .last.executionStatus == graft.model.RunStatus.Success)
+      require(run.run(spec, ev).last.executionStatus == graft.model.RunStatus.Success)
+      val row = graft.sink.TxTable.read(s, s"$tmp/lake/gate/events")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("value_cents")).head()
+      dropStaged(java.nio.file.Paths.get(tmp))
+      Seq((row.getLong(0), row.getLong(1))).toDF("n", "value_cents")
+    }),
+
     // J — interval (range) join via the bucketized equi-join operator:
     // events against deliberately bucket-MISALIGNED [day+5h, day+29h)
     // windows. The oracle runs the raw theta-join — a hash match proves
@@ -1266,6 +1294,10 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
          WHERE CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT) % 10000 <
            CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 ELSE 1000 END""",
+    "q73_tx_ingestion" ->
+      """SELECT count(*) AS n,
+         CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+         FROM events""",
     "q72_interval_join" ->
       """WITH iv AS (SELECT DISTINCT date_trunc('day', ts) AS d FROM events)
          SELECT strftime(iv.d, '%Y-%m-%d') AS day, count(*) AS n,

@@ -26,14 +26,36 @@ import graft.state.LogStore
   * splits or partitioned JDBC); derived partition columns keep the lake
   * prunable; `maxRecordsPerFile` bounds small-file explosion that the
   * reference's per-400k-chunk appends cause (SURVEY.md §7.4).
+  *
+  * `txLake = true` runs the lifecycle COMMIT-OR-NOTHING on a
+  * [[graft.sink.TxTable]] lake: the slice is STAGED (invisible to
+  * readers), validation reads committed + staged files as the would-be
+  * state, and only a passing validation publishes the commit. A failing
+  * validation just drops the staged batch — K4's delete-rollback (and
+  * its crash windows) disappears, and a crash at ANY point leaves the
+  * last committed state readable. This is the at-scale mode; the
+  * append+rollback path remains for reference-layout parity.
   */
 final class IngestionRun(spark: SparkSession, lakeRoot: String, logStore: LogStore,
                          inclusiveBump: Boolean = true,
                          overwritePartitions: Boolean = false,
-                         cacheSlice: Boolean = true) {
+                         cacheSlice: Boolean = true,
+                         txLake: Boolean = false) {
+  require(!(txLake && overwritePartitions),
+    "txLake replaces overwritePartitions: commits are already all-or-nothing")
 
   def lakePath(spec: IngestionSpec): String =
     s"$lakeRoot/${spec.databasename}/${spec.tablename}"
+
+  /** Committed lake state: the transactional log's file list in txLake
+    * mode, a plain directory read otherwise.
+    */
+  private def readLake(spec: IngestionSpec, mergeSchema: Boolean = false): DataFrame =
+    if (txLake)
+      graft.sink.TxTable.readFiles(spark, lakePath(spec),
+        graft.sink.TxTable.currentFiles(spark, lakePath(spec)), mergeSchema)
+    else
+      spark.read.option("mergeSchema", mergeSchema.toString).parquet(lakePath(spec))
 
   /** Execute one run; returns the RunLog rows appended. */
   def run(spec: IngestionSpec, source: DataFrame): Seq[RunLog] = {
@@ -54,9 +76,14 @@ final class IngestionRun(spark: SparkSession, lakeRoot: String, logStore: LogSto
     // scheme (s3a://, hdfs://). A local-only probe would return false
     // there, silently skipping boundary dedup and pre-window accounting
     // → validation mismatch → rollback loop on exactly the target cluster.
-    val lakeP = new org.apache.hadoop.fs.Path(lakePath(spec))
+    // txLake: existence = "the commit log has live files" (staged orphans
+    // from crashed runs do NOT count — they were never committed).
     val lakeExists =
-      lakeP.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(lakeP)
+      if (txLake) graft.sink.TxTable.currentFiles(spark, lakePath(spec)).nonEmpty
+      else {
+        val lakeP = new org.apache.hadoop.fs.Path(lakePath(spec))
+        lakeP.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(lakeP)
+      }
     val rawSlice = Incremental.incrementalSlice(source, spec.deltaExpr, start)
     // non-inclusive (`>=` boundary) watermarks re-extract rows already
     // loaded at the boundary instant; drop rows whose (primary key, delta
@@ -67,7 +94,7 @@ final class IngestionRun(spark: SparkSession, lakeRoot: String, logStore: LogSto
     val slice =
       if (!inclusiveBump && lakeExists && spec.primaryKeyCols.nonEmpty) {
         val dedupKeys = spec.primaryKeyCols :+ "__graft_delta"
-        val existing = spark.read.parquet(lakePath(spec))
+        val existing = readLake(spec)
           .filter(expr(spec.deltaExpr) >= lit(start))
           .select(spec.primaryKeyCols.map(col) :+ expr(spec.deltaExpr).as("__graft_delta"): _*)
         rawSlice.withColumn("__graft_delta", expr(spec.deltaExpr))
@@ -97,7 +124,9 @@ final class IngestionRun(spark: SparkSession, lakeRoot: String, logStore: LogSto
     val end = hiOpt.get
 
     val (withParts, partCols) = Transforms.derivePartitions(slice, spec.partitions)
-    val filesBefore = graft.sink.Rollback.listFiles(spark, lakePath(spec))
+    val filesBefore =
+      if (txLake) Set.empty[String] // commit-or-nothing: no rollback diffing
+      else graft.sink.Rollback.listFiles(spark, lakePath(spec))
     // overwritePartitions: idempotent re-runs — replace exactly the
     // partitions this run touches instead of appending (the at-scale
     // alternative to delete-rollback; needs derived partition columns)
@@ -129,7 +158,7 @@ final class IngestionRun(spark: SparkSession, lakeRoot: String, logStore: LogSto
     val preWindowCount =
       if (!lakeExists) 0L
       else {
-        val preWindow = spark.read.parquet(lakePath(spec))
+        val preWindow = readLake(spec)
           .filter(Validation.windowPredicate(spec.deltaExpr, start, end))
         if (mode == SaveMode.Overwrite) {
           val touched = withParts.select(partCols.map(col): _*).distinct()
@@ -143,24 +172,50 @@ final class IngestionRun(spark: SparkSession, lakeRoot: String, logStore: LogSto
       if (spec.deltaField.nonEmpty && withParts.columns.contains(spec.deltaField))
         withParts.sortWithinPartitions(spec.deltaField)
       else withParts
-    val writer = clustered.write
-      .mode(mode)
-      .option("compression", "snappy")
-      .option("maxRecordsPerFile", 5000000)
-    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
-      .parquet(lakePath(spec))
+    // txLake: STAGE the batch — invisible to readers until the commit
+    // below, which only happens after validation passes. The rollback
+    // machinery becomes "don't commit".
+    val staged: Seq[String] =
+      if (txLake)
+        graft.sink.TxTable.stageBatch(spark, clustered, lakePath(spec),
+          partitionBy = partCols, maxRecordsPerFile = 5000000L)
+      else {
+        val writer = clustered.write
+          .mode(mode)
+          .option("compression", "snappy")
+          .option("maxRecordsPerFile", 5000000)
+        (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+          .parquet(lakePath(spec))
+        Nil
+      }
     val loaded = RunLog(spec.lakeIngestionId, RunStatus.DataLoaded, start, end, n, 0L,
       reason, LogStore.now())
 
     // mergeSchema: sources evolve (columns added between runs); the lake
-    // read presents the union schema with nulls for pre-evolution files
-    val lake = spark.read.option("mergeSchema", "true").parquet(lakePath(spec))
+    // read presents the union schema with nulls for pre-evolution files.
+    // txLake validates the WOULD-BE state: committed files + this run's
+    // staged batch, in one read.
+    val lake =
+      if (txLake)
+        graft.sink.TxTable.readFiles(spark, lakePath(spec),
+          graft.sink.TxTable.currentFiles(spark, lakePath(spec)) ++ staged,
+          mergeSchema = true)
+      else spark.read.option("mergeSchema", "true").parquet(lakePath(spec))
     val (target, ok) = Validation.reconcileCounts(lake, spec.deltaExpr, start, end,
       sliceWindowCount + preWindowCount)
     val validated =
-      if (ok) loaded.copy(executionStatus = RunStatus.Success, targetCount = target,
-        reasonCode = ReasonCode.ValidationSuccess)
-      else {
+      if (ok) {
+        if (txLake)
+          graft.sink.TxTable.commit(spark, lakePath(spec), added = staged, removed = Nil)
+        loaded.copy(executionStatus = RunStatus.Success, targetCount = target,
+          reasonCode = ReasonCode.ValidationSuccess)
+      } else if (txLake) {
+        // commit-or-nothing: the staged batch was never visible; dropping
+        // it IS the rollback (no file diffing, no partially-deleted state)
+        graft.sink.TxTable.deleteStaged(spark, lakePath(spec), staged)
+        loaded.copy(executionStatus = RunStatus.ValidationFailure, targetCount = target,
+          reasonCode = s"${ReasonCode.ValidationFailure}: staged batch discarded, nothing committed")
+      } else {
         // K4 rollback parity: undo this run's files so the lake returns to
         // its pre-run state and the next run re-extracts the same window
         // (reference: start_ingestion.py:143-145)

@@ -74,11 +74,31 @@ object TxTable {
   /** Read the committed state. Planning comes from the log — uncommitted
     * staging files are invisible by construction.
     */
-  def read(spark: SparkSession, table: String): DataFrame = {
-    val files = currentFiles(spark, table).map(f => s"$table/$f")
-    if (files.isEmpty)
-      spark.emptyDataFrame
-    else spark.read.parquet(files: _*)
+  def read(spark: SparkSession, table: String): DataFrame =
+    readFiles(spark, table, currentFiles(spark, table))
+
+  /** Read an explicit table-relative file list (committed, staged, or a
+    * mix — the validation-before-commit read). Files are grouped by batch
+    * dir and each group reads with its own `basePath`, so Hive partition
+    * dirs nested inside a batch dir (batch-x/col=value/part.parquet)
+    * resolve without tripping partition-discovery's conflicting-structures
+    * check (partition dirs sit BELOW the batch level, which a single
+    * table-rooted basePath can't express). Batches then
+    * `unionByName(allowMissingColumns)` — which is also the
+    * schema-evolution merge across commits. Partition pruning applies per
+    * union child; [[compact]] bounds the union width.
+    */
+  def readFiles(spark: SparkSession, table: String, files: Seq[String],
+                mergeSchema: Boolean = false): DataFrame = {
+    if (files.isEmpty) return spark.emptyDataFrame
+    files.groupBy(_.split("/", 2)(0)).toSeq.sortBy(_._1)
+      .map { case (batch, fs) =>
+        spark.read
+          .option("basePath", s"$table/$batch")
+          .option("mergeSchema", mergeSchema.toString)
+          .parquet(fs.map(f => s"$table/$f"): _*)
+      }
+      .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   // -------------------------------------------------------------- writers
@@ -164,20 +184,44 @@ object TxTable {
 
   // ------------------------------------------------------------ internals
 
-  /** Write `df` into a fresh staging batch dir; return the table-relative
-    * parquet paths. Nothing is visible to readers yet.
+  private def stage(spark: SparkSession, df: DataFrame, table: String): Seq[String] =
+    stageBatch(spark, df, table)
+
+  /** Write `df` into a fresh staging batch dir WITHOUT committing; return
+    * the table-relative parquet paths (nested under partition dirs when
+    * `partitionBy` is set). Nothing is visible to readers until the paths
+    * are passed to [[commit]]; an aborted batch is reclaimed with
+    * [[deleteStaged]] (or eventually by [[vacuum]] after a crash).
+    * This stage/validate/commit split is what gives IngestionRun
+    * commit-or-nothing loads with no rollback machinery.
     */
-  private def stage(spark: SparkSession, df: DataFrame, table: String): Seq[String] = {
+  def stageBatch(spark: SparkSession, df: DataFrame, table: String,
+                 partitionBy: Seq[String] = Nil,
+                 maxRecordsPerFile: Long = 0L): Seq[String] = {
     val batch = "batch-" + java.util.UUID.randomUUID().toString.take(12)
-    df.write.option("compression", "snappy").parquet(s"$table/$batch")
+    val w0 = df.write.option("compression", "snappy")
+    val w1 = if (maxRecordsPerFile > 0) w0.option("maxRecordsPerFile", maxRecordsPerFile) else w0
+    (if (partitionBy.nonEmpty) w1.partitionBy(partitionBy: _*) else w1)
+      .parquet(s"$table/$batch")
     val fs = fsFor(spark, table)
-    val it = fs.listFiles(new Path(s"$table/$batch"), false)
+    val qBatch = fs.makeQualified(new Path(s"$table/$batch"))
+    val it = fs.listFiles(qBatch, true)
     val out = scala.collection.mutable.ListBuffer[String]()
     while (it.hasNext) {
-      val n = it.next().getPath.getName
-      if (n.endsWith(".parquet")) out += s"$batch/$n"
+      val p = it.next().getPath
+      if (p.getName.endsWith(".parquet"))
+        out += s"$batch/${qBatch.toUri.relativize(p.toUri).getPath}"
     }
     out.toList.sorted
+  }
+
+  /** Drop an uncommitted staged batch (the abort path). Only whole batch
+    * dirs are removed, derived from the staged file list.
+    */
+  def deleteStaged(spark: SparkSession, table: String, staged: Seq[String]): Unit = {
+    val fs = fsFor(spark, table)
+    staged.map(_.split("/", 2)(0)).distinct
+      .foreach(b => fs.delete(new Path(s"$table/$b"), true))
   }
 
   /** Publish one commit: write JSON to a temp name, then rename into the
