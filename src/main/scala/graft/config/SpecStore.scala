@@ -63,6 +63,11 @@ object SpecStore {
     val rows = Xlsx.read(path)
     require(rows.nonEmpty, s"$path: empty sheet")
     val header = rows.head.map(_.trim)
+    val missing = schema.fields.map(_.name).filterNot(header.contains)
+    // fail fast: a miscased/renamed header would otherwise load all-null
+    // columns — silently zero specs, or worse, specs sharing id 0
+    require(missing.isEmpty,
+      s"$path: header is missing config columns ${missing.mkString(", ")} (got: ${header.mkString(", ")})")
     val idx = schema.fields.map(f => header.indexOf(f.name))
     val strRows = rows.tail.map(r =>
       org.apache.spark.sql.Row(idx.map(i =>

@@ -48,12 +48,14 @@ final class IngestionRun(spark: SparkSession, lakeRoot: String, logStore: LogSto
     s"$lakeRoot/${spec.databasename}/${spec.tablename}"
 
   /** Committed lake state: the transactional log's file list in txLake
-    * mode, a plain directory read otherwise.
+    * mode (from a snapshot taken ONCE per run — replaying the log per
+    * read would pay a LIST + per-commit GET up to five times per run on
+    * an object store), a plain directory read otherwise.
     */
-  private def readLake(spec: IngestionSpec, mergeSchema: Boolean = false): DataFrame =
+  private def readLake(spec: IngestionSpec, txFiles: Seq[String],
+                       mergeSchema: Boolean = false): DataFrame =
     if (txLake)
-      graft.sink.TxTable.readFiles(spark, lakePath(spec),
-        graft.sink.TxTable.currentFiles(spark, lakePath(spec)), mergeSchema)
+      graft.sink.TxTable.readFiles(spark, lakePath(spec), txFiles, mergeSchema)
     else
       spark.read.option("mergeSchema", mergeSchema.toString).parquet(lakePath(spec))
 
@@ -77,9 +79,13 @@ final class IngestionRun(spark: SparkSession, lakeRoot: String, logStore: LogSto
     // there, silently skipping boundary dedup and pre-window accounting
     // → validation mismatch → rollback loop on exactly the target cluster.
     // txLake: existence = "the commit log has live files" (staged orphans
-    // from crashed runs do NOT count — they were never committed).
+    // from crashed runs do NOT count — they were never committed). The
+    // file-list snapshot is taken once and threaded through every lake
+    // read this run makes; only the final commit re-reads the head.
+    val txFiles: Seq[String] =
+      if (txLake) graft.sink.TxTable.currentFiles(spark, lakePath(spec)) else Nil
     val lakeExists =
-      if (txLake) graft.sink.TxTable.currentFiles(spark, lakePath(spec)).nonEmpty
+      if (txLake) txFiles.nonEmpty
       else {
         val lakeP = new org.apache.hadoop.fs.Path(lakePath(spec))
         lakeP.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(lakeP)
@@ -94,7 +100,7 @@ final class IngestionRun(spark: SparkSession, lakeRoot: String, logStore: LogSto
     val slice =
       if (!inclusiveBump && lakeExists && spec.primaryKeyCols.nonEmpty) {
         val dedupKeys = spec.primaryKeyCols :+ "__graft_delta"
-        val existing = readLake(spec)
+        val existing = readLake(spec, txFiles)
           .filter(expr(spec.deltaExpr) >= lit(start))
           .select(spec.primaryKeyCols.map(col) :+ expr(spec.deltaExpr).as("__graft_delta"): _*)
         rawSlice.withColumn("__graft_delta", expr(spec.deltaExpr))
@@ -158,7 +164,7 @@ final class IngestionRun(spark: SparkSession, lakeRoot: String, logStore: LogSto
     val preWindowCount =
       if (!lakeExists) 0L
       else {
-        val preWindow = readLake(spec)
+        val preWindow = readLake(spec, txFiles)
           .filter(Validation.windowPredicate(spec.deltaExpr, start, end))
         if (mode == SaveMode.Overwrite) {
           val touched = withParts.select(partCols.map(col): _*).distinct()
@@ -197,8 +203,7 @@ final class IngestionRun(spark: SparkSession, lakeRoot: String, logStore: LogSto
     // staged batch, in one read.
     val lake =
       if (txLake)
-        graft.sink.TxTable.readFiles(spark, lakePath(spec),
-          graft.sink.TxTable.currentFiles(spark, lakePath(spec)) ++ staged,
+        graft.sink.TxTable.readFiles(spark, lakePath(spec), txFiles ++ staged,
           mergeSchema = true)
       else spark.read.option("mergeSchema", "true").parquet(lakePath(spec))
     val (target, ok) = Validation.reconcileCounts(lake, spec.deltaExpr, start, end,

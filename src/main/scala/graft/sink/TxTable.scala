@@ -2,6 +2,7 @@ package graft.sink
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Minimal transactional table: a versioned commit log over parquet —
   * the smallest useful form of the Delta/Iceberg core idea, built to
@@ -91,12 +92,17 @@ object TxTable {
   def readFiles(spark: SparkSession, table: String, files: Seq[String],
                 mergeSchema: Boolean = false): DataFrame = {
     if (files.isEmpty) return spark.emptyDataFrame
-    files.groupBy(_.split("/", 2)(0)).toSeq.sortBy(_._1)
-      .map { case (batch, fs) =>
+    // preserve the CALLER's order (currentFiles = commit order), not the
+    // random batch-uuid sort: the union's column order follows the first
+    // batch, and a schema that flaps across equivalent histories breaks
+    // positional consumers
+    val grouped = files.groupBy(_.split("/", 2)(0))
+    files.map(_.split("/", 2)(0)).distinct
+      .map { batch =>
         spark.read
           .option("basePath", s"$table/$batch")
           .option("mergeSchema", mergeSchema.toString)
-          .parquet(fs.map(f => s"$table/$f"): _*)
+          .parquet(grouped(batch).map(f => s"$table/$f"): _*)
       }
       .reduce(_.unionByName(_, allowMissingColumns = true))
   }
@@ -133,17 +139,25 @@ object TxTable {
     */
   def compact(spark: SparkSession, table: String,
               targetRowsPerFile: Long = 5000000L,
-              clusterBy: Option[String] = None): Long = {
+              clusterBy: Option[String] = None,
+              partitionBy: Seq[String] = Nil): Long = {
     val cs = commits(spark, table)
     val before = replay(cs)
     if (before.isEmpty) return -1L
-    val df = spark.read.parquet(before.map(f => s"$table/$f"): _*)
+    // readFiles, NOT a raw parquet read: Hive partition columns nested in
+    // batch dirs and schema-evolved columns must survive the rewrite — a
+    // plain leaf-file read would silently drop them from the table
+    val df = readFiles(spark, table, before, mergeSchema = true)
     val rows = df.count()
     val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
-    val repart = df.repartition(nFiles)
+    val repart =
+      if (partitionBy.nonEmpty) df.repartition(nFiles, partitionBy.map(col): _*)
+      else df.repartition(nFiles)
     val clustered = clusterBy.filter(repart.columns.contains)
       .map(c => repart.sortWithinPartitions(c)).getOrElse(repart)
-    val files = stage(spark, clustered, table)
+    // pass partitionBy to keep the Hive layout (directory pruning);
+    // without it, former partition columns persist as data columns
+    val files = stageBatch(spark, clustered, table, partitionBy = partitionBy)
     // conflict-checked like overwrite: compacting a state that moved on
     // would remove files a concurrent commit still expects
     commit(spark, table, added = files, removed = before,

@@ -66,17 +66,18 @@ class XlsxSpec extends SparkSpec {
       (1L, "table", "srv", "db", "t_x", "mtime", "", 0, 1, "fs", "", "id",
         "lv", "t_x_lv", 0, """[{"seq_no": 1, "column_type": "non-time-based", "column": "id", "format": "1K"}]""", "g1"))
       .toDF(SpecStore.schema.fields.map(_.name): _*)
-    ConfigGenXlsxBridge.write(df, p)
+    graft.driver.ConfigGen.writeConfigXlsx(df, p)
     val back = SpecStore.loadXlsx(spark, p).collect()
     assert(back.length == 1 && back.head.tablename == "t_x")
     assert(back.head.partitions == Seq(PartitionSpec(1, PartitionSpec.NonTimeBased, "id", "1K")))
   }
-}
 
-/** tiny indirection so the test doesn't import the driver package's Spark
-  * session helpers
-  */
-private object ConfigGenXlsxBridge {
-  def write(df: org.apache.spark.sql.DataFrame, path: String): Unit =
-    graft.driver.ConfigGen.writeConfigXlsx(df, path)
+  test("loadXlsx fails loudly on a miscased or missing header column") {
+    val p = tmp("badheader.xlsx")
+    val header = SpecStore.schema.fields.map(_.name).toSeq
+      .map(h => if (h == "active_indicator") "Active_Indicator" else h)
+    Xlsx.write(p, Seq(header))
+    val e = intercept[IllegalArgumentException] { SpecStore.loadXlsx(spark, p) }
+    assert(e.getMessage.contains("active_indicator"))
+  }
 }

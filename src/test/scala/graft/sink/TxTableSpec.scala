@@ -52,6 +52,21 @@ class TxTableSpec extends SparkSpec {
     assert(ids(t) == (1L to 6L).toSet)
   }
 
+  test("compacting a partitioned table preserves partition columns and values") {
+    val t = mk()
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "p")
+    val staged = TxTable.stageBatch(spark, df, t, partitionBy = Seq("p"))
+    TxTable.commit(spark, t, added = staged, removed = Nil)
+    TxTable.commit(spark, t,
+      added = TxTable.stageBatch(spark, Seq((4L, "b")).toDF("id", "p"), t, partitionBy = Seq("p")),
+      removed = Nil)
+    TxTable.compact(spark, t, targetRowsPerFile = 1000000L, partitionBy = Seq("p"))
+    val back = TxTable.read(spark, t)
+    assert(back.columns.toSet == Set("id", "p"), "partition column dropped by compact")
+    assert(back.select($"id", $"p").as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "a"), (4L, "b")))
+  }
+
   test("crash mid-compact (staged, not committed) leaves the old state intact") {
     val t = mk()
     TxTable.append(spark, Seq(1L, 2L).toDF("id"), t)
