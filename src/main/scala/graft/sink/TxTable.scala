@@ -294,7 +294,7 @@ object TxTable {
   // Hand-rolled (de)serialization: no JSON lib on the offline classpath.
   // Paths are self-generated (uuid batch dirs + Spark part files) and
   // never contain quotes/backslashes; render refuses any that would.
-  private def render(c: Commit): String = {
+  private[sink] def render(c: Commit): String = {
     def arr(xs: Seq[String]) = xs.map { x =>
       require(!x.exists(ch => ch == '"' || ch == '\\'), s"unsafe path: $x")
       "\"" + x + "\""
@@ -304,7 +304,7 @@ object TxTable {
 
   private val ArrRe = """"(added|removed)":\[(.*?)\]""".r
   private val VerRe = """"version":(\d+)""".r
-  private def parse(txt: String): Commit = {
+  private[sink] def parse(txt: String): Commit = {
     val ver = VerRe.findFirstMatchIn(txt).map(_.group(1).toLong)
       .getOrElse(throw new IllegalArgumentException(s"bad commit: $txt"))
     val arrs = ArrRe.findAllMatchIn(txt).map(m => m.group(1) ->

@@ -36,6 +36,25 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("randomized equivalence with the theta-join (seeded, 3 rounds x 3 widths)") {
+    val rng = new scala.util.Random(42)
+    for (round <- 1 to 3) {
+      val ev = (1 to 200).map(i => (i.toLong, ts(rng.nextInt(5000)))).toDF("event_id", "ts")
+      val iv = (1 to 40).map { i =>
+        val s = rng.nextInt(5000); val len = rng.nextInt(600) - 50 // some negative/empty
+        (s"iv$i", ts(s), ts(s + len))
+      }.toDF("name", "start", "end")
+      val want = ev.crossJoin(iv).filter($"ts" >= $"start" && $"ts" < $"end")
+        .select($"event_id", $"name")
+      for (bucketMs <- Seq(60000L, 1800000L, 86400000L)) {
+        val got = RangeJoin.intervalJoin(ev, $"ts", iv, $"start", $"end", bucketMs)
+          .select($"event_id", $"name")
+        assert(got.count() == want.count() && got.except(want).isEmpty,
+          s"round $round bucketMs=$bucketMs")
+      }
+    }
+  }
+
   test("end is exclusive, start inclusive") {
     val ev = Seq((1L, ts(100))).toDF("event_id", "ts")
     val atStart = Seq(("s", ts(100), ts(101))).toDF("name", "start", "end")

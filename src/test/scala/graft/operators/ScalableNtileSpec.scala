@@ -37,6 +37,14 @@ class ScalableNtileSpec extends SparkSpec {
     check((1L to 10L).map(i => (i, 1.0)), 3)
   }
 
+  test("randomized equivalence with the window form (seeded: sizes x tiles x coarse)") {
+    val rng = new scala.util.Random(99)
+    for ((n, tiles, coarse) <- Seq((37, 5, 4), (250, 8, 64), (64, 64, 2), (11, 2, 1024))) {
+      val rows = (1L to n.toLong).map(i => (i, rng.nextInt(40).toDouble))
+      check(rows, tiles, coarse)
+    }
+  }
+
   test("null order values take the lowest ranks, matching the window form") {
     val rows = Seq[(Long, java.lang.Double)](
       (1L, 5.0), (2L, null), (3L, 1.0), (4L, null), (5L, 9.0), (6L, 3.0), (7L, 7.0))
