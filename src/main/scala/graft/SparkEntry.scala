@@ -949,6 +949,17 @@ object SparkEntry {
       Seq((row.getLong(0), row.getLong(1))).toDF("n", "value_cents")
     }),
 
+    // D5 — benchmark-contamination detection: corpus docs sharing ≥3
+    // distinct 5-grams with the "eval set" (docs 1-20 standing in for a
+    // held-out benchmark). Broadcast probe grams, one corpus pass.
+    "q74_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      functions.Dedup.contaminationPairs(
+        docs, "doc_id", "text",
+        docs.filter(col("doc_id") <= 20), "doc_id", "text",
+        n = 5, minShared = 3)
+    }),
+
     // J — interval (range) join via the bucketized equi-join operator:
     // events against deliberately bucket-MISALIGNED [day+5h, day+29h)
     // windows. The oracle runs the raw theta-join — a hash match proves
@@ -1294,6 +1305,18 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
          WHERE CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT) % 10000 <
            CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 ELSE 1000 END""",
+    "q74_contamination" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                      x -> x <> '') AS t
+           FROM documents),
+         g AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)-3),
+             i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]))) AS gram
+           FROM toks WHERE len(t) >= 5)
+         SELECT d.doc_id, p.doc_id AS probe_id, count(*) AS shared
+         FROM g d JOIN g p ON d.gram = p.gram AND p.doc_id <= 20 AND d.doc_id <> p.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 3""",
     "q73_tx_ingestion" ->
       """SELECT count(*) AS n,
          CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents

@@ -226,4 +226,35 @@ object Dedup {
       .select(col("idA"), col("idB"), jaccard(col("shA"), col("shB")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  // ------------------------------------------ benchmark contamination D5
+
+  /** Benchmark-contamination detection: corpus documents sharing at least
+    * `minShared` distinct word n-grams with any document of a PROBE set
+    * (held-out eval data that must not leak into training). Returns
+    * (doc_id, probe_id, shared) per contaminated pair.
+    *
+    * 100 TB shape: the probe side is an eval set — thousands of docs —
+    * so its exploded n-grams BROADCAST; the corpus makes one pass,
+    * exploding distinct n-grams (counting semantics: docs shorter than
+    * `n` tokens have none and drop out) into a broadcast hash join, then
+    * one partial-aggregated count per surviving (doc, probe) pair. Only
+    * matching grams ever shuffle. For very large probe sets, swap the
+    * broadcast for an equi-join on `xxhash64(gram)` — same plan shape,
+    * hashed keys.
+    */
+  def contaminationPairs(corpus: DataFrame, corpusId: String, corpusText: String,
+                         probes: DataFrame, probeId: String, probeText: String,
+                         n: Int = 5, minShared: Int = 2): DataFrame = {
+    def grams(df: DataFrame, id: String, text: String, outId: String) =
+      df.select(col(id).as(outId), TextFunctions.tokens(col(text)).as("__t"))
+        .select(col(outId), explode(array_distinct(TextFunctions.ngrams(col("__t"), n))).as("gram"))
+    val c = grams(corpus, corpusId, corpusText, "doc_id")
+    val p = grams(probes, probeId, probeText, "probe_id")
+    c.join(broadcast(p), Seq("gram"))
+      .filter(col("doc_id") =!= col("probe_id"))
+      .groupBy(col("doc_id"), col("probe_id"))
+      .agg(count(lit(1)).as("shared")) // grams are pre-distinct per doc
+      .filter(col("shared") >= minShared)
+  }
 }

@@ -128,6 +128,20 @@ class FunctionsSpec extends SparkSpec {
     assert(kept == Set(1L, 3L))
   }
 
+  test("contaminationPairs flags corpus docs overlapping the probe set, not bystanders") {
+    val probe = "the quick brown fox jumps over the lazy dog in the morning light"
+    val corpus = Seq(
+      (1L, s"prefix words then $probe and a training suffix"), // leaked verbatim span
+      (2L, "completely unrelated text about spark catalyst optimizer internals here"),
+      (3L, "the quick brown cat sits under the lazy dog statue")) // < minShared 5-grams
+      .toDF("doc_id", "text")
+    val probes = Seq((100L, probe)).toDF("probe_id", "text")
+    val got = Dedup.contaminationPairs(corpus, "doc_id", "text",
+        probes, "probe_id", "text", n = 5, minShared = 3)
+      .select($"doc_id", $"probe_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 100L)), s"got $got")
+  }
+
   test("ngramJaccardPairs reports true jaccard on candidates") {
     val base = (1 to 60).map(i => s"word$i").mkString(" ")
     val near = base + " extra"
