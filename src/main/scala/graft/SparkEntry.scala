@@ -957,7 +957,8 @@ object SparkEntry {
       functions.Dedup.contaminationPairs(
         docs, "doc_id", "text",
         docs.filter(col("doc_id") <= 20), "doc_id", "text",
-        n = 5, minShared = 3)
+        n = 5, minShared = 3,
+        excludeSelfPairs = true) // self-probe: corpus and probes share ids
     }),
 
     // J — interval (range) join via the bucketized equi-join operator:

@@ -242,17 +242,23 @@ object Dedup {
     * matching grams ever shuffle. For very large probe sets, swap the
     * broadcast for an equi-join on `xxhash64(gram)` — same plan shape,
     * hashed keys.
+    *
+    * `excludeSelfPairs` is for probing a corpus AGAINST ITSELF (shared id
+    * namespace); leave it false when the probe set is a separate dataset —
+    * its ids are unrelated, and dropping numerically-colliding pairs
+    * would silently report a leaked document as clean.
     */
   def contaminationPairs(corpus: DataFrame, corpusId: String, corpusText: String,
                          probes: DataFrame, probeId: String, probeText: String,
-                         n: Int = 5, minShared: Int = 2): DataFrame = {
+                         n: Int = 5, minShared: Int = 2,
+                         excludeSelfPairs: Boolean = false): DataFrame = {
     def grams(df: DataFrame, id: String, text: String, outId: String) =
       df.select(col(id).as(outId), TextFunctions.tokens(col(text)).as("__t"))
         .select(col(outId), explode(array_distinct(TextFunctions.ngrams(col("__t"), n))).as("gram"))
     val c = grams(corpus, corpusId, corpusText, "doc_id")
     val p = grams(probes, probeId, probeText, "probe_id")
-    c.join(broadcast(p), Seq("gram"))
-      .filter(col("doc_id") =!= col("probe_id"))
+    val joined = c.join(broadcast(p), Seq("gram"))
+    (if (excludeSelfPairs) joined.filter(col("doc_id") =!= col("probe_id")) else joined)
       .groupBy(col("doc_id"), col("probe_id"))
       .agg(count(lit(1)).as("shared")) // grams are pre-distinct per doc
       .filter(col("shared") >= minShared)

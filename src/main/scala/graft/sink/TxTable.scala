@@ -292,13 +292,19 @@ object TxTable {
     tableLocks.computeIfAbsent(table, _ => new Object)
 
   // Hand-rolled (de)serialization: no JSON lib on the offline classpath.
-  // Paths are self-generated (uuid batch dirs + Spark part files) and
-  // never contain quotes/backslashes; render refuses any that would.
+  // Paths are percent-encoded into the JSON, so ANY path character —
+  // quotes, backslashes, commas in Hive partition values ("p=a,b"),
+  // brackets — survives the regex-based replay instead of corrupting the
+  // array split (percent-encoding leaves only [A-Za-z0-9.*_%+-], and '/'
+  // round-trips through %2F).
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
   private[sink] def render(c: Commit): String = {
-    def arr(xs: Seq[String]) = xs.map { x =>
-      require(!x.exists(ch => ch == '"' || ch == '\\'), s"unsafe path: $x")
-      "\"" + x + "\""
-    }.mkString("[", ",", "]")
+    def arr(xs: Seq[String]) =
+      xs.map(x => "\"" + enc(x) + "\"").mkString("[", ",", "]")
     s"""{"version":${c.version},"added":${arr(c.added)},"removed":${arr(c.removed)}}"""
   }
 
@@ -309,7 +315,11 @@ object TxTable {
       .getOrElse(throw new IllegalArgumentException(s"bad commit: $txt"))
     val arrs = ArrRe.findAllMatchIn(txt).map(m => m.group(1) ->
       (if (m.group(2).isEmpty) Nil
-       else m.group(2).split(",").toSeq.map(_.stripPrefix("\"").stripSuffix("\"")))).toMap
-    Commit(ver, arrs.getOrElse("added", Nil), arrs.getOrElse("removed", Nil))
+       else m.group(2).split(",").toSeq.map(x => dec(x.stripPrefix("\"").stripSuffix("\""))))).toMap
+    // a commit with a truncated/absent array is CORRUPT, not empty —
+    // fabricating Commit(v, Nil, Nil) would silently drop files on replay
+    require(arrs.contains("added") && arrs.contains("removed"),
+      s"corrupt commit (missing/unterminated added/removed arrays): $txt")
+    Commit(ver, arrs("added"), arrs("removed"))
   }
 }

@@ -140,6 +140,13 @@ class FunctionsSpec extends SparkSpec {
         probes, "probe_id", "text", n = 5, minShared = 3)
       .select($"doc_id", $"probe_id").as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 100L)), s"got $got")
+    // DISJOINT id namespaces: a corpus doc whose id happens to equal a
+    // probe id must still be flagged (self-pair exclusion is opt-in)
+    val collide = Dedup.contaminationPairs(
+        corpus.withColumn("doc_id", lit(100L)).limit(1), "doc_id", "text",
+        probes, "probe_id", "text", n = 5, minShared = 3)
+      .select($"doc_id", $"probe_id").as[(Long, Long)].collect().toSet
+    assert(collide == Set((100L, 100L)), s"id collision dropped: $collide")
   }
 
   test("ngramJaccardPairs reports true jaccard on candidates") {

@@ -49,8 +49,10 @@ class RangeJoinSpec extends SparkSpec {
       for (bucketMs <- Seq(60000L, 1800000L, 86400000L)) {
         val got = RangeJoin.intervalJoin(ev, $"ts", iv, $"start", $"end", bucketMs)
           .select($"event_id", $"name")
-        assert(got.count() == want.count() && got.except(want).isEmpty,
-          s"round $round bucketMs=$bucketMs")
+        // both directions + count: except() dedups, so a join that
+        // duplicates one row and drops another would pass a one-sided check
+        assert(got.count() == want.count() && got.except(want).isEmpty &&
+          want.except(got).isEmpty, s"round $round bucketMs=$bucketMs")
       }
     }
   }

@@ -33,16 +33,21 @@ class TxLogRoundTripSpec extends AnyFunSuite {
     assert(res.passed, res.toString)
   }
 
-  test("render refuses paths that would corrupt the JSON") {
-    intercept[IllegalArgumentException] {
-      TxTable.render(TxTable.Commit(1L, Seq("bad\"quote.parquet"), Nil))
-    }
-    intercept[IllegalArgumentException] {
-      TxTable.render(TxTable.Commit(1L, Nil, Seq("bad\\slash.parquet")))
-    }
+  test("hostile path characters round-trip intact (percent-encoding, not refusal)") {
+    // commas in Hive partition values, quotes, backslashes, brackets —
+    // any of these raw in the JSON would corrupt the regex-based replay
+    val nasty = TxTable.Commit(3L,
+      added = Seq("batch-x/p=a,b/part-1.parquet", "batch-y/we\"ird\\name].parquet"),
+      removed = Seq("batch-z/[old],{file}.parquet"))
+    assert(TxTable.parse(TxTable.render(nasty)) == nasty)
   }
 
-  test("parse rejects junk instead of fabricating a commit") {
+  test("parse rejects junk and truncated commits instead of fabricating one") {
     intercept[IllegalArgumentException] { TxTable.parse("not json at all") }
+    // version present but the added array unterminated: corrupt, NOT
+    // Commit(5, Nil, Nil) — fabricating empties would drop files on replay
+    intercept[IllegalArgumentException] {
+      TxTable.parse("""{"version":5,"added":["a.parquet"""")
+    }
   }
 }
