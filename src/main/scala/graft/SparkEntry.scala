@@ -272,16 +272,21 @@ object SparkEntry {
         countDistinct(md5(col("text"))).as("n_uniq"))
     }),
 
-    // D2 — MinHash+LSH near-dedup survivors (rows-only oracle).
+    // D2 — MinHash+LSH near-dedup survivors, oracle-checked: DuckDB
+    // recomputes the survivor set from exact all-pairs n-gram Jaccard;
+    // the LSH path must find every real near-dup pair to match.
     "q23_minhash_dedup" -> ((s, dir) => {
       functions.Dedup.minhashDedup(t(s, dir, "documents"), "text", "doc_id")
         .select(col("doc_id"), col("lang"), col("source"))
     }),
 
-    // D3 — SimHash near-dedup survivors via custom Catalyst expression
-    // (rows-only oracle).
+    // D3 — SimHash near-dedup survivors, oracle-checked end to end: the
+    // portable 60-bit simhash (md5-prefix token hashes) re-derives fully
+    // in DuckDB SQL — bit votes, block buckets, hamming verify, survivor
+    // anti-join. The xxhash64 SimHash64 expression stays the production
+    // fast path, pinned by its bit-parity spec.
     "q24_simhash_dedup" -> ((s, dir) => {
-      functions.Dedup.simhashDedup(t(s, dir, "documents"), "text", "doc_id")
+      functions.Dedup.simhashDedupPortable(t(s, dir, "documents"), "text", "doc_id")
         .select(col("doc_id"), col("lang"))
     }),
 
@@ -304,7 +309,8 @@ object SparkEntry {
           functions.Dedup.jaccard(col("shA"), col("shB")).as("jaccard"))
     }),
 
-    // D5 — embedding-cosine near-dup dedup survivors (rows-only oracle).
+    // D5 — embedding-cosine near-dup dedup survivors, oracle-checked:
+    // DuckDB recomputes survivors from exact all-pairs cosine at 0.95.
     "q26_embedding_neardup" -> ((s, dir) => {
       functions.Similarity.cosineNearDupDedup(
           t(s, dir, "embeddings"), "vec_id", "embedding", dim = 64)
@@ -1083,6 +1089,75 @@ object SparkEntry {
     "q22_exact_dedup" ->
       """SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_uniq
          FROM documents""",
+    // the oracle recomputes the survivor set from FIRST PRINCIPLES: exact
+    // n-gram Jaccard over ALL pairs (O(n²) is fine at oracle scale), drop
+    // docs with a smaller-id partner at J >= 0.5. The Spark side reaches
+    // the same set through MinHash-LSH candidates — a hash match proves
+    // candidate recall is total on every real near-dup pair, which the
+    // J-distribution gap (all true pairs >= 0.86, nothing in [0.25, 0.86))
+    // makes the deterministic expectation, not luck.
+    "q23_minhash_dedup" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                      x -> x <> '') AS t
+           FROM documents),
+         sets AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+                  ELSE list_transform(range(1, len(t)-3),
+                         i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]) END) AS sh
+           FROM toks),
+         losers AS (
+           SELECT DISTINCT b.doc_id FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                   / len(list_distinct(a.sh || b.sh))::DOUBLE >= 0.5)
+         SELECT d.doc_id, d.lang, d.source FROM documents d
+         WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)""",
+    // full SQL re-derivation of the portable simhash dedup: md5-prefix
+    // 60-bit token hashes, per-bit +1/−1 votes (bit set iff strictly
+    // positive), 4×15-bit block buckets, hamming ≤ 3 on bit_count(xor),
+    // drop docs with a smaller-id partner — every step matches the Spark
+    // pipeline operation for operation.
+    "q24_simhash_dedup" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                      x -> x <> '') AS t
+           FROM documents),
+         th AS (
+           SELECT doc_id,
+                  list_transform(t, x -> CAST('0x'||substring(md5(x), 1, 15) AS BIGINT)) AS h,
+                  len(t) AS n
+           FROM toks),
+         bits AS (
+           SELECT doc_id, b,
+                  CASE WHEN 2 * len(list_filter(h, v -> (v >> b) & 1 = 1)) > n
+                       THEN (CAST(1 AS BIGINT) << b) ELSE 0 END AS bit
+           FROM th, range(0, 60) r(b)),
+         sims AS (
+           SELECT doc_id, CAST(sum(bit) AS BIGINT) AS sim FROM bits GROUP BY doc_id),
+         blocks AS (
+           SELECT doc_id, blk, (sim >> CAST(blk * 15 AS INTEGER)) & 32767 AS bucket, sim
+           FROM sims, range(0, 4) r(blk)),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS idA, b.doc_id AS idB, a.sim AS simA, b.sim AS simB
+           FROM blocks a JOIN blocks b
+             ON a.blk = b.blk AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         losers AS (
+           SELECT DISTINCT idB FROM pairs WHERE bit_count(xor(simA, simB)) <= 3)
+         SELECT d.doc_id, d.lang FROM documents d
+         WHERE d.doc_id NOT IN (SELECT idB FROM losers)""",
+    // same first-principles form for the embedding path: exact cosine over
+    // all pairs at the 0.95 near-dup threshold (q55 exercises the kernel
+    // on real pairs at 0.4; at 0.95 the loser set is whatever the data
+    // holds — today empty, and the Spark side must agree exactly).
+    "q26_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings),
+         losers AS (
+           SELECT DISTINCT b.vec_id FROM e a JOIN e b ON a.vec_id < b.vec_id
+           WHERE list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.95)
+         SELECT vec_id, label FROM embeddings
+         WHERE vec_id NOT IN (SELECT vec_id FROM losers)""",
     "q32_hourly_events" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
          event_type, count(*) AS n,

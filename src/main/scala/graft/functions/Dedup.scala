@@ -198,6 +198,62 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  // ------------------------------------- portable SimHash (oracle path)
+
+  /** Portable 60-bit token hashes: first 15 md5 hex chars as a positive
+    * BIGINT — bit-identical in Spark (`conv(substring(md5,1,15),16,10)`)
+    * and DuckDB (`CAST('0x'||substring(md5,1,15) AS BIGINT)`), the same
+    * trick as hashSplit/q53. 60 bits = 4 clean 15-bit blocks.
+    */
+  def portableTokenHashes(text: Column): Column =
+    transform(tokens(text), t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+
+  /** 60-bit SimHash from pre-hashed tokens: bit b is set iff strictly
+    * more hashes have bit b set than clear (votes of +1/−1, ties → 0 —
+    * the SimHash64 kernel's rule). `th` MUST be a materialized column
+    * reference: the 60 bit-expressions each reference it, and an inlined
+    * hash pipeline would be duplicated 60× in the tree (see
+    * minhashSignature). NULL text folds to signature 0 on both engines
+    * (size(NULL) comparisons are NULL → every bit takes the 0 branch).
+    */
+  def simhash60(th: Column): Column =
+    (0 until 60).map { b =>
+      when(size(filter(th, h => shiftright(h, b).bitwiseAND(lit(1L)) === lit(1L))) * 2
+             > size(th), lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** SimHash candidate pairs on the PORTABLE hash — same 4-block bucket
+    * join + hamming verify as [[simhashPairs]], but every step (md5 token
+    * hash, bit votes, block buckets, bit_count of xor) re-derives in
+    * oracle SQL, so the full dedup pipeline is hash-checked end to end
+    * (q24). The xxhash64 expression path stays the production fast path —
+    * one token walk instead of 60 array scans.
+    */
+  def simhashPairsPortable(df: DataFrame, textCol: String, idCol: String,
+                           maxHamming: Int = 3): DataFrame = {
+    val th = df.select(col(idCol).as("id"), portableTokenHashes(col(textCol)).as("__th"))
+    val withSig = th.select(col("id"), simhash60(col("__th")).as("sim"))
+    val blocks = withSig
+      .select(col("id"), col("sim"), posexplode(array((0 until 4).map(blk =>
+        shiftright(col("sim"), blk * 15).bitwiseAND(lit(0x7FFFL))): _*)))
+      .toDF("id", "sim", "blk", "bucket")
+    val a = blocks.select(col("blk"), col("bucket"), col("id").as("idA"), col("sim").as("simA"))
+    val b = blocks.select(col("blk"), col("bucket"), col("id").as("idB"), col("sim").as("simB"))
+    a.join(b, Seq("blk", "bucket"))
+      .filter(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"),
+        bit_count(col("simA").bitwiseXOR(col("simB"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  def simhashDedupPortable(df: DataFrame, textCol: String, idCol: String,
+                           maxHamming: Int = 3): DataFrame = {
+    val losers = simhashPairsPortable(df, textCol, idCol, maxHamming)
+      .select(col("idB").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   // ---------------------------------------------------- n-gram Jaccard D4
 
   /** Exact n-gram Jaccard over LSH candidates: recompute true Jaccard on

@@ -82,6 +82,14 @@ object Similarity {
     Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Signatures pack one sign bit per plane into a Long: `1L << i` wraps
+    * at i = 64 and bit 63 flips the sign, so ≥ 63 planes silently alias
+    * distinct signatures into the same bucket key.
+    */
+  private def requireBits(bitsPerTable: Int): Unit =
+    require(bitsPerTable >= 1 && bitsPerTable <= 62,
+      s"bitsPerTable must be in [1, 62] (Long sign-bit packing), got $bitsPerTable")
+
   /** Sign-bit LSH signature of a vector under the given hyperplanes —
     * one small integer per row, computed in codegen.
     */
@@ -113,6 +121,7 @@ object Similarity {
               nTables: Int = 8, bitsPerTable: Int = 8, multiProbe: Boolean = true,
               qId: String = "query_id", qVec: String = "query_vec",
               cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    requireBits(bitsPerTable)
     val tables = (0 until nTables).map(t =>
       hyperplanes(dim, bitsPerTable, seed = 42L + t))
 
@@ -233,6 +242,7 @@ object Similarity {
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                          threshold: Double = 0.95,
                          nTables: Int = 8, bitsPerTable: Int = 8): DataFrame = {
+    requireBits(bitsPerTable)
     val tables = (0 until nTables).map(t => hyperplanes(dim, bitsPerTable, seed = 42L + t))
     val base = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("__n", l2norm(col("v")))

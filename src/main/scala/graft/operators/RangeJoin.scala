@@ -23,14 +23,29 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** `maxBucketsPerInterval` guards the explode: one pathological
+    * interval (end year 9999 at 1 h buckets ≈ 70 M buckets) would
+    * otherwise blow Spark's max array length and kill the whole job — a
+    * data-dependent crash the naive θ-join would survive. Exceeding rows
+    * fail the job with an explicit message naming the offending span;
+    * raise `bucketMs` (or pre-filter the interval table) to proceed.
+    */
   def intervalJoin(left: DataFrame, ts: Column,
                    right: DataFrame, start: Column, end: Column,
-                   bucketMs: Long = 3600000L): DataFrame = {
+                   bucketMs: Long = 3600000L,
+                   maxBucketsPerInterval: Long = 1000000L): DataFrame = {
     require(bucketMs > 0, s"bucketMs must be positive, got $bucketMs")
+    require(maxBucketsPerInterval > 0,
+      s"maxBucketsPerInterval must be positive, got $maxBucketsPerInterval")
     val lBucket = floor(unix_millis(ts) / lit(bucketMs.toDouble)).cast("long")
     // end is EXCLUSIVE: the last covered bucket is the one holding end-1ms
     val rFirst = floor(unix_millis(start) / lit(bucketMs.toDouble)).cast("long")
-    val rLast = floor((unix_millis(end) - 1) / lit(bucketMs.toDouble)).cast("long")
+    val rLast0 = floor((unix_millis(end) - 1) / lit(bucketMs.toDouble)).cast("long")
+    val rLast = when(rLast0 - rFirst < lit(maxBucketsPerInterval), rLast0)
+      .otherwise(raise_error(format_string(
+        s"intervalJoin: interval spans %d buckets at bucketMs=$bucketMs " +
+          s"(cap $maxBucketsPerInterval) — raise bucketMs or filter the interval",
+        rLast0 - rFirst + 1)).cast("long"))
     val l = left.withColumn("__rj_bucket", lBucket)
     val r = right
       .filter(end > start) // empty/negative intervals match nothing

@@ -36,8 +36,11 @@ object ScalableNtile {
                    tieBreak: Seq[Column], coarse: Int = 1024): DataFrame = {
     val spark = df.sparkSession
     val b = df.agg(min(value.cast("double")).as("lo"), max(value.cast("double")).as("hi")).head()
-    if (b.isNullAt(0)) return df.withColumn("__graft_ntile", lit(null).cast("int"))
-    val (lo, hi) = (b.getDouble(0), b.getDouble(1))
+    // all-NULL order values: min() is null, but ntile(n) OVER (ORDER BY v)
+    // still deals tiles 1..n to the null rows — route every row through
+    // the -1 null bucket (any lo/hi works; no row takes the non-null branch)
+    val (lo, hi) =
+      if (b.isNullAt(0)) (0.0, 0.0) else (b.getDouble(0), b.getDouble(1))
     val width = math.max((hi - lo) / coarse, java.lang.Double.MIN_NORMAL)
     // nulls sort FIRST under the window form's default ascending order —
     // give them their own lowest bucket so ranks (and tiles) match; a

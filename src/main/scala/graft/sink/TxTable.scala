@@ -32,6 +32,14 @@ import org.apache.spark.sql.functions.col
   * from the log (a few KB per commit), not a recursive directory LIST —
   * the operation that dominates planning latency on object stores.
   *
+  * WRITE-side scope: the commit protocol's atomicity relies on
+  * no-replace rename semantics, which local FS (with the per-table JVM
+  * lock) and HDFS provide. Raw S3A rename is copy+delete AND replaces
+  * the destination, so multi-writer commits on S3 need a coordination
+  * layer with a conditional put (the same reason Delta Lake requires a
+  * LogStore/commit-coordinator there). READ-side planning from the log
+  * is safe on any store.
+  *
   * Deliberately out of scope (this is parity engineering, not a table
   * format): checkpointed log compaction, schema evolution in the log,
   * column stats for file skipping, multi-table transactions.

@@ -62,12 +62,23 @@ final class FileDropSource(spark: SparkSession, dropDir: String, manifestPath: S
           .toDF("source", "name", "size", "mtime", "processed_at")
     }
 
-  /** Matching files not yet claimed by this source. */
+  /** Matching files not yet claimed by this source — a `left_anti` join
+    * of the (driver-scale) drop listing against the manifest, so the
+    * manifest side never collects to the driver: a years-old manifest of
+    * millions of processed files stays distributed, and only the pending
+    * claim list (bounded by the current drop listing, which a scheduled
+    * pull needs driver-side anyway to read and commit) comes back.
+    */
   def pending(spec: FileDropSpec): Seq[DropFile] = {
+    val listed = listMatching(spec)
+    if (listed.isEmpty) return Nil
     val done = manifest().filter(col("source") === spec.name)
-      .select(col("name"), col("size"), col("mtime")).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
-    listMatching(spec).filterNot(f => done((f.name, f.size, f.mtime)))
+      .select(col("name"), col("size"), col("mtime"))
+    listed.toDF()
+      .join(done, Seq("name", "size", "mtime"), "left_anti")
+      .select(col("path"), col("name"), col("size"), col("mtime"))
+      .as[DropFile].collect().toSeq
+      .sortBy(_.name)
   }
 
   /** One DataFrame over the claimed files, `source_file` attached for
@@ -98,7 +109,20 @@ final class FileDropSource(spark: SparkSession, dropDir: String, manifestPath: S
     if (files.isEmpty) return Nil
     val df = read(spec, files)
     df.write.mode(SaveMode.Append).parquet(lakePath)
-    commit(spec, files)
+    // Re-stat before committing: a file overwritten IN PLACE between the
+    // listing and the load was read with its NEW content — stamping the
+    // stale claim-time (size, mtime) would make the next pull re-claim
+    // (new stat ∉ manifest) and double-load it. Recording the post-load
+    // stat closes that; an overwrite DURING the load remains the
+    // documented at-least-once window (latest-row view dedups).
+    val stamped = files.map { f =>
+      val p = new Path(f.path)
+      if (fs.exists(p)) {
+        val s = fs.getFileStatus(p)
+        f.copy(size = s.getLen, mtime = s.getModificationTime)
+      } else f // vanished after load: keep the claim-time stat
+    }
+    commit(spec, stamped)
     logStore.foreach(_.append(Seq(RunLog(spec.ingestionId, RunStatus.Success,
       "", "", files.size.toLong, 0L,
       s"file-drop: ${files.size} files claimed by ${spec.name}", LogStore.now()))))
