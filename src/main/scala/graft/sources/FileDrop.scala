@@ -72,13 +72,15 @@ final class FileDropSource(spark: SparkSession, dropDir: String, manifestPath: S
   def pending(spec: FileDropSpec): Seq[DropFile] = {
     val listed = listMatching(spec)
     if (listed.isEmpty) return Nil
+    pendingDf(spec, listed).as[DropFile].collect().toSeq.sortBy(_.name)
+  }
+
+  private[sources] def pendingDf(spec: FileDropSpec, listed: Seq[DropFile]): DataFrame = {
     val done = manifest().filter(col("source") === spec.name)
       .select(col("name"), col("size"), col("mtime"))
     listed.toDF()
       .join(done, Seq("name", "size", "mtime"), "left_anti")
       .select(col("path"), col("name"), col("size"), col("mtime"))
-      .as[DropFile].collect().toSeq
-      .sortBy(_.name)
   }
 
   /** One DataFrame over the claimed files, `source_file` attached for

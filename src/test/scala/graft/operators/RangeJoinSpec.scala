@@ -65,6 +65,23 @@ class RangeJoinSpec extends SparkSpec {
     assert(RangeJoin.intervalJoin(ev, $"ts", atEnd, $"start", $"end").count() == 0)
   }
 
+  test("a pathological interval fails loudly at the cap instead of blowing the array limit") {
+    val ev = Seq((1L, ts(100))).toDF("event_id", "ts")
+    // year-9999 style open interval: ~70M hour buckets without the guard
+    val iv = Seq(("bad", ts(0), new Timestamp(253402300800000L))).toDF("name", "start", "end")
+    val e = intercept[Exception] {
+      RangeJoin.intervalJoin(ev, $"ts", iv, $"start", $"end",
+        bucketMs = 3600000L, maxBucketsPerInterval = 100000L).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("intervalJoin")), s"unexpected error: $e")
+    // the same data proceeds when the cap accommodates the span
+    val ok = RangeJoin.intervalJoin(ev, $"ts", iv, $"start", $"end",
+      bucketMs = 253402300800000L)
+    assert(ok.count() == 1)
+  }
+
   test("plan is an equi-join, not a nested loop") {
     val got = RangeJoin.intervalJoin(events, $"ts", intervals, $"start", $"end")
     val plan = got.queryExecution.executedPlan.toString

@@ -55,6 +55,15 @@ class ScalableNtileSpec extends SparkSpec {
     assert(got.except(want).isEmpty && want.except(got).isEmpty)
   }
 
+  test("all-NULL order column still deals tiles 1..n like the window form") {
+    val rows = (1L to 7L).map(i => (i, null: java.lang.Double))
+    val df = rows.toDF("id", "v")
+    val got = ScalableNtile.ntileByRange(df, 3, $"v", Seq($"id"), coarse = 4)
+      .select($"id", $"__graft_ntile".as("tile"))
+    val want = reference(df, 3)
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
   test("plan has no single-partition exchange") {
     val df = (1L to 1000L).map(i => (i, (i * 37 % 101).toDouble)).toDF("id", "v")
     val got = ScalableNtile.ntileByRange(df, 4, $"v", Seq($"id"))

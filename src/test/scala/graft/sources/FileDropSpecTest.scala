@@ -59,6 +59,25 @@ class FileDropSpecTest extends SparkSpec {
     assert(src.runOnce(audit, s"$dir/lakeA").isEmpty)
   }
 
+  test("pending scales: thousands of files diff via an anti-join, not a driver set") {
+    val dir = mkDrop()
+    val src = new FileDropSource(spark, s"$dir/in", s"$dir/manifest")
+    Files.createDirectories(Paths.get(s"$dir/in"))
+    val n = 3000
+    (1 to n).foreach(i => drop(s"$dir/in", f"report_$i%05d.csv", s"$i,x"))
+    val listed = src.listMatching(spec)
+    assert(listed.size == n)
+    // claim the first half directly in the manifest (no 3000-file read)
+    src.commit(spec, listed.take(n / 2))
+    // the manifest diff must be a left-anti JOIN: the processed-file
+    // manifest stays distributed, only the pending claim list collects
+    val plan = src.pendingDf(spec, listed).queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"expected anti-join plan:\n$plan")
+    val pend = src.pending(spec)
+    assert(pend.size == n / 2)
+    assert(pend.map(_.name) == listed.drop(n / 2).map(_.name))
+  }
+
   test("empty or missing drop directory is a clean no-op") {
     val dir = mkDrop()
     val src = new FileDropSource(spark, s"$dir/nonexistent", s"$dir/manifest")
