@@ -384,29 +384,34 @@ object SparkEntry {
           col("n_events"))
     }),
 
-    // M1 — multimodal: binary media column decode + resize + frame-sample
-    // plans (rows-only oracle; decode kernel is a deterministic stub).
+    // M1 — multimodal decode, REAL codec: animated GIFs are encoded and
+    // then decoded with the JDK's javax.imageio (frame count via the GIF
+    // reader), plus resize + frame-sample plan arithmetic. The fixture is
+    // closed-form in doc_id, so the oracle re-derives every decoded value
+    // in integer/IEEE arithmetic — a hash match proves the bytes went
+    // through a real container parse, not a header echo.
     "q34_multimodal_decode" -> ((s, dir) => {
-      val media = functions.Multimodal.withFakeMedia(
-        t(s, dir, "documents").select(col("doc_id")), "doc_id", "video")
-      media.select(col("doc_id"),
-          functions.Multimodal.decodeMediaMeta(col("content")).as("meta"))
-        .select(col("doc_id"),
-          col("meta.width").as("width"), col("meta.height").as("height"),
-          functions.Multimodal.resizedDims(col("meta.width"), col("meta.height"), 512).as("resized"),
-          size(functions.Multimodal.frameSampleIndices(col("meta.nFrames"), 16)).as("n_sampled"))
-        .select(col("doc_id"), col("width"), col("height"),
-          col("resized.width").as("rw"), col("resized.height").as("rh"), col("n_sampled"))
+      val media = functions.Multimodal.syntheticImages(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id", "gif")(s)
+      functions.Multimodal.decodeImageMeta(media)(s).toDF()
+        .select(col("id"), col("width"), col("height"), col("nFrames"), col("channels"),
+          functions.Multimodal.resizedDims(col("width"), col("height"), 48).as("resized"),
+          size(functions.Multimodal.frameSampleIndices(col("nFrames"), 4))
+            .cast("long").as("n_sampled"))
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          col("resized.width").as("rw"), col("resized.height").as("rh"),
+          col("nFrames").cast("long").as("n_frames"), col("channels"), col("n_sampled"))
     }),
 
-    // M2 — batched mapPartitions feature extraction over binary payloads
-    // (rows-only oracle).
+    // M2 — batched mapPartitions full-pixel decode (PNG via ImageIO):
+    // exact per-channel integer sums over every pixel, oracle-checked
+    // against the checkerboard closed form.
     "q35_media_features" -> ((s, dir) => {
-      val media = functions.Multimodal.withFakeMedia(
-        t(s, dir, "documents").select(col("doc_id")), "doc_id")
-      functions.Multimodal.extractFeatures(media, "doc_id")(s)
-        .toDF().select(col("id"), col("width"), col("height"),
-          round(element_at(col("features"), 1), 4).as("f0"))
+      val media = functions.Multimodal.syntheticImages(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id", "png")(s)
+      functions.Multimodal.extractImageStats(media)(s).toDF()
+        .select(col("id").as("doc_id"), col("width"), col("height"), col("channels"),
+          col("sum_r"), col("sum_g"), col("sum_b"))
     }),
 
     // AJ — as-of join (composed, one shuffle): each order's most recent
@@ -1113,6 +1118,44 @@ object SparkEntry {
                    / len(list_distinct(a.sh || b.sh))::DOUBLE >= 0.5)
          SELECT d.doc_id, d.lang, d.source FROM documents d
          WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)""",
+    // the multimodal fixture is closed-form in doc_id (Multimodal fixture
+    // arithmetic): the oracle recomputes dims, GIF frame count, resize
+    // rounding, and frame-sample size without decoding anything — the
+    // Spark side must produce identical values FROM THE DECODED BYTES.
+    "q34_multimodal_decode" ->
+      """WITH dims AS (
+           SELECT doc_id,
+             CAST(16 + (doc_id*7919)%64 AS INTEGER) AS width,
+             CAST(16 + (doc_id*104729)%64 AS INTEGER) AS height,
+             1 + (doc_id*293)%8 AS nf
+           FROM documents)
+         SELECT doc_id, width, height,
+           CAST(round(width * least(1.0, 48.0/greatest(width, height))) AS INTEGER) AS rw,
+           CAST(round(height * least(1.0, 48.0/greatest(width, height))) AS INTEGER) AS rh,
+           CAST(nf AS BIGINT) AS n_frames,
+           CAST(1 AS INTEGER) AS channels,
+           CAST(floor((nf - 1) / greatest(1.0, ceil(nf / 4.0))) + 1 AS BIGINT) AS n_sampled
+         FROM dims""",
+    // exact per-channel pixel sums of the checkerboard PNG: n0 even cells
+    // of colorA, the rest colorB — pure integer arithmetic; only a real
+    // full-pixel decode on the Spark side reproduces these.
+    "q35_media_features" ->
+      """WITH dims AS (
+           SELECT doc_id,
+             16 + (doc_id*7919)%64 AS w, 16 + (doc_id*104729)%64 AS h,
+             (doc_id*131)%256 AS c0r, (doc_id*137)%256 AS c0g, (doc_id*139)%256 AS c0b,
+             (doc_id*149)%256 AS c1r, (doc_id*151)%256 AS c1g, (doc_id*157)%256 AS c1b
+           FROM documents),
+         cnt AS (
+           SELECT *, (w*h + (w%2)*(h%2)) // 2 AS n0,
+                  w*h - ((w*h + (w%2)*(h%2)) // 2) AS n1
+           FROM dims)
+         SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           CAST(c0r*n0 + c1r*n1 AS BIGINT) AS sum_r,
+           CAST(c0g*n0 + c1g*n1 AS BIGINT) AS sum_g,
+           CAST(c0b*n0 + c1b*n1 AS BIGINT) AS sum_b
+         FROM cnt""",
     // full SQL re-derivation of the portable simhash dedup: md5-prefix
     // 60-bit token hashes, per-bit +1/−1 votes (bit set iff strictly
     // positive), 4×15-bit block buckets, hamming ≤ 3 on bit_count(xor),

@@ -1,75 +1,207 @@
 package graft.functions
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.stream.ImageInputStream
+import javax.imageio.{IIOImage, ImageIO}
+
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal columns: image/audio/video as opaque `binary` columns with
-  * typed metadata, plus the decode / feature-extract / resize /
-  * frame-sample plumbing a training-data pipeline needs.
+/** Multimodal columns: media as opaque `binary` columns with typed
+  * metadata, plus the decode / feature-extract / resize / frame-sample
+  * paths a training-data pipeline needs.
   *
-  * The Spark-side machinery here is REAL — schemas, batched
-  * mapPartitions iteration (the JVM analog of mapInPandas: decode
-  * batches, not rows, to amortize codec setup), partitioning, output
-  * encoders. The codecs themselves are STUBBED with deterministic fakes
-  * (image/audio libraries are unavailable in this container): every stub
-  * is marked `STUB:` and isolated behind one function so a real codec
-  * (javacv / ImageIO) drops in without touching the plumbing.
+  * The codecs are REAL: `javax.imageio` ships PNG/JPEG/BMP/GIF readers
+  * and writers in the JDK, so images encode and decode with zero extra
+  * dependencies — single-frame PNG for pixel statistics, multi-frame
+  * (animated) GIF for the video-like frame-count/frame-sample path. The
+  * Spark-side machinery is the JVM analog of `mapInPandas`: batched
+  * `mapPartitions` (decode batches, not rows, to bound task memory and
+  * amortize per-batch setup), typed output encoders, and metadata-first-
+  * then-drop-the-bytes column discipline.
   *
   * Scale notes: media bytes dominate row size, so (1) never shuffle the
   * binary column — derive metadata/features first, then drop it; (2)
   * decode is CPU-bound → `repartition(n)` before the mapPartitions to
-  * use all cores; (3) batch size bounds peak memory per task.
+  * use all cores; (3) `batchSize` bounds peak memory per task; (4)
+  * unreadable payloads are DROPPED (lossy-decode contract), never
+  * poison the job.
+  *
+  * The synthetic-image fixture is closed-form in the id (dims, frame
+  * count, checkerboard colors below), so decoded output — including
+  * exact per-channel pixel sums — is re-derivable by the DuckDB oracle
+  * in pure integer arithmetic: the hash gate proves the encode→decode
+  * round trip touched every real pixel.
   */
 object Multimodal {
 
-  /** Typed metadata carried next to the binary payload. */
-  case class MediaMeta(mediaType: String, sizeBytes: Long, width: Int, height: Int,
-                       nFrames: Int)
+  // ------------------------------------------------- fixture arithmetic
+  // Shared contract between the image generator, the specs, and the
+  // oracle SQL (q34/q35). Pure integer arithmetic on the id; any change
+  // here must change the oracle SQL in SparkEntry identically.
 
-  /** Extracted per-media features (the mapPartitions output contract). */
-  case class MediaFeatures(id: Long, width: Int, height: Int, nFrames: Int,
-                           features: Array[Float])
+  private[graft] def dimW(id: Long): Int = (16 + (id * 7919) % 64).toInt
+  private[graft] def dimH(id: Long): Int = (16 + (id * 104729) % 64).toInt
+  private[graft] def nFramesOf(id: Long): Int = (1 + (id * 293) % 8).toInt
+  private[graft] def colorA(id: Long): (Int, Int, Int) =
+    (((id * 131) % 256).toInt, ((id * 137) % 256).toInt, ((id * 139) % 256).toInt)
+  private[graft] def colorB(id: Long): (Int, Int, Int) =
+    (((id * 149) % 256).toInt, ((id * 151) % 256).toInt, ((id * 157) % 256).toInt)
 
-  /** Fake-media header layout: `GMED|<type>|<w>|<h>|<frames>|` followed by
-    * payload bytes. Lets the decode path exercise real binary parsing.
+  /** One deterministic frame: a two-color checkerboard — cell (x+y) even
+    * takes colorA, odd colorB (frame index shifts the parity so GIF
+    * frames differ). Checkerboards survive PNG (lossless) bit-exactly
+    * and make per-channel sums closed-form: with n0 = ⌈w·h/2⌉ even
+    * cells, sum_ch = c0·n0 + c1·(w·h − n0).
     */
-  private val Magic = "GMED"
-
-  /** Attach a deterministic fake media payload to each row (test/demo
-    * fixture). Payload derives from the id — stable across runs.
-    */
-  def withFakeMedia(df: DataFrame, idCol: String, mediaType: String = "image"): DataFrame = {
-    val w = (pmod(xxhash64(col(idCol), lit(1)), lit(1920)) + lit(16)).cast("int")
-    val h = (pmod(xxhash64(col(idCol), lit(2)), lit(1080)) + lit(16)).cast("int")
-    val frames = if (mediaType == "video")
-      (pmod(xxhash64(col(idCol), lit(3)), lit(300)) + lit(1)).cast("int") else lit(1)
-    val payload = sha2(concat_ws("-", col(idCol), lit(mediaType)), 256)
-    df.withColumn("content",
-        concat_ws("|", lit(Magic), lit(mediaType), w, h, frames, payload).cast("binary"))
-      .withColumn("media_meta", struct(
-        lit(mediaType).as("mediaType"),
-        length(col("content")).cast("long").as("sizeBytes"),
-        w.as("width"), h.as("height"), frames.as("nFrames")))
+  private def frame(id: Long, frameIdx: Int): BufferedImage = {
+    val (w, h) = (dimW(id), dimH(id))
+    val (ar, ag, ab) = colorA(id)
+    val (br, bg, bb) = colorB(id)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y,
+          if ((x + y + frameIdx) % 2 == 0) (ar << 16) | (ag << 8) | ab
+          else (br << 16) | (bg << 8) | bb)
+        x += 1
+      }
+      y += 1
+    }
+    img
   }
 
-  /** STUB: header-parse "decode" of the binary column → metadata struct.
-    * Real codecs replace the split with an image-header read; the binary
-    * column handling (null-safe cast, malformed → null struct) is real.
-    */
-  def decodeMediaMeta(content: Column): Column = {
-    val s = content.cast("string")
-    val parts = split(s, "\\|")
-    when(parts.getItem(0) === Magic, struct(
-      parts.getItem(1).as("mediaType"),
-      length(content).cast("long").as("sizeBytes"),
-      parts.getItem(2).cast("int").as("width"),
-      parts.getItem(3).cast("int").as("height"),
-      parts.getItem(4).cast("int").as("nFrames")))
-      .otherwise(lit(null))
+  private def encodePng(id: Long): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(frame(id, 0), "png", bos)
+    bos.toByteArray
   }
+
+  /** Animated GIF via the JDK's sequence writer — the "video" fixture:
+    * nFramesOf(id) frames, countable by any GIF reader.
+    */
+  private def encodeGif(id: Long): Array[Byte] = {
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    (0 until nFramesOf(id)).foreach(f =>
+      writer.writeToSequence(new IIOImage(frame(id, f), null, null), null))
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
+
+  /** (id, content): REAL encoded image bytes per id — `format` is "png"
+    * (single frame) or "gif" (animated, nFramesOf(id) frames). Encoding
+    * runs distributed in batched mapPartitions like the decode paths.
+    */
+  def syntheticImages(df: DataFrame, idCol: String, format: String = "png",
+                      batchSize: Int = 64)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    require(format == "png" || format == "gif", s"unsupported fixture format: $format")
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { ids =>
+        ids.grouped(batchSize).flatMap(_.map(id =>
+          (id, if (format == "gif") encodeGif(id) else encodePng(id))))
+      }
+      .toDF("id", "content")
+  }
+
+  // ---------------------------------------------------------- decoding
+
+  /** Container-level metadata from a real decode: dimensions, frame
+    * count (multi-frame GIF counts every frame), raster band count.
+    */
+  case class ImageMeta(id: Long, format: String, width: Int, height: Int,
+                       nFrames: Int, channels: Int)
+
+  /** Full-pixel statistics from a real decode of frame 0: exact integer
+    * per-channel sums (grayscale rasters report the one band three
+    * times). Integer sums are order-independent — safe to hash-compare.
+    */
+  case class ImageStats(id: Long, width: Int, height: Int, channels: Int,
+                        sum_r: Long, sum_g: Long, sum_b: Long)
+
+  private def withReader[A](bytes: Array[Byte])(f: javax.imageio.ImageReader => A): Option[A] = {
+    var iis: ImageInputStream = null
+    try {
+      iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None // not an image: drop (lossy-decode contract)
+      else {
+        val r = readers.next()
+        r.setInput(iis)
+        try Some(f(r)) finally r.dispose()
+      }
+    } catch { case _: Exception => None }
+    finally if (iis != null) iis.close()
+  }
+
+  private def decodeMeta(id: Long, bytes: Array[Byte]): Option[ImageMeta] =
+    withReader(bytes) { r =>
+      ImageMeta(id, r.getFormatName.toLowerCase, r.getWidth(0), r.getHeight(0),
+        r.getNumImages(true), r.read(0).getRaster.getNumBands)
+    }
+
+  private def decodeStats(id: Long, bytes: Array[Byte]): Option[ImageStats] =
+    withReader(bytes) { r =>
+      val img = r.read(0)
+      val ra = img.getRaster
+      val (w, h, bands) = (img.getWidth, img.getHeight, ra.getNumBands)
+      val sums = new Array[Long](3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var c = 0
+          while (c < 3) {
+            sums(c) += ra.getSample(x, y, math.min(c, bands - 1))
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      ImageStats(id, w, h, bands, sums(0), sums(1), sums(2))
+    }
+
+  /** Batched metadata decode over a binary column — header-scale work
+    * per row (dims + frame walk), no full-corpus pixel materialization.
+    */
+  def decodeImageMeta(df: DataFrame, idCol: String = "id", contentCol: String = "content",
+                      batchSize: Int = 64)(implicit spark: SparkSession): Dataset[ImageMeta] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(contentCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.flatMap {
+        case (id, bytes) => decodeMeta(id, bytes)
+      }))
+  }
+
+  /** Batched full-pixel decode — the heavy path; `batchSize` bounds the
+    * number of decoded rasters held per task at once.
+    */
+  def extractImageStats(df: DataFrame, idCol: String = "id", contentCol: String = "content",
+                        batchSize: Int = 64)(implicit spark: SparkSession): Dataset[ImageStats] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(contentCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.flatMap {
+        case (id, bytes) => decodeStats(id, bytes)
+      }))
+  }
+
+  // ------------------------------------------------- plan-level columns
 
   /** Resize plan: clamp the longer edge to `maxEdge`, preserving aspect —
-    * pure metadata arithmetic (the pixel op happens in the batched decode).
+    * pure metadata arithmetic (the pixel op belongs in the batched decode).
     */
   def resizedDims(width: Column, height: Column, maxEdge: Int): Column = {
     val scale = least(lit(1.0), lit(maxEdge) / greatest(width, height).cast("double"))
@@ -78,46 +210,12 @@ object Multimodal {
       round(height * scale).cast("int").as("height"))
   }
 
-  /** Frame-sample plan for video: indices of ≤ `maxFrames` frames evenly
-    * spaced over [0, nFrames) — `sequence` keeps it an array column, the
-    * sampled decode consumes it per batch.
+  /** Frame-sample plan for multi-frame media: indices of ≤ `maxFrames`
+    * frames evenly spaced over [0, nFrames) — `sequence` keeps it an
+    * array column, the sampled decode consumes it per batch.
     */
   def frameSampleIndices(nFrames: Column, maxFrames: Int): Column = {
     val step = greatest(lit(1L), ceil(nFrames / lit(maxFrames)).cast("long"))
     sequence(lit(0L), nFrames.cast("long") - 1, step)
-  }
-
-  /** Batched feature extraction over the binary column — the heavy-decode
-    * path. Iterates each partition in `batchSize` groups (amortizes codec
-    * init per batch, bounds task memory); rows with unparseable payloads
-    * are dropped, matching a lossy-decode contract.
-    */
-  def extractFeatures(df: DataFrame, idCol: String, batchSize: Int = 64)
-                     (implicit spark: SparkSession): Dataset[MediaFeatures] = {
-    import spark.implicits._
-    df.select(col(idCol).cast("long"), col("content"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { rows =>
-        rows.grouped(batchSize).flatMap { batch =>
-          // real codec would init once per batch here
-          batch.flatMap { case (id, bytes) => decodeOne(id, bytes) }
-        }
-      }
-  }
-
-  /** STUB: single-item decode kernel — parses the fake header and emits a
-    * deterministic 8-dim feature vector derived from the payload bytes.
-    * A real implementation decodes pixels and runs the feature net.
-    */
-  private def decodeOne(id: Long, bytes: Array[Byte]): Option[MediaFeatures] = {
-    val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-    val parts = s.split('|')
-    if (parts.length < 6 || parts(0) != Magic) None
-    else {
-      val (w, h, f) = (parts(2).toInt, parts(3).toInt, parts(4).toInt)
-      val seed = java.util.Arrays.hashCode(bytes)
-      val feats = Array.tabulate(8)(i => ((seed * (i + 1)).toFloat / Int.MaxValue))
-      Some(MediaFeatures(id, w, h, f, feats))
-    }
   }
 }

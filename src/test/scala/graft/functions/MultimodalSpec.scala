@@ -4,29 +4,59 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
+/** Real-codec round trips: images are ENCODED with javax.imageio, then
+  * DECODED with javax.imageio, and every decoded value is checked against
+  * the fixture's closed form — dims, GIF frame counts, and exact
+  * per-channel pixel sums (PNG is lossless, so the sums are bit-exact).
+  */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
-  private def media(n: Int, mediaType: String = "image") =
-    Multimodal.withFakeMedia(
-      spark.range(1, n + 1).toDF("id"), "id", mediaType)
+  private implicit val s: org.apache.spark.sql.SparkSession = spark
 
-  test("fake media carries a binary column + typed metadata struct") {
-    val df = media(10)
-    assert(df.schema("content").dataType.typeName == "binary")
-    val meta = df.select($"media_meta.*")
-    assert(meta.columns.toSeq == Seq("mediaType", "sizeBytes", "width", "height", "nFrames"))
-    assert(df.filter($"media_meta.width" < 16 || $"media_meta.height" < 16).count() == 0)
+  private def ids(n: Int) = spark.range(1, n + 1).toDF("id")
+
+  test("PNG round trip: full-pixel decode reproduces the checkerboard closed form") {
+    val stats = Multimodal.extractImageStats(
+      Multimodal.syntheticImages(ids(40), "id", "png", batchSize = 7), batchSize = 7)
+      .collect().sortBy(_.id)
+    assert(stats.length == 40)
+    stats.foreach { st =>
+      val id = st.id
+      val (w, h) = (Multimodal.dimW(id), Multimodal.dimH(id))
+      assert((st.width, st.height, st.channels) == (w, h, 3), s"dims for id=$id")
+      val n0 = (w.toLong * h + (w % 2) * (h % 2)) / 2
+      val n1 = w.toLong * h - n0
+      val (ar, ag, ab) = Multimodal.colorA(id)
+      val (br, bg, bb) = Multimodal.colorB(id)
+      assert((st.sum_r, st.sum_g, st.sum_b) ==
+        (ar * n0 + br * n1, ag * n0 + bg * n1, ab * n0 + bb * n1), s"sums for id=$id")
+    }
   }
 
-  test("decodeMediaMeta round-trips the header; malformed bytes → null") {
-    val df = media(20, "video")
-    val bad = df.filter(
-      Multimodal.decodeMediaMeta($"content")("width") =!= $"media_meta.width" ||
-      Multimodal.decodeMediaMeta($"content")("nFrames") =!= $"media_meta.nFrames")
-    assert(bad.count() == 0)
-    val junk = Seq(Array[Byte](1, 2, 3)).toDF("content")
-    assert(junk.select(Multimodal.decodeMediaMeta($"content")).head().isNullAt(0))
+  test("animated GIF round trip: the reader counts every written frame") {
+    val meta = Multimodal.decodeImageMeta(
+      Multimodal.syntheticImages(ids(30), "id", "gif", batchSize = 11), batchSize = 11)
+      .collect().sortBy(_.id)
+    assert(meta.length == 30)
+    meta.foreach { m =>
+      assert(m.format == "gif")
+      assert(m.width == Multimodal.dimW(m.id) && m.height == Multimodal.dimH(m.id))
+      assert(m.nFrames == Multimodal.nFramesOf(m.id), s"frames for id=${m.id}")
+      assert(m.channels == 1) // GIF palette raster: one band
+    }
+    // multi-frame fixtures genuinely exist (nFrames spans 1..8)
+    assert(meta.map(_.nFrames).distinct.size > 1)
+  }
+
+  test("unreadable payloads are dropped, valid ones survive (lossy-decode contract)") {
+    val junk = Seq((900L, Array[Byte](1, 2, 3)), (901L, Array.emptyByteArray))
+      .toDF("id", "content")
+    val mixed = Multimodal.syntheticImages(ids(5), "id", "png").unionByName(junk)
+    assert(Multimodal.decodeImageMeta(mixed).collect().map(_.id).sorted.toSeq ==
+      (1L to 5L).toSeq)
+    assert(Multimodal.extractImageStats(mixed).collect().map(_.id).sorted.toSeq ==
+      (1L to 5L).toSeq)
   }
 
   test("resizedDims clamps the long edge, preserves aspect, never upscales") {
@@ -42,16 +72,5 @@ class MultimodalSpec extends SparkSpec {
       .as[Seq[Long]].collect()
     assert(got(0).size <= 16 && got(0).head == 0L && got(0).last < 300)
     assert(got(1) == Seq(0L, 1L, 2L, 3L, 4L))
-  }
-
-  test("extractFeatures: batched decode emits one row per valid payload, deterministic") {
-    implicit val s = spark
-    val df = media(100)
-    val feats = Multimodal.extractFeatures(df, "id", batchSize = 7).collect()
-    assert(feats.length == 100)
-    assert(feats.forall(_.features.length == 8))
-    val again = Multimodal.extractFeatures(df, "id", batchSize = 7).collect()
-    assert(feats.map(_.features.toSeq).toSeq.sortBy(_.hashCode) ==
-      again.map(_.features.toSeq).toSeq.sortBy(_.hashCode))
   }
 }
