@@ -40,9 +40,15 @@ import org.apache.spark.sql.functions.col
   * LogStore/commit-coordinator there). READ-side planning from the log
   * is safe on any store.
   *
+  * Read planning is CHECKPOINTED: every `checkpointEvery` commits the
+  * live file set snapshots to `<version>.ckpt`, and replay is snapshot +
+  * commit suffix — O(interval) opens however old the table is, so a
+  * commit-per-micro-batch stream can run for months without planning
+  * degradation. [[vacuum]] reclaims the replay-redundant log prefix.
+  *
   * Deliberately out of scope (this is parity engineering, not a table
-  * format): checkpointed log compaction, schema evolution in the log,
-  * column stats for file skipping, multi-table transactions.
+  * format): schema evolution in the log, multi-table transactions,
+  * time travel past the latest checkpoint once the log is cleaned.
   */
 object TxTable {
 
@@ -53,32 +59,70 @@ object TxTable {
 
   final case class Commit(version: Long, added: Seq[String], removed: Seq[String])
 
+  /** Snapshot of the LIVE file set as of `version` — replay shortcut.
+    * Written every `checkpointEvery` commits so read planning opens one
+    * snapshot + a bounded commit suffix instead of every JSON since v1
+    * (a commit-per-micro-batch stream would otherwise grow planning
+    * without bound — the exact failure the log exists to prevent).
+    */
+  final case class Checkpoint(version: Long, live: Seq[String])
+
   // ----------------------------------------------------------- log replay
 
-  /** All commits in version order (missing log → empty table). */
+  private val CommitName = """^(\d{8})\.json$""".r
+  private val CkptName = """^(\d{8})\.ckpt$""".r
+
+  /** One listing → (commit files, checkpoint files), each (version, path)
+    * in version order. Every read-side decision derives from this single
+    * LIST — no per-version exists() probing.
+    */
+  private def listLog(fs: FileSystem, table: String): (Seq[(Long, Path)], Seq[(Long, Path)]) = {
+    val dir = new Path(logDir(table))
+    if (!fs.exists(dir)) return (Nil, Nil)
+    val names = fs.listStatus(dir).toSeq.map(_.getPath)
+    val cs = names.flatMap(p => p.getName match {
+      case CommitName(v) => Some(v.toLong -> p); case _ => None
+    }).sortBy(_._1)
+    val ks = names.flatMap(p => p.getName match {
+      case CkptName(v) => Some(v.toLong -> p); case _ => None
+    }).sortBy(_._1)
+    (cs, ks)
+  }
+
+  private def slurp(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
+  /** Retained commits in version order (missing log → empty). After
+    * [[vacuum]] log cleaning this is the suffix since the last
+    * checkpoint, not necessarily full history — state reconstruction
+    * must go through [[currentFiles]], which folds the checkpoint in.
+    */
   def commits(spark: SparkSession, table: String): Seq[Commit] = {
     val fs = fsFor(spark, table)
-    val dir = new Path(logDir(table))
-    if (!fs.exists(dir)) return Nil
-    fs.listStatus(dir).toSeq.map(_.getPath)
-      .filter(_.getName.endsWith(".json"))
-      .sortBy(_.getName)
-      .map { p =>
-        val in = fs.open(p)
-        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-        parse(txt)
-      }
+    listLog(fs, table)._1.map { case (_, p) => parse(slurp(fs, p)) }
+  }
+
+  /** (head version, live file set): latest checkpoint + commit-suffix
+    * replay. FS opens are 1 checkpoint + (commits since it) — bounded by
+    * `checkpointEvery` regardless of table age.
+    */
+  private def currentState(fs: FileSystem, table: String): (Long, Seq[String]) = {
+    val (cs, ks) = listLog(fs, table)
+    val base = ks.lastOption.map { case (_, p) => parseCkpt(slurp(fs, p)) }
+    val baseV = base.map(_.version).getOrElse(0L)
+    val suffix = cs.filter(_._1 > baseV).map { case (_, p) => parse(slurp(fs, p)) }
+    val live = scala.collection.mutable.LinkedHashSet[String]()
+    base.foreach(live ++= _.live)
+    suffix.foreach { c => live ++= c.added; live --= c.removed.toSet }
+    val head = (baseV +: cs.map(_._1)).max
+    (head, live.toSeq)
   }
 
   /** Live file set after replaying the log (table-relative paths). */
   def currentFiles(spark: SparkSession, table: String): Seq[String] =
-    replay(commits(spark, table))
-
-  private def replay(cs: Seq[Commit]): Seq[String] = {
-    val live = scala.collection.mutable.LinkedHashSet[String]()
-    cs.foreach { c => live ++= c.added; live --= c.removed.toSet }
-    live.toSeq
-  }
+    currentState(fsFor(spark, table), table)._2
 
   /** Read the committed state. Planning comes from the log — uncommitted
     * staging files are invisible by construction.
@@ -134,10 +178,9 @@ object TxTable {
     * would merge two "full" states into a doubled table).
     */
   def overwrite(spark: SparkSession, df: DataFrame, table: String): Long = {
-    val cs = commits(spark, table)
+    val (head, live) = currentState(fsFor(spark, table), table)
     val files = stage(spark, df, table)
-    commit(spark, table, added = files, removed = replay(cs),
-      expectedHead = Some(cs.lastOption.map(_.version).getOrElse(0L)))
+    commit(spark, table, added = files, removed = live, expectedHead = Some(head))
   }
 
   /** Transactional compaction: rewrite the current state at a target file
@@ -149,8 +192,7 @@ object TxTable {
               targetRowsPerFile: Long = 5000000L,
               clusterBy: Option[String] = None,
               partitionBy: Seq[String] = Nil): Long = {
-    val cs = commits(spark, table)
-    val before = replay(cs)
+    val (head, before) = currentState(fsFor(spark, table), table)
     if (before.isEmpty) return -1L
     // readFiles, NOT a raw parquet read: Hive partition columns nested in
     // batch dirs and schema-evolved columns must survive the rewrite — a
@@ -168,8 +210,7 @@ object TxTable {
     val files = stageBatch(spark, clustered, table, partitionBy = partitionBy)
     // conflict-checked like overwrite: compacting a state that moved on
     // would remove files a concurrent commit still expects
-    commit(spark, table, added = files, removed = before,
-      expectedHead = Some(cs.lastOption.map(_.version).getOrElse(0L)))
+    commit(spark, table, added = files, removed = before, expectedHead = Some(head))
   }
 
   /** Delete data files no commit path can reach (crash orphans and
@@ -200,6 +241,17 @@ object TxTable {
       // (no time travel in the minimal form)
       val dead = !isLog && !live(rel) && st.getModificationTime < cutoff
       if (dead && fs.delete(st.getPath, false)) deleted += rel
+    }
+    // log cleaning: commits at versions ≤ the latest checkpoint (and
+    // older checkpoints) are replay-redundant — the snapshot carries
+    // their net effect. Same grace window: a reader that listed the log
+    // before the checkpoint landed can still finish its replay.
+    val (cs, ks) = listLog(fs, table)
+    ks.lastOption.foreach { case (ckptV, _) =>
+      (cs.filter(_._1 <= ckptV) ++ ks.dropRight(1)).foreach { case (_, p) =>
+        if (fs.getFileStatus(p).getModificationTime < cutoff && fs.delete(p, false))
+          deleted += s"_graft_txn/${p.getName}"
+      }
     }
     deleted.toList
   }
@@ -265,13 +317,16 @@ object TxTable {
     */
   def commit(spark: SparkSession, table: String,
              added: Seq[String], removed: Seq[String],
-             expectedHead: Option[Long] = None): Long =
+             expectedHead: Option[Long] = None,
+             checkpointEvery: Int = 10): Long =
     lockFor(table).synchronized {
       val fs = fsFor(spark, table)
       fs.mkdirs(new Path(logDir(table)))
       var attempt = 1
       while (true) {
-        val head = commits(spark, table).lastOption.map(_.version).getOrElse(0L)
+        // head from ONE name listing — no per-commit opens in the hot path
+        val (cs, ks) = listLog(fs, table)
+        val head = (0L +: (cs.map(_._1) ++ ks.map(_._1))).max
         expectedHead.filter(_ != head).foreach { e =>
           throw new java.util.ConcurrentModificationException(
             s"$table advanced to v$head (expected v$e): restage against the current state")
@@ -279,10 +334,22 @@ object TxTable {
         val version = head + 1L
         val target = new Path(f"${logDir(table)}/$version%08d.json")
         val tmp = new Path(s"${logDir(table)}/.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+        // read the prior live set BEFORE publishing (checkpoint versions
+        // only): if our rename wins, the log at `version` is exactly
+        // (prior state + this commit) — no racer can slot in below us
+        val wantCkpt = checkpointEvery > 0 && version % checkpointEvery == 0
+        val priorLive = if (wantCkpt) Some(currentState(fs, table)._2) else None
         val out = fs.create(tmp, false)
         try out.write(render(Commit(version, added, removed)).getBytes("UTF-8"))
         finally out.close()
-        if (!fs.exists(target) && fs.rename(tmp, target)) return version
+        if (!fs.exists(target) && fs.rename(tmp, target)) {
+          priorLive.foreach { prior =>
+            val live = scala.collection.mutable.LinkedHashSet[String]()
+            live ++= prior; live ++= added; live --= removed.toSet
+            writeCheckpoint(fs, table, Checkpoint(version, live.toSeq))
+          }
+          return version
+        }
         fs.delete(tmp, false) // lost a cross-process race
         if (expectedHead.isDefined)
           throw new java.util.ConcurrentModificationException(
@@ -294,6 +361,21 @@ object TxTable {
       }
       throw new IllegalStateException("unreachable")
     }
+
+  /** Snapshot the live set to `<version>.ckpt`. Best-effort: the
+    * checkpoint is pure replay acceleration — its content is a
+    * deterministic function of the log at `version`, so a lost write (or
+    * a racer writing the same version) costs opens, never correctness.
+    */
+  private def writeCheckpoint(fs: FileSystem, table: String, ckpt: Checkpoint): Unit =
+    try {
+      val target = new Path(f"${logDir(table)}/${ckpt.version}%08d.ckpt")
+      val tmp = new Path(s"${logDir(table)}/.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = fs.create(tmp, false)
+      try out.write(renderCkpt(ckpt).getBytes("UTF-8"))
+      finally out.close()
+      if (!fs.rename(tmp, target)) fs.delete(tmp, false)
+    } catch { case _: Exception => () /* acceleration only */ }
 
   private val tableLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def lockFor(table: String): Object =
@@ -314,6 +396,23 @@ object TxTable {
     def arr(xs: Seq[String]) =
       xs.map(x => "\"" + enc(x) + "\"").mkString("[", ",", "]")
     s"""{"version":${c.version},"added":${arr(c.added)},"removed":${arr(c.removed)}}"""
+  }
+
+  private[sink] def renderCkpt(c: Checkpoint): String = {
+    val arr = c.live.map(x => "\"" + enc(x) + "\"").mkString("[", ",", "]")
+    s"""{"version":${c.version},"live":$arr}"""
+  }
+
+  private val LiveRe = """"live":\[(.*?)\]""".r
+  private[sink] def parseCkpt(txt: String): Checkpoint = {
+    val ver = VerRe.findFirstMatchIn(txt).map(_.group(1).toLong)
+      .getOrElse(throw new IllegalArgumentException(s"bad checkpoint: $txt"))
+    val live = LiveRe.findFirstMatchIn(txt).map(_.group(1))
+      .getOrElse(throw new IllegalArgumentException(
+        s"corrupt checkpoint (missing/unterminated live array): $txt"))
+    Checkpoint(ver,
+      if (live.isEmpty) Nil
+      else live.split(",").toSeq.map(x => dec(x.stripPrefix("\"").stripSuffix("\""))))
   }
 
   private val ArrRe = """"(added|removed)":\[(.*?)\]""".r
