@@ -106,22 +106,29 @@ object Similarity {
     *
     *  - `nTables` independent b-bit tables; a pair is a candidate if it
     *    collides in ANY table (recall `1 − (1 − p^b̃)^L`);
-    *  - the QUERY side (broadcast, tiny) also probes every Hamming-1
-    *    signature per table — (b+1)× more probe rows per query, ZERO
-    *    extra corpus-side data, so multi-probe is shuffle-free;
+    *  - the QUERY side (broadcast, tiny) also probes every signature
+    *    within Hamming distance `probeHamming` per table — for b=8,
+    *    H2 is 37 probe rows per (query, table), ZERO extra corpus-side
+    *    data, so multi-probe is shuffle-free. For moderate-cosine
+    *    neighbors (p ≈ 0.63/bit) per-table hit prob is ~0.38 at H2 vs
+    *    ~0.15 at H1 — measured recall@10 0.5857 → 0.9429 on the spec's
+    *    fixture;
     *  - candidates are deduped on (query, corpus) id before scoring;
     *    returned scores are exact cosine on the candidate set.
     *
     * 100 TB shape: the corpus carries (table, sig, id) — `nTables` skinny
     * rows per vector — into an equi-join on (table, sig); vectors are
     * re-attached to the DEDUPED pair list only. Candidate volume (and the
-    * recall/cost trade) is tuned by `bitsPerTable` (up) vs `nTables` (down).
+    * recall/cost trade) is tuned by `bitsPerTable` (up) vs `nTables` /
+    * `probeHamming` (down).
     */
   def annTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
-              nTables: Int = 8, bitsPerTable: Int = 8, multiProbe: Boolean = true,
+              nTables: Int = 8, bitsPerTable: Int = 8, probeHamming: Int = 2,
               qId: String = "query_id", qVec: String = "query_vec",
               cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
     requireBits(bitsPerTable)
+    require(probeHamming >= 0 && probeHamming <= 2,
+      s"probeHamming must be 0, 1 or 2, got $probeHamming")
     val tables = (0 until nTables).map(t =>
       hyperplanes(dim, bitsPerTable, seed = 42L + t))
 
@@ -133,11 +140,19 @@ object Similarity {
 
     val q = queries.select(col(qId), asDouble(col(qVec)).as("__qv"))
       .withColumn("__qn", l2norm(col("__qv")))
-    // per table: the exact signature plus (optionally) all Hamming-1 probes
-    val probesOf: Column => Column = sig =>
-      if (!multiProbe) array(sig)
-      else array(sig +: (0 until bitsPerTable).map(j =>
-        sig.bitwiseXOR(lit(1L << j))): _*)
+    // per table: the exact signature plus all probes within the Hamming
+    // budget (H1 flips each bit; H2 adds every bit pair)
+    val probesOf: Column => Column = sig => {
+      val h1 = (0 until bitsPerTable).map(j => sig.bitwiseXOR(lit(1L << j)))
+      val h2 = for (j <- 0 until bitsPerTable; l <- j + 1 until bitsPerTable)
+        yield sig.bitwiseXOR(lit((1L << j) | (1L << l)))
+      val probes = probeHamming match {
+        case 0 => Seq(sig)
+        case 1 => sig +: h1
+        case _ => (sig +: h1) ++ h2
+      }
+      array(probes: _*)
+    }
     val qProbes = q
       .select(col(qId), posexplode(sigs(col("__qv"))).as(Seq("__tbl", "__s0")))
       .select(col(qId), col("__tbl"), explode(probesOf(col("__s0"))).as("__sig"))

@@ -32,11 +32,12 @@ class AnnRecallSpec extends SparkSpec {
     }.sum / exact.size
 
   test("LSH annTopK recall@10 against exact top-k stays above its pinned floor") {
-    // measured 0.5857 (sf0.001, seeds fixed). The single-table exact-match
-    // form this replaced measured 0.0095 — this spec is what caught it.
+    // measured 0.9429 with Hamming-2 probing (sf0.001, seeds fixed); was
+    // 0.5857 at Hamming-1 and 0.0095 for the single-table exact-match
+    // form this spec originally caught.
     val r = recallAt10(topSets(Similarity.annTopK(queries, emb, k = 10, dim = 64)))
     info(f"LSH recall@10 = $r%.4f")
-    assert(r >= 0.50, f"LSH recall@10 degraded to $r%.4f")
+    assert(r >= 0.85, f"LSH recall@10 degraded to $r%.4f")
   }
 
   test("IVF ivfTopK recall@10 against exact top-k stays above its pinned floor") {
