@@ -151,9 +151,15 @@ object TxTable {
     val grouped = files.groupBy(_.split("/", 2)(0))
     files.map(_.split("/", 2)(0)).distinct
       .map { batch =>
+        // NO per-file schema merging inside a batch: every file in a
+        // batch dir came from ONE stageBatch write and shares its
+        // schema, so `mergeSchema` here only spawned a distributed
+        // footer-merge job per read (measured: half the lifecycle
+        // fixture's job count). Cross-batch schema evolution — the case
+        // `mergeSchema` exists for — is handled structurally by the
+        // unionByName below.
         spark.read
           .option("basePath", s"$table/$batch")
-          .option("mergeSchema", mergeSchema.toString)
           .parquet(grouped(batch).map(f => s"$table/$f"): _*)
       }
       .reduce(_.unionByName(_, allowMissingColumns = true))
