@@ -904,6 +904,7 @@ object SparkEntry {
           round(col("o_totalprice") * 100).cast("long").as("cents"))
       graft.sink.TxTable.append(s, o.filter(col("o_orderkey") % 2 === 0), tbl)
       graft.sink.TxTable.append(s, o.filter(col("o_orderkey") % 2 === 1), tbl)
+      // (q75 exercises the stats/pruning side of the same commit log)
       o.limit(50).write.parquet(s"$tbl/batch-crashed") // staged, never committed
       graft.sink.TxTable.compact(s, tbl, targetRowsPerFile = 1000000L)
       graft.sink.TxTable.vacuum(s, tbl, minAgeMs = 0L)
@@ -970,6 +971,37 @@ object SparkEntry {
         docs.filter(col("doc_id") <= 20), "doc_id", "text",
         n = 5, minShared = 3,
         excludeSelfPairs = true) // self-probe: corpus and probes share ids
+    }),
+
+    // TX3 — per-file column stats + plan-time pruning: range-disjoint
+    // batches commit with o_orderkey min/max stats; the selective read
+    // PROVABLY skips files (the require) and must still agree with the
+    // oracle's plain range scan — file skipping changes which files
+    // open, never which rows qualify.
+    "q75_stats_pruned_read" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q75").toString
+      val tbl = s"$tmp/tx/orders"
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      Seq((1L, 1500L), (1501L, 3000L), (3001L, 4500L), (4501L, Long.MaxValue))
+        .foreach { case (a, b) =>
+          graft.sink.TxTable.append(s,
+            o.filter(col("o_orderkey") >= a && col("o_orderkey") <= b), tbl,
+            statsCols = Seq("o_orderkey"))
+        }
+      val all = graft.sink.TxTable.currentFiles(s, tbl)
+      val pruned = graft.sink.TxTable.prunedFiles(s, tbl, "o_orderkey",
+        Some("1"), Some("1000"))
+      require(pruned.nonEmpty && pruned.size < all.size,
+        s"stats must prune files: kept ${pruned.size} of ${all.size}")
+      val row = graft.sink.TxTable.readPruned(s, tbl, "o_orderkey",
+          Some("1"), Some("1000"))
+        .filter(col("o_orderkey").between(1L, 1000L))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents")).head()
+      dropStaged(java.nio.file.Paths.get(tmp))
+      Seq((row.getLong(0), row.getLong(1))).toDF("n", "cents")
     }),
 
     // J — interval (range) join via the bucketized equi-join operator:
@@ -1420,6 +1452,12 @@ object SparkEntry {
       """SELECT count(*) AS n,
          CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
          FROM orders WHERE o_orderkey <= 2000""",
+    // the pruned read must equal a plain range scan — the file skipping
+    // happens Spark-side from committed stats; DuckDB just scans
+    "q75_stats_pruned_read" ->
+      """SELECT count(*) AS n,
+         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+         FROM orders WHERE o_orderkey BETWEEN 1 AND 1000""",
     "q70_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
          WHERE CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT) % 10000 <

@@ -57,7 +57,19 @@ object TxTable {
   private def fsFor(spark: SparkSession, p: String): FileSystem =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  final case class Commit(version: Long, added: Seq[String], removed: Seq[String])
+  /** Per-file column statistic: `typ` is L (long), D (double) or S
+    * (string/ISO-timestamp — lexicographically ordered), `lo`/`hi` the
+    * min/max rendered as strings. Stats ride in the commit (and
+    * checkpoint) JSON so selective reads can skip files WITHOUT opening
+    * them — the read-side win that makes the log a real table format.
+    */
+  final case class ColStat(col: String, typ: String, lo: String, hi: String)
+
+  final case class Commit(version: Long, added: Seq[String], removed: Seq[String],
+                          stats: Seq[Seq[ColStat]] = Nil) {
+    require(stats.isEmpty || stats.size == added.size,
+      s"stats must align with added (${stats.size} vs ${added.size})")
+  }
 
   /** Snapshot of the LIVE file set as of `version` — replay shortcut.
     * Written every `checkpointEvery` commits so read planning opens one
@@ -65,7 +77,11 @@ object TxTable {
     * (a commit-per-micro-batch stream would otherwise grow planning
     * without bound — the exact failure the log exists to prevent).
     */
-  final case class Checkpoint(version: Long, live: Seq[String])
+  final case class Checkpoint(version: Long, live: Seq[String],
+                              stats: Seq[Seq[ColStat]] = Nil) {
+    require(stats.isEmpty || stats.size == live.size,
+      s"stats must align with live (${stats.size} vs ${live.size})")
+  }
 
   // ----------------------------------------------------------- log replay
 
@@ -104,25 +120,41 @@ object TxTable {
     listLog(fs, table)._1.map { case (_, p) => parse(slurp(fs, p)) }
   }
 
-  /** (head version, live file set): latest checkpoint + commit-suffix
-    * replay. FS opens are 1 checkpoint + (commits since it) — bounded by
-    * `checkpointEvery` regardless of table age.
+  /** (head version, live (file, stats) entries): latest checkpoint +
+    * commit-suffix replay. FS opens are 1 checkpoint + (commits since
+    * it) — bounded by `checkpointEvery` regardless of table age.
     */
-  private def currentState(fs: FileSystem, table: String): (Long, Seq[String]) = {
+  private def currentEntries(fs: FileSystem, table: String): (Long, Seq[(String, Seq[ColStat])]) = {
     val (cs, ks) = listLog(fs, table)
     val base = ks.lastOption.map { case (_, p) => parseCkpt(slurp(fs, p)) }
     val baseV = base.map(_.version).getOrElse(0L)
     val suffix = cs.filter(_._1 > baseV).map { case (_, p) => parse(slurp(fs, p)) }
-    val live = scala.collection.mutable.LinkedHashSet[String]()
-    base.foreach(live ++= _.live)
-    suffix.foreach { c => live ++= c.added; live --= c.removed.toSet }
+    val live = scala.collection.mutable.LinkedHashMap[String, Seq[ColStat]]()
+    def fold(files: Seq[String], stats: Seq[Seq[ColStat]], removed: Seq[String]): Unit = {
+      val st = if (stats.isEmpty) files.map(_ => Seq.empty[ColStat]) else stats
+      files.zip(st).foreach { case (f, s) => live(f) = s }
+      removed.foreach(live.remove)
+    }
+    base.foreach(k => fold(k.live, k.stats, Nil))
+    suffix.foreach(c => fold(c.added, c.stats, c.removed))
     val head = (baseV +: cs.map(_._1)).max
     (head, live.toSeq)
+  }
+
+  private def currentState(fs: FileSystem, table: String): (Long, Seq[String]) = {
+    val (h, e) = currentEntries(fs, table)
+    (h, e.map(_._1))
   }
 
   /** Live file set after replaying the log (table-relative paths). */
   def currentFiles(spark: SparkSession, table: String): Seq[String] =
     currentState(fsFor(spark, table), table)._2
+
+  /** Live files with their per-file column stats (empty per file when the
+    * committing writer collected none).
+    */
+  def currentFilesWithStats(spark: SparkSession, table: String): Seq[(String, Seq[ColStat])] =
+    currentEntries(fsFor(spark, table), table)._2
 
   /** Read the committed state. Planning comes from the log — uncommitted
     * staging files are invisible by construction.
@@ -168,12 +200,92 @@ object TxTable {
   // -------------------------------------------------------------- writers
 
   /** Transactional append: stage a batch directory, then publish it with
-    * one commit. Returns the committed version.
+    * one commit. With `statsCols`, per-file min/max of those columns ride
+    * in the commit and [[readPruned]] can skip files at plan time.
+    * Returns the committed version.
     */
-  def append(spark: SparkSession, df: DataFrame, table: String): Long = {
+  def append(spark: SparkSession, df: DataFrame, table: String,
+             statsCols: Seq[String] = Nil): Long = {
     val files = stage(spark, df, table)
-    commit(spark, table, added = files, removed = Nil)
+    val stats =
+      if (statsCols.isEmpty) Nil else fileStats(spark, table, files, statsCols)
+    commit(spark, table, added = files, removed = Nil, stats = stats)
   }
+
+  /** Per-file min/max of `cols` over freshly staged files — one grouped
+    * aggregate job over the batch (which the writer just produced, so
+    * it's hot). Column types map to the stat domains: integers → L,
+    * float/double → D, string/date/timestamp → S (rendered through
+    * Spark's string cast; ISO forms compare lexicographically). Files a
+    * stat can't be derived for (all-null column, unmatchable listing
+    * entry) get NO stat — the pruning default is "keep", so missing
+    * stats cost opens, never rows.
+    */
+  def fileStats(spark: SparkSession, table: String, files: Seq[String],
+                cols: Seq[String]): Seq[Seq[ColStat]] = {
+    import org.apache.spark.sql.functions.{input_file_name, max, min}
+    import org.apache.spark.sql.types._
+    if (files.isEmpty || cols.isEmpty) return files.map(_ => Seq.empty[ColStat])
+    val df = readFiles(spark, table, files)
+    val typed = cols.filter(df.columns.contains).flatMap { c =>
+      df.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => Some(c -> "L")
+        case FloatType | DoubleType => Some(c -> "D")
+        case StringType | DateType | TimestampType | TimestampNTZType => Some(c -> "S")
+        case _ => None // unorderable/exotic: no stat, file always kept
+      }
+    }
+    if (typed.isEmpty) return files.map(_ => Seq.empty[ColStat])
+    val aggs = typed.flatMap { case (c, t) =>
+      val base = if (t == "S") col(c).cast("string") else col(c)
+      Seq(min(base).as(s"__lo_$c"), max(base).as(s"__hi_$c"))
+    }
+    val rows = df.groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    files.map { f =>
+      rows.find(_.getString(0).endsWith(f)) match {
+        case None => Seq.empty[ColStat] // listing/URI mismatch: keep-safe
+        case Some(r) =>
+          typed.zipWithIndex.flatMap { case ((c, t), i) =>
+            val (lo, hi) = (r.get(1 + 2 * i), r.get(2 + 2 * i))
+            if (lo == null || hi == null) None // all-null column in file
+            else Some(ColStat(c, t, lo.toString, hi.toString))
+          }
+      }
+    }
+  }
+
+  /** Files that MAY hold rows with `colName` in [lo, hi] (inclusive;
+    * None = unbounded): a file is skipped only when its committed stats
+    * prove the range misses it. Files without a stat for `colName` are
+    * always kept. Bounds are strings in the stat domain (numbers render
+    * plainly, timestamps as Spark's string cast). Range semantics only:
+    * stats ignore NULLs, exactly like the range predicate does.
+    */
+  def prunedFiles(spark: SparkSession, table: String, colName: String,
+                  lo: Option[String], hi: Option[String]): Seq[String] = {
+    def cmp(typ: String, a: String, b: String): Int = typ match {
+      case "L" => java.lang.Long.compare(a.toLong, b.toLong)
+      case "D" => java.lang.Double.compare(a.toDouble, b.toDouble)
+      case _ => a.compareTo(b)
+    }
+    currentFilesWithStats(spark, table).collect {
+      case (f, stats) if stats.find(_.col == colName).forall { st =>
+        hi.forall(h => cmp(st.typ, st.lo, h) <= 0) &&
+          lo.forall(l => cmp(st.typ, st.hi, l) >= 0)
+      } => f
+    }
+  }
+
+  /** Plan-time file skipping from committed stats: read only the files
+    * whose [min, max] overlaps [lo, hi]. The caller still applies the
+    * row-level filter — pruning changes which files OPEN, never which
+    * rows qualify.
+    */
+  def readPruned(spark: SparkSession, table: String, colName: String,
+                 lo: Option[String], hi: Option[String]): DataFrame =
+    readFiles(spark, table, prunedFiles(spark, table, colName, lo, hi))
 
   /** Transactional full overwrite: one commit swaps the entire file set —
     * the atomic replacement the rename-swap pattern approximates, with no
@@ -324,7 +436,8 @@ object TxTable {
   def commit(spark: SparkSession, table: String,
              added: Seq[String], removed: Seq[String],
              expectedHead: Option[Long] = None,
-             checkpointEvery: Int = 10): Long =
+             checkpointEvery: Int = 10,
+             stats: Seq[Seq[ColStat]] = Nil): Long =
     lockFor(table).synchronized {
       val fs = fsFor(spark, table)
       fs.mkdirs(new Path(logDir(table)))
@@ -344,15 +457,19 @@ object TxTable {
         // only): if our rename wins, the log at `version` is exactly
         // (prior state + this commit) — no racer can slot in below us
         val wantCkpt = checkpointEvery > 0 && version % checkpointEvery == 0
-        val priorLive = if (wantCkpt) Some(currentState(fs, table)._2) else None
+        val priorLive = if (wantCkpt) Some(currentEntries(fs, table)._2) else None
         val out = fs.create(tmp, false)
-        try out.write(render(Commit(version, added, removed)).getBytes("UTF-8"))
+        try out.write(render(Commit(version, added, removed, stats)).getBytes("UTF-8"))
         finally out.close()
         if (!fs.exists(target) && fs.rename(tmp, target)) {
           priorLive.foreach { prior =>
-            val live = scala.collection.mutable.LinkedHashSet[String]()
-            live ++= prior; live ++= added; live --= removed.toSet
-            writeCheckpoint(fs, table, Checkpoint(version, live.toSeq))
+            val live = scala.collection.mutable.LinkedHashMap[String, Seq[ColStat]]()
+            prior.foreach { case (f, s) => live(f) = s }
+            val st = if (stats.isEmpty) added.map(_ => Seq.empty[ColStat]) else stats
+            added.zip(st).foreach { case (f, s) => live(f) = s }
+            removed.foreach(live.remove)
+            writeCheckpoint(fs, table,
+              Checkpoint(version, live.keys.toSeq, live.values.toSeq))
           }
           return version
         }
@@ -398,18 +515,47 @@ object TxTable {
   private def dec(s: String): String =
     java.net.URLDecoder.decode(s, "UTF-8")
 
+  // A file's stats serialize as ONE percent-encoded token per file:
+  // stat fields joined by \\u0001, stat lines by \\u0002 - both always
+  // percent-encoded, so the outer regex/comma split never sees them.
+  private val FieldSep = "\u0001"
+  private val LineSep = "\u0002"
+
+  private def encStatsArr(ss: Seq[Seq[ColStat]]): String =
+    ss.map(fileStats => "\"" + enc(fileStats.map(st =>
+      Seq(st.col, st.typ, st.lo, st.hi).mkString(FieldSep)).mkString(LineSep)) + "\"")
+      .mkString("[", ",", "]")
+
+  private def decStatsArr(raw: String): Seq[Seq[ColStat]] =
+    if (raw.isEmpty) Nil
+    else raw.split(",").toSeq.map { x =>
+      val blob = dec(x.stripPrefix("\"").stripSuffix("\""))
+      if (blob.isEmpty) Seq.empty[ColStat]
+      else blob.split(LineSep).toSeq.map { line =>
+        val f = line.split(FieldSep)
+        require(f.length == 4, s"corrupt stat line: $line")
+        ColStat(f(0), f(1), f(2), f(3))
+      }
+    }
+
   private[sink] def render(c: Commit): String = {
     def arr(xs: Seq[String]) =
       xs.map(x => "\"" + enc(x) + "\"").mkString("[", ",", "]")
-    s"""{"version":${c.version},"added":${arr(c.added)},"removed":${arr(c.removed)}}"""
+    val statsPart =
+      if (c.stats.isEmpty) "" else s""","stats":${encStatsArr(c.stats)}"""
+    s"""{"version":${c.version},"added":${arr(c.added)},"removed":${arr(c.removed)}$statsPart}"""
   }
 
   private[sink] def renderCkpt(c: Checkpoint): String = {
     val arr = c.live.map(x => "\"" + enc(x) + "\"").mkString("[", ",", "]")
-    s"""{"version":${c.version},"live":$arr}"""
+    val statsPart =
+      if (c.stats.forall(_.isEmpty)) ""
+      else s""","livestats":${encStatsArr(c.stats)}"""
+    s"""{"version":${c.version},"live":$arr$statsPart}"""
   }
 
   private val LiveRe = """"live":\[(.*?)\]""".r
+  private val LiveStatsRe = """"livestats":\[(.*?)\]""".r
   private[sink] def parseCkpt(txt: String): Checkpoint = {
     val ver = VerRe.findFirstMatchIn(txt).map(_.group(1).toLong)
       .getOrElse(throw new IllegalArgumentException(s"bad checkpoint: $txt"))
@@ -418,7 +564,8 @@ object TxTable {
         s"corrupt checkpoint (missing/unterminated live array): $txt"))
     Checkpoint(ver,
       if (live.isEmpty) Nil
-      else live.split(",").toSeq.map(x => dec(x.stripPrefix("\"").stripSuffix("\""))))
+      else live.split(",").toSeq.map(x => dec(x.stripPrefix("\"").stripSuffix("\""))),
+      LiveStatsRe.findFirstMatchIn(txt).map(m => decStatsArr(m.group(1))).getOrElse(Nil))
   }
 
   private val ArrRe = """"(added|removed)":\[(.*?)\]""".r
@@ -433,6 +580,8 @@ object TxTable {
     // fabricating Commit(v, Nil, Nil) would silently drop files on replay
     require(arrs.contains("added") && arrs.contains("removed"),
       s"corrupt commit (missing/unterminated added/removed arrays): $txt")
-    Commit(ver, arrs("added"), arrs("removed"))
+    val stats = StatsRe.findFirstMatchIn(txt).map(m => decStatsArr(m.group(1))).getOrElse(Nil)
+    Commit(ver, arrs("added"), arrs("removed"), stats)
   }
+  private val StatsRe = """"stats":\[(.*?)\]""".r
 }
