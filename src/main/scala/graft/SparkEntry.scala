@@ -290,6 +290,16 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // D3b — TRANSITIVE dedup clusters: the same portable simhash pairs,
+    // closed under connectivity (large-star/small-star components) so a
+    // chain A~B~C lands in ONE cluster even though (A,C) was never a
+    // candidate. Oracle = q24's pair SQL + a recursive min-label CTE —
+    // the full iterative operator is hash-checked end to end.
+    "q76_dedup_clusters" -> ((s, dir) => {
+      functions.Dedup.simhashClustersPortable(t(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id"), col("cluster"))
+    }),
+
     // D4 — per-doc fingerprints + n-gram-Jaccard candidate degree
     // (rows-only oracle; always |documents| rows).
     // D4 — exact n-gram Jaccard, oracle-checked: the SAME kernel that
@@ -1221,6 +1231,45 @@ object SparkEntry {
            SELECT DISTINCT idB FROM pairs WHERE bit_count(xor(simA, simB)) <= 3)
          SELECT d.doc_id, d.lang FROM documents d
          WHERE d.doc_id NOT IN (SELECT idB FROM losers)""",
+    // q24's pair derivation + transitive closure: min-label reach as a
+    // recursive CTE. The prune (lab < dst) is sound because the
+    // component MIN propagates through every member (min < member id
+    // along the whole path), and it keeps the fixpoint set linear-ish
+    // instead of all-pairs-per-component.
+    "q76_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                      x -> x <> '') AS t
+           FROM documents),
+         th AS (
+           SELECT doc_id,
+                  list_transform(t, x -> CAST('0x'||substring(md5(x), 1, 15) AS BIGINT)) AS h,
+                  len(t) AS n
+           FROM toks),
+         bits AS (
+           SELECT doc_id, b,
+                  CASE WHEN 2 * len(list_filter(h, v -> (v >> b) & 1 = 1)) > n
+                       THEN (CAST(1 AS BIGINT) << b) ELSE 0 END AS bit
+           FROM th, range(0, 60) r(b)),
+         sims AS (
+           SELECT doc_id, CAST(sum(bit) AS BIGINT) AS sim FROM bits GROUP BY doc_id),
+         blocks AS (
+           SELECT doc_id, blk, (sim >> CAST(blk * 15 AS INTEGER)) & 32767 AS bucket, sim
+           FROM sims, range(0, 4) r(blk)),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS idA, b.doc_id AS idB, a.sim AS simA, b.sim AS simB
+           FROM blocks a JOIN blocks b
+             ON a.blk = b.blk AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         edges AS (
+           SELECT idA AS src, idB AS dst FROM pairs WHERE bit_count(xor(simA, simB)) <= 3
+           UNION ALL
+           SELECT idB, idA FROM pairs WHERE bit_count(xor(simA, simB)) <= 3),
+         reach(id, lab) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+           WHERE r.lab < e.dst)
+         SELECT id AS doc_id, min(lab) AS cluster FROM reach GROUP BY id""",
     // same first-principles form for the embedding path: exact cosine over
     // all pairs at the 0.95 near-dup threshold (q55 exercises the kernel
     // on real pairs at 0.4; at 0.95 the loser set is whatever the data

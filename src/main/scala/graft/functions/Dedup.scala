@@ -20,8 +20,11 @@ import TextFunctions.{shingles, tokens}
   *  - SimHash: one 64-bit sketch per doc; candidates via prefix-bucket
   *    equi-join, verified with codegen'd bit_count(a^b).
   *  - pair → survivor resolution is "drop any doc with a smaller-id
-  *    near-dup", a single aggregation; full connected components would
-  *    need iterative joins and is rarely worth it for dedup.
+  *    near-dup", a single aggregation. For TRANSITIVE clusters (chains
+  *    A~B~C where (A,C) was never a candidate), [[clusters]] runs
+  *    [[graft.operators.ConnectedComponents]] over the pair set —
+  *    iterative, but on the pair relation (orders of magnitude smaller
+  *    than the corpus), and O(log² n) rounds.
   */
 object Dedup {
 
@@ -282,6 +285,36 @@ object Dedup {
       .select(col("idA"), col("idB"), jaccard(col("shA"), col("shB")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  // ------------------------------------------------- transitive clusters
+
+  /** Transitive near-dup cluster assignment: candidate pairs → connected
+    * components → every document labeled with its cluster id (= the
+    * minimum doc id reachable through the near-dup relation; docs with
+    * no near-dup are their own singleton cluster). This is the closure
+    * the single-pass survivor rule skips: on a chain A~B~C it keeps A
+    * only, where pair-wise dropping would also keep C.
+    *
+    * `pairs` is any (idA, idB) near-dup relation — minhash, simhash, or
+    * embedding candidates. The corpus is touched exactly once, by the
+    * final assignment join; the component iteration runs on the pair set.
+    */
+  def clusters(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val comp = graft.operators.ConnectedComponents.assign(pairs, "idA", "idB")
+      .withColumnRenamed("id", idCol)
+    df.join(comp, Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("component"), col(idCol)))
+      .drop("component")
+  }
+
+  /** Cluster assignment over the PORTABLE simhash candidate pairs — every
+    * step (md5 token hashes, bit votes, block buckets, hamming verify,
+    * transitive closure) re-derives in oracle SQL, the recursive-CTE
+    * companion to q24's pair derivation (q76).
+    */
+  def simhashClustersPortable(df: DataFrame, textCol: String, idCol: String,
+                              maxHamming: Int = 3): DataFrame =
+    clusters(df, idCol, simhashPairsPortable(df, textCol, idCol, maxHamming))
 
   // ------------------------------------------ benchmark contamination D5
 

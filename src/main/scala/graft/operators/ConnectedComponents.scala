@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed connected components over an edge list — the transitive
+  * closure that turns near-dup candidate PAIRS into dedup CLUSTERS
+  * (reference: dedup keeps "drop the larger id of each pair", which
+  * over-keeps on chains A~B~C where (A,C) was never a candidate; cluster
+  * assignment needs the full component).
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14). Each round
+  * is ONE groupBy + ONE equi-join over (node, neighbor) pairs — no
+  * driver-side graph, no vertex program framework — and the edge set
+  * converges to stars (v → component-min) in O(log² n) rounds, vs O(
+  * diameter) for naive min-label propagation, which an adversarial chain
+  * of near-dups (template docs with drifting boilerplate) makes O(n).
+  *
+  * 100 TB shape: rows are (long, long) pairs — skinny — and every round
+  * shuffles at most the current edge set on its node key. The candidate
+  * pair set for dedup is orders of magnitude smaller than the corpus, so
+  * the iteration runs on the SMALL relation; the corpus is touched once,
+  * by the final cluster-assignment join. Lineage is truncated per round
+  * (`localCheckpoint`) so the plan stays O(1) deep however many rounds
+  * run; on a real cluster prefer a reliable `checkpoint` directory for
+  * executor-loss recovery (same call shape).
+  */
+object ConnectedComponents {
+
+  /** Component assignment for every vertex that appears in `edges`:
+    * (id, component) with component = the MINIMUM vertex id reachable
+    * through the undirected edge set. Self-loops and null endpoints are
+    * ignored; vertices with no surviving edge don't appear (the caller
+    * coalesces isolated ids to themselves — see q76). Ids must be
+    * integral (cast to long).
+    */
+  def assign(edges: DataFrame, srcCol: String, dstCol: String,
+             maxIter: Int = 30): DataFrame = {
+    // canonical (hi, lo) pairs, hi > lo — small-star's input invariant
+    var e = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("hi"), least(col("a"), col("b")).as("lo"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // cheap convergence fingerprint: (count, order-independent hash XOR —
+    // safe under ANSI overflow checks, sound because the set is distinct)
+    def fingerprint(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), bit_xor(xxhash64(col("hi"), col("lo")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var fp = fingerprint(e)
+    var iter = 0
+    var converged = fp._1 == 0L
+    while (!converged && iter < maxIter) {
+      // LARGE-STAR: for each node u over the SYMMETRIC neighbor list,
+      // connect every LARGER neighbor v to m = min(N(u) ∪ {u}) — long
+      // tails hang their high nodes directly under the local min.
+      val sym = e.select(col("hi").as("u"), col("lo").as("v"))
+        .union(e.select(col("lo").as("u"), col("hi").as("v")))
+      val lsMin = sym.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val afterLarge = sym.join(lsMin, "u")
+        .filter(col("v") > col("u")) // emit (v, m) only for larger neighbors
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .filter(col("hi") =!= col("lo"))
+        .distinct()
+      // SMALL-STAR: edges are (hi, lo); for each hi, m = min of its lo's.
+      // Re-hang every lo (and hi itself) under m — flattens the star.
+      val ssMin = afterLarge.groupBy("hi").agg(min(col("lo")).as("m"))
+      val afterSmall = afterLarge.join(ssMin, "hi")
+        .select(col("lo").as("hi"), col("m").as("lo"))
+        .filter(col("hi") =!= col("lo"))
+        .union(ssMin.select(col("hi"), col("m").as("lo")))
+        .distinct()
+        // truncate lineage: without this the plan doubles per round and
+        // the optimizer, not the data, becomes the bottleneck
+        .localCheckpoint(true)
+      e.unpersist()
+      e = afterSmall.persist(StorageLevel.MEMORY_AND_DISK)
+      val fp2 = fingerprint(e)
+      converged = fp2 == fp
+      fp = fp2
+      iter += 1
+    }
+    require(converged, s"connected components did not converge in $maxIter rounds")
+    // at the star fixpoint every edge is (member, root); groupBy is belt
+    // and braces for the final round's not-yet-rechecked state
+    val members = e.groupBy(col("hi")).agg(min(col("lo")).as("component"))
+      .select(col("hi").as("id"), col("component"))
+    val roots = e.select(col("lo").as("id")).distinct()
+      .join(members, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("component"))
+    // materialize before unpersisting the edge state it reads from —
+    // result size is (non-isolated vertices), small for dedup workloads
+    val out = members.union(roots).localCheckpoint(true)
+    e.unpersist()
+    out
+  }
+}
