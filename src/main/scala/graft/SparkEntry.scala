@@ -300,6 +300,28 @@ object SparkEntry {
         .select(col("doc_id"), col("cluster"))
     }),
 
+    // T6 — PII scrubbing: the synthetic corpus carries no PII, so the
+    // query INJECTS deterministic email/URL/IP/phone strings derived
+    // from doc_id — the oracle builds the identical string in SQL and
+    // re-runs the identical regex chain (all patterns live in the
+    // Java-regex ∩ RE2 subset), so redacted text AND per-kind counts
+    // hash-match end to end.
+    "q77_pii_scrub" -> ((s, dir) => {
+      val enriched = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com via http://ex.org/d/"), col("doc_id").cast("string"),
+        lit(" from 10."), (col("doc_id") % 256).cast("string"),
+        lit(".0."), ((col("doc_id") * 7) % 256).cast("string"),
+        lit(" tel +1 415 555 "), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit("."))
+      t(s, dir, "documents")
+        .select(col("doc_id"), functions.Scrub.redactPii(enriched).as("redacted"),
+          functions.Scrub.piiCounts(enriched).as("__c"))
+        .select(col("doc_id"), col("redacted"),
+          col("__c.n_urls").as("n_urls"), col("__c.n_emails").as("n_emails"),
+          col("__c.n_ips").as("n_ips"), col("__c.n_phones").as("n_phones"))
+    }),
+
     // D4 — per-doc fingerprints + n-gram-Jaccard candidate degree
     // (rows-only oracle; always |documents| rows).
     // D4 — exact n-gram Jaccard, oracle-checked: the SAME kernel that
@@ -1270,6 +1292,34 @@ object SparkEntry {
            SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
            WHERE r.lab < e.dst)
          SELECT id AS doc_id, min(lab) AS cluster FROM reach GROUP BY id""",
+    // identical enrichment + identical regex chain (Java-regex ∩ RE2),
+    // global 'g' replace to match Spark's replace-all; counts on the
+    // SAME intermediates the chain sees (so counts == replacements)
+    "q77_pii_scrub" ->
+      """WITH enriched AS (
+           SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+             '@mail.example.com via http://ex.org/d/' || CAST(doc_id AS VARCHAR) ||
+             ' from 10.' || CAST(doc_id % 256 AS VARCHAR) ||
+             '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) ||
+             ' tel +1 415 555 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+             '.' AS t
+           FROM documents),
+         s1 AS (SELECT doc_id, t,
+                  regexp_replace(t, 'https?://[^\s]+', '[URL]', 'g') AS a FROM enriched),
+         s2 AS (SELECT *, regexp_replace(a,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS b FROM s1),
+         s3 AS (SELECT *, regexp_replace(b,
+                  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS c FROM s2),
+         s4 AS (SELECT *, regexp_replace(c, '\+?\d[\d -]{7,}\d', '[PHONE]', 'g') AS d FROM s3)
+         SELECT doc_id, d AS redacted,
+           CAST(len(regexp_extract_all(t, 'https?://[^\s]+')) AS INTEGER) AS n_urls,
+           CAST(len(regexp_extract_all(a,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(b,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ips,
+           CAST(len(regexp_extract_all(c, '\+?\d[\d -]{7,}\d')) AS INTEGER) AS n_phones
+         FROM s4""",
     // same first-principles form for the embedding path: exact cosine over
     // all pairs at the 0.95 near-dup threshold (q55 exercises the kernel
     // on real pairs at 0.4; at 0.95 the loser set is whatever the data
