@@ -1036,6 +1036,28 @@ object SparkEntry {
       Seq((row.getLong(0), row.getLong(1))).toDF("n", "cents")
     }),
 
+    // TX4 — time travel: two disjoint appends, then every historical
+    // version re-read FROM THE LOG — v1 must see only the first batch
+    // even though the second batch's files sit in the same table dir.
+    // The oracle recomputes each version's aggregate from the base table.
+    "q78_time_travel" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q78").toString
+      val tbl = s"$tmp/tx/orders"
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      graft.sink.TxTable.append(s, o.filter(col("o_orderkey") % 2 === 0), tbl) // v1
+      graft.sink.TxTable.append(s, o.filter(col("o_orderkey") % 2 === 1), tbl) // v2
+      val out = (1L to 2L).map { v =>
+        val r = graft.sink.TxTable.readAt(s, tbl, v)
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents")).head()
+        (v, r.getLong(0), r.getLong(1))
+      }
+      dropStaged(java.nio.file.Paths.get(tmp))
+      out.toDF("version", "n", "cents")
+    }),
+
     // J — interval (range) join via the bucketized equi-join operator:
     // events against deliberately bucket-MISALIGNED [day+5h, day+29h)
     // windows. The oracle runs the raw theta-join — a hash match proves
@@ -1551,6 +1573,16 @@ object SparkEntry {
       """SELECT count(*) AS n,
          CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
          FROM orders WHERE o_orderkey <= 2000""",
+    // each historical version re-aggregates from the base table: v1 =
+    // even keys only, v2 = everything
+    "q78_time_travel" ->
+      """SELECT CAST(1 AS BIGINT) AS version, count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+         FROM orders WHERE o_orderkey % 2 = 0
+         UNION ALL
+         SELECT CAST(2 AS BIGINT), count(*),
+           CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+         FROM orders""",
     // the pruned read must equal a plain range scan — the file skipping
     // happens Spark-side from committed stats; DuckDB just scans
     "q75_stats_pruned_read" ->

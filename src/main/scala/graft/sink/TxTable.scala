@@ -162,6 +162,53 @@ object TxTable {
   def read(spark: SparkSession, table: String): DataFrame =
     readFiles(spark, table, currentFiles(spark, table))
 
+  // --------------------------------------------------------- time travel
+
+  /** File set as of historical `version` — replay from the newest
+    * checkpoint at-or-below it plus the commit suffix up to it. The
+    * contiguity `require` catches BOTH holes: commits cleaned by
+    * [[vacuum]]'s log cleaning (target predates the earliest usable
+    * checkpoint) and a corrupt/partial log. version 0 = the empty table.
+    */
+  def filesAt(spark: SparkSession, table: String, version: Long): Seq[String] = {
+    require(version >= 0, s"version must be >= 0, got $version")
+    if (version == 0) return Nil
+    val fs = fsFor(spark, table)
+    val (cs, ks) = listLog(fs, table)
+    val head = (0L +: cs.map(_._1) ++: ks.map(_._1)).max
+    require(version <= head, s"version $version is past head $head of $table")
+    ks.filter(_._1 == version).lastOption match {
+      case Some((_, p)) => parseCkpt(slurp(fs, p)).live // exact snapshot
+      case None =>
+        val base = ks.filter(_._1 < version).lastOption
+          .map { case (_, p) => parseCkpt(slurp(fs, p)) }
+        val baseV = base.map(_.version).getOrElse(0L)
+        val suffix = cs.filter(t => t._1 > baseV && t._1 <= version)
+          .map { case (_, p) => parse(slurp(fs, p)) }
+        require(suffix.map(_.version) == (baseV + 1 to version),
+          s"cannot reconstruct version $version of $table: commits " +
+            s"(${baseV + 1}..$version] are not contiguous in the log " +
+            "(cleaned by vacuum, or corrupt)")
+        val live = scala.collection.mutable.LinkedHashSet[String]()
+        base.foreach(live ++= _.live)
+        suffix.foreach { c => live ++= c.added; live --= c.removed.toSet }
+        live.toSeq
+    }
+  }
+
+  /** Time travel: the table exactly as of `version`. Data-file GC caveat
+    * (same as any log-structured format): [[vacuum]] deletes
+    * compacted-away files after the grace window, so travel to a version
+    * whose files were vacuumed fails AT READ with missing files — the
+    * log can only promise versions younger than the vacuum horizon.
+    */
+  def readAt(spark: SparkSession, table: String, version: Long): DataFrame =
+    readFiles(spark, table, filesAt(spark, table, version))
+
+  /** Current head version (0 = never committed). */
+  def headVersion(spark: SparkSession, table: String): Long =
+    currentState(fsFor(spark, table), table)._1
+
   /** Read an explicit table-relative file list (committed, staged, or a
     * mix — the validation-before-commit read). Files are grouped by batch
     * dir and each group reads with its own `basePath`, so Hive partition
@@ -310,7 +357,8 @@ object TxTable {
               targetRowsPerFile: Long = 5000000L,
               clusterBy: Option[String] = None,
               partitionBy: Seq[String] = Nil): Long = {
-    val (head, before) = currentState(fsFor(spark, table), table)
+    val (head, entries) = currentEntries(fsFor(spark, table), table)
+    val before = entries.map(_._1)
     if (before.isEmpty) return -1L
     // readFiles, NOT a raw parquet read: Hive partition columns nested in
     // batch dirs and schema-evolved columns must survive the rewrite — a
@@ -318,17 +366,34 @@ object TxTable {
     val df = readFiles(spark, table, before, mergeSchema = true)
     val rows = df.count()
     val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
-    val repart =
-      if (partitionBy.nonEmpty) df.repartition(nFiles, partitionBy.map(col): _*)
-      else df.repartition(nFiles)
-    val clustered = clusterBy.filter(repart.columns.contains)
-      .map(c => repart.sortWithinPartitions(c)).getOrElse(repart)
+    // clusterBy without Hive partitioning → RANGE repartition, so each
+    // compacted file owns a disjoint slice of the cluster column: that's
+    // what makes the recomputed file stats (below) and parquet row-group
+    // stats actually prune. With Hive partitioning the shuffle key must
+    // stay the partition columns (one dir per value); clusterBy then
+    // only sorts within files.
+    val cluster = clusterBy.filter(df.columns.contains)
+    val repart = (partitionBy, cluster) match {
+      case (ps, _) if ps.nonEmpty => df.repartition(nFiles, ps.map(col): _*)
+      case (_, Some(c)) => df.repartitionByRange(nFiles, col(c))
+      case _ => df.repartition(nFiles)
+    }
+    val clustered = cluster.map(c => repart.sortWithinPartitions(c)).getOrElse(repart)
     // pass partitionBy to keep the Hive layout (directory pruning);
     // without it, former partition columns persist as data columns
     val files = stageBatch(spark, clustered, table, partitionBy = partitionBy)
+    // stats survive compaction: recompute per-file min/max for the UNION
+    // of columns any pre-compact file carried stats for (compacting a
+    // stat-bearing table must not silently turn off its pruning).
+    // clusterBy makes the recomputed stats tight again — sorted files
+    // have near-disjoint ranges, which is the read-side win.
+    val statCols = entries.flatMap(_._2.map(_.col)).distinct
+    val stats =
+      if (statCols.isEmpty) Nil else fileStats(spark, table, files, statCols)
     // conflict-checked like overwrite: compacting a state that moved on
     // would remove files a concurrent commit still expects
-    commit(spark, table, added = files, removed = before, expectedHead = Some(head))
+    commit(spark, table, added = files, removed = before,
+      expectedHead = Some(head), stats = stats)
   }
 
   /** Delete data files no commit path can reach (crash orphans and

@@ -70,13 +70,28 @@ class TxStatsPruningSpec extends SparkSpec {
       .select($"id").as[Long].collect().toSeq == Seq(300L))
   }
 
-  test("compaction drops stats safely: files are kept, not mis-pruned") {
+  test("compaction recomputes stats: pruning keeps working on the rewritten files") {
     val t = mk()
     mkRangeTable(t)
+    // cluster by id → compacted files get near-disjoint ranges again
+    TxTable.compact(spark, t, targetRowsPerFile = 100L, clusterBy = Some("id"))
+    val entries = TxTable.currentFilesWithStats(spark, t)
+    assert(entries.forall(e => e._2.exists(_.col == "id") && e._2.exists(_.col == "v")),
+      "every compacted file must carry recomputed stats for the pre-compact stat columns")
+    val pruned = TxTable.prunedFiles(spark, t, "id", Some("120"), Some("180"))
+    assert(pruned.size < entries.size, s"expected pruning: ${pruned.size} of ${entries.size}")
+    assert(TxTable.readPruned(spark, t, "id", Some("120"), Some("180"))
+      .filter($"id".between(120L, 180L)).count() == 61L)
+  }
+
+  test("compacting a stat-less table stays stat-less and never mis-prunes") {
+    val t = mk()
+    Seq((1L, 100L), (101L, 200L)).foreach { case (a, b) =>
+      TxTable.append(spark, (a to b).map(i => (i, s"v$i")).toDF("id", "v"), t)
+    }
     TxTable.compact(spark, t, targetRowsPerFile = 1000000L)
     val entries = TxTable.currentFilesWithStats(spark, t)
-    assert(entries.forall(_._2.isEmpty)) // compact collects no stats (documented)
-    // pruning on a stat-less table reads everything — correct, just unpruned
+    assert(entries.forall(_._2.isEmpty))
     assert(TxTable.readPruned(spark, t, "id", Some("120"), Some("180"))
       .filter($"id".between(120L, 180L)).count() == 61L)
   }
