@@ -300,6 +300,17 @@ object SparkEntry {
         .select(col("doc_id"), col("cluster"))
     }),
 
+    // D3c — quality-aware dedup: ONE survivor per transitive cluster,
+    // picked by max n_chars (tie → min doc_id) — the "keep the BEST
+    // version" curation policy, vs q24's min-id rule. One argmax
+    // aggregation after the cluster assignment; no window, no sort.
+    "q79_cluster_best" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val pairs = functions.Dedup.simhashPairsPortable(d, "text", "doc_id")
+      functions.Dedup.bestPerCluster(d, "doc_id", pairs, "n_chars")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
+
     // T6 — PII scrubbing: the synthetic corpus carries no PII, so the
     // query INJECTS deterministic email/URL/IP/phone strings derived
     // from doc_id — the oracle builds the identical string in SQL and
@@ -1314,6 +1325,50 @@ object SparkEntry {
            SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
            WHERE r.lab < e.dst)
          SELECT id AS doc_id, min(lab) AS cluster FROM reach GROUP BY id""",
+    // q76's clusters + per-cluster argmax (n_chars desc, doc_id asc) —
+    // the window form is the oracle spelling; the Spark side is one
+    // struct-ordering aggregation
+    "q79_cluster_best" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                      x -> x <> '') AS t
+           FROM documents),
+         th AS (
+           SELECT doc_id,
+                  list_transform(t, x -> CAST('0x'||substring(md5(x), 1, 15) AS BIGINT)) AS h,
+                  len(t) AS n
+           FROM toks),
+         bits AS (
+           SELECT doc_id, b,
+                  CASE WHEN 2 * len(list_filter(h, v -> (v >> b) & 1 = 1)) > n
+                       THEN (CAST(1 AS BIGINT) << b) ELSE 0 END AS bit
+           FROM th, range(0, 60) r(b)),
+         sims AS (
+           SELECT doc_id, CAST(sum(bit) AS BIGINT) AS sim FROM bits GROUP BY doc_id),
+         blocks AS (
+           SELECT doc_id, blk, (sim >> CAST(blk * 15 AS INTEGER)) & 32767 AS bucket, sim
+           FROM sims, range(0, 4) r(blk)),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS idA, b.doc_id AS idB, a.sim AS simA, b.sim AS simB
+           FROM blocks a JOIN blocks b
+             ON a.blk = b.blk AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         edges AS (
+           SELECT idA AS src, idB AS dst FROM pairs WHERE bit_count(xor(simA, simB)) <= 3
+           UNION ALL
+           SELECT idB, idA FROM pairs WHERE bit_count(xor(simA, simB)) <= 3),
+         reach(id, lab) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+           WHERE r.lab < e.dst),
+         cc AS (SELECT id AS doc_id, min(lab) AS cluster FROM reach GROUP BY id),
+         best AS (
+           SELECT doc_id FROM (
+             SELECT d.doc_id, row_number() OVER (
+               PARTITION BY c.cluster ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+             FROM documents d JOIN cc c USING (doc_id)) WHERE rn = 1)
+         SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+         WHERE d.doc_id IN (SELECT doc_id FROM best)""",
     // identical enrichment + identical regex chain (Java-regex ∩ RE2),
     // global 'g' replace to match Spark's replace-all; counts on the
     // SAME intermediates the chain sees (so counts == replacements)

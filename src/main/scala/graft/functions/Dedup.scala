@@ -316,6 +316,27 @@ object Dedup {
                               maxHamming: Int = 3): DataFrame =
     clusters(df, idCol, simhashPairsPortable(df, textCol, idCol, maxHamming))
 
+  /** Quality-aware dedup: keep ONE document per near-dup cluster — the
+    * one with the highest `scoreCol` (ties → lowest id, so the pick is
+    * deterministic). This is the curation policy real pipelines want:
+    * "drop near-dups, but keep the BEST version", which min-id survivor
+    * rules get wrong whenever the best copy has a high id.
+    *
+    * Shape: [[clusters]] (iteration on the pair set only) + ONE
+    * max_by-style aggregation over (cluster) — no window, no sort; the
+    * struct-ordering argmax trick keeps it a single partial+final agg.
+    */
+  def bestPerCluster(df: DataFrame, idCol: String, pairs: DataFrame,
+                     scoreCol: String): DataFrame = {
+    val assigned = clusters(df, idCol, pairs)
+    val winners = assigned
+      .groupBy(col("cluster"))
+      .agg(max(struct(col(scoreCol).as("s"), (-col(idCol)).as("negid"),
+        col(idCol).as("id"))).as("w"))
+      .select(col("w.id").as(idCol))
+    df.join(winners, Seq(idCol), "left_semi")
+  }
+
   // ------------------------------------------ benchmark contamination D5
 
   /** Benchmark-contamination detection: corpus documents sharing at least

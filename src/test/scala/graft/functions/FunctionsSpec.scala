@@ -353,4 +353,17 @@ class FunctionsSpec extends SparkSpec {
       .count().as[(String, Long)].collect().toMap
     assert(again == counts)
   }
+
+  test("bestPerCluster keeps the highest-score doc per transitive cluster, min-id on ties") {
+    import org.apache.spark.sql.functions.col
+    // chain 1~2~3 (transitive): best is 2 (score 9); pair 10~11 tie on
+    // score → min id 10; 20 isolated → survives untouched
+    val docs = Seq((1L, 5L), (2L, 9L), (3L, 7L), (10L, 4L), (11L, 4L), (20L, 1L))
+      .toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("idA", "idB")
+    val kept = Dedup.bestPerCluster(docs, "doc_id", pairs, "score")
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(kept == Set(2L, 10L, 20L))
+    // contrast: the min-id survivor rule would keep 1 (score 5), not 2
+  }
 }
