@@ -225,17 +225,44 @@ object Dedup {
              > size(th), lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Portable 60-bit simhash via explode + ONE hash aggregate — bit-vote
+    * identical to [[simhash60]] (parity spec), but whole-stage-codegen'd
+    * end to end: the 60 per-bit `filter()` scans of the expression form
+    * are CodegenFallback (each evaluation leaves generated code and
+    * boxes the array — the measured pitfall in SCALE.md), where this is
+    * explode → 61 codegen'd SUMs with map-side partial aggregation, so
+    * only (id, 61 longs) per doc ever shuffles. Measured at sf0.1:
+    * q24 4.65 → 2.48 s (1.9×); q76/q79 keep their iterative tail but
+    * drop 1.2–2.5 s each.
+    *
+    * `explode_outer` keeps empty/NULL-token docs: their `count(h)` is 0,
+    * every vote comparison fails, sim = 0 — the same fold the expression
+    * form and the DuckDB oracle produce.
+    */
+  def simhash60Agg(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val bitSums = (0 until 60).map(b =>
+      sum(shiftright(col("__h"), b).bitwiseAND(lit(1L))).as(s"__s$b"))
+    val votes = df
+      .select(col(idCol).as("id"), explode_outer(portableTokenHashes(col(textCol))).as("__h"))
+      .groupBy(col("id"))
+      .agg(count(col("__h")).as("__n"), bitSums: _*)
+    val simBits = (0 until 60).map { b =>
+      when(col(s"__s$b") * 2 > col("__n"), lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    votes.select(col("id"), coalesce(simBits, lit(0L)).as("sim"))
+  }
+
   /** SimHash candidate pairs on the PORTABLE hash — same 4-block bucket
     * join + hamming verify as [[simhashPairs]], but every step (md5 token
     * hash, bit votes, block buckets, bit_count of xor) re-derives in
     * oracle SQL, so the full dedup pipeline is hash-checked end to end
-    * (q24). The xxhash64 expression path stays the production fast path —
-    * one token walk instead of 60 array scans.
+    * (q24). Signatures come from the aggregate form ([[simhash60Agg]]);
+    * the xxhash64 expression path stays the production fast path — one
+    * token walk instead of 60 bit sums.
     */
   def simhashPairsPortable(df: DataFrame, textCol: String, idCol: String,
                            maxHamming: Int = 3): DataFrame = {
-    val th = df.select(col(idCol).as("id"), portableTokenHashes(col(textCol)).as("__th"))
-    val withSig = th.select(col("id"), simhash60(col("__th")).as("sim"))
+    val withSig = simhash60Agg(df, textCol, idCol)
     val blocks = withSig
       .select(col("id"), col("sim"), posexplode(array((0 until 4).map(blk =>
         shiftright(col("sim"), blk * 15).bitwiseAND(lit(0x7FFFL))): _*)))

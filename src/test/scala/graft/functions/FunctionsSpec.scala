@@ -354,6 +354,27 @@ class FunctionsSpec extends SparkSpec {
     assert(again == counts)
   }
 
+  test("simhash60Agg is bit-identical to the simhash60 expression form") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "completely different content here with many words"),
+      (4L, ""), // empty → sim 0 on both paths
+      (5L, null.asInstanceOf[String]), // NULL → sim 0 on both paths
+      (6L, "one"),
+    ).toDF("doc_id", "text")
+    val viaAgg = Dedup.simhash60Agg(docs, "text", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    val viaExpr = docs
+      .select(col("doc_id"), Dedup.portableTokenHashes(col("text")).as("__th"))
+      .select(col("doc_id"), Dedup.simhash60(col("__th")).as("sim"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaAgg == viaExpr)
+    assert(viaAgg(4L) == 0L && viaAgg(5L) == 0L)
+    assert(viaAgg(1L) != viaAgg(3L))
+  }
+
   test("bestPerCluster keeps the highest-score doc per transitive cluster, min-id on ties") {
     import org.apache.spark.sql.functions.col
     // chain 1~2~3 (transitive): best is 2 (score 9); pair 10~11 tie on
