@@ -54,13 +54,19 @@ final class FileDropSource(spark: SparkSession, dropDir: String, manifestPath: S
       .sortBy(_.name)
   }
 
-  def manifest(): DataFrame =
-    try spark.read.parquet(manifestPath)
-    catch {
-      case _: org.apache.spark.sql.AnalysisException =>
-        Seq.empty[(String, String, Long, Long, String)]
-          .toDF("source", "name", "size", "mtime", "processed_at")
-    }
+  /** Missing manifest = nothing processed yet. Existence is probed via
+    * Hadoop FS, not by exception type — see LogStore.read for why (the
+    * missing-path error class varies with session state).
+    */
+  def manifest(): DataFrame = {
+    val mp = new Path(manifestPath)
+    val mfs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def empty = Seq.empty[(String, String, Long, Long, String)]
+      .toDF("source", "name", "size", "mtime", "processed_at")
+    if (!mfs.exists(mp)) empty
+    else try spark.read.parquet(manifestPath)
+    catch { case _: org.apache.spark.sql.AnalysisException => empty }
+  }
 
   /** Matching files not yet claimed by this source — a `left_anti` join
     * of the (driver-scale) drop listing against the manifest, so the

@@ -31,9 +31,22 @@ final class LogStore(spark: SparkSession, path: String) {
     spark.createDataset(rows).write.mode(SaveMode.Append).parquet(path)
   }
 
-  def read(): Dataset[RunLog] =
-    try spark.read.parquet(path).as[RunLog]
+  /** Missing log dir = no runs yet. Probed via Hadoop FS (`fs.exists`
+    * never throws on absence) rather than by catching Spark's missing-path
+    * error, whose TYPE is session-state-dependent: a fresh session
+    * surfaces the raw `FileNotFoundException`, a warmed one wraps it in
+    * `AnalysisException` — catching only the latter crashed the first
+    * lifecycle run when it happened to be the session's first read. The
+    * `AnalysisException` catch stays for the exists-but-empty dir a
+    * killed first append can leave behind (no footer → no schema).
+    */
+  def read(): Dataset[RunLog] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) spark.emptyDataset[RunLog]
+    else try spark.read.parquet(path).as[RunLog]
     catch { case _: org.apache.spark.sql.AnalysisException => spark.emptyDataset[RunLog] }
+  }
 
   def forIngestion(id: Long): Dataset[RunLog] =
     read().filter(_.lakeIngestionId == id)
