@@ -1086,6 +1086,39 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(round(col("value") * 100).cast("long")).as("value_cents"))
     }),
+
+    // T — sequence packing, concat-then-chunk (GPT-style pretraining
+    // layout): per content-hash shard, documents form one token stream
+    // in id order cut into 512-token contexts. Pure window cumsum — the
+    // oracle re-derives every offset and bin in integer arithmetic.
+    "q80_pack_chunked" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        functions.TextFunctions.wsTokenCount(col("text")).cast("long").as("n_tok"))
+      functions.Packing.packChunked(docs, col("doc_id"), col("n_tok"),
+        contextLen = 512L, nShards = 16)
+    }),
+
+    // T — sequence packing, first-fit whole documents: greedy bin fill
+    // per shard (loop-carried state → sorted mapPartitions). The oracle
+    // replays the same greedy fill as a recursive CTE — a hash match
+    // proves the distributed scan's sequential semantics exactly.
+    "q81_pack_firstfit" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        functions.TextFunctions.wsTokenCount(col("text")).cast("long").as("n_tok"))
+      functions.Packing.packFirstFit(docs, col("doc_id"), col("n_tok"),
+        budget = 512L, nShards = 16)
+    }),
+
+    // W — SCD type-2 dimension build: each customer's order-status
+    // change log collapses to validity intervals (gaps-and-islands,
+    // one key exchange). valid_to IS NULL marks the current version.
+    "q82_scd2_intervals" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      graft.operators.Scd2.intervals(o, col("o_custkey"),
+          col("o_orderdate"), col("o_orderkey"), col("o_orderstatus"))
+        .select(col("k").as("custkey"), col("value").as("status"),
+          col("valid_from"), col("valid_to"), col("n_rows"))
+    }),
   )
 
   // ----------------------------------------------------------- oracle SQL
@@ -1763,5 +1796,75 @@ object SparkEntry {
          FROM e a JOIN e b ON a.vec_id < b.vec_id
          WHERE list_dot_product(a.v, b.v)
              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4""",
+    // full integer re-derivation of the concat-then-chunk layout: same
+    // md5-prefix shard, same window cumsum, same integer-div bins
+    "q80_pack_chunked" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tok,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 10000 % 16 AS shard
+           FROM documents),
+         w AS (
+           SELECT doc_id, n_tok, shard,
+             CAST(COALESCE(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+           FROM t)
+         SELECT doc_id, n_tok, shard, tok_offset,
+           tok_offset // 512 AS start_bin,
+           (tok_offset + greatest(n_tok, 1) - 1) // 512 AS end_bin,
+           (tok_offset + greatest(n_tok, 1) - 1) // 512 - tok_offset // 512 + 1 AS n_bins
+         FROM w""",
+    // the greedy first-fit fill replayed as a recursive CTE: one
+    // iteration consumes one document per shard, carrying (fill, bin) —
+    // the exact loop the Spark side runs inside each sorted partition
+    "q81_pack_firstfit" ->
+      """WITH RECURSIVE base AS (
+           SELECT doc_id,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tok,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 10000 % 16 AS shard
+           FROM documents),
+         t AS (
+           SELECT shard, doc_id, n_tok,
+             row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+           FROM base),
+         fill AS (
+           SELECT shard, rn, doc_id, n_tok, n_tok AS fill, CAST(0 AS BIGINT) AS bin
+           FROM t WHERE rn = 1
+           UNION ALL
+           SELECT t.shard, t.rn, t.doc_id, t.n_tok,
+             CASE WHEN f.fill + t.n_tok > 512 THEN t.n_tok ELSE f.fill + t.n_tok END,
+             CASE WHEN f.fill + t.n_tok > 512 THEN f.bin + 1 ELSE f.bin END
+           FROM t JOIN fill f ON t.shard = f.shard AND t.rn = f.rn + 1)
+         SELECT shard, doc_id, bin FROM fill""",
+    // identical gaps-and-islands windows: change flag → running island
+    // id → per-island bounds with lead() chaining valid_to
+    "q82_scd2_intervals" ->
+      """WITH log AS (
+           SELECT o_custkey AS k, o_orderdate AS ts, o_orderkey AS tie,
+                  o_orderstatus AS v
+           FROM orders),
+         flagged AS (
+           SELECT k, ts, tie, v,
+             CASE WHEN row_number() OVER (PARTITION BY k ORDER BY ts, tie) = 1 THEN 1
+                  WHEN NOT (v IS NOT DISTINCT FROM
+                            lag(v) OVER (PARTITION BY k ORDER BY ts, tie)) THEN 1
+                  ELSE 0 END AS chg
+           FROM log),
+         islands AS (
+           SELECT *, sum(chg) OVER (PARTITION BY k ORDER BY ts, tie
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+           FROM flagged),
+         iv AS (
+           SELECT k, island, min(v) AS status, min(ts) AS valid_from,
+                  CAST(count(*) AS BIGINT) AS n_rows
+           FROM islands GROUP BY k, island)
+         SELECT k AS custkey, status, valid_from,
+           lead(valid_from) OVER (PARTITION BY k ORDER BY island) AS valid_to,
+           n_rows
+         FROM iv""",
   )
 }

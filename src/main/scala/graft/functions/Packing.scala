@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing: place documents into fixed-size training contexts.
+  *
+  * Two standard shapes, both deterministic and engine-exact (integer
+  * arithmetic over a content-hash shard assignment — same md5-prefix
+  * basis as [[Sampling.hashBucketBp]], so any engine re-derives the
+  * layout bit-for-bit):
+  *
+  *  - **Concat-then-chunk** ([[packChunked]]): the GPT-style pretraining
+  *    layout — each shard's documents form one token stream in id order,
+  *    cut into `contextLen` windows; documents may straddle a boundary.
+  *    Pure projection + one partitioned window cumsum.
+  *  - **First-fit, no split** ([[packFirstFit]]): each document lands
+  *    whole in a bin; a bin closes when the next document would overflow
+  *    `budget`. The greedy fill is inherently sequential, so it runs
+  *    per shard: shards are independent, the scan inside a shard is a
+  *    single sorted pass.
+  *
+  * Scale shape: ONE shuffle on the shard key for either form. Shard
+  * count bounds both the window-sort size and the sequential-scan
+  * length — at 100 TB you raise `nShards` (10⁵–10⁶), keeping per-task
+  * work flat; no global sort, no driver state. The fat `text` column
+  * never enters the shuffle — packing consumes only (id, token count),
+  * and the plan joins placements back to content afterwards if needed.
+  */
+object Packing {
+
+  /** Deterministic shard from the id — content-hash, not `pmod(id)`, so
+    * adjacent ids spread and a re-numbered corpus reshuffles nothing
+    * else. Engine-portable md5-prefix arithmetic.
+    */
+  def shardOf(id: Column, nShards: Int): Column =
+    Sampling.hashBucketBp(id.cast("string")) % nShards
+
+  /** Concat-then-chunk placement. Emits one row per document:
+    * `shard`, `tok_offset` (start position in the shard's token stream),
+    * `start_bin`/`end_bin` (the `contextLen` windows the document
+    * touches — equal unless it straddles), `n_bins`.
+    */
+  def packChunked(df: DataFrame, id: Column, tokens: Column,
+                  contextLen: Long, nShards: Int): DataFrame = {
+    require(contextLen > 0, s"contextLen must be positive, got $contextLen")
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(id.cast("long").as("doc_id"), tokens.cast("long").as("n_tok"))
+      .withColumn("shard", shardOf(col("doc_id"), nShards))
+      .withColumn("tok_offset", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      // zero-token documents occupy no stream space: pin them to the bin
+      // at their offset (greatest(n_tok,1) makes the end-bin arithmetic
+      // degenerate to start_bin instead of offset-1 underflow). Integer
+      // `div`, not floor(/): double division loses exactness past 2^53,
+      // reachable by a shard stream's cumulative token count at scale.
+      .withColumn("start_bin", expr(s"tok_offset div ${contextLen}L"))
+      .withColumn("end_bin",
+        expr(s"(tok_offset + greatest(n_tok, 1L) - 1L) div ${contextLen}L"))
+      .withColumn("n_bins", col("end_bin") - col("start_bin") + 1)
+  }
+
+  /** First-fit whole-document packing: within a shard (id order), a
+    * document joins the current bin unless it would push the fill past
+    * `budget`, in which case it opens the next bin — an over-budget
+    * document gets a bin of its own. Emits (`shard`, `doc_id`, `bin`).
+    *
+    * The sequential fill runs inside `mapPartitions` over data
+    * repartitioned by shard and sorted by (shard, id): one pass, state
+    * resets at each shard boundary, many shards share a task. This is
+    * the (d)-tier escape hatch of the operator preference order — the
+    * running fill is a loop-carried dependency no window frame
+    * expresses (`sum() over` can't conditionally reset).
+    */
+  def packFirstFit(df: DataFrame, id: Column, tokens: Column,
+                   budget: Long, nShards: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.cast("long").as("doc_id"), tokens.cast("long").as("n_tok"))
+      .withColumn("shard", shardOf(col("doc_id"), nShards))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"))
+      .select(col("shard").cast("long"), col("doc_id"), col("n_tok"))
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        var curShard = -1L
+        var fill = 0L
+        var bin = 0L
+        it.map { case (shard, docId, tok) =>
+          if (shard != curShard) { curShard = shard; fill = tok; bin = 0L }
+          else if (fill + tok > budget) { bin += 1; fill = tok }
+          else fill += tok
+          (shard, docId, bin)
+        }
+      }
+      .toDF("shard", "doc_id", "bin")
+  }
+}
