@@ -37,7 +37,7 @@ object ConnectedComponents {
     * integral (cast to long).
     */
   def assign(edges: DataFrame, srcCol: String, dstCol: String,
-             maxIter: Int = 30): DataFrame = {
+             maxIter: Int = 30, smallGraphEdges: Long = 1L << 20): DataFrame = {
     // canonical (hi, lo) pairs, hi > lo — small-star's input invariant
     var e = edges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
@@ -52,6 +52,21 @@ object ConnectedComponents {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
     var fp = fingerprint(e)
+    // Small-graph fast path: dedup candidate pairs are usually orders of
+    // magnitude smaller than the corpus — often broadcast-small. When the
+    // (already counted) distinct edge set fits the same size class Spark
+    // happily collects for a broadcast join (1M edges = 16 MB), driver
+    // union-find beats O(log² n) rounds × (2 shuffles + checkpoint +
+    // fingerprint action) of cluster scheduling by seconds, with
+    // IDENTICAL output (min-reachable-id labels; spec-pinned against the
+    // iterative path). Past the threshold the star iteration runs — the
+    // 100 TB shape is unchanged.
+    if (fp._1 <= smallGraphEdges) {
+      val arr = e.select(col("hi"), col("lo"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      e.unpersist()
+      return assignLocal(edges.sparkSession, arr)
+    }
     var iter = 0
     var converged = fp._1 == 0L
     while (!converged && iter < maxIter) {
@@ -98,5 +113,35 @@ object ConnectedComponents {
     val out = members.union(roots).localCheckpoint(true)
     e.unpersist()
     out
+  }
+
+  /** Driver union-find over a collected edge array: path-compressed
+    * find + union-by-min-root, so every vertex labels with the minimum
+    * id reachable — the same contract as the star iteration.
+    */
+  private def assignLocal(spark: org.apache.spark.sql.SparkSession,
+                          edges: Array[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var root = x
+      while (parent.getOrDefault(root, root) != root) root = parent.get(root)
+      var cur = x // path compression
+      while (cur != root) { val next = parent.get(cur); parent.put(cur, root); cur = next }
+      root
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        // min root wins → labels are component minima by induction
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val verts = new java.util.HashSet[Long]()
+    edges.foreach { case (a, b) => verts.add(a); verts.add(b) }
+    val out = new Array[(Long, Long)](verts.size())
+    val it = verts.iterator(); var i = 0
+    while (it.hasNext) { val v = it.next(); out(i) = (v, find(v)); i += 1 }
+    spark.createDataset(out.toIndexedSeq).toDF("id", "component")
   }
 }

@@ -27,9 +27,20 @@ class ConnectedComponentsSpec extends SparkSpec {
     parent.keys.toSeq.map(k => k -> find(k)).toMap
   }
 
-  private def run(edges: Seq[(Long, Long)]): Map[Long, Long] =
-    ConnectedComponents.assign(edges.toDF("src", "dst"), "src", "dst")
+  /** Runs BOTH implementations — the driver union-find fast path
+    * (default threshold) and the star iteration (threshold 0) — and
+    * pins them equal before returning: every graph shape in this suite
+    * checks the paths against each other AND the reference.
+    */
+  private def run(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val df = edges.toDF("src", "dst")
+    val fast = ConnectedComponents.assign(df, "src", "dst")
       .as[(Long, Long)].collect().toMap
+    val iterative = ConnectedComponents.assign(df, "src", "dst", smallGraphEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(fast == iterative, "fast path and star iteration diverged")
+    fast
+  }
 
   test("random graphs match union-find exactly") {
     val rnd = new Random(7)
