@@ -666,6 +666,20 @@ object SparkEntry {
       s.table(name)
     }),
 
+    // ST — stream-STREAM interval self-join (attribution): purchases
+    // joined to the same user's clicks in the preceding 24 h, both sides
+    // watermarked so join state stays rate-bounded. Inner joins emit
+    // eagerly, so the drained pair set is deterministic and the oracle
+    // is the plain batch theta-join.
+    "q84_stream_stream_join" -> ((s, dir) => {
+      val tmp = stageEvents(dir)
+      val name = "graft_q84_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      graft.streaming.EventsStream.runToMemory(s, tmp.toString, name,
+        df => graft.streaming.EventsStream.purchaseAttribution(df))
+      dropStaged(tmp)
+      s.table(name)
+    }),
+
     // V — exact all-pairs embedding near-dup (the O(n²) baseline that
     // oracle-checks the cosine kernel; q26 is the LSH scale path).
     "q55_cosine_neardup_exact" -> ((s, dir) => {
@@ -1107,6 +1121,20 @@ object SparkEntry {
         functions.TextFunctions.wsTokenCount(col("text")).cast("long").as("n_tok"))
       functions.Packing.packFirstFit(docs, col("doc_id"), col("n_tok"),
         budget = 512L, nShards = 16)
+    }),
+
+    // L — z-order (Morton) interleave key: the multi-dimensional layout
+    // sort key as pure codegen bit arithmetic. The oracle re-derives
+    // every bit in SQL; the layout win itself (fewer files opened on a
+    // trailing-column predicate) is pinned by ZOrderSpec against
+    // TxTable's committed per-file stats.
+    "q83_zorder" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          (col("o_custkey") % 256).as("x"),
+          least(expr("CAST(round(o_totalprice*100) AS BIGINT) div 250000"),
+            lit(255L)).as("y"))
+        .withColumn("z", graft.sink.ZOrder.zValue(Seq(col("x"), col("y")), 8))
     }),
 
     // W — SCD type-2 dimension build: each customer's order-status
@@ -1649,6 +1677,16 @@ object SparkEntry {
          FROM documents GROUP BY 1, 2""",
     "q54_stream_distinct_pairs" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    // µs-truncated time arithmetic on both sides: the Spark stream reads
+    // the ns fixture truncated to µs timestamps, so the oracle compares
+    // at epoch_us too
+    "q84_stream_stream_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id
+         FROM events p JOIN events c
+           ON p.user_id = c.user_id
+          AND p.event_type = 'purchase' AND c.event_type = 'click'
+          AND epoch_us(c.ts) >= epoch_us(p.ts) - 86400000000
+          AND epoch_us(c.ts) <= epoch_us(p.ts)""",
     "q67_jdbc_roundtrip" ->
       """SELECT o_orderstatus, count(*) AS n,
          CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
@@ -1840,6 +1878,16 @@ object SparkEntry {
              CASE WHEN f.fill + t.n_tok > 512 THEN f.bin + 1 ELSE f.bin END
            FROM t JOIN fill f ON t.shard = f.shard AND t.rn = f.rn + 1)
          SELECT shard, doc_id, bin FROM fill""",
+    // bit-exact Morton interleave: sum of disjoint-bit terms == OR fold
+    "q83_zorder" ->
+      """WITH b AS (
+           SELECT o_orderkey, o_custkey % 256 AS x,
+             least(CAST(round(o_totalprice*100) AS BIGINT) // 250000, 255) AS y
+           FROM orders)
+         SELECT o_orderkey, x, y,
+           CAST(sum((((x >> r) & 1) << (2*r)) | (((y >> r) & 1) << (2*r+1))) AS BIGINT) AS z
+         FROM b, range(8) t(r)
+         GROUP BY o_orderkey, x, y""",
     // identical gaps-and-islands windows: change flag → running island
     // id → per-island bounds with lead() chaining valid_to
     "q82_scd2_intervals" ->

@@ -58,6 +58,32 @@ object EventsStream {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("value_cents"))
 
+  /** Stream-STREAM interval self-join: each purchase event joins the
+    * same user's click events from the preceding `windowHours` hours —
+    * the classic attribution query. Both sides carry watermarks, so the
+    * join state evicts clicks older than `windowHours + lateness` and
+    * purchases older than `lateness`: state is bounded by event RATE ×
+    * window, never by stream length. Inner joins emit eagerly (the
+    * watermark bounds state, not emission), so a finite drain yields
+    * every pair.
+    */
+  def purchaseAttribution(events: DataFrame, windowHours: Int = 24,
+                          lateness: String = "30 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", lateness)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", lateness)
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowHours HOURS") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("click_id"))
+  }
+
   /** Per-user event-time sessionization via mapGroupsWithState: a session
     * closes after `gapMinutes` of event-time silence. State is one small
     * struct per user — the scale limit is live keys, not events.

@@ -46,6 +46,26 @@ class EventsStreamSpec extends SparkSpec {
     assert(streamed.except(batch).isEmpty)
   }
 
+  test("stream-stream interval self-join emits exactly the batch theta-join pairs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssjoin")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$SfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    EventsStream.runToMemory(spark, dir.toString, "attrib",
+      df => EventsStream.purchaseAttribution(df, windowHours = 24))
+    val streamed = spark.table("attrib").select($"purchase_id", $"click_id")
+    val ev = Tables.load(spark, SfDir, "events")
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id".as("pu"), $"ts".as("pts"))
+    val c = ev.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id".as("cu"), $"ts".as("cts"))
+    val batch = p.join(c, $"pu" === $"cu" &&
+        $"cts" >= $"pts" - expr("INTERVAL 24 HOURS") && $"cts" <= $"pts")
+      .select($"purchase_id", $"click_id")
+    assert(streamed.count() > 0, "fixture must produce at least one pair")
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
   test("foreachBatch upsert leaves exactly the latest row per key") {
     val dir = java.nio.file.Files.createTempDirectory("graft-fbu")
     java.nio.file.Files.copy(
