@@ -1137,6 +1137,38 @@ object SparkEntry {
         .withColumn("z", graft.sink.ZOrder.zValue(Seq(col("x"), col("y")), 8))
     }),
 
+    // T — overlapping chunk spans (RAG/long-context prep): 128-token
+    // windows advancing by 96. Pure per-row generator — no shuffle;
+    // the oracle re-derives every span in integer arithmetic.
+    "q85_chunk_spans" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        functions.TextFunctions.wsTokenCount(col("text")).cast("long").as("n_tok"))
+      functions.Packing.chunkSpans(docs, col("doc_id"), col("n_tok"),
+        size = 128, overlap = 32)
+    }),
+
+    // M — REAL WAV audio decode: per-doc 16-bit PCM WAV bytes built and
+    // parsed through the JDK's javax.sound.sampled (genuine RIFF
+    // container round trip), features are exact integer aggregates over
+    // the PCM stream. The oracle regenerates the closed-form sample
+    // stream and aggregates it — only a real decode matches.
+    "q86_audio_features" -> ((s, dir) => {
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      val wav = functions.Multimodal.syntheticAudio(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id")
+      functions.Multimodal.extractAudioFeatures(wav).toDF()
+    }),
+
+    // V — symmetric int8 embedding quantization: 4× storage cut before
+    // anything shuffles. Explicit floor(x+0.5) rounding so every code
+    // hash-matches across engines (round-half semantics differ).
+    "q87_quantize_int8" -> ((s, dir) => {
+      val q = functions.Quantize.int8(col("embedding"))
+      t(s, dir, "embeddings").select(col("vec_id"),
+        concat_ws(",", transform(q, x => x.cast("string"))).as("q_str"),
+        aggregate(q, lit(0L), (acc, x) => acc + x).as("q_sum"))
+    }),
+
     // W — SCD type-2 dimension build: each customer's order-status
     // change log collapses to validity intervals (gaps-and-islands,
     // one key exchange). valid_to IS NULL marks the current version.
@@ -1878,6 +1910,49 @@ object SparkEntry {
              CASE WHEN f.fill + t.n_tok > 512 THEN f.bin + 1 ELSE f.bin END
            FROM t JOIN fill f ON t.shard = f.shard AND t.rn = f.rn + 1)
          SELECT shard, doc_id, bin FROM fill""",
+    "q85_chunk_spans" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tok
+           FROM documents),
+         c AS (SELECT doc_id, n_tok,
+                 1 + greatest(0, (n_tok - 128 + 95) // 96) AS n_chunks FROM t),
+         u AS (SELECT doc_id, n_tok, unnest(range(n_chunks)) AS chunk_idx FROM c)
+         SELECT doc_id, n_tok, chunk_idx,
+           chunk_idx * 96 AS tok_start,
+           least(chunk_idx * 96 + 128, n_tok) AS tok_end
+         FROM u""",
+    // regenerate the closed-form PCM stream and aggregate — matching
+    // requires the Spark side to have decoded the actual WAV container
+    "q86_audio_features" ->
+      """WITH ids AS (
+           SELECT doc_id, 1000 + doc_id % 500 AS n,
+                  CAST(8000 + (doc_id % 4) * 4000 AS INTEGER) AS sample_rate
+           FROM documents),
+         s AS (SELECT doc_id, n, sample_rate, unnest(range(n)) AS i FROM ids),
+         smp AS (SELECT doc_id, n, sample_rate,
+                   ((i*7919 + doc_id*104729) % 65536) - 32768 AS v FROM s)
+         SELECT doc_id AS id, sample_rate, CAST(1 AS INTEGER) AS channels,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(max(abs(v)) AS BIGINT) AS peak_abs,
+           CAST(sum(v) AS BIGINT) AS sum_samples,
+           CAST(sum(abs(v)) AS BIGINT) AS sum_abs
+         FROM smp GROUP BY doc_id, sample_rate, n""",
+    // identical floor(x+0.5) quantizer over double-cast floats
+    "q87_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                    FROM embeddings),
+         m AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) AS vmax FROM e),
+         q AS (SELECT vec_id,
+                 list_transform(v, x -> CASE WHEN vmax = 0 THEN 0
+                   ELSE greatest(-127, least(127,
+                     CAST(floor(x*127.0/vmax + 0.5) AS BIGINT))) END) AS qv
+               FROM m)
+         SELECT vec_id, array_to_string(qv, ',') AS q_str,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum
+         FROM q""",
     // bit-exact Morton interleave: sum of disjoint-bit terms == OR fold
     "q83_zorder" ->
       """WITH b AS (

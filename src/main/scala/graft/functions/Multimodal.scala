@@ -203,6 +203,99 @@ object Multimodal {
       }))
   }
 
+  // -------------------------------------------------------------- audio
+
+  // Audio fixture arithmetic — like the image fixture, closed-form in
+  // the id so the DuckDB oracle re-derives every decoded feature by
+  // generating the same samples (no closed-form needed: the oracle
+  // brute-forces the sample stream with generate_series).
+  private[graft] def nSamplesOf(id: Long): Int = (1000 + id % 500).toInt
+  private[graft] def sampleRateOf(id: Long): Int = (8000 + (id % 4) * 4000).toInt
+  private[graft] def sampleAt(id: Long, i: Long): Int =
+    (((i * 7919 + id * 104729) % 65536) - 32768).toInt
+
+  /** Real 16-bit mono PCM WAV bytes via the JDK's `javax.sound.sampled`
+    * writer — `AudioSystem.write(..., WAVE, ...)` builds the RIFF
+    * container, so the decode side exercises a genuine WAV parse.
+    */
+  private def encodeWav(id: Long): Array[Byte] = {
+    val n = nSamplesOf(id)
+    val pcm = new Array[Byte](n * 2) // 16-bit little-endian mono
+    var i = 0
+    while (i < n) {
+      val s = sampleAt(id, i.toLong)
+      pcm(2 * i) = (s & 0xFF).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRateOf(id).toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** (id, content): REAL WAV bytes per id, encoded distributed (same
+    * repartition-before-codec discipline as [[syntheticImages]]).
+    */
+  def syntheticAudio(df: DataFrame, idCol: String, batchSize: Int = 64)
+                    (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map(id => (id, encodeWav(id)))))
+      .toDF("id", "content")
+  }
+
+  /** Decoded audio features: exact integer aggregates over the PCM
+    * stream (order-independent, engine-portable). Unreadable payloads
+    * drop, like the image paths.
+    */
+  case class AudioFeatures(id: Long, sample_rate: Int, channels: Int,
+                           n_samples: Long, peak_abs: Long, sum_samples: Long,
+                           sum_abs: Long)
+
+  private def decodeWav(id: Long, bytes: Array[Byte]): Option[AudioFeatures] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16) None
+        else {
+          val ch = fmt.getChannels
+          val le = !fmt.isBigEndian
+          val buf = ais.readAllBytes()
+          val n = buf.length / 2
+          var (peak, sum, sumAbs) = (0L, 0L, 0L)
+          var i = 0
+          while (i < n) {
+            val (b0, b1) = (buf(2 * i) & 0xFF, buf(2 * i + 1) & 0xFF)
+            val s = (if (le) (b1 << 8) | b0 else (b0 << 8) | b1).toShort.toLong
+            peak = math.max(peak, math.abs(s)); sum += s; sumAbs += math.abs(s)
+            i += 1
+          }
+          Some(AudioFeatures(id, fmt.getSampleRate.toInt, ch,
+            n.toLong / ch, peak, sum, sumAbs))
+        }
+      } finally ais.close()
+    } catch { case _: Exception => None }
+
+  /** Batched full-stream WAV decode over a binary column. */
+  def extractAudioFeatures(df: DataFrame, idCol: String = "id",
+                           contentCol: String = "content", batchSize: Int = 64)
+                          (implicit spark: SparkSession): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(contentCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.flatMap {
+        case (id, bytes) => decodeWav(id, bytes)
+      }))
+  }
+
   // ------------------------------------------------- plan-level columns
 
   /** Resize plan: clamp the longer edge to `maxEdge`, preserving aspect —

@@ -62,6 +62,34 @@ object Packing {
       .withColumn("n_bins", col("end_bin") - col("start_bin") + 1)
   }
 
+  /** Overlapping chunk spans: split each document's token stream into
+    * windows of `size` tokens advancing by `size - overlap` — the
+    * RAG/long-context preparation step. One generator expression per
+    * row (`sequence` + `explode`), no shuffle at all: chunk geometry is
+    * a pure function of the document's own token count.
+    *
+    * Span contract: chunk `i` covers `[i*stride, min(i*stride+size,
+    * n_tok))`; every document emits at least one chunk (empty docs get
+    * the degenerate `[0, 0)`), the last chunk is the only one shorter
+    * than `size`, and consecutive chunks share exactly `overlap` tokens
+    * until the tail.
+    */
+  def chunkSpans(df: DataFrame, id: Column, tokens: Column,
+                 size: Int, overlap: Int): DataFrame = {
+    require(size > 0, s"size must be positive, got $size")
+    require(overlap >= 0 && overlap < size,
+      s"overlap must be in [0, size), got $overlap for size $size")
+    val stride = size - overlap
+    df.select(id.cast("long").as("doc_id"), tokens.cast("long").as("n_tok"))
+      .withColumn("__n_chunks",
+        lit(1L) + greatest(lit(0L),
+          expr(s"(n_tok - ${size}L + ${stride}L - 1L) div ${stride}L")))
+      .withColumn("chunk_idx", explode(sequence(lit(0L), col("__n_chunks") - 1)))
+      .select(col("doc_id"), col("n_tok"), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("tok_start"),
+        least(col("chunk_idx") * stride + size, col("n_tok")).as("tok_end"))
+  }
+
   /** First-fit whole-document packing: within a shard (id order), a
     * document joins the current bin unless it would push the fill past
     * `budget`, in which case it opens the next bin — an over-budget

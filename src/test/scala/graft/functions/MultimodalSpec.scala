@@ -73,4 +73,33 @@ class MultimodalSpec extends SparkSpec {
     assert(got(0).size <= 16 && got(0).head == 0L && got(0).last < 300)
     assert(got(1) == Seq(0L, 1L, 2L, 3L, 4L))
   }
+
+  test("WAV round trip: encode through javax.sound, decode recovers the exact PCM stream") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val ids = Seq(0L, 1L, 7L, 123L).toDF("doc_id")
+    val wav = Multimodal.syntheticAudio(ids, "doc_id")
+    // container sanity: RIFF/WAVE magic on real bytes
+    val bytes = wav.filter($"id" === 7L).select($"content").as[Array[Byte]].head()
+    assert(new String(bytes.slice(0, 4), "US-ASCII") == "RIFF")
+    assert(new String(bytes.slice(8, 12), "US-ASCII") == "WAVE")
+    val got = Multimodal.extractAudioFeatures(wav).collect()
+      .map(f => f.id -> f).toMap
+    Seq(0L, 1L, 7L, 123L).foreach { id =>
+      val n = Multimodal.nSamplesOf(id)
+      val samples = (0 until n).map(i => Multimodal.sampleAt(id, i.toLong).toLong)
+      val f = got(id)
+      assert(f.n_samples == n && f.sample_rate == Multimodal.sampleRateOf(id)
+        && f.channels == 1)
+      assert(f.sum_samples == samples.sum)
+      assert(f.sum_abs == samples.map(math.abs).sum)
+      assert(f.peak_abs == samples.map(math.abs).max)
+    }
+  }
+
+  test("non-audio payloads drop under the lossy-decode contract") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val junk = Seq((1L, "not audio".getBytes), (2L, Array.empty[Byte]))
+      .toDF("id", "content")
+    assert(Multimodal.extractAudioFeatures(junk).count() == 0)
+  }
 }

@@ -39,6 +39,25 @@ class PackingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("chunkSpans: full cover, exact overlap, short tail, degenerate empty doc") {
+    val d = Seq((1L, 300L), (2L, 128L), (3L, 50L), (4L, 0L)).toDF("doc_id", "n_tok")
+    val out = Packing.chunkSpans(d, $"doc_id", $"n_tok", size = 128, overlap = 32)
+      .select($"doc_id", $"chunk_idx", $"tok_start", $"tok_end")
+      .as[(Long, Long, Long, Long)].collect().groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(t => (t._3, t._4)).toSeq)
+    // 300 tokens, stride 96: [0,128) [96,224) [192,300) — covers, overlaps 32
+    assert(out(1L) == Seq((0L, 128L), (96L, 224L), (192L, 300L)))
+    assert(out(2L) == Seq((0L, 128L)), "exact-size doc is one chunk")
+    assert(out(3L) == Seq((0L, 50L)), "short doc is one short chunk")
+    assert(out(4L) == Seq((0L, 0L)), "empty doc emits the degenerate span")
+  }
+
+  test("chunkSpans rejects overlap >= size") {
+    intercept[IllegalArgumentException] {
+      Packing.chunkSpans(docs, $"doc_id", $"n_tok", size = 64, overlap = 64)
+    }
+  }
+
   test("packFirstFit: no bin exceeds budget unless a single doc does, ids stay whole") {
     val out = Packing.packFirstFit(docs, $"doc_id", $"n_tok",
       budget = 512L, nShards = 4)
