@@ -311,6 +311,26 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"))
     }),
 
+    // D6 — edit-distance verification of near-dup candidates: exact
+    // Levenshtein over a 256-char prefix, restricted to the simhash
+    // candidate pairs (the verify-only-candidates discipline). Both
+    // engines ship the identical DP, so the verified pairs hash-match.
+    "q88_edit_distance_verify" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val pairs = functions.Dedup.simhashPairsPortable(d, "text", "doc_id")
+      functions.Dedup.editDistancePairs(d, pairs, "text", "doc_id",
+        maxDist = 64, prefixLen = 256)
+    }),
+
+    // T — temperature-based corpus mixing (T=2): strata rebalance toward
+    // sqrt-share with integer-exact basis-point rates; the kept set is
+    // content-hash deterministic and re-derives fully in SQL.
+    "q89_temperature_mix" -> ((s, dir) => {
+      functions.Sampling.temperatureSample(t(s, dir, "documents"),
+          col("lang"), col("text"), budgetDocs = 200L)
+        .select(col("doc_id"), col("lang"))
+    }),
+
     // T6 — PII scrubbing: the synthetic corpus carries no PII, so the
     // query INJECTS deterministic email/URL/IP/phone strings derived
     // from doc_id — the oracle builds the identical string in SQL and
@@ -1910,6 +1930,46 @@ object SparkEntry {
              CASE WHEN f.fill + t.n_tok > 512 THEN f.bin + 1 ELSE f.bin END
            FROM t JOIN fill f ON t.shard = f.shard AND t.rn = f.rn + 1)
          SELECT shard, doc_id, bin FROM fill""",
+    // q24's candidate derivation + the same Levenshtein DP over the
+    // same 256-char prefixes
+    "q88_edit_distance_verify" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                      x -> x <> '') AS t
+           FROM documents),
+         th AS (
+           SELECT doc_id,
+                  list_transform(t, x -> CAST('0x'||substring(md5(x), 1, 15) AS BIGINT)) AS h,
+                  len(t) AS n
+           FROM toks),
+         bits AS (
+           SELECT doc_id, b,
+                  CASE WHEN 2 * len(list_filter(h, v -> (v >> b) & 1 = 1)) > n
+                       THEN (CAST(1 AS BIGINT) << b) ELSE 0 END AS bit
+           FROM th, range(0, 60) r(b)),
+         sims AS (
+           SELECT doc_id, CAST(sum(bit) AS BIGINT) AS sim FROM bits GROUP BY doc_id),
+         blocks AS (
+           SELECT doc_id, blk, (sim >> CAST(blk * 15 AS INTEGER)) & 32767 AS bucket, sim
+           FROM sims, range(0, 4) r(blk)),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS idA, b.doc_id AS idB, a.sim AS simA, b.sim AS simB
+           FROM blocks a JOIN blocks b
+             ON a.blk = b.blk AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         cand AS (SELECT idA, idB FROM pairs WHERE bit_count(xor(simA, simB)) <= 3),
+         pre AS (SELECT doc_id, substring(text, 1, 256) AS pfx FROM documents)
+         SELECT c.idA, c.idB,
+           CAST(levenshtein(a.pfx, b.pfx) AS INTEGER) AS edit_dist
+         FROM cand c JOIN pre a ON c.idA = a.doc_id JOIN pre b ON c.idB = b.doc_id
+         WHERE levenshtein(a.pfx, b.pfx) <= 64""",
+    // integer-exact sqrt-share rates re-derived in SQL, same md5 filter
+    "q89_temperature_mix" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+         w AS (SELECT lang, n, CAST(floor(sqrt(n)) AS BIGINT) AS wt FROM c),
+         tot AS (SELECT CAST(sum(wt) AS BIGINT) AS tw FROM w),
+         r AS (SELECT lang, least(10000, (10000 * 200 * wt) // (n * tw)) AS bp FROM w, tot)
+         SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+         WHERE CAST(('0x' || substring(md5(d.text), 1, 8)) AS BIGINT) % 10000 < r.bp""",
     "q85_chunk_spans" ->
       """WITH t AS (
            SELECT doc_id,

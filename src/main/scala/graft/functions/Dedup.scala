@@ -313,6 +313,30 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Edit-distance verification of candidate pairs: exact Levenshtein
+    * over a bounded text prefix, the fuzzy-match kernel for short-string
+    * dedup (titles, names, URLs) where token-set Jaccard is blind to
+    * character-level edits. The DP is O(prefix²) per pair — `prefixLen`
+    * is the cost cap, and the candidate set (never the corpus) pays it:
+    * same verify-only-candidates discipline as [[ngramJaccardPairs]].
+    * `levenshtein` is codegen'd and engine-portable (DuckDB ships the
+    * identical DP), so the verified pair set hash-matches SQL.
+    */
+  def editDistancePairs(df: DataFrame, pairs: DataFrame, textCol: String,
+                        idCol: String, maxDist: Int,
+                        prefixLen: Int = 256): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
+    require(prefixLen >= 1, s"prefixLen must be positive, got $prefixLen")
+    val pre = df.select(col(idCol).as("id"),
+      substring(col(textCol), 1, prefixLen).as("pfx"))
+    pairs.select(col("idA"), col("idB"))
+      .join(pre.select(col("id").as("idA"), col("pfx").as("pfxA")), Seq("idA"))
+      .join(pre.select(col("id").as("idB"), col("pfx").as("pfxB")), Seq("idB"))
+      .select(col("idA"), col("idB"),
+        levenshtein(col("pfxA"), col("pfxB")).as("edit_dist"))
+      .filter(col("edit_dist") <= maxDist)
+  }
+
   // ------------------------------------------------- transitive clusters
 
   /** Transitive near-dup cluster assignment: candidate pairs → connected

@@ -40,6 +40,33 @@ object Sampling {
     df.filter(hashBucketBp(key) < rate)
   }
 
+  /** Temperature-based corpus mixing at T=2: rebalance strata toward
+    * p_s ∝ √n_s (the standard move that damps head domains and boosts
+    * tail ones), targeting ~`budgetDocs` sampled documents overall.
+    * Per-stratum keep rate in basis points:
+    *
+    *   bp_s = min(10000, (10000 · budget · ⌊√n_s⌋) div (n_s · Σ⌊√n_t⌋))
+    *
+    * — ALL integer arithmetic over exact counts (√ of an int64 is
+    * correctly rounded IEEE, so ⌊√n⌋ is engine-exact), which keeps the
+    * kept set hash-reproducible anywhere, like every sampler here.
+    * Shape: one tiny per-stratum aggregate broadcast back onto the
+    * corpus + the content-hash filter; the corpus makes one pass.
+    */
+  def temperatureSample(df: DataFrame, stratum: Column, key: Column,
+                        budgetDocs: Long): DataFrame = {
+    require(budgetDocs > 0, s"budgetDocs must be positive, got $budgetDocs")
+    val w = df.groupBy(stratum.as("__s")).agg(count(lit(1)).as("__n"))
+      .withColumn("__w", floor(sqrt(col("__n").cast("double"))).cast("long"))
+    val totalW = w.agg(sum(col("__w"))).head().getLong(0)
+    val rates = w.withColumn("__bp",
+      least(lit(10000L), expr(s"(10000L * ${budgetDocs}L * __w) div (__n * ${totalW}L)")))
+      .select(col("__s"), col("__bp"))
+    df.join(broadcast(rates), stratum === col("__s"))
+      .filter(hashBucketBp(key) < col("__bp"))
+      .drop("__s", "__bp")
+  }
+
   /** Token-budget curation: per stratum, greedily keep the largest
     * documents (ties → lowest id) until the cumulative token count
     * exceeds `budget`. One partitioned-window pass; integer arithmetic

@@ -387,4 +387,25 @@ class FunctionsSpec extends SparkSpec {
     assert(kept == Set(2L, 10L, 20L))
     // contrast: the min-id survivor rule would keep 1 (score 5), not 2
   }
+
+  test("editDistancePairs verifies exactly the candidate pairs, prefix-capped") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "the quick brown fax"),  // dist 1 from doc 1
+      (3L, "completely different"),
+      (4L, "Y" * 300 + "tail-a"),   // differs from 5 only past prefix 256
+      (5L, "Y" * 300 + "tail-b"))
+      .toDF("doc_id", "text")
+    val cands = Seq((1L, 2L), (1L, 3L), (4L, 5L)).toDF("idA", "idB")
+    val got = Dedup.editDistancePairs(docs, cands, "text", "doc_id", maxDist = 5)
+      .select(col("idA"), col("idB"), col("edit_dist"))
+      .as[(Long, Long, Int)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(got((1L, 2L)) == 1)
+    assert(!got.contains((1L, 3L)), "far pair must fail verification")
+    assert(got((4L, 5L)) == 0, "differences past the prefix cap are invisible")
+    // non-candidate near-identical pair (2,1 reversed / others) never appears:
+    // the kernel verifies candidates only, it does not generate pairs
+    assert(got.size == 2)
+  }
 }

@@ -35,6 +35,27 @@ class SamplingSpec extends SparkSpec {
     assert(out.filter($"lang" === "en").count() == docs.filter($"lang" === "en").count())
   }
 
+  test("temperatureSample flattens strata toward sqrt-share and stays deterministic") {
+    // head stratum 900 docs, tail 100: T=2 targets sqrt shares 3:1
+    // (vs raw 9:1), so the tail's KEEP RATE must exceed the head's
+    val d = (1L to 900L).map(i => ("head", i)) ++ (1001L to 1100L).map(i => ("tail", i))
+    val df = d.toDF("src", "id").withColumn("key", concat(lit("k"), $"id"))
+    val kept = Sampling.temperatureSample(df, $"src", $"key", budgetDocs = 400L)
+    val byStratum = kept.groupBy($"src").count().as[(String, Long)].collect().toMap
+    val rateHead = byStratum.getOrElse("head", 0L).toDouble / 900
+    val rateTail = byStratum.getOrElse("tail", 0L).toDouble / 100
+    assert(rateTail > rateHead,
+      s"tail rate $rateTail must exceed head rate $rateHead under T=2")
+    // overall yield lands near the budget (hash-sample variance aside)
+    val total = byStratum.values.sum
+    assert(total > 200 && total < 600, s"yield $total far from budget 400")
+    // partition-invariant determinism, like every sampler here
+    val a = kept.select($"id").as[Long].collect().toSet
+    val b = Sampling.temperatureSample(df.repartition(7), $"src", $"key", 400L)
+      .select($"id").as[Long].collect().toSet
+    assert(a == b)
+  }
+
   test("tokenBudget keeps the largest docs per stratum within budget, deterministically") {
     val d = Seq(
       ("en", 1L, 100L), ("en", 2L, 80L), ("en", 3L, 80L), ("en", 4L, 50L),
