@@ -331,6 +331,23 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // J4 — bloom semi-join reduction: the fact side is might_contain-
+    // filtered by a bloom built over the selective dim slice BEFORE its
+    // shuffle (Spark's own runtime-filter kernels, explicit form). No
+    // false negatives → exact same result as the plain join, which is
+    // exactly what the oracle runs.
+    "q90_bloom_semijoin" -> ((s, dir) => {
+      val dim = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      graft.operators.BloomPrune.prunedJoin(
+          t(s, dir, "orders").withColumnRenamed("o_custkey", "c_custkey"),
+          dim, "c_custkey")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    }),
+
     // T6 — PII scrubbing: the synthetic corpus carries no PII, so the
     // query INJECTS deterministic email/URL/IP/phone strings derived
     // from doc_id — the oracle builds the identical string in SQL and
@@ -1930,6 +1947,12 @@ object SparkEntry {
              CASE WHEN f.fill + t.n_tok > 512 THEN f.bin + 1 ELSE f.bin END
            FROM t JOIN fill f ON t.shard = f.shard AND t.rn = f.rn + 1)
          SELECT shard, doc_id, bin FROM fill""",
+    // bloom pruning has no false negatives: the reduced join IS the join
+    "q90_bloom_semijoin" ->
+      """SELECT c_mktsegment, count(*) AS n,
+         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING' GROUP BY 1""",
     // q24's candidate derivation + the same Levenshtein DP over the
     // same 256-char prefixes
     "q88_edit_distance_verify" ->
