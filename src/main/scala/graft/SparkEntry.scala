@@ -348,6 +348,17 @@ object SparkEntry {
           sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
     }),
 
+    // T — BPE-ish tokenization (GPT-2 pre-token pattern in the Java ∩
+    // RE2 regex subset): per-doc BPE vs whitespace counts — the honest
+    // token-cost estimate for punctuation-heavy text. Oracle runs the
+    // identical pattern.
+    "q91_bpe_tokens" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+        functions.TextFunctions.bpeTokenCount(col("text")).as("n_bpe"),
+        functions.TextFunctions.wsTokenCount(col("text")).as("n_ws"))
+    }),
+
     // T6 — PII scrubbing: the synthetic corpus carries no PII, so the
     // query INJECTS deterministic email/URL/IP/phone strings derived
     // from doc_id — the oracle builds the identical string in SQL and
@@ -1947,6 +1958,14 @@ object SparkEntry {
              CASE WHEN f.fill + t.n_tok > 512 THEN f.bin + 1 ELSE f.bin END
            FROM t JOIN fill f ON t.shard = f.shard AND t.rn = f.rn + 1)
          SELECT shard, doc_id, bin FROM fill""",
+    // same BPE pre-token pattern ('' = SQL-escaped apostrophe)
+    "q91_bpe_tokens" ->
+      """SELECT doc_id,
+         CAST(len(regexp_extract_all(text,
+           '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+', 0)) AS INTEGER) AS n_bpe,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS INTEGER) AS n_ws
+         FROM documents""",
     // bloom pruning has no false negatives: the reduced join IS the join
     "q90_bloom_semijoin" ->
       """SELECT c_mktsegment, count(*) AS n,

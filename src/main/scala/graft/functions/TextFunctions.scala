@@ -26,6 +26,27 @@ object TextFunctions {
   def tokens(text: Column): Column =
     filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
 
+  /** GPT-2-style BPE pre-tokenization pattern, restricted to the
+    * Java-regex ∩ RE2 subset (no lookahead — DuckDB/RE2 lacks it; the
+    * original pattern's `\s+(?!\S)` trailing-space rule is dropped, a
+    * documented simplification). Matches tile the whole string:
+    * contractions, space-prefixed letter/digit runs, space-prefixed
+    * punctuation runs, whitespace runs.
+    */
+  val BpePattern: String =
+    """'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"""
+
+  /** BPE-ish pre-tokens (case-preserving, space-prefixed like GPT-2). */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpePattern), lit(0))
+
+  /** BPE-ish token count — the closer-to-real cost estimator (whitespace
+    * counting undercounts punctuation-heavy text, where BPE spends
+    * tokens).
+    */
+  def bpeTokenCount(text: Column): Column =
+    when(text.isNull, lit(null)).otherwise(size(bpeTokens(text)))
+
   /** Word n-gram shingles of the token array; documents shorter than `n`
     * tokens yield one whole-document shingle.
     */

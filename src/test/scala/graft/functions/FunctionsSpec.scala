@@ -388,6 +388,21 @@ class FunctionsSpec extends SparkSpec {
     // contrast: the min-id survivor rule would keep 1 (score 5), not 2
   }
 
+  test("bpeTokens: GPT-2-style pre-tokens, matches tile the whole string") {
+    import org.apache.spark.sql.functions.{col, concat_ws}
+    val df = Seq("It's 42 degrees—isn't it? Ja, schön!").toDF("text")
+    val toks = df.select(TextFunctions.bpeTokens(col("text")).as("t"))
+      .as[Seq[String]].head()
+    assert(toks == Seq("It", "'s", " 42", " degrees", "—", "isn", "'t",
+      " it", "?", " Ja", ",", " schön", "!"))
+    // the pattern is total: concatenated matches reconstruct the input
+    val docs = graft.sources.Tables.load(spark, SfDir, "documents")
+    val broken = docs.select(col("text"),
+        concat_ws("", TextFunctions.bpeTokens(col("text"))).as("rebuilt"))
+      .filter(col("text").isNotNull && col("text") =!= col("rebuilt")).count()
+    assert(broken == 0, "BPE pre-tokens must tile the input exactly")
+  }
+
   test("editDistancePairs verifies exactly the candidate pairs, prefix-capped") {
     import org.apache.spark.sql.functions.col
     val docs = Seq(
