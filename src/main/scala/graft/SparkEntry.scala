@@ -359,6 +359,18 @@ object SparkEntry {
         functions.TextFunctions.wsTokenCount(col("text")).as("n_ws"))
     }),
 
+    // T — REAL merge-table BPE (Bpe.DefaultMerges, trained by
+    // tools.BpeTrain): per-doc pre-token count, merged token count, and
+    // the FULL merged segmentation joined with '|'. The oracle replays
+    // the identical rank-order merge loop as a recursive CTE over the
+    // frozen merge list — a hash match pins every token BOUNDARY, not
+    // just counts.
+    "q92_bpe_merged" -> ((s, dir) => {
+      functions.Bpe.mergedTokensPerDoc(t(s, dir, "documents"),
+          col("doc_id"), col("text"), functions.Bpe.DefaultMerges)
+        .select(col("id").as("doc_id"), col("n_pre"), col("n_tok"), col("toks"))
+    }),
+
     // T6 — PII scrubbing: the synthetic corpus carries no PII, so the
     // query INJECTS deterministic email/URL/IP/phone strings derived
     // from doc_id — the oracle builds the identical string in SQL and
@@ -847,10 +859,10 @@ object SparkEntry {
         .toDF("o_custkey", "o_orderkey")
     }),
 
-    // E2E — lake maintenance (rows-only): chunk-append a table in small
-    // pieces (the reference's per-400k-chunk write pattern), compact it,
-    // and emit the invariants: rows preserved, file count collapsed to
-    // the target, clustering column intact.
+    // E2E — lake maintenance, oracle-checked: chunk-append a table in
+    // small pieces (the reference's per-400k-chunk write pattern),
+    // compact it, and emit the post-compaction content aggregate; file
+    // collapse and row preservation are hard `require`s.
     "q66_compaction" -> ((s, dir) => {
       import s.implicits._
       val tmp = java.nio.file.Files.createTempDirectory("graft-q66").toString
@@ -865,17 +877,28 @@ object SparkEntry {
       val rows = graft.sink.Compaction.compactTable(s, path,
         clusterBy = Some("o_orderdate"), targetRowsPerFile = 1000000L)
       val filesAfter = graft.sink.Rollback.listFiles(s, path).count(_.endsWith(".parquet"))
-      val rowsAfter = s.read.parquet(path).count()
+      // structural compaction facts stay hard requirements (q75 pattern);
+      // the OUTPUT is the post-compaction content aggregate, which the
+      // oracle recomputes from the base table — a hash match proves the
+      // rewrite+swap preserved every row.
+      require(filesBefore > filesAfter && filesAfter == 1,
+        s"compaction must shrink $filesBefore files to 1, got $filesAfter")
+      require(rows == s.read.parquet(path).count(),
+        "compaction must preserve the row count it reported")
+      val row = s.read.parquet(path)
+        .agg(count(lit(1)).as("n_rows"), sum(col("o_orderkey")).as("key_sum")).head()
       dropStaged(java.nio.file.Paths.get(tmp))
-      Seq((rows, rowsAfter == rows, filesBefore > filesAfter, filesAfter == 1))
-        .toDF("n_rows", "rows_preserved", "files_reduced", "single_file")
+      Seq((row.getLong(0), row.getLong(1))).toDF("n_rows", "key_sum")
     }),
 
-    // E2E — multi-spec orchestration (rows-only): three specs fan out
-    // concurrently (one with an invalid partition config to prove
+    // E2E — multi-spec orchestration, oracle-checked: three specs fan
+    // out concurrently (one with an invalid partition config to prove
     // contained failure), then the per-spec statuses + lake counts are
-    // emitted. The thread-pool fan-out of the reference, as futures over
-    // one SparkSession.
+    // emitted. The expected table is fully deterministic — two successes
+    // carrying the full events count, one contained failure with an
+    // empty lake — so the oracle re-derives it and a hash match pins the
+    // whole concurrent lifecycle. The thread-pool fan-out of the
+    // reference, as futures over one SparkSession.
     "q65_orchestrated_runs" -> ((s, dir) => {
       import s.implicits._
       val tmp = java.nio.file.Files.createTempDirectory("graft-q65").toString
@@ -1029,10 +1052,14 @@ object SparkEntry {
     }),
 
     // T — token-budget corpus curation: per language, greedily keep the
-    // largest documents until 20k tokens (integer window cumsum).
+    // largest documents until 20k tokens (integer window cumsum). Token
+    // counts are REAL merge-table BPE counts (Bpe.DefaultMerges), not
+    // whitespace estimates — the oracle replays the merge loop in SQL.
     "q71_token_budget" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"),
-        TextFunctions.wsTokenCount(col("text")).cast("long").as("n_tok"))
+      val docs = functions.Bpe.withMergedCount(
+          t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text")),
+          "text", "n_tok", functions.Bpe.DefaultMerges)
+        .select(col("doc_id"), col("lang"), col("n_tok").cast("long").as("n_tok"))
       functions.Sampling.tokenBudget(docs, col("lang"), col("n_tok"),
           col("doc_id"), budget = 20000L)
         .select(col("doc_id"), col("lang"), col("n_tok"))
@@ -1154,8 +1181,9 @@ object SparkEntry {
     // in id order cut into 512-token contexts. Pure window cumsum — the
     // oracle re-derives every offset and bin in integer arithmetic.
     "q80_pack_chunked" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"),
-        functions.TextFunctions.wsTokenCount(col("text")).cast("long").as("n_tok"))
+      val docs = functions.Bpe.withMergedCount(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "text", "n_tok", functions.Bpe.DefaultMerges)
       functions.Packing.packChunked(docs, col("doc_id"), col("n_tok"),
         contextLen = 512L, nShards = 16)
     }),
@@ -1165,8 +1193,9 @@ object SparkEntry {
     // replays the same greedy fill as a recursive CTE — a hash match
     // proves the distributed scan's sequential semantics exactly.
     "q81_pack_firstfit" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"),
-        functions.TextFunctions.wsTokenCount(col("text")).cast("long").as("n_tok"))
+      val docs = functions.Bpe.withMergedCount(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "text", "n_tok", functions.Bpe.DefaultMerges)
       functions.Packing.packFirstFit(docs, col("doc_id"), col("n_tok"),
         budget = 512L, nShards = 16)
     }),
@@ -1189,8 +1218,9 @@ object SparkEntry {
     // windows advancing by 96. Pure per-row generator — no shuffle;
     // the oracle re-derives every span in integer arithmetic.
     "q85_chunk_spans" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"),
-        functions.TextFunctions.wsTokenCount(col("text")).cast("long").as("n_tok"))
+      val docs = functions.Bpe.withMergedCount(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "text", "n_tok", functions.Bpe.DefaultMerges)
       functions.Packing.chunkSpans(docs, col("doc_id"), col("n_tok"),
         size = 128, overlap = 32)
     }),
@@ -1231,7 +1261,66 @@ object SparkEntry {
 
   // ----------------------------------------------------------- oracle SQL
 
+  /** The frozen BPE merge list as a SQL VALUES fragment (rank, a, b). */
+  private val bpeMergeValues: String =
+    functions.Bpe.DefaultMerges.zipWithIndex.map { case ((a, b), i) =>
+      s"($i,'${a.replace("'", "''")}','${b.replace("'", "''")}')"
+    }.mkString(",")
+
+  /** [[functions.TextFunctions.BpePattern]] with the contraction
+    * apostrophe doubled for SQL string-literal embedding.
+    */
+  private val bpePretokPat: String =
+    """''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"""
+
+  /** Shared oracle CTE block replaying merge-table BPE in SQL: the
+    * pre-tokens of every document (with ordinal), the distinct pre-token
+    * vocabulary, and a RECURSIVE rank-order merge loop over a
+    * chr(30)-delimited symbol string — one `replace()` call is exactly
+    * one left-to-right non-overlapping merge pass, iterated to fixpoint
+    * per rank (the same loop Bpe.applyMerges runs; see the rank-order
+    * equivalence note there). Yields `bpe(doc_id, n_pre, n_tok, toks)`.
+    * Use under `WITH RECURSIVE`.
+    */
+  private val bpeCtes: String = {
+    val n = functions.Bpe.DefaultMerges.length
+    val step = "replace(s, chr(30)||m.a||chr(30)||m.b||chr(30), chr(30)||m.a||m.b||chr(30))"
+    s"""merges(r, a, b) AS (VALUES $bpeMergeValues),
+       pretok AS (
+         SELECT doc_id,
+           unnest(regexp_extract_all(text, '$bpePretokPat', 0)) AS tok,
+           unnest(range(1, len(regexp_extract_all(text, '$bpePretokPat', 0)) + 1)) AS i
+         FROM documents),
+       bvocab AS (SELECT DISTINCT tok FROM pretok),
+       bst AS (
+         SELECT tok, chr(30) || array_to_string(string_split(tok, ''), chr(30)) || chr(30) AS s,
+                0 AS r
+         FROM bvocab
+         UNION ALL
+         SELECT tok, $step,
+           CASE WHEN $step <> s THEN bst.r ELSE bst.r + 1 END
+         FROM bst JOIN merges m ON m.r = bst.r
+         WHERE bst.r < $n),
+       bdone AS (
+         SELECT tok, len(string_split(s, chr(30))) - 2 AS n_merged,
+                trim(replace(s, chr(30), '|'), '|') AS toks_str
+         FROM bst WHERE r = $n),
+       bagg AS (
+         SELECT p.doc_id,
+           CAST(count(*) AS INTEGER) AS n_pre,
+           CAST(sum(d.n_merged) AS INTEGER) AS n_tok,
+           string_agg(d.toks_str, '|' ORDER BY p.i) AS toks
+         FROM pretok p JOIN bdone d USING (tok) GROUP BY 1),
+       bpe AS (
+         SELECT d.doc_id, COALESCE(b.n_pre, 0) AS n_pre,
+                COALESCE(b.n_tok, 0) AS n_tok, COALESCE(b.toks, '') AS toks
+         FROM documents d LEFT JOIN bagg b USING (doc_id))"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q92_bpe_merged" ->
+      s"""WITH RECURSIVE $bpeCtes
+         SELECT doc_id, n_pre, n_tok, toks FROM bpe""",
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          sum(l_quantity) AS sum_qty,
@@ -1795,6 +1884,18 @@ object SparkEntry {
       """SELECT count(*) AS n,
          CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
          FROM orders WHERE o_orderkey BETWEEN 1 AND 1000""",
+    // the compacted table's content aggregate must equal the base table's
+    // (file-collapse structure is `require`d inside the query)
+    "q66_compaction" ->
+      """SELECT count(*) AS n_rows, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+         FROM orders""",
+    // the orchestration outcome is deterministic: specs 1–2 ingest every
+    // event, spec 3's invalid partition config fails contained
+    "q65_orchestrated_runs" ->
+      """SELECT CAST(1 AS BIGINT) AS spec_id, 'success' AS status,
+           (SELECT count(*) FROM events) AS lake_rows
+         UNION ALL SELECT 2, 'success', (SELECT count(*) FROM events)
+         UNION ALL SELECT 3, 'failed', 0""",
     "q70_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
          WHERE CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT) % 10000 <
@@ -1822,12 +1923,12 @@ object SparkEntry {
          FROM events e JOIN iv
            ON e.ts >= iv.d + INTERVAL 5 HOUR AND e.ts < iv.d + INTERVAL 29 HOUR
          GROUP BY 1""",
+    // token counts are the BPE merge replay (shared bpe CTE block)
     "q71_token_budget" ->
-      """WITH t AS (
-           SELECT doc_id, lang,
-             CAST(CASE WHEN trim(text) = '' THEN 0
-                  ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tok
-           FROM documents)
+      s"""WITH RECURSIVE $bpeCtes,
+         t AS (
+           SELECT d.doc_id, d.lang, CAST(b.n_tok AS BIGINT) AS n_tok
+           FROM documents d JOIN bpe b USING (doc_id))
          SELECT doc_id, lang, n_tok FROM (
            SELECT *, sum(n_tok) OVER (PARTITION BY lang ORDER BY n_tok DESC, doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
@@ -1917,13 +2018,12 @@ object SparkEntry {
     // full integer re-derivation of the concat-then-chunk layout: same
     // md5-prefix shard, same window cumsum, same integer-div bins
     "q80_pack_chunked" ->
-      """WITH t AS (
-           SELECT doc_id,
-             CAST(CASE WHEN trim(text) = '' THEN 0
-                  ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tok,
+      s"""WITH RECURSIVE $bpeCtes,
+         t AS (
+           SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
              CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
                % 10000 % 16 AS shard
-           FROM documents),
+           FROM bpe),
          w AS (
            SELECT doc_id, n_tok, shard,
              CAST(COALESCE(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
@@ -1938,13 +2038,12 @@ object SparkEntry {
     // iteration consumes one document per shard, carrying (fill, bin) —
     // the exact loop the Spark side runs inside each sorted partition
     "q81_pack_firstfit" ->
-      """WITH RECURSIVE base AS (
-           SELECT doc_id,
-             CAST(CASE WHEN trim(text) = '' THEN 0
-                  ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tok,
+      s"""WITH RECURSIVE $bpeCtes,
+         base AS (
+           SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
              CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
                % 10000 % 16 AS shard
-           FROM documents),
+           FROM bpe),
          t AS (
            SELECT shard, doc_id, n_tok,
              row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
@@ -2013,11 +2112,8 @@ object SparkEntry {
          SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
          WHERE CAST(('0x' || substring(md5(d.text), 1, 8)) AS BIGINT) % 10000 < r.bp""",
     "q85_chunk_spans" ->
-      """WITH t AS (
-           SELECT doc_id,
-             CAST(CASE WHEN trim(text) = '' THEN 0
-                  ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tok
-           FROM documents),
+      s"""WITH RECURSIVE $bpeCtes,
+         t AS (SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok FROM bpe),
          c AS (SELECT doc_id, n_tok,
                  1 + greatest(0, (n_tok - 128 + 95) // 96) AS n_chunks FROM t),
          u AS (SELECT doc_id, n_tok, unnest(range(n_chunks)) AS chunk_idx FROM c)
