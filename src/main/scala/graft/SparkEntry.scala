@@ -1259,6 +1259,25 @@ object SparkEntry {
     }),
   )
 
+  // ----------------------------------------------------------- bench-only
+
+  /** Timed by Bench but NOT part of the correctness gate: production
+    * fast paths whose gate query deliberately times an engine-portable
+    * twin instead. Each is correctness-pinned elsewhere (spec bit-parity
+    * or recall floors) — this map exists so a fast-path performance
+    * regression is visible in BENCH output, not hidden behind the
+    * portable path's number.
+    */
+  def benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q24's production path: xxhash64 simhash (one hash pass vs md5's
+    // four rounds). Bit-parity with the portable path is spec-pinned
+    // (DedupSpec); q24 times the md5 oracle-portable twin.
+    "b24_simhash_fast" -> ((s, dir) => {
+      functions.Dedup.simhashDedup(t(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id"), col("lang"))
+    }),
+  )
+
   // ----------------------------------------------------------- oracle SQL
 
   /** The frozen BPE merge list as a SQL VALUES fragment (rank, a, b). */

@@ -264,7 +264,11 @@ object Multimodal {
         new ByteArrayInputStream(bytes))
       try {
         val fmt = ais.getFormat
-        if (fmt.getSampleSizeInBits != 16) None
+        // mono 16-bit only: multi-channel aggregates over the interleaved
+        // stream would silently mix channels (peak/sum would be
+        // per-frame-ambiguous), so reject like the bit-depth check — a
+        // skipped row is visible, a wrong aggregate is not
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) None
         else {
           val ch = fmt.getChannels
           val le = !fmt.isBigEndian

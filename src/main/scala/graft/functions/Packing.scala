@@ -75,15 +75,29 @@ object Packing {
     * until the tail.
     */
   def chunkSpans(df: DataFrame, id: Column, tokens: Column,
-                 size: Int, overlap: Int): DataFrame = {
+                 size: Int, overlap: Int,
+                 maxChunksPerDoc: Long = 1L << 20): DataFrame = {
     require(size > 0, s"size must be positive, got $size")
     require(overlap >= 0 && overlap < size,
       s"overlap must be in [0, size), got $overlap for size $size")
+    require(maxChunksPerDoc > 0,
+      s"maxChunksPerDoc must be positive, got $maxChunksPerDoc")
     val stride = size - overlap
+    // `sequence` materializes the whole chunk-index array in ONE row
+    // before exploding, so a pathological (n_tok huge, stride tiny)
+    // document is an executor-OOM vector — fail loudly at the cap
+    // instead (the RangeJoin explode-cap pattern). 2^20 chunks ≈ an 8 MB
+    // transient array per row, safely inside any sane executor.
+    val nc = lit(1L) + greatest(lit(0L),
+      expr(s"(n_tok - ${size}L + ${stride}L - 1L) div ${stride}L"))
     df.select(id.cast("long").as("doc_id"), tokens.cast("long").as("n_tok"))
       .withColumn("__n_chunks",
-        lit(1L) + greatest(lit(0L),
-          expr(s"(n_tok - ${size}L + ${stride}L - 1L) div ${stride}L")))
+        when(nc <= maxChunksPerDoc, nc)
+          .otherwise(raise_error(format_string(
+            s"chunkSpans: document %d yields %d chunks at size=$size " +
+              s"overlap=$overlap (cap $maxChunksPerDoc) — raise the " +
+              "stride or maxChunksPerDoc",
+            col("doc_id"), nc)).cast("long")))
       .withColumn("chunk_idx", explode(sequence(lit(0L), col("__n_chunks") - 1)))
       .select(col("doc_id"), col("n_tok"), col("chunk_idx"),
         (col("chunk_idx") * stride).as("tok_start"),

@@ -58,7 +58,17 @@ object Sampling {
     require(budgetDocs > 0, s"budgetDocs must be positive, got $budgetDocs")
     val w = df.groupBy(stratum.as("__s")).agg(count(lit(1)).as("__n"))
       .withColumn("__w", floor(sqrt(col("__n").cast("double"))).cast("long"))
-    val totalW = w.agg(sum(col("__w"))).head().getLong(0)
+    val agg = w.agg(sum(col("__w")), max(col("__w"))).head()
+    // empty corpus: sum() aggregates to NULL — return the (empty) input
+    // shape rather than NPE on the scalar
+    if (agg.isNullAt(0)) return df.limit(0)
+    val (totalW, maxW) = (agg.getLong(0), agg.getLong(1))
+    // the keep-rate numerator 10000·budget·w must stay inside Int64 —
+    // Spark's non-ANSI multiply wraps silently, which would corrupt keep
+    // rates instead of failing. Fail loudly at the boundary.
+    require(budgetDocs <= Long.MaxValue / 10000L / math.max(maxW, 1L),
+      s"budgetDocs $budgetDocs overflows the integer keep-rate arithmetic " +
+        s"(largest stratum weight $maxW): reduce the budget or pre-split strata")
     val rates = w.withColumn("__bp",
       least(lit(10000L), expr(s"(10000L * ${budgetDocs}L * __w) div (__n * ${totalW}L)")))
       .select(col("__s"), col("__bp"))

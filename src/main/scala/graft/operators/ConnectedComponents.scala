@@ -37,7 +37,7 @@ object ConnectedComponents {
     * integral (cast to long).
     */
   def assign(edges: DataFrame, srcCol: String, dstCol: String,
-             maxIter: Int = 30, smallGraphEdges: Long = 1L << 20): DataFrame = {
+             maxIter: Int = 30, smallGraphEdges: Long = 1L << 18): DataFrame = {
     // canonical (hi, lo) pairs, hi > lo — small-star's input invariant
     var e = edges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
@@ -54,13 +54,15 @@ object ConnectedComponents {
     var fp = fingerprint(e)
     // Small-graph fast path: dedup candidate pairs are usually orders of
     // magnitude smaller than the corpus — often broadcast-small. When the
-    // (already counted) distinct edge set fits the same size class Spark
-    // happily collects for a broadcast join (1M edges = 16 MB), driver
-    // union-find beats O(log² n) rounds × (2 shuffles + checkpoint +
-    // fingerprint action) of cluster scheduling by seconds, with
+    // (already counted) distinct edge set is trivially collectable,
+    // driver union-find beats O(log² n) rounds × (2 shuffles + checkpoint
+    // + fingerprint action) of cluster scheduling by seconds, with
     // IDENTICAL output (min-reachable-id labels; spec-pinned against the
-    // iterative path). Past the threshold the star iteration runs — the
-    // 100 TB shape is unchanged.
+    // iterative path). Default threshold 2^18 edges: the DRIVER cost is
+    // not the 4 MB of longs but the transient Row[] of the collect
+    // (~10× that) plus the two hash maps — tens of MB, safely inside any
+    // driver; raise it deliberately if yours is fatter. Past the
+    // threshold the star iteration runs — the 100 TB shape is unchanged.
     if (fp._1 <= smallGraphEdges) {
       val arr = e.select(col("hi"), col("lo"))
         .collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -142,6 +144,9 @@ object ConnectedComponents {
     val out = new Array[(Long, Long)](verts.size())
     val it = verts.iterator(); var i = 0
     while (it.hasNext) { val v = it.next(); out(i) = (v, find(v)); i += 1 }
+    // a LocalRelation is single-partition and downstream joins would
+    // inherit that; spread the assignment like any distributed result
     spark.createDataset(out.toIndexedSeq).toDF("id", "component")
+      .repartition(col("id"))
   }
 }

@@ -32,13 +32,18 @@ import org.apache.spark.sql.functions.col
   * from the log (a few KB per commit), not a recursive directory LIST —
   * the operation that dominates planning latency on object stores.
   *
-  * WRITE-side scope: the commit protocol's atomicity relies on
-  * no-replace rename semantics, which local FS (with the per-table JVM
-  * lock) and HDFS provide. Raw S3A rename is copy+delete AND replaces
-  * the destination, so multi-writer commits on S3 need a coordination
-  * layer with a conditional put (the same reason Delta Lake requires a
-  * LogStore/commit-coordinator there). READ-side planning from the log
-  * is safe on any store.
+  * WRITE-side scope: commit publication is delegated to a pluggable
+  * [[CommitCoordinator]] whose one primitive is `putIfAbsent` on the
+  * version-addressed commit path. The default
+  * [[RenameCommitCoordinator]] (temp + no-replace rename + exists
+  * guard) is correct on local FS (with the per-table JVM lock) and
+  * HDFS; raw S3A rename is copy+delete AND replaces the destination, so
+  * an S3 deployment plugs in a conditional-put coordinator
+  * (`If-None-Match: *`) instead — the same LogStore/commit-coordinator
+  * seam Delta Lake uses there. The no-replace-rename assumption is thus
+  * an implementation of the seam, not a protocol limit; the
+  * racing-writer spec drives both in-tree coordinators. READ-side
+  * planning from the log is safe on any store.
   *
   * Read planning is CHECKPOINTED: every `checkpointEvery` commits the
   * live file set snapshots to `<version>.ckpt`, and replay is snapshot +
@@ -502,7 +507,8 @@ object TxTable {
              added: Seq[String], removed: Seq[String],
              expectedHead: Option[Long] = None,
              checkpointEvery: Int = 10,
-             stats: Seq[Seq[ColStat]] = Nil): Long =
+             stats: Seq[Seq[ColStat]] = Nil,
+             coordinator: CommitCoordinator = RenameCommitCoordinator): Long =
     lockFor(table).synchronized {
       val fs = fsFor(spark, table)
       fs.mkdirs(new Path(logDir(table)))
@@ -517,16 +523,13 @@ object TxTable {
         }
         val version = head + 1L
         val target = new Path(f"${logDir(table)}/$version%08d.json")
-        val tmp = new Path(s"${logDir(table)}/.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
         // read the prior live set BEFORE publishing (checkpoint versions
-        // only): if our rename wins, the log at `version` is exactly
+        // only): if our publish wins, the log at `version` is exactly
         // (prior state + this commit) — no racer can slot in below us
         val wantCkpt = checkpointEvery > 0 && version % checkpointEvery == 0
         val priorLive = if (wantCkpt) Some(currentEntries(fs, table)._2) else None
-        val out = fs.create(tmp, false)
-        try out.write(render(Commit(version, added, removed, stats)).getBytes("UTF-8"))
-        finally out.close()
-        if (!fs.exists(target) && fs.rename(tmp, target)) {
+        val bytes = render(Commit(version, added, removed, stats)).getBytes("UTF-8")
+        if (coordinator.putIfAbsent(fs, target, bytes)) {
           priorLive.foreach { prior =>
             val live = scala.collection.mutable.LinkedHashMap[String, Seq[ColStat]]()
             prior.foreach { case (f, s) => live(f) = s }
@@ -538,7 +541,7 @@ object TxTable {
           }
           return version
         }
-        fs.delete(tmp, false) // lost a cross-process race
+        // lost a cross-process race (coordinator cleaned up its own temp)
         if (expectedHead.isDefined)
           throw new java.util.ConcurrentModificationException(
             s"$table: lost commit race at v$version with a stale file set")

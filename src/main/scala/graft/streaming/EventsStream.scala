@@ -64,8 +64,19 @@ object EventsStream {
     * join state evicts clicks older than `windowHours + lateness` and
     * purchases older than `lateness`: state is bounded by event RATE ×
     * window, never by stream length. Inner joins emit eagerly (the
-    * watermark bounds state, not emission), so a finite drain yields
-    * every pair.
+    * watermark bounds state, not emission).
+    *
+    * Completeness contract (what makes a finite drain equal the batch
+    * oracle, q84): rows arriving in a LATER micro-batch with event time
+    * more than `lateness` behind the watermark are evicted-before-joined
+    * — exactly the late-data drop streaming semantics prescribe. The
+    * drain is therefore exhaustive iff cross-micro-batch event-time
+    * disorder stays within `lateness`. The gate fixture satisfies this
+    * trivially (staged files fit one AvailableNow micro-batch, well
+    * under the file source's default maxFilesPerTrigger=1000); for
+    * multi-batch replays of unsorted history, raise `lateness` to cover
+    * the staging disorder or pin maxFilesPerTrigger above the file
+    * count.
     */
   def purchaseAttribution(events: DataFrame, windowHours: Int = 24,
                           lateness: String = "30 minutes"): DataFrame = {

@@ -41,10 +41,11 @@ class AnnRecallSpec extends SparkSpec {
   }
 
   test("IVF ivfTopK recall@10 against exact top-k stays above its pinned floor") {
-    // measured 0.8095 (sf0.001, deterministic init/tie-breaks)
+    // measured 0.9238 at the swept (16, 8, 3) defaults (sf0.001, fixed
+    // seeds; 0.9190 at sf0.01 — tools.IvfSweep); was 0.8095 at nProbe=4
     val r = recallAt10(topSets(Similarity.ivfTopK(queries, emb, k = 10)))
     info(f"IVF recall@10 = $r%.4f")
-    assert(r >= 0.70, f"IVF recall@10 degraded to $r%.4f")
+    assert(r >= 0.85, f"IVF recall@10 degraded to $r%.4f")
   }
 
   private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =

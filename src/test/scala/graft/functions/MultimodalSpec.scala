@@ -82,6 +82,18 @@ class MultimodalSpec extends SparkSpec {
     val bytes = wav.filter($"id" === 7L).select($"content").as[Array[Byte]].head()
     assert(new String(bytes.slice(0, 4), "US-ASCII") == "RIFF")
     assert(new String(bytes.slice(8, 12), "US-ASCII") == "WAVE")
+    // a stereo WAV is REJECTED (skipped row), not silently aggregated
+    // across interleaved channels
+    val stereoFmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+    val stereoPcm = new Array[Byte](400)
+    val stereoAis = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(stereoPcm), stereoFmt, 100)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(stereoAis,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val stereoDf = Seq((999L, bos.toByteArray)).toDF("id", "content")
+    assert(Multimodal.extractAudioFeatures(stereoDf).count() == 0,
+      "multi-channel WAV must be skipped")
     val got = Multimodal.extractAudioFeatures(wav).collect()
       .map(f => f.id -> f).toMap
     Seq(0L, 1L, 7L, 123L).foreach { id =>

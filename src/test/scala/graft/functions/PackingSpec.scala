@@ -58,6 +58,18 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("chunkSpans fails loudly at the per-doc chunk cap instead of OOMing the array") {
+    val d = Seq((1L, 10000L)).toDF("doc_id", "n_tok")
+    val e = intercept[Exception] {
+      Packing.chunkSpans(d, $"doc_id", $"n_tok", size = 128, overlap = 32,
+        maxChunksPerDoc = 10L).count()
+    }
+    assert(e.getMessage.contains("chunkSpans"), s"unexpected: ${e.getMessage}")
+    // at the default cap the same doc chunks fine
+    assert(Packing.chunkSpans(d, $"doc_id", $"n_tok", size = 128, overlap = 32)
+      .count() == 104L)
+  }
+
   test("packFirstFit: no bin exceeds budget unless a single doc does, ids stay whole") {
     val out = Packing.packFirstFit(docs, $"doc_id", $"n_tok",
       budget = 512L, nShards = 4)

@@ -56,6 +56,16 @@ class SamplingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("temperatureSample: empty input returns empty, no NPE; overflowing budget fails loudly") {
+    val empty = Seq.empty[(String, Long)].toDF("src", "id")
+    assert(Sampling.temperatureSample(empty, $"src", $"id".cast("string"), 100L).count() == 0)
+    val df = (1L to 5L).map(i => ("s", i)).toDF("src", "id")
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureSample(df, $"src", $"id".cast("string"),
+        budgetDocs = Long.MaxValue / 10000L)
+    }
+  }
+
   test("tokenBudget keeps the largest docs per stratum within budget, deterministically") {
     val d = Seq(
       ("en", 1L, 100L), ("en", 2L, 80L), ("en", 3L, 80L), ("en", 4L, 50L),
