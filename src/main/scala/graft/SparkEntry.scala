@@ -371,6 +371,43 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_pre"), col("n_tok"), col("toks"))
     }),
 
+    // D3/streaming — INCREMENTAL near-dedup against the committed lake:
+    // documents arrive as id-ordered micro-batches (maxFilesPerTrigger=1
+    // over two staged files); each batch's portable simhashes join the
+    // committed signature table + batch-mates through the banded
+    // candidate join and land in ONE TxTable commit per batch. The
+    // oracle is the ONE-SHOT batch dedup rule in SQL — a hash match
+    // proves incremental == batch exactly, per-doc. Multi-batch
+    // processing is `require`d (head version ≥ 2 commits).
+    "q93_stream_neardup" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q93").toString
+      val staging = s"$tmp/staging"
+      val sig = s"$tmp/sig"
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(staging))
+      // two id-ordered single-file drops → two micro-batches (the
+      // id-monotone arrival the operator's equivalence contract names)
+      Seq(docs.filter(col("doc_id") <= mid), docs.filter(col("doc_id") > mid))
+        .zipWithIndex.foreach { case (half, i) =>
+          val part = s"$tmp/part$i"
+          half.coalesce(1).write.parquet(part)
+          val src = new java.io.File(part).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          java.nio.file.Files.move(src.toPath,
+            java.nio.file.Paths.get(s"$staging/batch-$i.parquet"))
+        }
+      graft.streaming.EventsStream.runStreamingNearDupTx(s, staging,
+        docs.schema, sig)
+      val commits = graft.sink.TxTable.headVersion(s, sig)
+      require(commits >= 2, s"expected >=2 micro-batch commits, got $commits")
+      val out = graft.sink.TxTable.read(s, sig)
+        .select(col("id").as("doc_id"), col("kept")).collect()
+      dropStaged(java.nio.file.Paths.get(tmp))
+      import s.implicits._
+      out.map(r => (r.getLong(0), r.getBoolean(1))).toSeq.toDF("doc_id", "kept")
+    }),
+
     // T6 — PII scrubbing: the synthetic corpus carries no PII, so the
     // query INJECTS deterministic email/URL/IP/phone strings derived
     // from doc_id — the oracle builds the identical string in SQL and
@@ -880,9 +917,12 @@ object SparkEntry {
       // structural compaction facts stay hard requirements (q75 pattern);
       // the OUTPUT is the post-compaction content aggregate, which the
       // oracle recomputes from the base table — a hash match proves the
-      // rewrite+swap preserved every row.
-      require(filesBefore > filesAfter && filesAfter == 1,
-        s"compaction must shrink $filesBefore files to 1, got $filesAfter")
+      // rewrite+swap preserved every row. Expected file count scales
+      // with rows (the 100× probe caught a hardcoded ==1 here: 15M rows
+      // at 1M rows/file are CORRECTLY 15 files).
+      val expectFiles = math.max(1L, (rows + 999999L) / 1000000L)
+      require(filesBefore > filesAfter && filesAfter == expectFiles,
+        s"compaction must shrink $filesBefore files to $expectFiles, got $filesAfter")
       require(rows == s.read.parquet(path).count(),
         "compaction must preserve the row count it reported")
       val row = s.read.parquet(path)
@@ -1535,6 +1575,36 @@ object SparkEntry {
            SELECT DISTINCT idB FROM pairs WHERE bit_count(xor(simA, simB)) <= 3)
          SELECT d.doc_id, d.lang FROM documents d
          WHERE d.doc_id NOT IN (SELECT idB FROM losers)""",
+    // q24's batch dedup rule per doc — the streaming incremental path
+    // must reproduce it exactly (kept = no smaller-id near-dup anywhere)
+    "q93_stream_neardup" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                      x -> x <> '') AS t
+           FROM documents),
+         th AS (
+           SELECT doc_id,
+                  list_transform(t, x -> CAST('0x'||substring(md5(x), 1, 15) AS BIGINT)) AS h,
+                  len(t) AS n
+           FROM toks),
+         bits AS (
+           SELECT doc_id, b,
+                  CASE WHEN 2 * len(list_filter(h, v -> (v >> b) & 1 = 1)) > n
+                       THEN (CAST(1 AS BIGINT) << b) ELSE 0 END AS bit
+           FROM th, range(0, 60) r(b)),
+         sims AS (
+           SELECT doc_id, CAST(sum(bit) AS BIGINT) AS sim FROM bits GROUP BY doc_id),
+         blocks AS (
+           SELECT doc_id, blk, (sim >> CAST(blk * 15 AS INTEGER)) & 32767 AS bucket, sim
+           FROM sims, range(0, 4) r(blk)),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS idA, b.doc_id AS idB, a.sim AS simA, b.sim AS simB
+           FROM blocks a JOIN blocks b
+             ON a.blk = b.blk AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         losers AS (
+           SELECT DISTINCT idB FROM pairs WHERE bit_count(xor(simA, simB)) <= 3)
+         SELECT d.doc_id, d.doc_id NOT IN (SELECT idB FROM losers) AS kept
+         FROM documents d""",
     // q24's pair derivation + transitive closure: min-label reach as a
     // recursive CTE. The prune (lab < dst) is sound because the
     // component MIN propagates through every member (min < member id

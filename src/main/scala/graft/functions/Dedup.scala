@@ -284,6 +284,32 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Near-dup LOSERS among `newSigs` against a reference signature set —
+    * the incremental form of [[simhashPairsPortable]]'s candidate step
+    * for streaming micro-batches: blocks are exploded for BOTH sides,
+    * but the banded join's probe side carries only the new batch, so
+    * per-batch cost is O(batch × bucket collisions), never O(corpus²)
+    * and never a corpus rescan. Both inputs are (id, sim) frames;
+    * `allSigs` must contain every signature eligible as the surviving
+    * smaller id — including `newSigs` itself for intra-batch pairs.
+    * Returns distinct losing ids (the larger id of each verified pair).
+    */
+  def simhashLosersAgainst(allSigs: DataFrame, newSigs: DataFrame,
+                           maxHamming: Int = 3): DataFrame = {
+    def blocksOf(sigs: DataFrame): DataFrame = sigs
+      .select(col("id"), col("sim"), posexplode(array((0 until 4).map(blk =>
+        shiftright(col("sim"), blk * 15).bitwiseAND(lit(0x7FFFL))): _*)))
+      .toDF("id", "sim", "blk", "bucket")
+    val a = blocksOf(allSigs)
+      .select(col("blk"), col("bucket"), col("id").as("idA"), col("sim").as("simA"))
+    val b = blocksOf(newSigs)
+      .select(col("blk"), col("bucket"), col("id").as("idB"), col("sim").as("simB"))
+    a.join(b, Seq("blk", "bucket"))
+      .filter(col("idA") < col("idB"))
+      .filter(bit_count(col("simA").bitwiseXOR(col("simB"))) <= maxHamming)
+      .select(col("idB").as("id")).distinct()
+  }
+
   // ---------------------------------------------------- n-gram Jaccard D4
 
   /** Exact n-gram Jaccard over LSH candidates: recompute true Jaccard on

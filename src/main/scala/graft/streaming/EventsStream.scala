@@ -213,6 +213,55 @@ object EventsStream {
     try { q.processAllAvailable() } finally q.stop()
   }
 
+  /** Streaming-native near-dedup against the committed lake: each
+    * micro-batch of documents computes portable 60-bit simhashes
+    * (Dedup.simhash60Agg — the q24 pipeline), generates candidates
+    * against BOTH the committed signature table and its own batch-mates
+    * through the same 4-block banded join (Dedup.simhashLosersAgainst),
+    * and tx-appends (doc_id, sim, kept) in ONE atomic TxTable commit per
+    * micro-batch — closing the loop between the streaming spine and the
+    * batch dedup family.
+    *
+    * Equivalence contract (what makes the incremental result equal
+    * one-shot batch dedup, q93): "B loses iff some A < B is within
+    * maxHamming" — the batch rule — holds incrementally when ids arrive
+    * monotonically across micro-batches (ids assigned at ingest time do
+    * this naturally): at B's batch, every A < B is either already in the
+    * signature table or a batch-mate. The table keeps ALL seen
+    * signatures, kept flag included, precisely because the batch rule
+    * drops B on a pair with A even when A itself lost earlier.
+    *
+    * 100 TB shape: per batch the corpus contributes only its signature
+    * table (8 B/doc + id) through the banded equi-join probe-side
+    * restricted to the batch; the text corpus is never rescanned and
+    * nothing is O(corpus²). At scale, partition the signature table by
+    * block bucket so the probe prunes files at rest.
+    */
+  def runStreamingNearDupTx(spark: SparkSession, stagingDir: String,
+                            schema: org.apache.spark.sql.types.StructType,
+                            sigTable: String, maxHamming: Int = 3): Unit = {
+    import org.apache.spark.sql.Row
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stagingDir)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val sigs = graft.functions.Dedup.simhash60Agg(batch.toDF(), "text", "doc_id")
+        val seen =
+          if (graft.sink.TxTable.headVersion(spark, sigTable) == 0L) sigs.limit(0)
+          else graft.sink.TxTable.read(spark, sigTable).select(col("id"), col("sim"))
+        val losers = graft.functions.Dedup.simhashLosersAgainst(
+          seen.unionByName(sigs), sigs, maxHamming)
+        val out = sigs.join(losers.withColumnRenamed("id", "__loser").withColumn("__l", lit(1)),
+            sigs("id") === col("__loser"), "left")
+          .select(sigs("id"), col("sim"), col("__l").isNull.as("kept"))
+        graft.sink.TxTable.append(spark, out, sigTable)
+        ()
+      }
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+  }
+
   /** Run a streaming query over `dir` into an in-memory table and block
     * until all available files are processed — the local smoke harness
     * (AvailableNow semantics without an external trigger loop).

@@ -110,6 +110,41 @@ class EventsStreamSpec extends SparkSpec {
     assert(!new java.io.File(table + ".graft-tmp").exists())
   }
 
+  test("streaming incremental near-dedup == one-shot batch dedup, one commit per micro-batch") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sneardup")
+    val staging = tmp.resolve("staging").toString
+    val sig = tmp.resolve("sig").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(staging))
+    // planted dups across the batch boundary: 5/6 duplicate 1/2 from the
+    // earlier batch; 4 duplicates 3 within its own batch
+    val texts = Seq(
+      1L -> "alpha beta gamma delta epsilon", 2L -> "one two three four five",
+      3L -> "red green blue yellow purple", 4L -> "red green blue yellow purple",
+      5L -> "alpha beta gamma delta epsilon", 6L -> "one two three four five six",
+      7L -> "completely different content here now")
+    val docs = texts.toDF("doc_id", "text")
+    Seq(docs.filter($"doc_id" <= 4), docs.filter($"doc_id" > 4))
+      .zipWithIndex.foreach { case (half, i) =>
+        val part = tmp.resolve(s"part$i").toString
+        half.coalesce(1).write.parquet(part)
+        val src = new java.io.File(part).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(src.toPath,
+          java.nio.file.Paths.get(s"$staging/batch-$i.parquet"))
+      }
+    EventsStream.runStreamingNearDupTx(spark, staging, docs.schema, sig)
+    assert(graft.sink.TxTable.headVersion(spark, sig) == 2L,
+      "one atomic commit per micro-batch")
+    val kept = graft.sink.TxTable.read(spark, sig)
+      .filter($"kept").select($"id").as[Long].collect().toSet
+    val batchKept = graft.functions.Dedup.simhashDedupPortable(docs, "text", "doc_id")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == batchKept,
+      s"incremental $kept must equal batch $batchKept")
+    // every seen doc's signature is in the table, losers included
+    assert(graft.sink.TxTable.read(spark, sig).count() == texts.size)
+  }
+
   test("sessionize: gap splits sessions, state carries across batches") {
     def ev(id: Long, user: Long, minute: Long) =
       EventsStream.Event(id, new Timestamp(minute * 60000L), user, "click", 1.0)
