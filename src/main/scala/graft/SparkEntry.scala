@@ -371,6 +371,37 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_pre"), col("n_tok"), col("toks"))
     }),
 
+    // T — token-ID encoding over the deterministic vocabulary (base
+    // chars sorted, then merge products in rank order) — the form
+    // packing/training consumes. The oracle rebuilds the identical
+    // vocabulary in SQL and maps the q92 segmentation through it, so
+    // every token ID hash-matches.
+    "q94_bpe_ids" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val v = functions.Bpe.vocab(
+        functions.Bpe.baseCharsOf(docs, col("text")), functions.Bpe.DefaultMerges)
+      functions.Bpe.encodedIdsPerDoc(docs, col("doc_id"), col("text"),
+          functions.Bpe.DefaultMerges, v)
+        .select(col("id").as("doc_id"), col("n_tok"), col("ids"))
+    }),
+
+    // T — the END STATE of the tokenize→encode→pack pipeline: per-shard
+    // token-ID streams cut into 512-token training contexts, every id in
+    // order — what a trainer reads. The oracle re-derives every context
+    // from the BPE replay + vocabulary + window arithmetic, so the
+    // entire pipeline is hash-checked end to end.
+    "q95_pack_ids" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val v = functions.Bpe.vocab(
+        functions.Bpe.baseCharsOf(docs, col("text")), functions.Bpe.DefaultMerges)
+      val encoded = functions.Bpe.encodedIdsPerDoc(docs, col("doc_id"), col("text"),
+          functions.Bpe.DefaultMerges, v)
+        .select(col("id"), split(col("ids"), ",").as("ids"))
+        .filter(size(col("ids")) > 0 && col("ids")(0) =!= "")
+      functions.Packing.packedTokenStreams(encoded, col("id"), col("ids"),
+        contextLen = 512L, nShards = 16)
+    }),
+
     // D3/streaming — INCREMENTAL near-dedup against the committed lake:
     // documents arrive as id-ordered micro-batches (maxFilesPerTrigger=1
     // over two staged files); each batch's portable simhashes join the
@@ -1380,6 +1411,78 @@ object SparkEntry {
     "q92_bpe_merged" ->
       s"""WITH RECURSIVE $bpeCtes
          SELECT doc_id, n_pre, n_tok, toks FROM bpe""",
+    // vocabulary ids re-derived in SQL: base chars by sort order, merge
+    // products by first-wins rank order, segmentation mapped through it
+    "q94_bpe_ids" ->
+      s"""WITH RECURSIVE $bpeCtes,
+         chars AS (
+           SELECT DISTINCT unnest(string_split(tok, '')) AS c FROM bvocab),
+         basev AS (
+           SELECT c AS tok_s, row_number() OVER (ORDER BY c) - 1 AS tid FROM chars),
+         prodd AS (
+           SELECT a || b AS tok_s, min(r) AS r FROM merges GROUP BY 1),
+         prodv AS (
+           SELECT tok_s,
+             (SELECT count(*) FROM chars) + row_number() OVER (ORDER BY r) - 1 AS tid
+           FROM prodd),
+         vocab_ids AS (
+           SELECT tok_s, CAST(tid AS INTEGER) AS tid FROM basev
+           UNION ALL SELECT tok_s, CAST(tid AS INTEGER) FROM prodv),
+         toksplit AS (
+           SELECT doc_id, unnest(string_split(toks, '|')) AS tok_s,
+                  unnest(range(1, len(string_split(toks, '|')) + 1)) AS i
+           FROM bpe WHERE toks <> ''),
+         encoded AS (
+           SELECT t.doc_id,
+                  CAST(count(*) AS INTEGER) AS n_tok,
+                  string_agg(CAST(v.tid AS VARCHAR), ',' ORDER BY t.i) AS ids
+           FROM toksplit t JOIN vocab_ids v ON t.tok_s = v.tok_s
+           GROUP BY t.doc_id)
+         SELECT d.doc_id, COALESCE(e.n_tok, 0) AS n_tok, COALESCE(e.ids, '') AS ids
+         FROM documents d LEFT JOIN encoded e USING (doc_id)""",
+    // q94's encoding + q80's layout arithmetic: every training context's
+    // id sequence re-derived token by token
+    "q95_pack_ids" ->
+      s"""WITH RECURSIVE $bpeCtes,
+         chars AS (
+           SELECT DISTINCT unnest(string_split(tok, '')) AS c FROM bvocab),
+         basev AS (
+           SELECT c AS tok_s, row_number() OVER (ORDER BY c) - 1 AS tid FROM chars),
+         prodd AS (
+           SELECT a || b AS tok_s, min(r) AS r FROM merges GROUP BY 1),
+         prodv AS (
+           SELECT tok_s,
+             (SELECT count(*) FROM chars) + row_number() OVER (ORDER BY r) - 1 AS tid
+           FROM prodd),
+         vocab_ids AS (
+           SELECT tok_s, CAST(tid AS INTEGER) AS tid FROM basev
+           UNION ALL SELECT tok_s, CAST(tid AS INTEGER) FROM prodv),
+         toksplit AS (
+           SELECT doc_id, unnest(string_split(toks, '|')) AS tok_s,
+                  unnest(range(1, len(string_split(toks, '|')) + 1)) AS i
+           FROM bpe WHERE toks <> ''),
+         enc AS (
+           SELECT t.doc_id, t.i, v.tid
+           FROM toksplit t JOIN vocab_ids v ON t.tok_s = v.tok_s),
+         doclen AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok FROM enc GROUP BY 1),
+         offs AS (
+           SELECT doc_id,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 10000 % 16 AS shard,
+             n_tok
+           FROM doclen),
+         offs2 AS (
+           SELECT doc_id, shard,
+             CAST(COALESCE(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+           FROM offs),
+         tok_stream AS (
+           SELECT o.shard, o.tok_offset + e.i - 1 AS off, e.tid
+           FROM enc e JOIN offs2 o USING (doc_id))
+         SELECT shard, off // 512 AS bin, CAST(count(*) AS INTEGER) AS n_ids,
+           string_agg(CAST(tid AS VARCHAR), ',' ORDER BY off) AS ids
+         FROM tok_stream GROUP BY 1, 2""",
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          sum(l_quantity) AS sum_qty,

@@ -204,6 +204,80 @@ object Bpe {
     }(org.apache.spark.sql.Encoders.row(schema))
   }
 
+  // ------------------------------------------------------------ vocabulary
+
+  /** Deterministic vocabulary over a base character set + the merge
+    * products: ids 0..B-1 are the base characters in sorted order, ids
+    * B.. are merge products in rank order (first occurrence wins when
+    * two rules produce the same string, e.g. (a,bc) and (ab,c) → "abc").
+    * Every token [[applyMerges]] can emit over this base set has an id —
+    * outputs are either single base characters or merge products — so
+    * encoding has no OOV path for the corpus the base set came from;
+    * characters outside it encode as [[UnkId]] (the frozen-vocab
+    * contract: new corpus snapshots must not silently grow the vocab).
+    */
+  def vocab(baseChars: Seq[String], merges: IndexedSeq[Merge]): Map[String, Int] = {
+    val base = baseChars.distinct.sorted
+    val ids = collection.mutable.LinkedHashMap[String, Int]()
+    base.zipWithIndex.foreach { case (c, i) => ids(c) = i }
+    merges.foreach { case (a, b) =>
+      val p = a + b
+      if (!ids.contains(p)) ids(p) = ids.size
+    }
+    ids.toMap
+  }
+
+  /** Unknown-token id for characters outside the vocabulary's base set. */
+  val UnkId: Int = -1
+
+  /** Distinct single characters of the corpus pre-tokens — the base
+    * alphabet for [[vocab]]. One distributed distinct over exploded
+    * characters; only the (charset-bounded) alphabet reaches the driver.
+    */
+  def baseCharsOf(df: DataFrame, text: Column): Vector[String] =
+    df.select(explode(TextFunctions.bpeTokens(text)).as("tok"))
+      .select(explode(split(col("tok"), "")).as("c"))
+      .filter(length(col("c")) > 0)
+      .distinct().collect().map(_.getString(0)).toVector.sorted
+
+  /** Per-document token-ID encoding — the form packing/training actually
+    * consumes: (id, n_tok, ids) with `ids` the comma-joined vocabulary
+    * ids of the merged segmentation. Same single-pass memoized shape as
+    * [[mergedTokensPerDoc]].
+    */
+  def encodedIdsPerDoc(df: DataFrame, id: Column, text: Column,
+                       merges: IndexedSeq[Merge],
+                       vocabIds: Map[String, Int]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.cast("long").as("id"), text.as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val pat = java.util.regex.Pattern.compile(TextFunctions.BpePattern)
+        val memo = collection.mutable.HashMap[String, Array[Int]]()
+        it.map { case (docId, t) =>
+          if (t == null) (docId, 0, "")
+          else {
+            val m = pat.matcher(t)
+            var n = 0
+            val sb = new StringBuilder
+            while (m.find()) {
+              val toks = memo.getOrElseUpdate(m.group(),
+                applyMerges(m.group(), merges)
+                  .map(tk => vocabIds.getOrElse(tk, UnkId)).toArray)
+              n += toks.length
+              toks.foreach { tid =>
+                if (sb.nonEmpty) sb.append(',')
+                sb.append(tid)
+              }
+            }
+            (docId, n, sb.toString)
+          }
+        }
+      }
+      .toDF("id", "n_tok", "ids")
+  }
+
   /** The frozen production merge table: `trainFromCorpus` over the
     * sf0.01 documents corpus at nMerges = 64 (regenerate with
     * `runMain graft.tools.BpeTrain`). Frozen rather than re-learned per

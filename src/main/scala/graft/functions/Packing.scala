@@ -104,6 +104,43 @@ object Packing {
         least(col("chunk_idx") * stride + size, col("n_tok")).as("tok_end"))
   }
 
+  /** Materialize the ACTUAL packed training contexts: each shard's
+    * documents form one token-ID stream in id order (the [[packChunked]]
+    * layout), cut into `contextLen` windows — emitted as one row per
+    * non-empty (shard, bin) with the ordered comma-joined ids. This is
+    * the end state of the tokenize→encode→pack pipeline: what a trainer
+    * reads.
+    *
+    * Shape: the per-token explode IS the output volume (every token id
+    * lands in exactly one context), so there is no asymptotic slack to
+    * remove — one shuffle on (shard, bin), order restored per bin by an
+    * `array_sort` over (offset, id) structs, no global sort. `ids` is an
+    * `array<int>` column (e.g. split of [[Bpe.encodedIdsPerDoc]]'s
+    * output).
+    */
+  def packedTokenStreams(df: DataFrame, id: Column, idsCol: Column,
+                         contextLen: Long, nShards: Int): DataFrame = {
+    require(contextLen > 0, s"contextLen must be positive, got $contextLen")
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val base = df.select(id.cast("long").as("doc_id"),
+        idsCol.cast("array<int>").as("__ids"))
+      .withColumn("n_tok", size(col("__ids")).cast("long"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .withColumn("shard", shardOf(col("doc_id"), nShards))
+      .withColumn("tok_offset", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .select(col("shard"), col("tok_offset"),
+        posexplode(col("__ids")).as(Seq("__pos", "__tid")))
+      .withColumn("__off", col("tok_offset") + col("__pos"))
+      .withColumn("bin", expr(s"__off div ${contextLen}L"))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).cast("int").as("n_ids"),
+        concat_ws(",", transform(
+          array_sort(collect_list(struct(col("__off"), col("__tid")))),
+          s => s.getField("__tid"))).as("ids"))
+  }
+
   /** First-fit whole-document packing: within a shard (id order), a
     * document joins the current bin unless it would push the fill past
     * `budget`, in which case it opens the next bin — an over-budget

@@ -120,6 +120,49 @@ class BpeSpec extends SparkSpec {
     a.collect().foreach(r => assert(r.getInt(3) == byId(r.getLong(0))))
   }
 
+  test("vocab: base chars sorted first, merge products rank-ordered, first-wins dedup") {
+    val v = Bpe.vocab(Seq("b", "a", "c"), Vector(("a", "b"), ("ab", "c"), ("a", "bc")))
+    assert(v("a") == 0 && v("b") == 1 && v("c") == 2, "sorted base chars first")
+    assert(v("ab") == 3 && v("abc") == 4, "products in rank order")
+    // (a,bc) also yields "abc" — the earlier rule keeps the id
+    assert(v.size == 5)
+  }
+
+  test("every token applyMerges emits over the corpus alphabet has a vocab id") {
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val v = Bpe.vocab(Bpe.baseCharsOf(docs, col("text")), Bpe.DefaultMerges)
+    val pretoks = docs.select(explode(TextFunctions.bpeTokens(col("text"))).as("tok"))
+      .distinct().collect().map(_.getString(0))
+    pretoks.foreach { w =>
+      Bpe.applyMerges(w, Bpe.DefaultMerges).foreach(tk =>
+        assert(v.contains(tk), s"token '$tk' of '$w' missing from vocab"))
+    }
+  }
+
+  test("encodedIdsPerDoc round-trips: ids decode back to the exact segmentation") {
+    val docs = graft.sources.Tables.load(spark, SfDir, "documents").limit(50)
+    val v = Bpe.vocab(Bpe.baseCharsOf(docs, col("text")), Bpe.DefaultMerges)
+    val inv = v.map(_.swap)
+    val toks = Bpe.mergedTokensPerDoc(docs, col("doc_id"), col("text"), Bpe.DefaultMerges)
+      .collect().map(r => r.getLong(0) -> (r.getInt(2), r.getString(3))).toMap
+    Bpe.encodedIdsPerDoc(docs, col("doc_id"), col("text"), Bpe.DefaultMerges, v)
+      .collect().foreach { r =>
+        val (nTok, toksStr) = toks(r.getLong(0))
+        assert(r.getInt(1) == nTok)
+        val decoded = r.getString(2).split(',').filter(_.nonEmpty)
+          .map(s => inv(s.toInt)).mkString("|")
+        assert(decoded == toksStr, s"doc ${r.getLong(0)} id round trip")
+      }
+  }
+
+  test("characters outside the frozen base set encode as UnkId, not a silent new id") {
+    import spark.implicits._
+    val v = Bpe.vocab(Seq("a", "b"), Vector(("a", "b")))
+    val got = Bpe.encodedIdsPerDoc(Seq((1L, "abz")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), Vector(("a", "b")), v).head()
+    assert(got.getString(2) == s"2,${Bpe.UnkId}", s"got ${got.getString(2)}")
+  }
+
   test("null and empty text yield zero counts, not nulls") {
     import spark.implicits._
     val df = Seq((1L, null: String), (2L, ""), (3L, "a b")).toDF("doc_id", "text")

@@ -70,6 +70,38 @@ class PackingSpec extends SparkSpec {
       .count() == 104L)
   }
 
+  test("packedTokenStreams: contexts carry every id once, in stream order, across doc boundaries") {
+    val d = Seq((1L, Seq(10, 11, 12)), (2L, Seq(20, 21)), (3L, Seq(30)))
+      .toDF("doc_id", "ids")
+    val out = Packing.packedTokenStreams(d, $"doc_id", $"ids",
+        contextLen = 4L, nShards = 1)
+      .orderBy($"bin").collect()
+    // one shard: stream = 10,11,12,20,21,30 cut at 4
+    assert(out.map(r => (r.getLong(1), r.getInt(2), r.getString(3))).toSeq ==
+      Seq((0L, 4, "10,11,12,20"), (1L, 2, "21,30")))
+    // partition-invariant (window + array_sort restore stream order)
+    val out2 = Packing.packedTokenStreams(d.repartition(5), $"doc_id", $"ids",
+        contextLen = 4L, nShards = 1)
+      .orderBy($"bin").collect()
+    assert(out.map(_.toSeq).toSeq == out2.map(_.toSeq).toSeq)
+  }
+
+  test("packedTokenStreams agrees with packChunked's bin geometry") {
+    val docs = Seq((1L, (1 to 7).toSeq), (2L, (8 to 9).toSeq), (3L, Seq(10)),
+        (4L, (11 to 23).toSeq))
+      .map { case (i, ids) => (i, ids.map(_.toInt)) }.toDF("doc_id", "ids")
+    val packed = Packing.packedTokenStreams(docs, $"doc_id", $"ids",
+      contextLen = 5L, nShards = 4)
+    val geom = Packing.packChunked(docs.select($"doc_id", size($"ids").as("n_tok")),
+      $"doc_id", $"n_tok", contextLen = 5L, nShards = 4)
+    // every context the geometry predicts is exactly covered by ids
+    val binTotals = packed.groupBy($"shard").agg(sum($"n_ids").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val geomTotals = geom.groupBy($"shard").agg(sum($"n_tok").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(binTotals == geomTotals.filter(_._2 > 0))
+  }
+
   test("packFirstFit: no bin exceeds budget unless a single doc does, ids stay whole") {
     val out = Packing.packFirstFit(docs, $"doc_id", $"n_tok",
       budget = 512L, nShards = 4)
