@@ -439,6 +439,14 @@ object SparkEntry {
       out.map(r => (r.getLong(0), r.getBoolean(1))).toSeq.toDF("doc_id", "kept")
     }),
 
+    // T — corpus-trained bigram-LM quality scoring (the CCNet-style
+    // "how typical are this document's word transitions" filter) in
+    // exact integer arithmetic — the oracle re-trains the same counts
+    // and re-derives every scaled conditional probability in SQL.
+    "q96_bigram_lm_quality" -> ((s, dir) => {
+      TextFunctions.bigramLmScore(t(s, dir, "documents"), col("doc_id"), col("text"))
+    }),
+
     // T6 — PII scrubbing: the synthetic corpus carries no PII, so the
     // query INJECTS deterministic email/URL/IP/phone strings derived
     // from doc_id — the oracle builds the identical string in SQL and
@@ -2092,6 +2100,29 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
          WHERE CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT) % 10000 <
            CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 ELSE 1000 END""",
+    // identical count training + integer-exact scaled probabilities
+    "q96_bigram_lm_quality" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                      x -> x <> '') AS t
+           FROM documents),
+         uni AS (
+           SELECT w, CAST(count(*) AS BIGINT) AS cu
+           FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+         big AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(t)),
+             i -> t[i] || ' ' || t[i+1])) AS bg
+           FROM toks WHERE len(t) >= 2),
+         bgc AS (SELECT bg, CAST(count(*) AS BIGINT) AS cb FROM big GROUP BY 1),
+         scored AS (
+           SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bi,
+             CAST(sum((1000000 * c.cb) // u.cu) AS BIGINT) AS sum_p
+           FROM big b
+           JOIN bgc c USING (bg)
+           JOIN uni u ON u.w = string_split(b.bg, ' ')[1]
+           GROUP BY 1)
+         SELECT d.doc_id, COALESCE(s.n_bi, 0) AS n_bi, COALESCE(s.sum_p, 0) AS sum_p
+         FROM documents d LEFT JOIN scored s USING (doc_id)""",
     "q74_contamination" ->
       """WITH toks AS (
            SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),

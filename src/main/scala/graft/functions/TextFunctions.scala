@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis primitives for large-scale training-data pipelines:
@@ -176,6 +176,48 @@ object TextFunctions {
     val stopScore = least(
       stopwordRatio(tokens(text), StopwordProfiles("en")) * lit(5.0), lit(1.0))
     (lenScore + shapeScore + punctScore + stopScore) / lit(4.0)
+  }
+
+  // --------------------------------------------------- n-gram LM scoring
+
+  /** Corpus-trained bigram language-model quality signal (the CCNet-style
+    * "score documents by how typical their word transitions are" filter),
+    * in EXACT integer arithmetic so the score hash-matches across
+    * engines: for every bigram occurrence (a, b) in a document,
+    *
+    *   p_scaled = (1_000_000 · count(a, b)) div count(a)
+    *
+    * and the document reports (`n_bi`, `sum_p`) — occurrence count and
+    * the sum of scaled conditional probabilities (callers divide for the
+    * mean; keeping the exact sum avoids cross-engine float division).
+    * Low sum/mean = unusual transitions = boilerplate, mojibake, or
+    * wrong-language text relative to the corpus.
+    *
+    * Shape: two count aggregates over the exploded token/bigram streams,
+    * two equi-joins keyed on the n-gram, one per-doc aggregate — every
+    * step shuffle-bounded by distinct-n-gram cardinality, no driver
+    * state, no floats. Documents with fewer than two tokens report
+    * (0, 0).
+    */
+  def bigramLmScore(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val toksed = df.select(id.as("doc_id"), tokens(text).as("__t"))
+    val uni = toksed.select(explode(col("__t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("__cu"))
+    val big = toksed
+      .select(col("doc_id"), explode(ngrams(col("__t"), 2)).as("bg"))
+      .withColumn("w", split(col("bg"), " ")(0))
+    val bgCounts = big.groupBy(col("bg")).agg(count(lit(1)).as("__cb"))
+    val scored = big
+      .join(bgCounts, Seq("bg"))
+      .join(uni, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_bi"),
+        sum(expr("(1000000L * __cb) div __cu")).as("sum_p"))
+    df.select(id.as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bi"), lit(0L)).as("n_bi"),
+        coalesce(col("sum_p"), lit(0L)).as("sum_p"))
   }
 
   // ------------------------------------------------------- fingerprinting

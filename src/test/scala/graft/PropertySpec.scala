@@ -18,6 +18,59 @@ import graft.state.LogStore
   */
 class PropertySpec extends AnyFunSuite {
 
+  test("BPE rank-order application ≡ priority-queue application on random merges and words") {
+    val genMergesAndWord = for {
+      n <- Gen.choose(0, 10)
+      picks <- Gen.listOfN(n, Gen.zip(Gen.choose(0, 63), Gen.choose(0, 63)))
+      word <- Gen.listOf(Gen.oneOf("a", "b", "c")).map(_.mkString)
+    } yield (growMerges(picks), word)
+    check("bpe-rank-order")(Prop.forAll(genMergesAndWord) { case (merges, word) =>
+      graft.functions.Bpe.applyMerges(word, merges) == priorityApply(word, merges)
+    })
+  }
+
+  /** Grow a VALID merge table: each rule draws both components from the
+    * pool of symbols existing when it is learned (base chars + earlier
+    * products) — the invariant real training guarantees and the
+    * rank-order equivalence argument relies on. Indices mod the growing
+    * pool make deep, layered product-of-product rules reachable.
+    */
+  private def growMerges(picks: List[(Int, Int)]): Vector[(String, String)] = {
+    var pool = Vector("a", "b", "c")
+    val out = Vector.newBuilder[(String, String)]
+    val seen = collection.mutable.Set[(String, String)]()
+    picks.foreach { case (i, j) =>
+      val rule = (pool(i % pool.size), pool(j % pool.size))
+      if (!seen(rule)) {
+        out += rule; seen += rule; pool :+= rule._1 + rule._2
+      }
+    }
+    out.result()
+  }
+
+  private def priorityApply(word: String,
+                            merges: Vector[(String, String)]): Vector[String] = {
+    val rank = merges.zipWithIndex.toMap
+    var syms = word.map(_.toString).toVector
+    var cont = true
+    while (cont && syms.length > 1) {
+      syms.zip(syms.tail).flatMap(rank.get).sorted.headOption match {
+        case None => cont = false
+        case Some(r) =>
+          val (a, b) = merges(r)
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              out += a + b; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          syms = out.result()
+      }
+    }
+    syms
+  }
+
   private val fmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
   private val baseTs = LocalDateTime.of(2021, 1, 1, 0, 0, 0)
 

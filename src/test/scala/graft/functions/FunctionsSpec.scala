@@ -9,6 +9,26 @@ class FunctionsSpec extends SparkSpec {
 
   // ------------------------------------------------------------- text
 
+  test("bigramLmScore: hand-computed corpus counts and integer-exact scaled probabilities") {
+    // uni: a=3 b=3 c=1; bigrams: "a b"=3, "b a"=1
+    // p("a b") = 1e6*3 div 3 = 1000000; p("b a") = 1e6*1 div 3 = 333333
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "c")).toDF("doc_id", "text")
+    val got = TextFunctions.bigramLmScore(docs, $"doc_id", $"text")
+      .orderBy($"doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L, 2333333L), (2L, 1L, 1000000L), (3L, 0L, 0L)))
+  }
+
+  test("bigramLmScore is partition-invariant and scores null/short docs as zero") {
+    val docs = Seq((1L, "x y x y z"), (2L, null: String), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val a = TextFunctions.bigramLmScore(docs, $"doc_id", $"text")
+      .orderBy($"doc_id").collect().map(_.toSeq).toSeq
+    val b = TextFunctions.bigramLmScore(docs.repartition(7), $"doc_id", $"text")
+      .orderBy($"doc_id").collect().map(_.toSeq).toSeq
+    assert(a == b)
+    assert(a(1) == Seq(2L, 0L, 0L) && a(2) == Seq(3L, 0L, 0L))
+  }
+
   test("wsTokenCount: whitespace runs, empty and blank strings") {
     val got = Seq("a b  c", "  ", "", "one").toDF("t")
       .select(TextFunctions.wsTokenCount($"t")).as[Int].collect().toSeq
