@@ -447,6 +447,54 @@ object SparkEntry {
       TextFunctions.bigramLmScore(t(s, dir, "documents"), col("doc_id"), col("text"))
     }),
 
+    // D — SUBSTRING-level duplicate spans (suffix-array ExactSubstr
+    // semantics, relational re-expression): every 8-word window occurring
+    // ≥2 times corpus-wide marks its token range; overlapping windows
+    // merge into maximal spans (gaps-and-islands). Catches repeated
+    // passages document-level dedup never sees. The oracle replays the
+    // identical window-hash + island SQL.
+    "q97_dup_spans" -> ((s, dir) => {
+      functions.Dedup.duplicateSpans(t(s, dir, "documents"), "text", "doc_id")
+    }),
+
+    // D — per-doc duplication profile over q97's spans: token count,
+    // duplicated tokens, span count, duplicated fraction in integer
+    // basis points; every document present (zero spans → zeros).
+    "q98_dup_profile" -> ((s, dir) => {
+      functions.Dedup.duplicateStats(t(s, dir, "documents"), "text", "doc_id")
+    }),
+
+    // T — deterministic training-order shuffle + sharding: shard route
+    // and within-shard order come from DISJOINT 60-bit slices of one
+    // content md5 — no global sort anywhere, one shard-partitioned
+    // window, reproducible on any engine.
+    "q99_corpus_shuffle" -> ((s, dir) => {
+      functions.Sampling.corpusShuffle(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          col("text"), col("doc_id"), nShards = 8)
+        .select(col("doc_id"), col("shard"), col("pos"))
+    }),
+
+    // V — fixed-centroid cluster assignment (semantic bucketing for
+    // mixture balancing): 16 lowest-id vectors as the centroid table,
+    // argmin squared L2 with lowest-cid tie-break — one broadcast cross
+    // join + one partial-agg argmin, fully re-derivable in SQL.
+    "q100_cluster_assign" -> ((s, dir) => {
+      functions.Similarity.assignToLowestIdCentroids(
+        t(s, dir, "embeddings"), "vec_id", "embedding", nCentroids = 16)
+    }),
+
+    // V+T — cluster-BALANCED corpus mixing: q100's semantic buckets feed
+    // the T=2 temperature sampler (tail clusters up-weighted, head
+    // damped) in exact integer keep-rate arithmetic.
+    "q101_cluster_balanced" -> ((s, dir) => {
+      val assigned = functions.Similarity.assignToLowestIdCentroids(
+        t(s, dir, "embeddings"), "vec_id", "embedding", nCentroids = 16)
+      functions.Sampling.temperatureSample(assigned, col("cluster_id"),
+          col("vec_id").cast("string"), budgetDocs = 200L)
+        .select(col("vec_id"), col("cluster_id"))
+    }),
+
     // T6 — PII scrubbing: the synthetic corpus carries no PII, so the
     // query INJECTS deterministic email/URL/IP/phone strings derived
     // from doc_id — the oracle builds the identical string in SQL and
@@ -2334,6 +2382,83 @@ object SparkEntry {
          r AS (SELECT lang, least(10000, (10000 * 200 * wt) // (n * tw)) AS bp FROM w, tot)
          SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
          WHERE CAST(('0x' || substring(md5(d.text), 1, 8)) AS BIGINT) % 10000 < r.bp""",
+    // identical window-hash + gaps-and-islands replay; the shared gram
+    // CTE block is duplicated into q98's profile oracle below
+    "q97_dup_spans" ->
+      """WITH w AS (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS ws FROM documents),
+         g AS (SELECT doc_id, i AS pos,
+                 CAST('0x'||substring(md5(array_to_string(ws[i+1:i+8], ' ')),1,15) AS BIGINT) AS gh
+               FROM w, unnest(range(0, len(ws) - 7)) AS t(i) WHERE len(ws) >= 8),
+         dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+         m AS (SELECT doc_id, pos FROM g WHERE gh IN (SELECT gh FROM dup)),
+         isl AS (SELECT doc_id, pos,
+                 CASE WHEN pos > coalesce(max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                      THEN 1 ELSE 0 END AS nw FROM m),
+         i2 AS (SELECT doc_id, pos, sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM isl)
+         SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 8 AS BIGINT) AS span_end
+         FROM i2 GROUP BY doc_id, island""",
+    "q98_dup_profile" ->
+      """WITH w AS (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS ws FROM documents),
+         g AS (SELECT doc_id, i AS pos,
+                 CAST('0x'||substring(md5(array_to_string(ws[i+1:i+8], ' ')),1,15) AS BIGINT) AS gh
+               FROM w, unnest(range(0, len(ws) - 7)) AS t(i) WHERE len(ws) >= 8),
+         dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+         m AS (SELECT doc_id, pos FROM g WHERE gh IN (SELECT gh FROM dup)),
+         isl AS (SELECT doc_id, pos,
+                 CASE WHEN pos > coalesce(max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                      THEN 1 ELSE 0 END AS nw FROM m),
+         i2 AS (SELECT doc_id, pos, sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM isl),
+         sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e FROM i2 GROUP BY doc_id, island),
+         agg AS (SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS dup_tok,
+                   CAST(count(*) AS BIGINT) AS n_spans FROM sp GROUP BY doc_id),
+         tok AS (SELECT doc_id, CAST(len(regexp_extract_all(trim(text), '\S+')) AS BIGINT) AS n_tok
+                 FROM documents)
+         SELECT t.doc_id, t.n_tok,
+           coalesce(a.dup_tok, 0) AS dup_tok, coalesce(a.n_spans, 0) AS n_spans,
+           CAST(CASE WHEN t.n_tok > 0 THEN (10000 * coalesce(a.dup_tok, 0)) // t.n_tok
+                ELSE 0 END AS BIGINT) AS dup_bp
+         FROM tok t LEFT JOIN agg a USING (doc_id)""",
+    // disjoint md5 slices: chars 1-15 route the shard, 16-30 order it
+    "q99_corpus_shuffle" ->
+      """WITH h AS (SELECT doc_id,
+           CAST(('0x'||substring(md5(text), 1, 15)) AS BIGINT) % 8 AS shard,
+           CAST(('0x'||substring(md5(text), 16, 15)) AS BIGINT) AS h2
+           FROM documents)
+         SELECT doc_id, CAST(shard AS INTEGER) AS shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY h2, doc_id) - 1 AS BIGINT) AS pos
+         FROM h""",
+    // same |v|^2 - 2<v,c> + |c|^2 expansion, same lowest-cid tie-break
+    "q100_cluster_assign" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+         d AS (SELECT e.vec_id, c.cid,
+                 list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)
+                   + list_dot_product(c.cv, c.cv) AS dist
+               FROM e CROSS JOIN c)
+         SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id FROM (
+           SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+           FROM d) WHERE rn = 1""",
+    // q100's assignment feeding q89's integer-exact sqrt-share rates
+    "q101_cluster_balanced" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+         d AS (SELECT e.vec_id, c.cid,
+                 list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)
+                   + list_dot_product(c.cv, c.cv) AS dist
+               FROM e CROSS JOIN c),
+         a AS (SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id FROM (
+                 SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                 FROM d) WHERE rn = 1),
+         cnt AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n FROM a GROUP BY cluster_id),
+         w AS (SELECT cluster_id, n, CAST(floor(sqrt(n)) AS BIGINT) AS wt FROM cnt),
+         tot AS (SELECT CAST(sum(wt) AS BIGINT) AS tw FROM w),
+         r AS (SELECT cluster_id, least(10000, (10000 * 200 * wt) // (n * tw)) AS bp FROM w, tot)
+         SELECT a.vec_id, a.cluster_id FROM a JOIN r USING (cluster_id)
+         WHERE CAST(('0x' || substring(md5(CAST(a.vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
+           < r.bp""",
     "q85_chunk_spans" ->
       s"""WITH RECURSIVE $bpeCtes,
          t AS (SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok FROM bpe),

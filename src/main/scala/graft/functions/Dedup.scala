@@ -450,4 +450,98 @@ object Dedup {
       .agg(count(lit(1)).as("shared")) // grams are pre-distinct per doc
       .filter(col("shared") >= minShared)
   }
+
+  // ------------------------------------- duplicate SPANS (substring dedup)
+
+  /** SUBSTRING-level duplicate-span detection — the "remove repeated
+    * passages, not whole documents" move of modern corpus curation
+    * (published as suffix-array ExactSubstr dedup; boilerplate headers,
+    * license blocks, and templated passages repeat across documents whose
+    * full texts are unique, so document-level dedup never sees them).
+    *
+    * Relational re-expression, three passes, no suffix array:
+    *   1. slide a `k`-word window over every document and hash it — one
+    *      corpus pass emitting (gram_hash, doc_id, pos), O(total tokens)
+    *      rows of 24 bytes;
+    *   2. a hash aggregate counts corpus-wide occurrences; windows with
+    *      count ≥ `minCount` are duplicated (intra-doc repeats count —
+    *      a doc that repeats its own boilerplate is still duplicated);
+    *   3. a semi-join marks the duplicated windows, and one per-doc
+    *      window pass merges overlapping/adjacent windows into MAXIMAL
+    *      spans (gaps-and-islands: a window opens a new span iff its
+    *      start lies past the running max end of everything before it).
+    *
+    * Returns (doc_id, span_start, span_end) — token offsets, end
+    * exclusive. The gram hash is the engine-portable 60-bit md5 prefix
+    * (collision odds at 2^60 are negligible below ~10^8 distinct grams
+    * per partition-of-trust; at 100 TB swap in `xxhash64` for the hash
+    * pass — same plan, cheaper hash, accepting hash-dedup semantics).
+    *
+    * 100 TB shape: the only shuffles are the gram-hash count and the
+    * semi-join back (both on the 60-bit key, AQE-skewable), plus the
+    * final per-doc window (partitioned by doc_id, never global). Hot
+    * grams (the whole point — boilerplate) make the count side skew:
+    * partial aggregation absorbs them map-side.
+    */
+  def duplicateSpans(df: DataFrame, textCol: String, idCol: String,
+                     k: Int = 8, minCount: Int = 2): DataFrame = {
+    require(k >= 1, s"window length k must be >= 1, got $k")
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    val grams = gramWindows(df, textCol, idCol, k)
+    val dup = grams.groupBy(col("gh")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount).select(col("gh"))
+    val marked = grams.join(dup, Seq("gh"), "left_semi").select(col("doc_id"), col("pos"))
+    mergeSpans(marked, k)
+  }
+
+  /** Windowed gram hashes: (doc_id, pos, gh) for every k-word window.
+    * The per-row transient index array is bounded by the document's own
+    * token count — the same per-doc bound every tokenizing pass here has.
+    */
+  private def gramWindows(df: DataFrame, textCol: String, idCol: String,
+                          k: Int): DataFrame =
+    df.select(col(idCol).cast("long").as("doc_id"),
+        split(trim(col(textCol)), "\\s+").as("__ws"))
+      .withColumn("__n", size(col("__ws")))
+      .filter(col("__n") >= k)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), col("__n") - k),
+        i => conv(substring(md5(concat_ws(" ", slice(col("__ws"), i + 1, lit(k)))), 1, 15), 16, 10)
+          .cast("long"))))
+      .toDF("doc_id", "pos", "gh")
+
+  /** Gaps-and-islands merge of marked k-windows into maximal spans. */
+  private def mergeSpans(marked: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val prevEnd = max(col("pos") + k)
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    marked
+      .withColumn("__new", when(prevEnd.isNull || col("pos") > prevEnd, 1).otherwise(0))
+      .withColumn("__island", sum(col("__new")).over(w))
+      .groupBy(col("doc_id"), col("__island"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + k).cast("long").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+  }
+
+  /** Per-document duplication profile over [[duplicateSpans]]: whitespace
+    * token count, duplicated-token count, and the duplicated fraction in
+    * integer basis points (exact arithmetic — hash-reproducible anywhere).
+    * Every input document appears (zero spans → zeros); one left join on
+    * the span aggregate, no extra corpus pass.
+    */
+  def duplicateStats(df: DataFrame, textCol: String, idCol: String,
+                     k: Int = 8, minCount: Int = 2): DataFrame = {
+    val spans = duplicateSpans(df, textCol, idCol, k, minCount)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("span_end") - col("span_start")).as("dup_tok"),
+        count(lit(1)).as("n_spans"))
+    df.select(col(idCol).cast("long").as("doc_id"),
+        TextFunctions.wsTokenCount(col(textCol)).cast("long").as("n_tok"))
+      .join(spans, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("dup_tok", "n_spans"))
+      .withColumn("dup_bp",
+        when(col("n_tok") > 0, expr("(10000L * dup_tok) div n_tok")).otherwise(lit(0L)))
+  }
 }

@@ -77,6 +77,30 @@ object Sampling {
       .drop("__s", "__bp")
   }
 
+  /** Deterministic training-order shuffle + sharding: route each
+    * document to a shard by one 60-bit md5 slice of its content and
+    * order WITHIN the shard by an independent second slice (chars 16-30
+    * of the same digest — disjoint bits, so route and order are
+    * uncorrelated and each shard is itself a uniformly shuffled sample).
+    * Ties (duplicate content) break on `id`. Adds `shard` and 0-based
+    * `pos` columns.
+    *
+    * This replaces the trainer-side "global shuffle" with a shape that
+    * scales: NO global sort ever happens — the only wide op is one
+    * window partitioned by shard, and shards are written independently.
+    * Reproducible anywhere: same corpus → same shard files, same order.
+    */
+  def corpusShuffle(df: DataFrame, key: Column, id: Column, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val h1 = conv(substring(md5(key), 1, 15), 16, 10).cast("long")
+    val h2 = conv(substring(md5(key), 16, 15), 16, 10).cast("long")
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h2"), col("__id"))
+    df.withColumn("shard", (h1 % nShards).cast("int"))
+      .withColumn("__h2", h2).withColumn("__id", id)
+      .withColumn("pos", row_number().over(w).cast("long") - 1L)
+      .drop("__h2", "__id")
+  }
+
   /** Token-budget curation: per stratum, greedily keep the largest
     * documents (ties → lowest id) until the cumulative token count
     * exceeds `budget`. One partitioned-window pass; integer arithmetic

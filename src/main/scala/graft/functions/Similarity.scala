@@ -300,6 +300,36 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Fixed-centroid cluster assignment — the bucketing step of
+    * cluster-balanced data mixing (assign every vector to a semantic
+    * bucket, then rebalance the mixture per bucket). Centroids are the
+    * `nCentroids` LOWEST-ID vectors — a deterministic, fully relational
+    * choice (no RNG, no Lloyd float drift), so any engine re-derives the
+    * exact assignment; swap in trained centroids for quality, the plan
+    * is identical. Assignment is argmin squared L2 (expanded as
+    * |v|²−2⟨v,c⟩+|c|², all double), ties → lowest centroid id.
+    *
+    * 100 TB shape: the centroid table broadcasts (nCentroids×dim
+    * doubles); the corpus makes ONE pass through the cross join and one
+    * hash aggregate — `min(struct(dist, cid))` is a partial-aggregating
+    * argmin, so no window sort and only (vec_id, best) shuffles.
+    */
+  def assignToLowestIdCentroids(df: DataFrame, idCol: String, vecCol: String,
+                                nCentroids: Int): DataFrame = {
+    require(nCentroids >= 1, s"nCentroids must be >= 1, got $nCentroids")
+    val e = df.select(col(idCol).cast("long").as("vec_id"), asDouble(col(vecCol)).as("__v"))
+    val cents = e.orderBy(col("vec_id")).limit(nCentroids)
+      .select(col("vec_id").as("__cid"), col("__v").as("__c"))
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), struct(
+        (dot(col("__v"), col("__v")) - dot(col("__v"), col("__c")) * 2
+          + dot(col("__c"), col("__c"))).as("d"),
+        col("__cid").as("cid")).as("__s"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("__s")).as("__m"))
+      .select(col("vec_id"), col("__m.cid").as("cluster_id"))
+  }
+
   /** Near-dedup on embeddings: drop members with a smaller-id near-dup. */
   def cosineNearDupDedup(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                          threshold: Double = 0.95,
