@@ -641,6 +641,19 @@ object SparkEntry {
           col("sum_r"), col("sum_g"), col("sum_b"))
     }),
 
+    // M3 — VIDEO path: sampled-frame decode of the multi-frame GIFs —
+    // only the ≤4 frame-sample indices are decoded (per-frame cost, the
+    // property that matters when frames are video), each frame's
+    // palette-resolved pixel sums oracle-checked against the
+    // parity-shifted checkerboard closed form.
+    "q102_video_frame_stats" -> ((s, dir) => {
+      val media = functions.Multimodal.syntheticImages(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id", "gif")(s)
+      functions.Multimodal.extractFrameStats(media, maxFrames = 4)(s).toDF()
+        .select(col("id").as("doc_id"), col("frame_idx"), col("width"), col("height"),
+          col("sum_r"), col("sum_g"), col("sum_b"))
+    }),
+
     // AJ — as-of join (composed, one shuffle): each order's most recent
     // strictly-earlier order of the same customer.
     "q36_asof_prev_order" -> ((s, dir) => {
@@ -2382,6 +2395,30 @@ object SparkEntry {
          r AS (SELECT lang, least(10000, (10000 * 200 * wt) // (n * tw)) AS bp FROM w, tot)
          SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
          WHERE CAST(('0x' || substring(md5(d.text), 1, 8)) AS BIGINT) % 10000 < r.bp""",
+    // q35's checkerboard closed form extended to sampled frame f: the
+    // parity shift swaps which color covers the even cells
+    "q102_video_frame_stats" ->
+      """WITH dims AS (
+           SELECT doc_id,
+             16 + (doc_id*7919)%64 AS w, 16 + (doc_id*104729)%64 AS h,
+             1 + (doc_id*293)%8 AS nf,
+             (doc_id*131)%256 AS c0r, (doc_id*137)%256 AS c0g, (doc_id*139)%256 AS c0b,
+             (doc_id*149)%256 AS c1r, (doc_id*151)%256 AS c1g, (doc_id*157)%256 AS c1b
+           FROM documents),
+         fs AS (SELECT *, greatest(1, CAST(ceil(nf / 4.0) AS BIGINT)) AS step FROM dims),
+         fr AS (SELECT *, unnest(range(0, nf, step)) AS f FROM fs),
+         cnt AS (SELECT *, (w*h + (w%2)*(h%2)) // 2 AS ne,
+                        w*h - ((w*h + (w%2)*(h%2)) // 2) AS nodd FROM fr),
+         sw AS (SELECT doc_id, f, w, h,
+                  CASE WHEN f%2 = 0 THEN ne ELSE nodd END AS n0,
+                  CASE WHEN f%2 = 0 THEN nodd ELSE ne END AS n1,
+                  c0r, c0g, c0b, c1r, c1g, c1b FROM cnt)
+         SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+           CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           CAST(c0r*n0 + c1r*n1 AS BIGINT) AS sum_r,
+           CAST(c0g*n0 + c1g*n1 AS BIGINT) AS sum_g,
+           CAST(c0b*n0 + c1b*n1 AS BIGINT) AS sum_b
+         FROM sw""",
     // identical window-hash + gaps-and-islands replay; the shared gram
     // CTE block is duplicated into q98's profile oracle below
     "q97_dup_spans" ->

@@ -300,6 +300,56 @@ object Multimodal {
       }))
   }
 
+  // ------------------------------------------- video (multi-frame) path
+
+  /** Per-SAMPLED-frame pixel statistics — the video analog of
+    * [[ImageStats]]: frames are sampled by the [[frameSampleIndices]]
+    * arithmetic (≤ maxFrames, evenly spaced) and only those are decoded.
+    * Colors come from `getRGB` (palette-resolved), not raw raster
+    * samples, so indexed containers (GIF) report true colors.
+    */
+  case class FrameStats(id: Long, frame_idx: Long, width: Int, height: Int,
+                        sum_r: Long, sum_g: Long, sum_b: Long)
+
+  private def decodeFrameStats(id: Long, bytes: Array[Byte],
+                               maxFrames: Int): Seq[FrameStats] =
+    withReader(bytes) { r =>
+      val n = r.getNumImages(true)
+      val step = math.max(1L, math.ceil(n.toDouble / maxFrames).toLong)
+      (0L until n.toLong by step).map { f =>
+        val img = r.read(f.toInt)
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
+            x += 1
+          }
+          y += 1
+        }
+        FrameStats(id, f, w, h, sr, sg, sb)
+      }
+    }.getOrElse(Seq.empty)
+
+  /** Batched sampled-frame decode over a binary column: decodes ONLY the
+    * ≤ `maxFrames` sampled frames per media row — the 100 TB-relevant
+    * property, since video decode cost is per-frame, not per-file.
+    */
+  def extractFrameStats(df: DataFrame, idCol: String = "id",
+                        contentCol: String = "content", maxFrames: Int = 4,
+                        batchSize: Int = 64)
+                       (implicit spark: SparkSession): Dataset[FrameStats] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(contentCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.flatMap {
+        case (id, bytes) => decodeFrameStats(id, bytes, maxFrames)
+      }))
+  }
+
   // ------------------------------------------------- plan-level columns
 
   /** Resize plan: clamp the longer edge to `maxEdge`, preserving aspect —

@@ -49,6 +49,35 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.map(_.nFrames).distinct.size > 1)
   }
 
+  test("GIF sampled-frame decode: every sampled frame matches the parity-shifted closed form") {
+    val stats = Multimodal.extractFrameStats(
+      Multimodal.syntheticImages(ids(30), "id", "gif", batchSize = 11),
+      maxFrames = 4, batchSize = 11)
+      .collect().sortBy(st => (st.id, st.frame_idx))
+    val byId = stats.groupBy(_.id)
+    assert(byId.keySet == (1L to 30L).toSet)
+    byId.foreach { case (id, fs) =>
+      val n = Multimodal.nFramesOf(id)
+      val step = math.max(1L, math.ceil(n / 4.0).toLong)
+      assert(fs.map(_.frame_idx).toSeq == (0L until n.toLong by step).toSeq,
+        s"sampled indices for id=$id nFrames=$n")
+      val (w, h) = (Multimodal.dimW(id), Multimodal.dimH(id))
+      val ne = (w.toLong * h + (w % 2) * (h % 2)) / 2
+      val no = w.toLong * h - ne
+      val (ar, ag, ab) = Multimodal.colorA(id)
+      val (br, bg, bb) = Multimodal.colorB(id)
+      fs.foreach { st =>
+        assert((st.width, st.height) == (w, h), s"dims id=$id f=${st.frame_idx}")
+        // frame f shifts the checkerboard parity: colorA covers the
+        // (x+y+f)-even cells — ne of them when f is even, no when odd
+        val (n0, n1) = if (st.frame_idx % 2 == 0) (ne, no) else (no, ne)
+        assert((st.sum_r, st.sum_g, st.sum_b) ==
+          (ar * n0 + br * n1, ag * n0 + bg * n1, ab * n0 + bb * n1),
+          s"sums id=$id f=${st.frame_idx}")
+      }
+    }
+  }
+
   test("unreadable payloads are dropped, valid ones survive (lossy-decode contract)") {
     val junk = Seq((900L, Array[Byte](1, 2, 3)), (901L, Array.emptyByteArray))
       .toDF("id", "content")
