@@ -641,6 +641,27 @@ object SparkEntry {
           col("sum_r"), col("sum_g"), col("sum_b"))
     }),
 
+    // PIPELINE — the END-TO-END curation flagship: quality gate → exact
+    // dedup → simhash near-dedup → duplicate-span filter → deterministic
+    // shuffle+shard, one DataFrame chain, every stage hash-exact in the
+    // oracle's single composed SQL. This is the "switch your curation
+    // pipeline to this library" demonstration: the final training-shard
+    // assignment of every surviving document is bit-reproducible.
+    "q103_curation_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = docs.filter(col("n_chars") >= 100 &&
+          TextFunctions.wsTokenCount(col("text")) >= 20)
+        .select(col("doc_id"), col("text"))
+      val exact = functions.Dedup.exactDedup(base, "text", "doc_id")
+      val near = functions.Dedup.simhashDedupPortable(exact, "text", "doc_id")
+      val kept = near.join(
+        functions.Dedup.duplicateStats(near, "text", "doc_id")
+          .filter(col("dup_bp") < 5000).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      functions.Sampling.corpusShuffle(kept, col("text"), col("doc_id"), nShards = 8)
+        .select(col("doc_id"), col("shard"), col("pos"))
+    }),
+
     // M3 — VIDEO path: sampled-frame decode of the multi-frame GIFs —
     // only the ≤4 frame-sample indices are decoded (per-frame cost, the
     // property that matters when frames are video), each frame's
@@ -2395,6 +2416,60 @@ object SparkEntry {
          r AS (SELECT lang, least(10000, (10000 * 200 * wt) // (n * tw)) AS bp FROM w, tot)
          SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
          WHERE CAST(('0x' || substring(md5(d.text), 1, 8)) AS BIGINT) % 10000 < r.bp""",
+    // the whole curation chain composed into ONE SQL derivation:
+    // quality gate, exact keep (min id per text), q24's simhash block
+    // CTEs, q97's gram/island CTEs, q98's bp profile, q99's shard/order
+    "q103_curation_pipeline" ->
+      """WITH base AS (
+           SELECT doc_id, text FROM documents
+           WHERE n_chars >= 100 AND len(regexp_extract_all(trim(text), '\S+')) >= 20),
+         exact AS (SELECT min(doc_id) AS doc_id FROM base GROUP BY text),
+         kept0 AS (SELECT b.doc_id, b.text FROM base b JOIN exact e USING (doc_id)),
+         toks AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                      x -> x <> '') AS t
+           FROM kept0),
+         th AS (SELECT doc_id,
+                  list_transform(t, x -> CAST('0x'||substring(md5(x),1,15) AS BIGINT)) AS h,
+                  len(t) AS n
+                FROM toks),
+         bits AS (SELECT doc_id, b,
+                    CASE WHEN 2*len(list_filter(h, v -> (v >> b) & 1 = 1)) > n
+                         THEN (CAST(1 AS BIGINT) << b) ELSE 0 END AS bit
+                  FROM th, range(0, 60) r(b)),
+         sims AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS sim FROM bits GROUP BY doc_id),
+         blocks AS (SELECT doc_id, blk, (sim >> CAST(blk*15 AS INTEGER)) & 32767 AS bucket, sim
+                    FROM sims, range(0, 4) r(blk)),
+         pairs AS (SELECT DISTINCT a.doc_id AS idA, b.doc_id AS idB, a.sim AS simA, b.sim AS simB
+                   FROM blocks a JOIN blocks b
+                     ON a.blk = b.blk AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         losers AS (SELECT DISTINCT idB FROM pairs WHERE bit_count(xor(simA, simB)) <= 3),
+         kept1 AS (SELECT doc_id, text FROM kept0 WHERE doc_id NOT IN (SELECT idB FROM losers)),
+         w AS (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS ws FROM kept1),
+         g AS (SELECT doc_id, i AS pos,
+                 CAST('0x'||substring(md5(array_to_string(ws[i+1:i+8], ' ')),1,15) AS BIGINT) AS gh
+               FROM w, unnest(range(0, len(ws) - 7)) AS t(i) WHERE len(ws) >= 8),
+         dupg AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+         m AS (SELECT doc_id, pos FROM g WHERE gh IN (SELECT gh FROM dupg)),
+         isl AS (SELECT doc_id, pos,
+                 CASE WHEN pos > coalesce(max(pos+8) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                      THEN 1 ELSE 0 END AS nw FROM m),
+         i2 AS (SELECT doc_id, pos, sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM isl),
+         sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e FROM i2 GROUP BY doc_id, island),
+         dt AS (SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS dup_tok FROM sp GROUP BY doc_id),
+         prof AS (SELECT k.doc_id, k.text,
+                    CASE WHEN len(regexp_extract_all(trim(k.text), '\S+')) > 0
+                         THEN (10000*coalesce(d.dup_tok, 0)) // len(regexp_extract_all(trim(k.text), '\S+'))
+                         ELSE 0 END AS dup_bp
+                  FROM kept1 k LEFT JOIN dt d USING (doc_id)),
+         kept2 AS (SELECT doc_id, text FROM prof WHERE dup_bp < 5000),
+         sh AS (SELECT doc_id,
+                  CAST(('0x'||substring(md5(text), 1, 15)) AS BIGINT) % 8 AS shard,
+                  CAST(('0x'||substring(md5(text), 16, 15)) AS BIGINT) AS h2 FROM kept2)
+         SELECT doc_id, CAST(shard AS INTEGER) AS shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY h2, doc_id) - 1 AS BIGINT) AS pos
+         FROM sh""",
     // q35's checkerboard closed form extended to sampled frame f: the
     // parity shift swaps which color covers the even cells
     "q102_video_frame_stats" ->
