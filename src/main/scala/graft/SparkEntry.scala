@@ -641,6 +641,36 @@ object SparkEntry {
           col("sum_r"), col("sum_g"), col("sum_b"))
     }),
 
+    // S9 — JSONL intake with corrupt-record QUARANTINE: the corpus is
+    // round-tripped through Spark's own JSONL writer, three deterministic
+    // malformed lines + one wrong-typed line are planted alongside, and
+    // the read must parse every clean row bit-exactly (oracle: the
+    // documents table itself) while `require`-counting all four
+    // quarantined lines — parse what parses, keep the rest visible.
+    "q104_jsonl_quarantine" -> ((s, dir) => {
+      import java.nio.file.{Files, Paths}
+      import org.apache.spark.sql.types.{LongType, StringType, StructType}
+      val tmp = Files.createTempDirectory("graft-q104")
+      val data = s"$tmp/data"
+      t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+        .write.mode("overwrite").json(data)
+      Files.writeString(Paths.get(s"$data/zz-corrupt.json"),
+        "{\"doc_id\": 9000000001, \"lang\":\n" +
+          "not json at all\n" +
+          "{\"doc_id\": 9000000002, \"lang\": \"en\", \"text\": \"truncat\n" +
+          "{\"doc_id\": \"not-a-number\", \"lang\": \"en\", \"text\": \"wrong type\"}\n")
+      val raw = graft.sources.Jsonl.readWithQuarantine(s, data,
+        new StructType().add("doc_id", LongType).add("lang", StringType)
+          .add("text", StringType))
+      val nBad = graft.sources.Jsonl.quarantine(raw).count()
+      require(nBad == 4, s"expected 4 quarantined lines, got $nBad")
+      val out = graft.sources.Jsonl.good(raw).collect()
+      dropStaged(tmp)
+      import s.implicits._
+      out.map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+        .toDF("doc_id", "lang", "text")
+    }),
+
     // PIPELINE — the END-TO-END curation flagship: quality gate → exact
     // dedup → simhash near-dedup → duplicate-span filter → deterministic
     // shuffle+shard, one DataFrame chain, every stage hash-exact in the
@@ -2416,6 +2446,9 @@ object SparkEntry {
          r AS (SELECT lang, least(10000, (10000 * 200 * wt) // (n * tw)) AS bp FROM w, tot)
          SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
          WHERE CAST(('0x' || substring(md5(d.text), 1, 8)) AS BIGINT) % 10000 < r.bp""",
+    // round-trip identity: every clean JSONL row must equal its source
+    "q104_jsonl_quarantine" ->
+      """SELECT doc_id, lang, text FROM documents""",
     // the whole curation chain composed into ONE SQL derivation:
     // quality gate, exact keep (min id per text), q24's simhash block
     // CTEs, q97's gram/island CTEs, q98's bp profile, q99's shard/order

@@ -56,6 +56,37 @@ class CurationOpsSpec extends SparkSpec {
       (3L, 3L, 0L, 0L, 0L)))
   }
 
+  test("duplicateSpans matches a brute-force reference on random corpora (fixed seed)") {
+    val k = 3
+    def reference(corpus: Seq[(Long, Seq[String])]): Set[(Long, Long, Long)] = {
+      val grams = corpus.flatMap { case (id, ws) =>
+        ws.sliding(k).zipWithIndex.collect {
+          case (g, i) if g.length == k => (g.mkString(" "), id, i.toLong)
+        }
+      }
+      val dup = grams.groupBy(_._1).filter(_._2.size >= 2).keySet
+      corpus.flatMap { case (id, _) =>
+        val marked = grams.collect { case (g, i, p) if i == id && dup(g) => p }.sorted
+        // interval merge of [p, p+k)
+        val spans = marked.foldLeft(List.empty[(Long, Long)]) {
+          case ((s, e) :: rest, p) if p <= e => (s, p + k) :: rest
+          case (acc, p) => (p, p + k) :: acc
+        }
+        spans.map { case (s, e) => (id, s, e) }
+      }.toSet
+    }
+    val rnd = new scala.util.Random(42)
+    (1 to 8).foreach { trial =>
+      val corpus = (1L to (1 + rnd.nextInt(7)).toLong).map { id =>
+        id -> Seq.fill(rnd.nextInt(30))(s"w${rnd.nextInt(6)}")
+      }
+      val df = corpus.map { case (id, ws) => (id, ws.mkString(" ")) }.toDF("doc_id", "text")
+      val got = Dedup.duplicateSpans(df, "text", "doc_id", k = k, minCount = 2)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == reference(corpus), s"trial $trial corpus=$corpus")
+    }
+  }
+
   test("corpusShuffle is a permutation: dense 0..n-1 positions per shard, all docs once") {
     val d = spark.read.parquet(s"$SfDir/documents.parquet")
     val out = Sampling.corpusShuffle(d.select(col("doc_id"), col("text")),
