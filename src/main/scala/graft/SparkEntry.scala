@@ -641,6 +641,35 @@ object SparkEntry {
           col("sum_r"), col("sum_g"), col("sum_b"))
     }),
 
+    // T — Unicode NFC normalization (native codegen Expression; Spark
+    // ships none and a UDF would box out of codegen): deterministic
+    // combining-sequence text is injected so the fixture actually
+    // exercises composition; java.text.Normalizer and DuckDB's
+    // nfc_normalize both implement UAX #15, so the FULL normalized text
+    // hash-matches, not just lengths.
+    "q105_unicode_nfc" -> ((s, dir) => {
+      val injected = concat(col("text"), lit(" cafe\u0301 nai\u0308ve A\u030Angstro\u0308m"))
+      t(s, dir, "documents").select(col("doc_id"),
+        functions.NfcNormalize.nfc(injected).as("norm"),
+        length(injected).cast("long").as("len_raw"),
+        length(functions.NfcNormalize.nfc(injected)).cast("long").as("len_nfc"))
+    }),
+
+    // W — trailing-24h rolling aggregate per user (event-time RANGE
+    // window over epoch-µs integers — integer frame bounds keep both
+    // engines' membership tests exact, no timestamp-precision edge).
+    "q106_rolling_24h" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("__us"))
+        .rangeBetween(-86400000000L, 0L)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("__us"),
+          round(col("value") * 100).cast("long").as("__cents"))
+        .withColumn("n_24h", count(lit(1)).over(w))
+        .withColumn("cents_24h", sum(col("__cents")).over(w))
+        .select(col("user_id"), col("event_id"), col("n_24h"), col("cents_24h"))
+    }),
+
     // S9 — JSONL intake with corrupt-record QUARANTINE: the corpus is
     // round-tripped through Spark's own JSONL writer, three deterministic
     // malformed lines + one wrong-typed line are planted alongside, and
@@ -2449,6 +2478,26 @@ object SparkEntry {
     // round-trip identity: every clean JSONL row must equal its source
     "q104_jsonl_quarantine" ->
       """SELECT doc_id, lang, text FROM documents""",
+    // same decomposed injection via chr(); both engines implement UAX #15
+    "q105_unicode_nfc" ->
+      """WITH inj AS (SELECT doc_id,
+           text || ' cafe' || chr(769) || ' nai' || chr(776) || 've A' || chr(778)
+                || 'ngstro' || chr(776) || 'm' AS t
+           FROM documents)
+         SELECT doc_id, nfc_normalize(t) AS norm,
+           CAST(length(t) AS BIGINT) AS len_raw,
+           CAST(length(nfc_normalize(t)) AS BIGINT) AS len_nfc
+         FROM inj""",
+    // identical integer epoch-µs RANGE frame — no timestamp-precision edge
+    "q106_rolling_24h" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+           CAST(round(value*100) AS BIGINT) AS cents FROM events)
+         SELECT user_id, event_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_24h,
+           CAST(sum(cents) OVER w AS BIGINT) AS cents_24h
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY us
+                      RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)""",
     // the whole curation chain composed into ONE SQL derivation:
     // quality gate, exact keep (min id per text), q24's simhash block
     // CTEs, q97's gram/island CTEs, q98's bp profile, q99's shard/order
