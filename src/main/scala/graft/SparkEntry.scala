@@ -641,6 +641,33 @@ object SparkEntry {
           col("sum_r"), col("sum_g"), col("sum_b"))
     }),
 
+    // T — the published Gopher quality-rule family as EXACT-INTEGER
+    // flags (no float ratios): word-count band, mean-word-length band,
+    // symbol-to-word ratio, alphabetic-word fraction, distinct-stopword
+    // threshold, and the conjunction. Deterministic '#'/'...' symbols
+    // are injected for a doc_id slice so the symbol rule actually fires.
+    "q107_gopher_flags" -> ((s, dir) => {
+      val injected = when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" ### ... ### ... #"))).otherwise(col("text"))
+      t(s, dir, "documents").select(col("doc_id"),
+          functions.TextFunctions.gopherFlags(injected).as("g"))
+        .select(col("doc_id"), col("g.wc_ok").as("wc_ok"), col("g.mwl_ok").as("mwl_ok"),
+          col("g.sym_ok").as("sym_ok"), col("g.alpha_ok").as("alpha_ok"),
+          col("g.stop_ok").as("stop_ok"), col("g.pass").as("pass"))
+    }),
+
+    // T — crawl-text cleaning chain: entity decode (&amp; last —
+    // double-encoded text single-decodes), C0 control strip, whitespace
+    // collapse, NFC, trim. Deterministic dirty suffixes injected; the
+    // oracle replays the identical chain.
+    "q108_clean_text" -> ((s, dir) => {
+      val dirty = concat(col("text"),
+        lit(" &amp;lt; A&#39;s &quot;q&quot; \u0007x\u0001 a \t b   cafe\u0301  "))
+      t(s, dir, "documents").select(col("doc_id"),
+        functions.TextFunctions.cleanText(dirty).as("clean"),
+        length(functions.TextFunctions.cleanText(dirty)).cast("long").as("len_clean"))
+    }),
+
     // T — Unicode NFC normalization (native codegen Expression; Spark
     // ships none and a UDF would box out of codegen): deterministic
     // combining-sequence text is injected so the fixture actually
@@ -2478,6 +2505,50 @@ object SparkEntry {
     // round-trip identity: every clean JSONL row must equal its source
     "q104_jsonl_quarantine" ->
       """SELECT doc_id, lang, text FROM documents""",
+    // identical exact-integer rule arithmetic; same injected symbols
+    "q107_gopher_flags" ->
+      """WITH inj AS (SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN text || ' ### ... ### ... #' ELSE text END AS raw
+           FROM documents),
+         b AS (SELECT doc_id, raw, trim(raw) AS t FROM inj),
+         m AS (SELECT doc_id,
+           CASE WHEN length(trim(raw)) = 0 THEN 0
+                ELSE len(regexp_extract_all(t, '\S+')) END AS n,
+           length(regexp_replace(t, '\s+', '', 'g')) AS chars,
+           length(t) - length(regexp_replace(t, '#', '', 'g')) AS hashes,
+           (length(t) - length(regexp_replace(t, '\.\.\.', '', 'g'))) // 3 AS ellipses,
+           len(list_filter(regexp_extract_all(t, '\S+'),
+               w -> regexp_matches(w, '[A-Za-z]'))) AS alpha,
+           len(list_intersect(list_transform(regexp_extract_all(t, '\S+'), w -> lower(w)),
+               ['the','be','to','of','and','that','have','with'])) AS stops
+           FROM b)
+         SELECT doc_id,
+           n >= 50 AND n <= 100000 AS wc_ok,
+           chars >= n*3 AND chars <= n*10 AS mwl_ok,
+           (hashes + ellipses) * 10 <= n AS sym_ok,
+           alpha * 5 >= n * 4 AS alpha_ok,
+           stops >= 2 AS stop_ok,
+           (n >= 50 AND n <= 100000) AND (chars >= n*3 AND chars <= n*10)
+             AND ((hashes + ellipses) * 10 <= n) AND (alpha * 5 >= n * 4)
+             AND (stops >= 2) AS pass
+         FROM m""",
+    // the identical decode→strip→collapse→NFC→trim chain over the same
+    // injected dirt (entities, C0 controls, tab runs, combining e+U+0301)
+    "q108_clean_text" ->
+      """WITH inj AS (SELECT doc_id,
+           text || ' &amp;lt; A&#39;s &quot;q&quot; ' || chr(7) || 'x' || chr(1)
+                || ' a ' || chr(9) || ' b   cafe' || chr(769) || '  ' AS t
+           FROM documents),
+         c0 AS (SELECT doc_id, regexp_replace(t, '&lt;', '<', 'g') AS t FROM inj),
+         c1 AS (SELECT doc_id, regexp_replace(t, '&gt;', '>', 'g') AS t FROM c0),
+         c2 AS (SELECT doc_id, regexp_replace(t, '&quot;', '"', 'g') AS t FROM c1),
+         c3 AS (SELECT doc_id, regexp_replace(t, '&#39;', '''', 'g') AS t FROM c2),
+         c4 AS (SELECT doc_id, regexp_replace(t, '&amp;', '&', 'g') AS t FROM c3),
+         c5 AS (SELECT doc_id,
+                  regexp_replace(t, '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g') AS t FROM c4),
+         c6 AS (SELECT doc_id,
+                  trim(nfc_normalize(regexp_replace(t, '\s+', ' ', 'g'))) AS clean FROM c5)
+         SELECT doc_id, clean, CAST(length(clean) AS BIGINT) AS len_clean FROM c6""",
     // same decomposed injection via chr(); both engines implement UAX #15
     "q105_unicode_nfc" ->
       """WITH inj AS (SELECT doc_id,

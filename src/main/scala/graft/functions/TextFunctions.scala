@@ -258,4 +258,67 @@ object TextFunctions {
   def minShingleFingerprintPortable(text: Column, n: Int = 5): Column =
     when(text.isNotNull,
       array_min(transform(shingles(tokens(text), n), s => md5Fingerprint(s))))
+
+  // ------------------------------------------- Gopher quality-rule flags
+
+  /** The eight Gopher stopwords (Rae et al. 2021, table A1 rule set);
+    * a document passing the stopword rule contains ≥ 2 distinct ones.
+    */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The published Gopher repetition/quality rule family (Rae et al.
+    * 2021), re-expressed as EXACT INTEGER comparisons so every flag is
+    * engine-portable — no float ratios (mean-word-length ∈ [3,10] becomes
+    * `3n ≤ chars ≤ 10n`, alphabetic-word fraction ≥ 0.8 becomes
+    * `5·alpha ≥ 4n`, symbol-to-word ratio ≤ 0.1 becomes
+    * `10·symbols ≤ n`). Line-shape rules (bullet/ellipsis line
+    * fractions) are omitted: the gate corpus is single-line; add them
+    * over `split(text, '\n')` when ingesting multi-line documents.
+    *
+    * Returns a struct of per-rule booleans + the conjunction `pass`.
+    * Pure projection — zero shuffle, stays in codegen.
+    */
+  def gopherFlags(text: Column): Column = {
+    val t = trim(text)
+    val ws = split(t, "\\s+")
+    val n = wsTokenCount(text).cast("long")
+    // non-whitespace chars = total word length (no per-word pass needed)
+    val chars = length(regexp_replace(t, "\\s+", "")).cast("long")
+    val hashes = (length(t) - length(regexp_replace(t, "#", ""))).cast("long")
+    val ellipses = ((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3).cast("long")
+    val alphaWords = size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("long")
+    val stopHits = size(array_intersect(transform(ws, w => lower(w)),
+      array(GopherStopwords.map(lit): _*))).cast("long")
+    val wcOk = n >= 50 && n <= 100000
+    val mwlOk = chars >= n * 3 && chars <= n * 10
+    val symOk = (hashes + ellipses) * 10 <= n
+    val alphaOk = alphaWords * 5 >= n * 4
+    val stopOk = stopHits >= 2
+    struct(
+      wcOk.as("wc_ok"), mwlOk.as("mwl_ok"), symOk.as("sym_ok"),
+      alphaOk.as("alpha_ok"), stopOk.as("stop_ok"),
+      (wcOk && mwlOk && symOk && alphaOk && stopOk).as("pass"))
+  }
+
+  // ------------------------------------------------------- text cleaning
+
+  /** Crawl-text cleaning chain: decode the five predefined HTML entities
+    * (`&amp;` LAST, so double-encoded `&amp;lt;` single-decodes to
+    * `&lt;` — the standard one-pass contract), strip C0 control chars
+    * (TAB/LF/CR survive as whitespace), collapse whitespace runs to one
+    * space, NFC-normalize, trim. Pure regexp projection + the
+    * [[NfcNormalize]] expression — zero shuffle, engine-portable (the
+    * oracle runs the identical chain).
+    */
+  def cleanText(text: Column): Column = {
+    val entities = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+      "&amp;" -> "&")
+    val decoded = entities.foldLeft(text) { case (c, (e, r)) =>
+      regexp_replace(c, e, r)
+    }
+    val noCtrl = regexp_replace(decoded, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", "")
+    trim(NfcNormalize.nfc(regexp_replace(noCtrl, "\\s+", " ")))
+  }
 }

@@ -55,6 +55,42 @@ class NormalizeCompressSpec extends SparkSpec {
     }
   }
 
+  test("gopherFlags: each rule fires on its own violation, conjunction on the clean doc") {
+    val clean = ("the be of and that have with " + (1 to 50).map(i => s"word$i").mkString(" "))
+    val rows = Seq(
+      ("clean", clean),
+      ("short", "the be of too short"), // < 50 words
+      ("symbols", clean + " " + ("# ... " * 10)), // symbol ratio blown
+      ("numeric", ("the be " + Seq.fill(60)("12345").mkString(" "))), // alpha fraction low
+      ("nostop", (1 to 60).map(i => s"w$i").mkString(" ")), // no stopwords
+      ("empty", ""))
+    val got = rows.toDF("k", "text")
+      .select(col("k"), TextFunctions.gopherFlags(col("text")).as("g"))
+      .select(col("k"), col("g.wc_ok"), col("g.sym_ok"), col("g.alpha_ok"),
+        col("g.stop_ok"), col("g.pass"))
+      .as[(String, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> (r._2, r._3, r._4, r._5, r._6)).toMap
+    assert(got("clean") == (true, true, true, true, true))
+    assert(!got("short")._1 && !got("short")._5)
+    assert(!got("symbols")._2 && !got("symbols")._5)
+    assert(!got("numeric")._3 && !got("numeric")._5)
+    assert(!got("nostop")._4 && !got("nostop")._5)
+    assert(got("empty") == (false, true, true, false, false))
+  }
+
+  test("cleanText: entity decode order, control strip, whitespace collapse, NFC, trim") {
+    val dirty = "  &amp;lt; A&#39;s &quot;q&quot; \u0007x\u0001 a \t b   café  "
+    val want = "&lt; A's \"q\" x a b café"
+    val got = Seq(dirty).toDF("s")
+      .select(TextFunctions.cleanText(col("s"))).as[String].head()
+    assert(got == want)
+    // idempotent on already-clean text... except entity-looking content
+    // decodes again by design (single-pass decode contract)
+    val clean = "plain already clean"
+    assert(Seq(clean).toDF("s")
+      .select(TextFunctions.cleanText(col("s"))).as[String].head() == clean)
+  }
+
   test("compressionBp separates repetitive from high-entropy text of equal length") {
     val rep = "spam spam spam " * 40
     val rnd = new scala.util.Random(7)
