@@ -641,6 +641,22 @@ object SparkEntry {
           col("sum_r"), col("sum_g"), col("sum_b"))
     }),
 
+    // D+split — LEAKAGE AUDIT: near-dup pairs that STRADDLE the
+    // deterministic train/val/test hash split — the "dedup before you
+    // split" failure every eval pipeline must check for. Composes the
+    // portable simhash candidate pairs with the content-hash split; the
+    // oracle re-derives both and must find the identical pair set.
+    "q109_split_leakage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"),
+        TextFunctions.hashSplit(col("text")).as("split"))
+      val pairs = functions.Dedup.simhashPairsPortable(docs, "text", "doc_id")
+      val a = docs.select(col("doc_id").as("idA"), col("split").as("split_a"))
+      val b = docs.select(col("doc_id").as("idB"), col("split").as("split_b"))
+      pairs.join(a, Seq("idA")).join(b, Seq("idB"))
+        .filter(col("split_a") =!= col("split_b"))
+        .select(col("idA"), col("idB"), col("split_a"), col("split_b"), col("hamming"))
+    }),
+
     // T — the published Gopher quality-rule family as EXACT-INTEGER
     // flags (no float ratios): word-count band, mean-word-length band,
     // symbol-to-word ratio, alphabetic-word fraction, distinct-stopword
@@ -1522,6 +1538,12 @@ object SparkEntry {
     "b24_simhash_fast" -> ((s, dir) => {
       functions.Dedup.simhashDedup(t(s, dir, "documents"), "text", "doc_id")
         .select(col("doc_id"), col("lang"))
+    }),
+    // compressibility signal over the corpus (spec-pinned, no SQL
+    // analog — timed here so a Deflater-path regression is visible)
+    "b_compress_signal" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        functions.DeflateSize.compressionBp(col("text")).as("bp"))
     }),
   )
 
@@ -2505,6 +2527,36 @@ object SparkEntry {
     // round-trip identity: every clean JSONL row must equal its source
     "q104_jsonl_quarantine" ->
       """SELECT doc_id, lang, text FROM documents""",
+    // q24's candidate CTEs + q53's split rule; the pair set must match
+    "q109_split_leakage" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                      x -> x <> '') AS t
+           FROM documents),
+         th AS (SELECT doc_id,
+                  list_transform(t, x -> CAST('0x'||substring(md5(x),1,15) AS BIGINT)) AS h,
+                  len(t) AS n FROM toks),
+         bits AS (SELECT doc_id, b,
+                    CASE WHEN 2*len(list_filter(h, v -> (v >> b) & 1 = 1)) > n
+                         THEN (CAST(1 AS BIGINT) << b) ELSE 0 END AS bit
+                  FROM th, range(0, 60) r(b)),
+         sims AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS sim FROM bits GROUP BY doc_id),
+         blocks AS (SELECT doc_id, blk, (sim >> CAST(blk*15 AS INTEGER)) & 32767 AS bucket, sim
+                    FROM sims, range(0, 4) r(blk)),
+         pairs AS (SELECT DISTINCT a.doc_id AS idA, b.doc_id AS idB, a.sim AS simA, b.sim AS simB
+                   FROM blocks a JOIN blocks b
+                     ON a.blk = b.blk AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         cand AS (SELECT idA, idB, CAST(bit_count(xor(simA, simB)) AS INTEGER) AS hamming
+                  FROM pairs WHERE bit_count(xor(simA, simB)) <= 3),
+         sp AS (SELECT doc_id,
+                  CASE WHEN text IS NULL THEN NULL
+                       WHEN CAST(('0x'||substring(md5(text),1,8)) AS BIGINT) % 100 < 80 THEN 'train'
+                       WHEN CAST(('0x'||substring(md5(text),1,8)) AS BIGINT) % 100 < 90 THEN 'val'
+                       ELSE 'test' END AS split
+                FROM documents)
+         SELECT c.idA, c.idB, a.split AS split_a, b.split AS split_b, c.hamming
+         FROM cand c JOIN sp a ON c.idA = a.doc_id JOIN sp b ON c.idB = b.doc_id
+         WHERE a.split <> b.split""",
     // identical exact-integer rule arithmetic; same injected symbols
     "q107_gopher_flags" ->
       """WITH inj AS (SELECT doc_id,
