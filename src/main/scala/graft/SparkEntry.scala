@@ -657,6 +657,16 @@ object SparkEntry {
         .select(col("idA"), col("idB"), col("split_a"), col("split_b"), col("hamming"))
     }),
 
+    // T — corpus frequent terms via two-pass Misra-Gries: bounded-memory
+    // per-partition candidate summaries + exact recount of candidates
+    // only. Output is bit-identical to the full groupBy (the oracle IS
+    // the full groupBy) while shuffling O(capacity·partitions) keys
+    // instead of the vocabulary — the 100 TB form of corpus statistics.
+    "q110_heavy_hitters" -> ((s, dir) => {
+      functions.HeavyHitters.heavyTerms(
+        t(s, dir, "documents"), col("text"), num = 1, den = 100)
+    }),
+
     // T — the published Gopher quality-rule family as EXACT-INTEGER
     // flags (no float ratios): word-count band, mean-word-length band,
     // symbol-to-word ratio, alphabetic-word fraction, distinct-stopword
@@ -2557,6 +2567,16 @@ object SparkEntry {
          SELECT c.idA, c.idB, a.split AS split_a, b.split AS split_b, c.hamming
          FROM cand c JOIN sp a ON c.idA = a.doc_id JOIN sp b ON c.idB = b.doc_id
          WHERE a.split <> b.split""",
+    // the oracle IS the full exact groupBy the two-pass scheme avoids;
+    // integer-exact threshold (cnt*100 > n*1) on both sides
+    "q110_heavy_hitters" ->
+      """WITH toks AS (
+           SELECT unnest(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                     x -> x <> '')) AS term
+           FROM documents),
+         tot AS (SELECT count(*) AS n FROM toks)
+         SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM toks
+         GROUP BY term HAVING count(*) * 100 > (SELECT n FROM tot) * 1""",
     // identical exact-integer rule arithmetic; same injected symbols
     "q107_gopher_flags" ->
       """WITH inj AS (SELECT doc_id,
