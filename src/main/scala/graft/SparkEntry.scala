@@ -667,6 +667,28 @@ object SparkEntry {
         t(s, dir, "documents"), col("text"), num = 1, den = 100)
     }),
 
+    // T — CCNet-style per-language perplexity tiers: head/middle/tail
+    // terciles of the exact-integer bigram-LM typicality score, assigned
+    // by the GROUPED scalable ntile (no per-language global sort — one
+    // dominant language cannot serialize the window). Deterministic
+    // total order via (score desc, doc_id asc); oracle replays the LM
+    // and a plain NTILE window, which the grouped form must match bit
+    // for bit.
+    "q111_perplexity_buckets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = TextFunctions.bigramLmScore(docs, col("doc_id"), col("text"))
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .withColumn("mean_ppm",
+          when(col("n_bi") === 0, lit(0L)).otherwise(expr("sum_p div n_bi")))
+      operators.ScalableNtile
+        .ntileByRangeGrouped(scored, 3, -col("mean_ppm"), col("lang"), Seq(col("doc_id")))
+        .select(col("doc_id"), col("lang"), col("mean_ppm"),
+          col("__graft_ntile").as("bucket"),
+          when(col("__graft_ntile") === 1, lit("head"))
+            .when(col("__graft_ntile") === 2, lit("middle"))
+            .otherwise(lit("tail")).as("tier"))
+    }),
+
     // T — the published Gopher quality-rule family as EXACT-INTEGER
     // flags (no float ratios): word-count band, mean-word-length band,
     // symbol-to-word ratio, alphabetic-word fraction, distinct-stopword
@@ -2567,6 +2589,42 @@ object SparkEntry {
          SELECT c.idA, c.idB, a.split AS split_a, b.split AS split_b, c.hamming
          FROM cand c JOIN sp a ON c.idA = a.doc_id JOIN sp b ON c.idB = b.doc_id
          WHERE a.split <> b.split""",
+    // q96's LM CTEs + a plain NTILE window the grouped scalable ntile
+    // must match exactly
+    "q111_perplexity_buckets" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                      x -> x <> '') AS t
+           FROM documents),
+         uni AS (
+           SELECT w, CAST(count(*) AS BIGINT) AS cu
+           FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+         big AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(t)),
+             i -> t[i] || ' ' || t[i+1])) AS bg
+           FROM toks WHERE len(t) >= 2),
+         bgc AS (SELECT bg, CAST(count(*) AS BIGINT) AS cb FROM big GROUP BY 1),
+         scored AS (
+           SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bi,
+             CAST(sum((1000000 * c.cb) // u.cu) AS BIGINT) AS sum_p
+           FROM big b
+           JOIN bgc c USING (bg)
+           JOIN uni u ON u.w = string_split(b.bg, ' ')[1]
+           GROUP BY 1),
+         m AS (
+           SELECT d.doc_id, d.lang,
+             CAST(CASE WHEN COALESCE(s.n_bi, 0) = 0 THEN 0
+                       ELSE s.sum_p // s.n_bi END AS BIGINT) AS mean_ppm
+           FROM documents d LEFT JOIN scored s USING (doc_id)),
+         tiered AS (
+           SELECT doc_id, lang, mean_ppm,
+             CAST(ntile(3) OVER (PARTITION BY lang
+               ORDER BY mean_ppm DESC, doc_id ASC) AS INTEGER) AS bucket
+           FROM m)
+         SELECT doc_id, lang, mean_ppm, bucket,
+           CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS tier
+         FROM tiered""",
     // the oracle IS the full exact groupBy the two-pass scheme avoids;
     // integer-exact threshold (cnt*100 > n*1) on both sides
     "q110_heavy_hitters" ->

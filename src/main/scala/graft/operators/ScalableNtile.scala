@@ -75,4 +75,66 @@ object ScalableNtile {
         .cast("int"))
       .drop("__cb", "__off", "__rn")
   }
+
+  /** Per-group ntile without per-group global sorts — the grouped analog
+    * of [[ntileByRange]] for `ntile(n) OVER (PARTITION BY g ORDER BY v)`
+    * when one group can dominate the table (CCNet-style per-language
+    * perplexity buckets: one language may be half the corpus, so the
+    * window form's single per-language sort task is the same
+    * scale-killer the global form has).
+    *
+    * Same algorithm, with every driver-side step replaced by
+    * distributed plumbing sized to the METADATA, not the data: per-group
+    * min/max bounds and per-(group, bucket) counts are tiny aggregates
+    * (≤ groups × `coarse` rows) broadcast back; cumulative offsets and
+    * group totals come from windows over that tiny counts table; the
+    * only sort touching data rows is `row_number` partitioned by
+    * (group, coarse-bucket) — largest single sort ≈ N_g / coarse rows.
+    * Output is bit-identical to the window form (spec-pinned), with the
+    * same nulls-first and unique-total-order requirements.
+    *
+    * Group keys may be null (null-safe joins throughout) — null groups
+    * form their own partition, matching the window form.
+    */
+  def ntileByRangeGrouped(df: DataFrame, nTiles: Int, value: Column,
+                          group: Column, tieBreak: Seq[Column],
+                          coarse: Int = 1024): DataFrame = {
+    val keyed = df.withColumn("__g", group)
+    val bounds = keyed.groupBy(col("__g").as("__gb"))
+      .agg(min(value.cast("double")).as("__lo"), max(value.cast("double")).as("__hi"))
+    val withBounds = keyed.join(broadcast(bounds), col("__g") <=> col("__gb"))
+    val width = greatest((col("__hi") - col("__lo")) / coarse,
+      lit(java.lang.Double.MIN_NORMAL))
+    // all-null groups have null __lo: every row takes the -1 null bucket
+    val bucketed = withBounds.withColumn("__cb",
+      when(value.isNull, lit(-1L)).otherwise(
+        least(greatest(floor((value.cast("double") - col("__lo")) / width), lit(0L)),
+          lit(coarse - 1L)).cast("long")))
+
+    val wOff = Window.partitionBy(col("__gc")).orderBy(col("__cbc").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(col("__gc"))
+    val counts = bucketed.groupBy(col("__g").as("__gc"), col("__cb").as("__cbc"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(wOff), lit(0L)))
+      .withColumn("__tot", sum(col("__n")).over(wTot))
+      .drop("__n")
+
+    val w = Window.partitionBy(col("__g"), col("__cb"))
+      .orderBy(value.asc +: tieBreak.map(_.asc): _*)
+    val size = (col("__tot") / nTiles).cast("long") // floor: __tot ≥ 0
+    val rem = col("__tot") % nTiles
+    val cut = rem * (size + 1)
+    bucketed
+      .join(broadcast(counts),
+        col("__g") <=> col("__gc") && col("__cb") === col("__cbc"))
+      .withColumn("__rn", col("__off") + row_number().over(w))
+      .withColumn("__graft_ntile",
+        when(size === 0L, col("__rn"))
+          .when(col("__rn") <= cut, floor((col("__rn") - 1) / (size + 1)) + 1)
+          .otherwise(rem + floor((col("__rn") - 1 - cut) / size) + 1)
+        .cast("int"))
+      .drop("__g", "__gb", "__lo", "__hi", "__cb", "__gc", "__cbc",
+        "__off", "__tot", "__rn")
+  }
 }

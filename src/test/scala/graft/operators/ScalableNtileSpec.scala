@@ -64,6 +64,48 @@ class ScalableNtileSpec extends SparkSpec {
     assert(got.except(want).isEmpty && want.except(got).isEmpty)
   }
 
+  private def referenceGrouped(df: org.apache.spark.sql.DataFrame, n: Int) =
+    df.select($"id", $"g",
+      ntile(n).over(Window.partitionBy($"g").orderBy($"v".asc, $"id".asc)).as("tile"))
+
+  private def checkGrouped(rows: Seq[(Long, String, java.lang.Double)], n: Int,
+                           coarse: Int = 16): Unit = {
+    val df = rows.toDF("id", "g", "v")
+    val got = ScalableNtile.ntileByRangeGrouped(df, n, $"v", $"g", Seq($"id"), coarse)
+      .select($"id", $"g", $"__graft_ntile".as("tile"))
+    val want = referenceGrouped(df, n)
+    assert(got.except(want).isEmpty && want.except(got).isEmpty,
+      s"grouped mismatch for n=$n rows=${rows.size}")
+  }
+
+  test("grouped form matches window PARTITION BY ntile: skewed, tied, tiny groups") {
+    val rng = new scala.util.Random(41)
+    // one dominant group (the motivating skew), one tiny, one mid, heavy ties
+    val rows: Seq[(Long, String, java.lang.Double)] =
+      (1L to 200L).map(i => (i, "big", rng.nextInt(15).toDouble: java.lang.Double)) ++
+      (201L to 203L).map(i => (i, "tiny", rng.nextInt(15).toDouble: java.lang.Double)) ++
+      (204L to 240L).map(i => (i, "mid", rng.nextInt(15).toDouble: java.lang.Double))
+    checkGrouped(rows, 3)
+    checkGrouped(rows, 7, coarse = 4)
+    checkGrouped(rows, 64, coarse = 2) // tiles ≫ group sizes
+  }
+
+  test("grouped form: null groups and null values match the window form") {
+    val rows: Seq[(Long, String, java.lang.Double)] = Seq(
+      (1L, null, 5.0), (2L, null, null), (3L, "a", 1.0), (4L, "a", null),
+      (5L, "a", 9.0), (6L, null, 3.0), (7L, "b", 7.0), (8L, "b", 7.0),
+      (9L, "b", 7.0), (10L, "b", null))
+    checkGrouped(rows, 3, coarse = 4)
+  }
+
+  test("grouped plan has no single-partition exchange and no per-group global sort") {
+    val df = (1L to 1000L).map(i => (i, s"g${i % 3}", (i * 37 % 101).toDouble))
+      .toDF("id", "g", "v")
+    val got = ScalableNtile.ntileByRangeGrouped(df, 4, $"v", $"g", Seq($"id"))
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), s"single-partition stage:\n$plan")
+  }
+
   test("plan has no single-partition exchange") {
     val df = (1L to 1000L).map(i => (i, (i * 37 % 101).toDouble)).toDF("id", "v")
     val got = ScalableNtile.ntileByRange(df, 4, $"v", Seq($"id"))
