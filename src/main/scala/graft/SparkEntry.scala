@@ -689,6 +689,20 @@ object SparkEntry {
             .otherwise(lit("tail")).as("tier"))
     }),
 
+    // T — fastText-style linear quality classifier: integer feature
+    // vector (capped token count, centichar mean word length, stopword
+    // hits, duplicate-trigram basis points) · fixed weights → exact
+    // integer score and keep decision. Pure codegen projection, zero
+    // shuffle — classifier inference at 100 TB is a map.
+    "q112_quality_classifier" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+          TextFunctions.linearQuality(col("text")).as("q"))
+        .select(col("doc_id"), col("q.wc").as("wc"),
+          col("q.mwl_centi").as("mwl_centi"), col("q.stop_d").as("stop_d"),
+          col("q.dup3_bp").as("dup3_bp"), col("q.z").as("z"),
+          col("q.keep").as("keep"))
+    }),
+
     // T — the published Gopher quality-rule family as EXACT-INTEGER
     // flags (no float ratios): word-count band, mean-word-length band,
     // symbol-to-word ratio, alphabetic-word fraction, distinct-stopword
@@ -2589,6 +2603,36 @@ object SparkEntry {
          SELECT c.idA, c.idB, a.split AS split_a, b.split AS split_b, c.hamming
          FROM cand c JOIN sp a ON c.idA = a.doc_id JOIN sp b ON c.idB = b.doc_id
          WHERE a.split <> b.split""",
+    // identical integer feature + dot-product arithmetic
+    "q112_quality_classifier" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                      x -> x <> '') AS t
+           FROM documents),
+         f AS (
+           SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS wc,
+             CAST(COALESCE(list_sum(list_transform(t, x -> length(x))), 0) AS BIGINT) AS chars,
+             CAST(len(list_intersect(t,
+               ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_d,
+             CAST(CASE WHEN len(t) < 3 THEN 0 ELSE len(t) - 2 END AS BIGINT) AS n3,
+             CAST(CASE WHEN len(t) < 3 THEN 0
+                  ELSE len(list_distinct(list_transform(range(1, len(t)-1),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) END AS BIGINT) AS n3d
+           FROM toks),
+         g AS (
+           SELECT doc_id, wc,
+             CAST(CASE WHEN wc = 0 THEN 0 ELSE (chars * 100) // wc END AS BIGINT) AS mwl_centi,
+             stop_d,
+             CAST(CASE WHEN n3 = 0 THEN 0
+                  ELSE ((n3 - n3d) * 10000) // n3 END AS BIGINT) AS dup3_bp
+           FROM f)
+         SELECT doc_id, wc, mwl_centi, stop_d, dup3_bp,
+           CAST(-600 + 30 * least(wc, 100) + 400 * stop_d
+                - 2 * mwl_centi - 1 * dup3_bp AS BIGINT) AS z,
+           (-600 + 30 * least(wc, 100) + 400 * stop_d
+                - 2 * mwl_centi - 1 * dup3_bp) > 0 AS keep
+         FROM g""",
     // q96's LM CTEs + a plain NTILE window the grouped scalable ntile
     // must match exactly
     "q111_perplexity_buckets" ->

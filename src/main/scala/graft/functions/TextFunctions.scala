@@ -301,6 +301,45 @@ object TextFunctions {
       (wcOk && mwlOk && symOk && alphaOk && stopOk).as("pass"))
   }
 
+  /** Fixed-weight linear quality classifier — the fastText-style "one
+    * dot product per document" quality gate, in EXACT integer
+    * arithmetic so score and decision hash-match across engines. The
+    * feature vector is per-row-computable (token count capped at 100,
+    * mean word length in centichars, distinct-stopword hits, duplicate
+    * trigram basis points) and the score is
+    *
+    *   z = w·x + bias   (all integers; keep ⇔ z > 0)
+    *
+    * `weights` = (bias, w_wc, w_stop, w_mwl, w_dup3). The defaults are
+    * STAND-IN weights chosen to split this corpus non-trivially; a real
+    * pipeline supplies weights trained offline (the engine-side contract
+    * — a codegen'd zero-shuffle projection — is identical for any
+    * weight vector, which is the point: classifier inference at 100 TB
+    * is a map, never a shuffle).
+    */
+  def linearQuality(
+      text: Column,
+      weights: (Long, Long, Long, Long, Long) = (-600L, 30L, 400L, -2L, -1L))
+    : Column = {
+    val (bias, wWc, wStop, wMwl, wDup3) = weights
+    val toks = tokens(text)
+    val wc = size(toks).cast("long")
+    val chars = length(concat_ws("", toks)).cast("long")
+    // floor of positive division == integer div; exact below 2^53
+    val mwlCenti = when(wc === 0, lit(0L))
+      .otherwise(floor(chars * 100 / wc).cast("long"))
+    val stopD = size(array_intersect(toks,
+      array(GopherStopwords.map(lit): _*))).cast("long")
+    val g3 = ngrams(toks, 3)
+    val dup3Bp = when(size(g3) === 0, lit(0L))
+      .otherwise(floor((size(g3) - size(array_distinct(g3))).cast("long")
+        * 10000 / size(g3)).cast("long"))
+    val z = lit(bias) + least(wc, lit(100L)) * wWc + stopD * wStop +
+      mwlCenti * wMwl + dup3Bp * wDup3
+    struct(wc.as("wc"), mwlCenti.as("mwl_centi"), stopD.as("stop_d"),
+      dup3Bp.as("dup3_bp"), z.as("z"), (z > 0).as("keep"))
+  }
+
   // ------------------------------------------------------- text cleaning
 
   /** Crawl-text cleaning chain: decode the five predefined HTML entities

@@ -443,4 +443,26 @@ class FunctionsSpec extends SparkSpec {
     // the kernel verifies candidates only, it does not generate pairs
     assert(got.size == 2)
   }
+
+  test("linearQuality: integer features and decision match hand computation") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "the cat and the dog have fun with that ball"), // stopword-rich
+      (2L, "zz zz zz zz zz zz zz zz"),                     // repetitive, no stopwords
+      (3L, "")).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        TextFunctions.linearQuality(col("text")).as("q"))
+      .select(col("doc_id"), col("q.wc"), col("q.mwl_centi"), col("q.stop_d"),
+        col("q.dup3_bp"), col("q.z"), col("q.keep"))
+      .as[(Long, Long, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 1: 10 words, 34 chars → mwl 340, stops {the,and,have,with,that}=5,
+    // 8 distinct trigrams of 8 → dup3 0; z = -600+300+2000-680-0 = 1020
+    assert(got(1L) == ((1L, 10L, 340L, 5L, 0L, 1020L, true)))
+    // doc 2: 8 words, 16 chars → mwl 200, 0 stops, trigrams 6 all equal →
+    // dup 5/6 → 8333 bp; z = -600+240+0-400-8333 = -9093
+    assert(got(2L) == ((2L, 8L, 200L, 0L, 8333L, -9093L, false)))
+    // empty doc: all-zero features; z = bias = -600
+    assert(got(3L) == ((3L, 0L, 0L, 0L, 0L, -600L, false)))
+  }
 }
