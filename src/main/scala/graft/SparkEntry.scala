@@ -689,6 +689,20 @@ object SparkEntry {
             .otherwise(lit("tail")).as("tier"))
     }),
 
+    // V — signed (Rademacher) random projection 64→16 dims: JL-style
+    // embedding compression as a zero-shuffle per-row map against an
+    // md5-derived literal sign matrix both engines regenerate
+    // identically. Each coordinate is one codegen'd DotProduct with
+    // list_dot_product's IEEE fold order; rounded to 4dp like q27.
+    "q113_signed_projection" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      e.select(col("vec_id"),
+          posexplode(functions.Similarity.signedProjection(col("v"), 64, 16)))
+        .select(col("vec_id"), col("pos").cast("int").as("j"),
+          round(col("col"), 4).as("out_r"))
+    }),
+
     // T — fastText-style linear quality classifier: integer feature
     // vector (capped token count, centichar mean word length, stopword
     // hits, duplicate-trigram basis points) · fixed weights → exact
@@ -2603,6 +2617,17 @@ object SparkEntry {
          SELECT c.idA, c.idB, a.split AS split_a, b.split AS split_b, c.hamming
          FROM cand c JOIN sp a ON c.idA = a.doc_id JOIN sp b ON c.idB = b.doc_id
          WHERE a.split <> b.split""",
+    // identical md5 sign derivation + identical IEEE dot-product fold
+    "q113_signed_projection" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         s AS (SELECT j, list_transform(range(0, 64), i ->
+                 CASE WHEN (CAST('0x' || substring(md5('rp:' || j || ':' || i), 1, 1)
+                            AS INTEGER) & 1) = 1
+                      THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS sv
+               FROM range(0, 16) r(j))
+         SELECT e.vec_id, CAST(s.j AS INTEGER) AS j,
+           round(list_dot_product(e.v, s.sv), 4) AS out_r
+         FROM e CROSS JOIN s""",
     // identical integer feature + dot-product arithmetic
     "q112_quality_classifier" ->
       """WITH toks AS (

@@ -38,6 +38,40 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** md5-derived ±1 sign matrix for [[signedProjection]] — the sign of
+    * cell (j, i) is the low bit of the first hex digit of
+    * `md5("<seed>:<j>:<i>")`, so any SQL engine can regenerate the
+    * identical matrix (`'0x' || substring(md5(s), 1, 1)` arithmetic, the
+    * same portability trick as the MinHash/SimHash oracles). The matrix
+    * is data-independent and tiny (outDim × inDim doubles) — a broadcast
+    * literal, never a join.
+    */
+  def projectionSigns(inDim: Int, outDim: Int, seed: String): Array[Array[Double]] =
+    Array.tabulate(outDim, inDim) { (j, i) =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$j:$i".getBytes("UTF-8"))
+      val firstHex = (h(0) & 0xF0) >>> 4
+      if ((firstHex & 1) == 1) 1.0 else -1.0
+    }
+
+  /** Signed (Rademacher) random projection of an `array<double>` column
+    * to `outDim` dimensions: out_j = Σ_i sign(j,i) · v_i. The standard
+    * Achlioptas/JL dimensionality reduction — distances are preserved in
+    * expectation, at 4× less memory per halving of dims — used as the
+    * cheap coarse filter in front of exact cosine at corpus scale.
+    * Pure per-row map against a literal sign matrix: zero shuffle, and
+    * each output coordinate is one codegen'd [[DotProduct]] whose IEEE
+    * fold order matches `list_dot_product`, so projections are
+    * engine-reproducible bit for bit.
+    */
+  def signedProjection(vec: Column, inDim: Int, outDim: Int,
+                       seed: String = "rp"): Column = {
+    val signs = projectionSigns(inDim, outDim, seed)
+    array((0 until outDim).map { j =>
+      dot(vec, array(signs(j).map(lit): _*))
+    }: _*)
+  }
+
   /** Exact brute-force top-k: broadcast the query set, one corpus pass,
     * per-query top-k via the bounded TopKByScore aggregator
     * (deterministic: cosine desc, id asc). Output:

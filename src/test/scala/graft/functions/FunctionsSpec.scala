@@ -444,6 +444,28 @@ class FunctionsSpec extends SparkSpec {
     assert(got.size == 2)
   }
 
+  test("signedProjection: basis vectors read out the sign matrix; map is linear") {
+    import org.apache.spark.sql.functions.col
+    val d = 8; val k = 4
+    val signs = Similarity.projectionSigns(d, k, "rp")
+    assert(signs.flatten.forall(s => s == 1.0 || s == -1.0))
+    assert(signs.flatten.toSet.size == 2, "seeded matrix must contain both signs")
+    // rows: basis vectors e_0..e_{d-1}, plus 2*e_0 + 3*e_1
+    val basis = (0 until d).map(i =>
+      (i.toLong, Array.tabulate(d)(x => if (x == i) 1.0 else 0.0).toSeq))
+    val combo = Seq((99L, Array.tabulate(d)(x =>
+      if (x == 0) 2.0 else if (x == 1) 3.0 else 0.0).toSeq))
+    val df = (basis ++ combo).toDF("id", "v")
+      .select(col("id"), col("v").cast("array<double>").as("v"))
+    val got = df.select(col("id"),
+        Similarity.signedProjection(col("v"), d, k, "rp").as("p"))
+      .as[(Long, Seq[Double])].collect().toMap
+    for (i <- 0 until d; j <- 0 until k)
+      assert(got(i.toLong)(j) == signs(j)(i), s"e_$i out_$j")
+    for (j <- 0 until k)
+      assert(got(99L)(j) == 2.0 * signs(j)(0) + 3.0 * signs(j)(1), s"linearity out_$j")
+  }
+
   test("linearQuality: integer features and decision match hand computation") {
     import org.apache.spark.sql.functions.col
     val docs = Seq(
