@@ -703,6 +703,21 @@ object SparkEntry {
           round(col("col"), 4).as("out_r"))
     }),
 
+    // T — source-reputation filter (FineWeb-style domain filtering):
+    // aggregate the exact-integer classifier score per source, keep
+    // sources whose mean beats the corpus mean. The comparison is
+    // cross-multiplied (sum_s·n_total > sum_total·n_s, decimal-widened)
+    // so no division ever happens — bit-exact on any engine, overflow-
+    // safe at corpus scale. One shuffle for the per-source aggregate, a
+    // key join back, a 1-row broadcast for the global total.
+    "q114_source_reputation" -> ((s, dir) => {
+      val z = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        TextFunctions.linearQuality(col("text")).getField("z").as("z"))
+      functions.Sampling.sourceReputationFlag(z, col("source"), col("z"))
+        .select(col("doc_id"), col("source"), col("sum_z"), col("n_s"),
+          col("src_keep"))
+    }),
+
     // T — fastText-style linear quality classifier: integer feature
     // vector (capped token count, centichar mean word length, stopword
     // hits, duplicate-trigram basis points) · fixed weights → exact
@@ -2617,6 +2632,39 @@ object SparkEntry {
          SELECT c.idA, c.idB, a.split AS split_a, b.split AS split_b, c.hamming
          FROM cand c JOIN sp a ON c.idA = a.doc_id JOIN sp b ON c.idB = b.doc_id
          WHERE a.split <> b.split""",
+    // q112's score CTEs + per-source and corpus sums, cross-multiplied
+    "q114_source_reputation" ->
+      """WITH toks AS (
+           SELECT doc_id, source, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                              x -> x <> '') AS t
+           FROM documents),
+         f AS (
+           SELECT doc_id, source,
+             CAST(len(t) AS BIGINT) AS wc,
+             CAST(COALESCE(list_sum(list_transform(t, x -> length(x))), 0) AS BIGINT) AS chars,
+             CAST(len(list_intersect(t,
+               ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_d,
+             CAST(CASE WHEN len(t) < 3 THEN 0 ELSE len(t) - 2 END AS BIGINT) AS n3,
+             CAST(CASE WHEN len(t) < 3 THEN 0
+                  ELSE len(list_distinct(list_transform(range(1, len(t)-1),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) END AS BIGINT) AS n3d
+           FROM toks),
+         zs AS (
+           SELECT doc_id, source,
+             CAST(-600 + 30 * least(wc, 100)
+                  + 400 * stop_d
+                  - 2 * (CASE WHEN wc = 0 THEN 0 ELSE (chars * 100) // wc END)
+                  - 1 * (CASE WHEN n3 = 0 THEN 0
+                         ELSE ((n3 - n3d) * 10000) // n3 END) AS BIGINT) AS z
+           FROM f),
+         bysrc AS (SELECT source, CAST(sum(z) AS BIGINT) AS sum_z,
+                     CAST(count(*) AS BIGINT) AS n_s
+                   FROM zs GROUP BY 1),
+         tot AS (SELECT CAST(sum(z) AS BIGINT) AS sum_t,
+                   CAST(count(*) AS BIGINT) AS n_t FROM zs)
+         SELECT zs.doc_id, zs.source, b.sum_z, b.n_s,
+           (b.sum_z * tot.n_t > tot.sum_t * b.n_s) AS src_keep
+         FROM zs JOIN bysrc b USING (source) CROSS JOIN tot""",
     // identical md5 sign derivation + identical IEEE dot-product fold
     "q113_signed_projection" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -28,6 +28,29 @@ object Sampling {
   def hashSample(df: DataFrame, key: Column, rateBp: Int): DataFrame =
     df.filter(hashBucketBp(key) < rateBp)
 
+  /** Source-reputation flag (FineWeb-style domain filtering): a row's
+    * `src_keep` is true iff its source's MEAN `score` strictly beats the
+    * corpus mean. The comparison is cross-multiplied
+    * (sum_s·n_total > sum_total·n_s, decimal-widened) so no division
+    * happens — bit-exact on any engine and overflow-safe when both sums
+    * carry corpus-scale magnitudes. Shape: one shuffle for the
+    * per-source aggregate, a key join back (source cardinality bounds
+    * the join, AQE picks broadcast vs shuffle), a 1-row broadcast for
+    * the corpus total. Adds (sum_z, n_s, src_keep).
+    */
+  def sourceReputationFlag(df: DataFrame, source: Column, score: Column): DataFrame = {
+    val keyed = df.withColumn("__src", source).withColumn("__z", score)
+    val bySrc = keyed.groupBy(col("__src").as("__srcb"))
+      .agg(sum(col("__z")).as("sum_z"), count(lit(1)).as("n_s"))
+    val tot = keyed.agg(sum(col("__z")).as("__sum_t"), count(lit(1)).as("__n_t"))
+    keyed.join(bySrc, col("__src") <=> col("__srcb"))
+      .crossJoin(broadcast(tot))
+      .withColumn("src_keep",
+        col("sum_z").cast("decimal(38,0)") * col("__n_t") >
+          col("__sum_t").cast("decimal(38,0)") * col("n_s"))
+      .drop("__src", "__srcb", "__z", "__sum_t", "__n_t")
+  }
+
   /** Stratified deterministic sample: per-stratum rates in basis points
     * (the down-sample-the-head / up-weight-the-tail move of corpus
     * balancing), unknown strata fall back to `defaultBp`.

@@ -77,4 +77,21 @@ class SamplingSpec extends SparkSpec {
     // de: 300 > 260 → nothing fits; greedy-by-size admits NOTHING for de
     assert(kept == Set(1L, 2L, 3L))
   }
+
+  test("sourceReputationFlag: strictly-above-mean sources only; null source is a group") {
+    // corpus mean = (10+10+4+4+8)/5 = 7.2; a:10 keep, b:4 drop,
+    // null-source mean 8 keep; a source AT the mean must NOT be kept
+    val d = Seq((1L, Option("a"), 10L), (2L, Option("a"), 10L),
+      (3L, Option("b"), 4L), (4L, Option("b"), 4L),
+      (5L, Option.empty[String], 8L)).toDF("doc_id", "source", "z")
+    val got = Sampling.sourceReputationFlag(d, $"source", $"z")
+      .select($"doc_id", $"src_keep").as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> true, 2L -> true, 3L -> false, 4L -> false, 5L -> true))
+    assert(got.size == 5, "every row must survive the join-back")
+    // all-equal scores: no source strictly beats the mean → all false
+    val eq = Seq((1L, "a", 5L), (2L, "b", 5L)).toDF("doc_id", "source", "z")
+    val gotEq = Sampling.sourceReputationFlag(eq, $"source", $"z")
+      .select($"src_keep").as[Boolean].collect()
+    assert(gotEq.forall(_ == false))
+  }
 }
