@@ -703,6 +703,49 @@ object SparkEntry {
           round(col("col"), 4).as("out_r"))
     }),
 
+    // K — stats-pruned partial-rewrite MERGE (Delta-style batch upsert):
+    // a key-clustered tx table takes an update+insert batch; only files
+    // whose key range overlaps the batch are rewritten (REQUIREd below —
+    // at least one clustered file must survive untouched). The final
+    // table must equal the oracle's re-derived merge: updates win over
+    // base rows, inserts land, everything else unchanged.
+    "q115_tx_merge" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q115").toString
+      val tbl = s"$tmp/tx/customers"
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey"),
+          round(col("c_acctbal") * 100).cast("long").as("bal_cents"),
+          lit(0L).as("ver"))
+      graft.sink.TxTable.append(s,
+        base.repartitionByRange(4, col("c_custkey")), tbl,
+        statsCols = Seq("c_custkey"))
+      // updates: a range-local band (keys ≤ 300, every 3rd) gets
+      // +100000 cents at ver 1 — lands in the low clustered file(s)
+      // only; inserts re-key past the whole base range, so they overlap
+      // NO file (the per-file touch set must not balloon from them)
+      val upd = base.filter(col("c_custkey") <= 300 && col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"), (col("bal_cents") + 100000L).as("bal_cents"),
+          lit(1L).as("ver"))
+      val ins = base.filter(col("c_custkey") % 100 === 3)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          col("bal_cents"), lit(1L).as("ver"))
+      val filesBefore = graft.sink.TxTable.currentFiles(s, tbl).toSet
+      graft.sink.TxTable.merge(s, upd.unionByName(ins), tbl,
+        key = "c_custkey", orderCols = Seq("ver"))
+      val survivors = graft.sink.TxTable.currentFiles(s, tbl).toSet
+        .intersect(filesBefore)
+      require(survivors.nonEmpty,
+        s"merge must leave non-overlapping clustered files untouched " +
+          s"(rewrote all ${filesBefore.size})")
+      val out = graft.sink.TxTable.read(s, tbl)
+        .select(col("c_custkey"), col("bal_cents"), col("ver"))
+        .collect() // materialize before the fixture dir is dropped
+      dropStaged(java.nio.file.Paths.get(tmp))
+      import s.implicits._
+      out.toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toDF("c_custkey", "bal_cents", "ver")
+    }),
+
     // T — source-reputation filter (FineWeb-style domain filtering):
     // aggregate the exact-integer classifier score per source, keep
     // sources whose mean beats the corpus mean. The comparison is
@@ -2632,6 +2675,25 @@ object SparkEntry {
          SELECT c.idA, c.idB, a.split AS split_a, b.split AS split_b, c.hamming
          FROM cand c JOIN sp a ON c.idA = a.doc_id JOIN sp b ON c.idB = b.doc_id
          WHERE a.split <> b.split""",
+    // the merge re-derived relationally: updates replace matched base
+    // rows, inserts append, everything else unchanged
+    "q115_tx_merge" ->
+      """WITH base AS (
+           SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+             CAST(0 AS BIGINT) AS ver
+           FROM customer),
+         upd AS (
+           SELECT c_custkey, bal_cents + 100000 AS bal_cents, CAST(1 AS BIGINT) AS ver
+           FROM base WHERE c_custkey <= 300 AND c_custkey % 3 = 0),
+         ins AS (
+           SELECT c_custkey + 1000000 AS c_custkey, bal_cents, CAST(1 AS BIGINT) AS ver
+           FROM base WHERE c_custkey % 100 = 3)
+         SELECT b.c_custkey,
+           COALESCE(u.bal_cents, b.bal_cents) AS bal_cents,
+           COALESCE(u.ver, b.ver) AS ver
+         FROM base b LEFT JOIN upd u USING (c_custkey)
+         UNION ALL
+         SELECT c_custkey, bal_cents, ver FROM ins""",
     // q112's score CTEs + per-source and corpus sums, cross-multiplied
     "q114_source_reputation" ->
       """WITH toks AS (

@@ -1,7 +1,7 @@
 package graft.sink
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
 /** Minimal transactional table: a versioned commit log over parquet —
@@ -358,6 +358,83 @@ object TxTable {
     * leaves either the old state (no commit yet) or the new (commit
     * renamed) — never neither, unlike the `.__precompact` rename dance.
     */
+  /** Stats-pruned partial-rewrite MERGE (the Delta-style batch upsert):
+    * rewrite ONLY the files whose committed `key` min/max range overlaps
+    * the update batch's key range — every other file survives the commit
+    * untouched. This is what makes upsert viable at 100 TB: a day's
+    * update batch against a key-clustered table touches the handful of
+    * files its keys land in, not the table (the full-table
+    * read-union-overwrite alternative is the streaming upsert's shape,
+    * correct but O(table) per batch).
+    *
+    * Semantics per key: the update row wins unconditionally over the
+    * base row (an explicit precedence column — NOT an orderCols tie,
+    * which `max_by` would break arbitrarily); among duplicate update
+    * keys, last-writer-wins by `orderCols`. Insert keys (no base match)
+    * land in the rewrite. Null update keys are the caller's bug — they
+    * merge into one null group like any groupBy.
+    *
+    * Files without a committed stat for `key` are conservatively
+    * rewritten (pruning default "keep" — missing stats cost rewrites,
+    * never correctness). Pair with `compact(clusterBy = key)` so file
+    * ranges are disjoint and tight. Conflict-checked like overwrite:
+    * a commit landing between the state read and the publish throws
+    * rather than resurrecting or double-applying files.
+    */
+  def merge(spark: SparkSession, updates: DataFrame, table: String,
+            key: String, orderCols: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.{broadcast, lit}
+    val fs = fsFor(spark, table)
+    val (head, entries) = currentEntries(fs, table)
+    // a file is touched iff SOME update key falls inside its committed
+    // [min, max] — per-file set overlap, not one envelope over the whole
+    // batch (an envelope would rewrite the table for one low key plus
+    // one high insert). The file-range table is bounded metadata
+    // (#files rows), broadcast against the distinct update keys; the
+    // join yields touched FILES, so the collect is bounded by #files.
+    val withStat = entries.flatMap { case (f, ss) =>
+      ss.find(_.col == key).map(st => (f, st))
+    }
+    val noStat = entries.map(_._1).filterNot(withStat.map(_._1).toSet)
+    val keysDf = updates.select(col(key).cast("string").as("__k"))
+      .na.drop().distinct()
+    if (keysDf.isEmpty && noStat.isEmpty && entries.nonEmpty) return head
+    val overlapped = withStat.headOption match {
+      case None => Nil
+      case Some((_, st0)) =>
+        val castT: Column => Column = st0.typ match {
+          case "L" => _.cast("long")
+          case "D" => _.cast("double")
+          case _ => (c: Column) => c
+        }
+        val ranges = spark.createDataFrame(
+            withStat.map { case (f, st) => (f, st.lo, st.hi) })
+          .toDF("__f", "__lo", "__hi")
+        keysDf.join(broadcast(ranges),
+            castT(col("__k")).between(castT(col("__lo")), castT(col("__hi"))))
+          .select(col("__f")).distinct().collect().map(_.getString(0)).toSeq
+    }
+    // stat-less files are conservatively rewritten: no proof their keys
+    // miss the batch (pruning default "keep" — costs rewrites, never
+    // correctness)
+    val touched = (noStat ++ overlapped).distinct
+    val upd = updates.toDF().withColumn("__prio", lit(1))
+    val combined =
+      if (touched.isEmpty) upd
+      else readFiles(spark, table, touched, mergeSchema = true)
+        .withColumn("__prio", lit(0)).unionByName(upd)
+    val merged = graft.operators.LatestRowView.latestPerKey(
+        combined, Seq(key), col("__prio") +: orderCols.map(col))
+      .drop("__prio")
+    val files = stageBatch(spark, merged, table)
+    // stats survive the merge for every column any live file tracks,
+    // plus the merge key itself (the next merge needs it)
+    val statCols = (entries.flatMap(_._2.map(_.col)) :+ key).distinct
+    val stats = fileStats(spark, table, files, statCols)
+    commit(spark, table, added = files, removed = touched,
+      expectedHead = Some(head), stats = stats)
+  }
+
   def compact(spark: SparkSession, table: String,
               targetRowsPerFile: Long = 5000000L,
               clusterBy: Option[String] = None,
