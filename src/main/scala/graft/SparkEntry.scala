@@ -746,6 +746,39 @@ object SparkEntry {
         .toDF("c_custkey", "bal_cents", "ver")
     }),
 
+    // K — stats-pruned key DELETE (GDPR erasure): a range-local delete
+    // set (plus far keys that exist nowhere) must rewrite only the
+    // overlapping clustered files (REQUIREd) and remove exactly the
+    // matching rows; the oracle is a plain anti-join.
+    "q116_tx_delete" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q116").toString
+      val tbl = s"$tmp/tx/customers"
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey"),
+          round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+      graft.sink.TxTable.append(s,
+        base.repartitionByRange(4, col("c_custkey")), tbl,
+        statsCols = Seq("c_custkey"))
+      val delKeys = base.filter(col("c_custkey") <= 200 && col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"))
+        .unionByName(base.limit(5)
+          .select((col("c_custkey") + 9000000L).as("c_custkey")))
+      val filesBefore = graft.sink.TxTable.currentFiles(s, tbl).toSet
+      graft.sink.TxTable.delete(s, delKeys, tbl, key = "c_custkey")
+      val survivors = graft.sink.TxTable.currentFiles(s, tbl).toSet
+        .intersect(filesBefore)
+      require(survivors.nonEmpty,
+        s"delete must leave non-overlapping clustered files untouched " +
+          s"(rewrote all ${filesBefore.size})")
+      val out = graft.sink.TxTable.read(s, tbl)
+        .select(col("c_custkey"), col("bal_cents"))
+        .collect()
+      dropStaged(java.nio.file.Paths.get(tmp))
+      import s.implicits._
+      out.toSeq.map(r => (r.getLong(0), r.getLong(1)))
+        .toDF("c_custkey", "bal_cents")
+    }),
+
     // T — source-reputation filter (FineWeb-style domain filtering):
     // aggregate the exact-integer classifier score per source, keep
     // sources whose mean beats the corpus mean. The comparison is
@@ -2675,6 +2708,11 @@ object SparkEntry {
          SELECT c.idA, c.idB, a.split AS split_a, b.split AS split_b, c.hamming
          FROM cand c JOIN sp a ON c.idA = a.doc_id JOIN sp b ON c.idB = b.doc_id
          WHERE a.split <> b.split""",
+    // the delete re-derived as a plain anti-join on the same key rule
+    "q116_tx_delete" ->
+      """SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+         FROM customer
+         WHERE NOT (c_custkey <= 200 AND c_custkey % 2 = 0)""",
     // the merge re-derived relationally: updates replace matched base
     // rows, inserts append, everything else unchanged
     "q115_tx_merge" ->

@@ -381,24 +381,24 @@ object TxTable {
     * a commit landing between the state read and the publish throws
     * rather than resurrecting or double-applying files.
     */
-  def merge(spark: SparkSession, updates: DataFrame, table: String,
-            key: String, orderCols: Seq[String]): Long = {
-    import org.apache.spark.sql.functions.{broadcast, lit}
-    val fs = fsFor(spark, table)
-    val (head, entries) = currentEntries(fs, table)
-    // a file is touched iff SOME update key falls inside its committed
-    // [min, max] — per-file set overlap, not one envelope over the whole
-    // batch (an envelope would rewrite the table for one low key plus
-    // one high insert). The file-range table is bounded metadata
-    // (#files rows), broadcast against the distinct update keys; the
-    // join yields touched FILES, so the collect is bounded by #files.
+  /** Files whose committed `key` [min, max] range contains SOME key of
+    * `keysDf` (single `__k` string column) — per-file set overlap, not
+    * one envelope over the whole batch (an envelope would rewrite the
+    * table for one low key plus one high insert). The file-range table
+    * is bounded metadata (#files rows), broadcast against the distinct
+    * keys; the join yields touched FILES, so the collect is bounded by
+    * #files. Stat-less files are always returned: no proof their keys
+    * miss the batch (pruning default "keep" — costs rewrites, never
+    * correctness).
+    */
+  private def overlappingFiles(spark: SparkSession,
+                               entries: Seq[(String, Seq[ColStat])],
+                               keysDf: DataFrame, key: String): Seq[String] = {
+    import org.apache.spark.sql.functions.broadcast
     val withStat = entries.flatMap { case (f, ss) =>
       ss.find(_.col == key).map(st => (f, st))
     }
     val noStat = entries.map(_._1).filterNot(withStat.map(_._1).toSet)
-    val keysDf = updates.select(col(key).cast("string").as("__k"))
-      .na.drop().distinct()
-    if (keysDf.isEmpty && noStat.isEmpty && entries.nonEmpty) return head
     val overlapped = withStat.headOption match {
       case None => Nil
       case Some((_, st0)) =>
@@ -414,10 +414,18 @@ object TxTable {
             castT(col("__k")).between(castT(col("__lo")), castT(col("__hi"))))
           .select(col("__f")).distinct().collect().map(_.getString(0)).toSeq
     }
-    // stat-less files are conservatively rewritten: no proof their keys
-    // miss the batch (pruning default "keep" — costs rewrites, never
-    // correctness)
-    val touched = (noStat ++ overlapped).distinct
+    (noStat ++ overlapped).distinct
+  }
+
+  def merge(spark: SparkSession, updates: DataFrame, table: String,
+            key: String, orderCols: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.lit
+    val fs = fsFor(spark, table)
+    val (head, entries) = currentEntries(fs, table)
+    val keysDf = updates.select(col(key).cast("string").as("__k"))
+      .na.drop().distinct()
+    if (keysDf.isEmpty) return head // empty/all-null-key batch: no-op
+    val touched = overlappingFiles(spark, entries, keysDf, key)
     val upd = updates.toDF().withColumn("__prio", lit(1))
     val combined =
       if (touched.isEmpty) upd
@@ -429,6 +437,38 @@ object TxTable {
     val files = stageBatch(spark, merged, table)
     // stats survive the merge for every column any live file tracks,
     // plus the merge key itself (the next merge needs it)
+    val statCols = (entries.flatMap(_._2.map(_.col)) :+ key).distinct
+    val stats = fileStats(spark, table, files, statCols)
+    commit(spark, table, added = files, removed = touched,
+      expectedHead = Some(head), stats = stats)
+  }
+
+  /** Stats-pruned key DELETE (the GDPR/right-to-erasure primitive):
+    * remove every row whose `key` appears in `keys`, rewriting ONLY the
+    * files whose committed key range overlaps the delete set — the same
+    * per-file touch discipline as [[merge]], so deleting a user's rows
+    * from a key-clustered 100 TB table costs the handful of files that
+    * user lands in. Touched files are rewritten through a broadcast
+    * anti-join; a file whose every row matches simply contributes
+    * nothing (a commit may remove more files than it adds). Null keys
+    * in `keys` are dropped — SQL `NOT IN` null semantics would delete
+    * nothing, and an erasure request for "null" is a caller bug either
+    * way. Conflict-checked like overwrite.
+    */
+  def delete(spark: SparkSession, keys: DataFrame, table: String,
+             key: String): Long = {
+    import org.apache.spark.sql.functions.broadcast
+    val fs = fsFor(spark, table)
+    val (head, entries) = currentEntries(fs, table)
+    val keysDf = keys.select(keys.columns.head).na.drop().distinct()
+      .toDF("__k").select(col("__k").cast("string").as("__k"))
+    if (keysDf.isEmpty) return head
+    val touched = overlappingFiles(spark, entries, keysDf, key)
+    if (touched.isEmpty) return head
+    val survivors = readFiles(spark, table, touched, mergeSchema = true)
+      .join(broadcast(keysDf), col(key).cast("string") === col("__k"),
+        "left_anti")
+    val files = stageBatch(spark, survivors, table)
     val statCols = (entries.flatMap(_._2.map(_.col)) :+ key).distinct
     val stats = fileStats(spark, table, files, statCols)
     commit(spark, table, added = files, removed = touched,

@@ -73,6 +73,40 @@ class TxMergeSpec extends SparkSpec {
     assert(state(t2) == Map(1L -> ((10L, 0L))))
   }
 
+  test("delete: only overlapping files rewrite; exact rows removed; misses are no-ops") {
+    val t = mk()
+    mkRangeTable(t)
+    val before = TxTable.currentFiles(spark, t).toSet
+    val head = TxTable.headVersion(spark, t)
+    // keys entirely outside every file range: nothing touched, no commit
+    val miss = Seq(9000L, 9001L).toDF("id")
+    assert(TxTable.delete(spark, miss, t, key = "id") == head)
+    assert(TxTable.currentFiles(spark, t).toSet == before)
+    // a low-band delete (+ null key, which must be dropped, not match-all)
+    val del = Seq(Option(110L), Option(120L), Option.empty[Long]).toDF("id")
+    TxTable.delete(spark, del, t, key = "id")
+    val after = TxTable.currentFiles(spark, t).toSet
+    assert(before.intersect(after).size == 3,
+      "delete must rewrite only the one overlapping file")
+    val got = state(t)
+    assert(got.size == 398 && !got.contains(110L) && !got.contains(120L))
+    assert(got(119L) == ((1190L, 0L)), "non-matching neighbors survive")
+  }
+
+  test("delete of every row in a file shrinks the file set") {
+    val t = mk()
+    mkRangeTable(t)
+    val before = TxTable.currentFiles(spark, t).size
+    TxTable.delete(spark, (201L to 300L).toDF("id"), t, key = "id")
+    assert(state(t).size == 300 && state(t).keySet.forall(k => k <= 200 || k > 300))
+    assert(TxTable.currentFiles(spark, t).size <= before,
+      "an emptied file must not be replaced by phantom files")
+    // the table still reads consistently after a follow-up merge
+    TxTable.merge(spark, Seq((250L, -1L, 9L)).toDF("id", "v", "ver"), t,
+      key = "id", orderCols = Seq("ver"))
+    assert(state(t)(250L) == ((-1L, 9L)) && state(t).size == 301)
+  }
+
   test("merged files carry key stats so the NEXT merge still prunes") {
     val t = mk()
     mkRangeTable(t)
