@@ -657,6 +657,31 @@ object SparkEntry {
         .select(col("idA"), col("idB"), col("split_a"), col("split_b"), col("hamming"))
     }),
 
+    // T — TF-IDF keyword extraction, top-3 terms per document. Linear
+    // idf (tf·N/df as one scaled integer division) instead of log-idf —
+    // same ranking direction, exactly portable across engines (a float
+    // log would hash-diverge at tie boundaries). Shape: two count
+    // aggregates bounded by corpus token volume, one vocab join, one
+    // per-doc window over terms-per-doc-sized partitions.
+    "q117_tfidf_keywords" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val terms = docs.select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("term"))
+      val tf = terms.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df_docs"))
+      val tot = docs.agg(count(lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("score_sc").desc, col("term").asc)
+      tf.join(dfc, Seq("term")).crossJoin(broadcast(tot))
+        .withColumn("score_sc", expr("(tf * 10000 * n_docs) div df_docs"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df_docs"),
+          col("score_sc"), col("rk"))
+    }),
+
     // T — corpus frequent terms via two-pass Misra-Gries: bounded-memory
     // per-partition candidate summaries + exact recount of candidates
     // only. Output is bit-identical to the full groupBy (the oracle IS
@@ -2708,6 +2733,25 @@ object SparkEntry {
          SELECT c.idA, c.idB, a.split AS split_a, b.split AS split_b, c.hamming
          FROM cand c JOIN sp a ON c.idA = a.doc_id JOIN sp b ON c.idB = b.doc_id
          WHERE a.split <> b.split""",
+    // identical integer linear-idf arithmetic and (score, term) order
+    "q117_tfidf_keywords" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                      x -> x <> '') AS t
+           FROM documents),
+         terms AS (SELECT doc_id, unnest(t) AS term FROM toks),
+         tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                FROM terms GROUP BY 1, 2),
+         dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df_docs
+                 FROM tf GROUP BY 1),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         sc AS (SELECT f.doc_id, f.term, f.tf, d.df_docs,
+                  CAST((f.tf * 10000 * tot.n_docs) // d.df_docs AS BIGINT) AS score_sc
+                FROM tf f JOIN dfc d USING (term) CROSS JOIN tot)
+         SELECT doc_id, term, tf, df_docs, score_sc, CAST(rk AS INTEGER) AS rk
+         FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score_sc DESC, term ASC) AS rk FROM sc)
+         WHERE rk <= 3""",
     // the delete re-derived as a plain anti-join on the same key rule
     "q116_tx_delete" ->
       """SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
