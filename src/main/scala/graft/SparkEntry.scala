@@ -657,6 +657,28 @@ object SparkEntry {
         .select(col("idA"), col("idB"), col("split_a"), col("split_b"), col("hamming"))
     }),
 
+    // T — per-language tokenizer compression rate (chars per merged BPE
+    // token, centi-scaled integer): the fertility metric that decides
+    // whether a tokenizer is economical for a language. Reuses the real
+    // merge-table segmentation (q92) — one projection + one join + one
+    // per-lang aggregate.
+    "q118_bpe_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = functions.Bpe.mergedTokensPerDoc(docs,
+          col("doc_id"), col("text"), functions.Bpe.DefaultMerges)
+        .select(col("id").as("doc_id"), col("n_tok"))
+      docs.select(col("doc_id"), col("lang"),
+          length(col("text")).cast("long").as("nc"))
+        .join(toks, Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(sum(col("nc")).as("sum_chars"), sum(col("n_tok")).as("sum_toks"))
+        .withColumn("chars_per_tok_centi",
+          when(col("sum_toks") === 0, lit(0L))
+            .otherwise(expr("(100 * sum_chars) div sum_toks")))
+        .select(col("lang"), col("sum_chars"), col("sum_toks"),
+          col("chars_per_tok_centi"))
+    }),
+
     // T — TF-IDF keyword extraction, top-3 terms per document. Linear
     // idf (tf·N/df as one scaled integer division) instead of log-idf —
     // same ranking direction, exactly portable across engines (a float
@@ -1785,6 +1807,18 @@ object SparkEntry {
     "q92_bpe_merged" ->
       s"""WITH RECURSIVE $bpeCtes
          SELECT doc_id, n_pre, n_tok, toks FROM bpe""",
+    // q92's segmentation CTEs + one per-language aggregate
+    "q118_bpe_fertility" ->
+      s"""WITH RECURSIVE $bpeCtes,
+         j AS (
+           SELECT d.lang, CAST(length(d.text) AS BIGINT) AS nc, b.n_tok
+           FROM documents d JOIN bpe b USING (doc_id))
+         SELECT lang, CAST(sum(nc) AS BIGINT) AS sum_chars,
+           CAST(sum(n_tok) AS BIGINT) AS sum_toks,
+           CAST(CASE WHEN sum(n_tok) = 0 THEN 0
+                ELSE (100 * sum(nc)) // sum(n_tok) END AS BIGINT)
+             AS chars_per_tok_centi
+         FROM j GROUP BY 1""",
     // vocabulary ids re-derived in SQL: base chars by sort order, merge
     // products by first-wins rank order, segmentation mapped through it
     "q94_bpe_ids" ->
