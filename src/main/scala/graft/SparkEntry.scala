@@ -826,6 +826,57 @@ object SparkEntry {
         .toDF("c_custkey", "bal_cents")
     }),
 
+    // K — change-data-feed over the tx log (the Delta CDF shape): the
+    // NET row changes across a merge, a delete AND a full compaction,
+    // derived from the file-level version diff with exceptAll
+    // cancellation. The compaction is the point: it rewrites every
+    // file (REQUIREd), yet must contribute ZERO rows to the feed —
+    // rewritten-unchanged rows cancel in the multiset difference, so a
+    // downstream incremental consumer sees updates as old-image delete
+    // + new-image insert and nothing else. Pre-compaction the feed's
+    // read is bounded by the touched files (REQUIREd: the merge/delete
+    // version diff leaves clustered survivors unread).
+    "q119_tx_changes" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q119").toString
+      val tbl = s"$tmp/tx/customers"
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey"),
+          round(col("c_acctbal") * 100).cast("long").as("bal_cents"),
+          lit(0L).as("ver"))
+      graft.sink.TxTable.append(s,                                 // v1
+        base.repartitionByRange(4, col("c_custkey")), tbl,
+        statsCols = Seq("c_custkey"))
+      val upd = base.filter(col("c_custkey") <= 300 && col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"), (col("bal_cents") + 100000L).as("bal_cents"),
+          lit(1L).as("ver"))
+      val ins = base.filter(col("c_custkey") % 100 === 3)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          col("bal_cents"), lit(1L).as("ver"))
+      graft.sink.TxTable.merge(s, upd.unionByName(ins), tbl,      // v2
+        key = "c_custkey", orderCols = Seq("ver"))
+      val delKeys = base.filter(col("c_custkey") <= 200 && col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"))
+      graft.sink.TxTable.delete(s, delKeys, tbl, key = "c_custkey") // v3
+      // pre-compaction, the feed plans against ONLY the touched files
+      val all1 = graft.sink.TxTable.filesAt(s, tbl, 1L).toSet
+      val (addF, remF) = graft.sink.TxTable.changedFiles(s, tbl, 1L, 3L)
+      require(remF.toSet.subsetOf(all1) && remF.size < all1.size,
+        s"feed must read a bounded file diff, not the table " +
+          s"(removed ${remF.size} of ${all1.size})")
+      graft.sink.TxTable.compact(s, tbl,                          // v4
+        targetRowsPerFile = 1000L, clusterBy = Some("c_custkey"))
+      val (addC, remC) = graft.sink.TxTable.changedFiles(s, tbl, 3L, 4L)
+      require(addC.nonEmpty && remC.nonEmpty, "compact must rewrite files")
+      val out = graft.sink.TxTable.readChanges(s, tbl, 1L, 4L)
+        .select(col("c_custkey"), col("bal_cents"), col("ver"),
+          col("_change_type").as("change_type"))
+        .collect() // materialize before the fixture dir is dropped
+      dropStaged(java.nio.file.Paths.get(tmp))
+      import s.implicits._
+      out.toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toDF("c_custkey", "bal_cents", "ver", "change_type")
+    }),
+
     // T — source-reputation filter (FineWeb-style domain filtering):
     // aggregate the exact-integer classifier score per source, keep
     // sources whose mean beats the corpus mean. The comparison is
@@ -2791,6 +2842,36 @@ object SparkEntry {
       """SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
          FROM customer
          WHERE NOT (c_custkey <= 200 AND c_custkey % 2 = 0)""",
+    // the change feed re-derived relationally: state at v1 and at head
+    // rebuilt from the same deterministic slices, then EXCEPT ALL in
+    // both directions — exactly the multiset cancellation the file-diff
+    // feed performs (the compaction between them must contribute nothing)
+    "q119_tx_changes" ->
+      """WITH base AS (
+           SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+             CAST(0 AS BIGINT) AS ver
+           FROM customer),
+         upd AS (
+           SELECT c_custkey, bal_cents + 100000 AS bal_cents, CAST(1 AS BIGINT) AS ver
+           FROM base WHERE c_custkey <= 300 AND c_custkey % 3 = 0),
+         ins AS (
+           SELECT c_custkey + 1000000 AS c_custkey, bal_cents, CAST(1 AS BIGINT) AS ver
+           FROM base WHERE c_custkey % 100 = 3),
+         merged AS (
+           SELECT b.c_custkey,
+             COALESCE(u.bal_cents, b.bal_cents) AS bal_cents,
+             COALESCE(u.ver, b.ver) AS ver
+           FROM base b LEFT JOIN upd u USING (c_custkey)
+           UNION ALL
+           SELECT c_custkey, bal_cents, ver FROM ins),
+         head AS (
+           SELECT * FROM merged
+           WHERE NOT (c_custkey <= 200 AND c_custkey % 2 = 0))
+         SELECT c_custkey, bal_cents, ver, 'insert' AS change_type
+         FROM (SELECT * FROM head EXCEPT ALL SELECT * FROM base)
+         UNION ALL
+         SELECT c_custkey, bal_cents, ver, 'delete' AS change_type
+         FROM (SELECT * FROM base EXCEPT ALL SELECT * FROM head)""",
     // the merge re-derived relationally: updates replace matched base
     // rows, inserts append, everything else unchanged
     "q115_tx_merge" ->

@@ -214,6 +214,75 @@ object TxTable {
   def headVersion(spark: SparkSession, table: String): Long =
     currentState(fsFor(spark, table), table)._1
 
+  // ---------------------------------------------------------- change feed
+
+  /** File-level diff between two versions: (files added, files removed)
+    * going from `fromVersion` to `toVersion` — the planning input for
+    * [[readChanges]]. Both sides reconstruct through [[filesAt]], so the
+    * same checkpoint/vacuum contiguity rules apply.
+    */
+  def changedFiles(spark: SparkSession, table: String,
+                   fromVersion: Long, toVersion: Long): (Seq[String], Seq[String]) = {
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion must be <= toVersion $toVersion")
+    val before = filesAt(spark, table, fromVersion)
+    val after = filesAt(spark, table, toVersion)
+    val beforeSet = before.toSet
+    val afterSet = after.toSet
+    (after.filterNot(beforeSet), before.filterNot(afterSet))
+  }
+
+  /** Change-data-feed: the NET row-level changes between `fromVersion`
+    * (exclusive) and `toVersion` (inclusive), as the table's columns plus
+    * a `_change_type` column (`insert` | `delete`). An updated row (e.g.
+    * from [[merge]]) surfaces as its old image tagged `delete` plus its
+    * new image tagged `insert` — the classic CDF shape a downstream
+    * incremental consumer (sync to a search index, re-embed changed
+    * docs, refresh a derived table) applies directly.
+    *
+    * Derivation is file diff + multiset cancellation: only the files
+    * ADDED or REMOVED across the version range are read (never the whole
+    * table — at 100 TB an incremental day's changes cost the day's
+    * files), and `exceptAll` in both directions cancels rows that were
+    * merely REWRITTEN unchanged. That cancellation is what makes the
+    * feed semantic rather than physical: [[compact]]/Z-order rewrites
+    * net to exactly zero changes, and a [[merge]] touching a 5M-row file
+    * to update 100 rows yields 100 deletes + 100 inserts, not 5M of
+    * each. The cost of cancellation is one all-column shuffle over the
+    * touched-file rows — bounded by the diff, not the table.
+    *
+    * Multiset semantics: legitimately duplicate rows are counted — a row
+    * going from 3 occurrences to 1 yields 2 `delete` rows. Rows are
+    * compared on the ALIGNED schema (cross-version schema evolution
+    * fills missing columns with null via the same `unionByName` rule as
+    * [[readFiles]]); a column added with all-null values therefore does
+    * NOT flag untouched rows as changed. Data-file GC caveat as
+    * [[readAt]]: both versions must be younger than the vacuum horizon.
+    */
+  def readChanges(spark: SparkSession, table: String,
+                  fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val (addedF, removedF) = changedFiles(spark, table, fromVersion, toVersion)
+    def tag(df: DataFrame, t: String): DataFrame =
+      df.withColumn("_change_type", lit(t))
+    if (addedF.isEmpty && removedF.isEmpty)
+      return tag(readFiles(spark, table, filesAt(spark, table, toVersion)), "insert")
+        .limit(0)
+    if (removedF.isEmpty) return tag(readFiles(spark, table, addedF), "insert")
+    if (addedF.isEmpty) return tag(readFiles(spark, table, removedF), "delete")
+    val addDf = readFiles(spark, table, addedF, mergeSchema = true)
+    val remDf = readFiles(spark, table, removedF, mergeSchema = true)
+    // align both sides to one column set/order before exceptAll (which
+    // is positional): each side gains the other's missing columns as
+    // nulls through the zero-row unionByName, then the removed side is
+    // projected into the added side's column order
+    val addAligned = addDf.unionByName(remDf.limit(0), allowMissingColumns = true)
+    val remAligned = remDf.unionByName(addDf.limit(0), allowMissingColumns = true)
+      .select(addAligned.columns.map(col).toIndexedSeq: _*)
+    tag(addAligned.exceptAll(remAligned), "insert")
+      .unionByName(tag(remAligned.exceptAll(addAligned), "delete"))
+  }
+
   /** Read an explicit table-relative file list (committed, staged, or a
     * mix — the validation-before-commit read). Files are grouped by batch
     * dir and each group reads with its own `basePath`, so Hive partition
