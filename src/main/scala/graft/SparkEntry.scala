@@ -877,6 +877,53 @@ object SparkEntry {
         .toDF("c_custkey", "bal_cents", "ver", "change_type")
     }),
 
+    // K — incremental view maintenance over the change feed: a derived
+    // per-nation (count, sum) table is bootstrapped at v1, the base then
+    // takes a merge, a delete AND a full compaction, and the derived
+    // table is refreshed from ONLY the changed files (REQUIREd: the
+    // pre-compaction diff leaves clustered survivors unread) — never by
+    // rescanning the base. The oracle recomputes the aggregate from the
+    // relationally re-derived head state, so refresh == recompute is
+    // hash-checked group by group.
+    "q120_incremental_view" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q120").toString
+      val tbl = s"$tmp/tx/customers"
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey").cast("long").as("nation"),
+          round(col("c_acctbal") * 100).cast("long").as("bal_cents"),
+          lit(0L).as("ver"))
+      graft.sink.TxTable.append(s,                                 // v1
+        base.repartitionByRange(4, col("c_custkey")), tbl,
+        statsCols = Seq("c_custkey"))
+      val derived = graft.operators.IncrementalView.compute(
+        graft.sink.TxTable.readAt(s, tbl, 1L), Seq("nation"), Seq("bal_cents"))
+      val upd = base.filter(col("c_custkey") <= 300 && col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"), col("nation"),
+          (col("bal_cents") + 100000L).as("bal_cents"), lit(1L).as("ver"))
+      val ins = base.filter(col("c_custkey") % 100 === 3)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"), col("nation"),
+          col("bal_cents"), lit(1L).as("ver"))
+      graft.sink.TxTable.merge(s, upd.unionByName(ins), tbl,      // v2
+        key = "c_custkey", orderCols = Seq("ver"))
+      val delKeys = base.filter(col("c_custkey") <= 200 && col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"))
+      graft.sink.TxTable.delete(s, delKeys, tbl, key = "c_custkey") // v3
+      val all1 = graft.sink.TxTable.filesAt(s, tbl, 1L).toSet
+      val (_, remF) = graft.sink.TxTable.changedFiles(s, tbl, 1L, 3L)
+      require(remF.toSet.subsetOf(all1) && remF.size < all1.size,
+        s"refresh must read a bounded file diff, not the table " +
+          s"(removed ${remF.size} of ${all1.size})")
+      graft.sink.TxTable.compact(s, tbl,                          // v4
+        targetRowsPerFile = 1000L, clusterBy = Some("c_custkey"))
+      val out = graft.operators.IncrementalView.refresh(s, tbl, derived,
+        1L, 4L, Seq("nation"), Seq("bal_cents"))
+        .collect() // materialize before the fixture dir is dropped
+      dropStaged(java.nio.file.Paths.get(tmp))
+      import s.implicits._
+      out.toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toDF("nation", "n_rows", "bal_cents")
+    }),
+
     // T — source-reputation filter (FineWeb-style domain filtering):
     // aggregate the exact-integer classifier score per source, keep
     // sources whose mean beats the corpus mean. The comparison is
@@ -2872,6 +2919,36 @@ object SparkEntry {
          UNION ALL
          SELECT c_custkey, bal_cents, ver, 'delete' AS change_type
          FROM (SELECT * FROM base EXCEPT ALL SELECT * FROM head)""",
+    // incremental refresh == full recompute: the head state re-derived
+    // relationally (q119's slices, plus the nation grouping column),
+    // then the aggregate the view maintains
+    "q120_incremental_view" ->
+      """WITH base AS (
+           SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nation,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+             CAST(0 AS BIGINT) AS ver
+           FROM customer),
+         upd AS (
+           SELECT c_custkey, nation, bal_cents + 100000 AS bal_cents,
+             CAST(1 AS BIGINT) AS ver
+           FROM base WHERE c_custkey <= 300 AND c_custkey % 3 = 0),
+         ins AS (
+           SELECT c_custkey + 1000000 AS c_custkey, nation, bal_cents,
+             CAST(1 AS BIGINT) AS ver
+           FROM base WHERE c_custkey % 100 = 3),
+         merged AS (
+           SELECT b.c_custkey, b.nation,
+             COALESCE(u.bal_cents, b.bal_cents) AS bal_cents,
+             COALESCE(u.ver, b.ver) AS ver
+           FROM base b LEFT JOIN upd u USING (c_custkey)
+           UNION ALL
+           SELECT c_custkey, nation, bal_cents, ver FROM ins),
+         head AS (
+           SELECT * FROM merged
+           WHERE NOT (c_custkey <= 200 AND c_custkey % 2 = 0))
+         SELECT nation, count(*) AS n_rows,
+           CAST(sum(bal_cents) AS BIGINT) AS bal_cents
+         FROM head GROUP BY nation""",
     // the merge re-derived relationally: updates replace matched base
     // rows, inserts append, everything else unchanged
     "q115_tx_merge" ->

@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sink.TxTable
+import org.apache.spark.sql.DataFrame
+
+/** Incremental view maintenance: the refreshed derived aggregate must be
+  * row-identical to recomputing it from the base table's current state,
+  * across appends, merges (update = delete+insert), deletes, compaction
+  * (nets to zero), group birth and group death, null group keys, and
+  * composed multi-step refreshes.
+  */
+class IncrementalViewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Keys = Seq("k")
+  private val Sums = Seq("v")
+
+  private def mk() =
+    java.nio.file.Files.createTempDirectory("graft-ivm").toString + "/tbl"
+
+  private def assertSame(got: DataFrame, want: DataFrame): Unit = {
+    assert(got.columns.toSeq == want.columns.toSeq)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      s"got ${got.collect().toSeq.sortBy(_.toString)} " +
+        s"want ${want.collect().toSeq.sortBy(_.toString)}")
+  }
+
+  private def recompute(t: String): DataFrame =
+    IncrementalView.compute(TxTable.read(spark, t), Keys, Sums)
+
+  test("refresh equals recompute across merge, delete and compaction") {
+    val t = mk()
+    TxTable.append(spark,
+      (1L to 100L).map(i => (i % 7, i, 0L)).toDF("k", "v", "ver")
+        .repartition(4), t, statsCols = Seq("k"))
+    val v1 = TxTable.headVersion(spark, t)
+    val derived = IncrementalView.compute(TxTable.readAt(spark, t, v1), Keys, Sums)
+    TxTable.merge(spark, Seq((3L, -100L, 1L)).toDF("k", "v", "ver"),
+      t, key = "k", orderCols = Seq("ver"))
+    // the merge collapsed key 3 to one row; delete key 5 entirely
+    TxTable.delete(spark, Seq(5L).toDF("k"), t, key = "k")
+    TxTable.compact(spark, t, targetRowsPerFile = 1000L)
+    val head = TxTable.headVersion(spark, t)
+    val got = IncrementalView.refresh(spark, t,
+      derived.select("k", "n_rows", "v"), v1, head, Keys, Sums)
+    assertSame(got, recompute(t))
+  }
+
+  test("group birth and group death") {
+    val t = mk()
+    TxTable.append(spark, Seq((1L, 10L), (1L, 20L), (2L, 5L)).toDF("k", "v"), t)
+    val derived = recompute(t)
+    TxTable.append(spark, Seq((9L, 90L)).toDF("k", "v"), t)      // birth
+    TxTable.delete(spark, Seq(2L).toDF("k"), t, key = "k")       // death
+    val got = IncrementalView.refresh(spark, t, derived, 1L,
+      TxTable.headVersion(spark, t), Keys, Sums)
+    assertSame(got, recompute(t))
+    assert(got.filter($"k" === 2L).isEmpty, "emptied group must vanish")
+    assert(got.filter($"k" === 9L).count() == 1, "new group must appear")
+  }
+
+  test("null group key is a real group, maintained null-safely") {
+    val t = mk()
+    TxTable.append(spark,
+      Seq((Some(1L), 10L), (None, 7L), (None, 8L)).toDF("k", "v"), t)
+    val derived = recompute(t)
+    TxTable.overwrite(spark,
+      Seq((Some(1L), 10L), (None, 7L)).toDF("k", "v"), t)
+    val got = IncrementalView.refresh(spark, t, derived, 1L, 2L, Keys, Sums)
+    assertSame(got, recompute(t))
+    assert(got.filter($"k".isNull && $"n_rows" === 1L && $"v" === 7L).count() == 1)
+  }
+
+  test("two sequential refreshes compose to the two-version jump") {
+    val t = mk()
+    TxTable.append(spark, (1L to 40L).map(i => (i % 3, i)).toDF("k", "v"), t)
+    val d1 = recompute(t)
+    TxTable.append(spark, Seq((0L, 1000L)).toDF("k", "v"), t)
+    val d2 = IncrementalView.refresh(spark, t, d1, 1L, 2L, Keys, Sums)
+    TxTable.delete(spark, Seq(1L).toDF("k"), t, key = "k")
+    val stepwise = IncrementalView.refresh(spark, t, d2, 2L, 3L, Keys, Sums)
+    val jump = IncrementalView.refresh(spark, t, d1, 1L, 3L, Keys, Sums)
+    assertSame(stepwise, jump)
+    assertSame(stepwise, recompute(t))
+  }
+
+  test("pure rewrite refresh is a no-op; bad derived schema fails loudly") {
+    val t = mk()
+    TxTable.append(spark, (1L to 20L).map(i => (i % 4, i)).toDF("k", "v"), t)
+    val derived = recompute(t)
+    TxTable.compact(spark, t, targetRowsPerFile = 5L)
+    val got = IncrementalView.refresh(spark, t, derived, 1L, 2L, Keys, Sums)
+    assertSame(got, derived)
+    intercept[IllegalArgumentException] {
+      IncrementalView.applied(derived.withColumnRenamed("v", "wrong"),
+        derived, Keys, Sums)
+    }
+  }
+
+  test("unknown change type fails loudly instead of mis-signing") {
+    import org.apache.spark.sql.functions.lit
+    val bad = Seq((1L, 2L)).toDF("k", "v")
+      .withColumn("_change_type", lit("upsert"))
+    val e = intercept[Exception] {
+      IncrementalView.deltas(bad, Keys, Sums).collect()
+    }
+    assert(e.getMessage.contains("unknown _change_type"))
+  }
+}
