@@ -924,6 +924,42 @@ object SparkEntry {
         .toDF("nation", "n_rows", "bal_cents")
     }),
 
+    // K — idempotent writer transactions (the Delta `txn` action): every
+    // batch lands under (appId, writerVersion), and every RETRY of an
+    // already-landed batch is REQUIREd to skip — the sink half of
+    // exactly-once for restarted loaders. The oracle aggregates the two
+    // batches exactly once each: any double-append (retry landing) or
+    // lost append (skip misfiring) breaks the hash.
+    "q121_idempotent_append" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q121").toString
+      val tbl = s"$tmp/tx/orders"
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val batch1 = orders.filter(col("o_orderkey") % 5 === 0)
+      val batch2 = orders.filter(col("o_orderkey") % 5 === 1)
+      require(graft.sink.TxTable.appendOnce(s, batch1, tbl, "loader", 1L).isDefined,
+        "first landing of batch 1 must commit")
+      require(graft.sink.TxTable.appendOnce(s, batch1, tbl, "loader", 1L).isEmpty,
+        "retry of batch 1 must skip")
+      require(graft.sink.TxTable.appendOnce(s, batch2, tbl, "loader", 2L).isDefined,
+        "first landing of batch 2 must commit")
+      require(graft.sink.TxTable.appendOnce(s, batch2, tbl, "loader", 2L).isEmpty,
+        "retry of batch 2 must skip")
+      require(graft.sink.TxTable.appendOnce(s, batch1, tbl, "loader", 1L).isEmpty,
+        "stale replay after later progress must skip")
+      require(graft.sink.TxTable.txnVersion(s, tbl, "loader").contains(2L),
+        "resume point must be the latest landed writer version")
+      val out = graft.sink.TxTable.read(s, tbl)
+        .groupBy((col("o_orderkey") % 5).as("batch"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents"))
+        .collect() // materialize before the fixture dir is dropped
+      dropStaged(java.nio.file.Paths.get(tmp))
+      import s.implicits._
+      out.toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toDF("batch", "n_orders", "cents")
+    }),
+
     // T — source-reputation filter (FineWeb-style domain filtering):
     // aggregate the exact-integer classifier score per source, keep
     // sources whose mean beats the corpus mean. The comparison is
@@ -2949,6 +2985,12 @@ object SparkEntry {
          SELECT nation, count(*) AS n_rows,
            CAST(sum(bal_cents) AS BIGINT) AS bal_cents
          FROM head GROUP BY nation""",
+    // each batch exactly once, despite the retries the Spark side replays
+    "q121_idempotent_append" ->
+      """SELECT o_orderkey % 5 AS batch, count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM orders WHERE o_orderkey % 5 IN (0, 1)
+         GROUP BY o_orderkey % 5""",
     // the merge re-derived relationally: updates replace matched base
     // rows, inserts append, everything else unchanged
     "q115_tx_merge" ->

@@ -71,7 +71,8 @@ object TxTable {
   final case class ColStat(col: String, typ: String, lo: String, hi: String)
 
   final case class Commit(version: Long, added: Seq[String], removed: Seq[String],
-                          stats: Seq[Seq[ColStat]] = Nil) {
+                          stats: Seq[Seq[ColStat]] = Nil,
+                          txn: Option[(String, Long)] = None) {
     require(stats.isEmpty || stats.size == added.size,
       s"stats must align with added (${stats.size} vs ${added.size})")
   }
@@ -83,7 +84,8 @@ object TxTable {
     * without bound — the exact failure the log exists to prevent).
     */
   final case class Checkpoint(version: Long, live: Seq[String],
-                              stats: Seq[Seq[ColStat]] = Nil) {
+                              stats: Seq[Seq[ColStat]] = Nil,
+                              txns: Seq[(String, Long)] = Nil) {
     require(stats.isEmpty || stats.size == live.size,
       s"stats must align with live (${stats.size} vs ${live.size})")
   }
@@ -129,7 +131,8 @@ object TxTable {
     * commit-suffix replay. FS opens are 1 checkpoint + (commits since
     * it) — bounded by `checkpointEvery` regardless of table age.
     */
-  private def currentEntries(fs: FileSystem, table: String): (Long, Seq[(String, Seq[ColStat])]) = {
+  private def currentFull(fs: FileSystem, table: String)
+      : (Long, Seq[(String, Seq[ColStat])], Map[String, Long]) = {
     val (cs, ks) = listLog(fs, table)
     val base = ks.lastOption.map { case (_, p) => parseCkpt(slurp(fs, p)) }
     val baseV = base.map(_.version).getOrElse(0L)
@@ -140,10 +143,24 @@ object TxTable {
       files.zip(st).foreach { case (f, s) => live(f) = s }
       removed.foreach(live.remove)
     }
-    base.foreach(k => fold(k.live, k.stats, Nil))
-    suffix.foreach(c => fold(c.added, c.stats, c.removed))
+    // writer-txn watermarks survive log cleaning through the checkpoint,
+    // exactly like the live set — idempotence memory must not expire
+    val txns = scala.collection.mutable.LinkedHashMap[String, Long]()
+    base.foreach { k =>
+      fold(k.live, k.stats, Nil)
+      k.txns.foreach { case (a, v) => txns(a) = math.max(v, txns.getOrElse(a, Long.MinValue)) }
+    }
+    suffix.foreach { c =>
+      fold(c.added, c.stats, c.removed)
+      c.txn.foreach { case (a, v) => txns(a) = math.max(v, txns.getOrElse(a, Long.MinValue)) }
+    }
     val head = (baseV +: cs.map(_._1)).max
-    (head, live.toSeq)
+    (head, live.toSeq, txns.toMap)
+  }
+
+  private def currentEntries(fs: FileSystem, table: String): (Long, Seq[(String, Seq[ColStat])]) = {
+    val (h, e, _) = currentFull(fs, table)
+    (h, e)
   }
 
   private def currentState(fs: FileSystem, table: String): (Long, Seq[String]) = {
@@ -331,6 +348,45 @@ object TxTable {
     val stats =
       if (statsCols.isEmpty) Nil else fileStats(spark, table, files, statsCols)
     commit(spark, table, added = files, removed = Nil, stats = stats)
+  }
+
+  /** Latest writer version the log records for `appId` (None if the app
+    * has never committed). The retried-writer resume point: a restarted
+    * job reads this and continues from the next un-landed batch.
+    */
+  def txnVersion(spark: SparkSession, table: String, appId: String): Option[Long] =
+    currentFull(fsFor(spark, table), table)._3.get(appId)
+
+  /** Idempotent append — exactly-once under writer retries. The commit
+    * records `(appId, writerVersion)`; a re-run of an already-landed
+    * (appId, writerVersion) SKIPS (returns None, stages nothing durable)
+    * instead of double-appending. `writerVersion` is the writer's own
+    * monotone sequence (micro-batch id, chunk number, attempt epoch) —
+    * the guard is `>=`, so versions must not be reused for different
+    * data. This is the sink half of end-to-end exactly-once for a
+    * retried loader or a `foreachBatch` stream (reference behavior:
+    * ingest re-runs dedup by re-querying run logs,
+    * datalakeingestion utils/incremental_data_load.py — here the sink
+    * itself refuses the duplicate).
+    *
+    * The skip check runs both BEFORE staging (cheap fast path: no data
+    * write at all for an obvious duplicate) and atomically inside the
+    * commit loop (the race-proof slow path — two concurrent retries of
+    * the same batch land exactly one commit); a skip detected only at
+    * commit time cleans up its staged files.
+    */
+  def appendOnce(spark: SparkSession, df: DataFrame, table: String,
+                 appId: String, writerVersion: Long,
+                 statsCols: Seq[String] = Nil): Option[Long] = {
+    require(writerVersion >= 0, s"writerVersion must be >= 0, got $writerVersion")
+    if (txnVersion(spark, table, appId).exists(_ >= writerVersion)) return None
+    val files = stage(spark, df, table)
+    val stats =
+      if (statsCols.isEmpty) Nil else fileStats(spark, table, files, statsCols)
+    val out = commitOpt(spark, table, added = files, removed = Nil,
+      stats = stats, txn = Some((appId, writerVersion)))
+    if (out.isEmpty) deleteStaged(spark, table, files)
+    out
   }
 
   /** Per-file min/max of `cols` over freshly staged files — one grouped
@@ -695,6 +751,28 @@ object TxTable {
              checkpointEvery: Int = 10,
              stats: Seq[Seq[ColStat]] = Nil,
              coordinator: CommitCoordinator = RenameCommitCoordinator): Long =
+    commitOpt(spark, table, added, removed, expectedHead, checkpointEvery,
+      stats, coordinator, txn = None)
+      .getOrElse(throw new IllegalStateException(
+        "unreachable: a txn-less commit never skips"))
+
+  /** [[commit]] plus writer-transaction idempotence: with `txn =
+    * Some((appId, writerVersion))`, the commit is SKIPPED (returns None,
+    * publishes nothing) when the log already records `appId` at a
+    * writer version >= `writerVersion`. The check runs inside the
+    * version-select/publish loop: a racer landing the same txn first
+    * costs us one putIfAbsent miss, after which the re-read sees its
+    * watermark and we skip — the commit-or-skip decision is atomic with
+    * publication, which is what makes a retried writer exactly-once
+    * rather than at-least-once (the Delta `txn` action's contract).
+    */
+  private[sink] def commitOpt(spark: SparkSession, table: String,
+             added: Seq[String], removed: Seq[String],
+             expectedHead: Option[Long] = None,
+             checkpointEvery: Int = 10,
+             stats: Seq[Seq[ColStat]] = Nil,
+             coordinator: CommitCoordinator = RenameCommitCoordinator,
+             txn: Option[(String, Long)] = None): Option[Long] =
     lockFor(table).synchronized {
       val fs = fsFor(spark, table)
       fs.mkdirs(new Path(logDir(table)))
@@ -713,19 +791,26 @@ object TxTable {
         // only): if our publish wins, the log at `version` is exactly
         // (prior state + this commit) — no racer can slot in below us
         val wantCkpt = checkpointEvery > 0 && version % checkpointEvery == 0
-        val priorLive = if (wantCkpt) Some(currentEntries(fs, table)._2) else None
-        val bytes = render(Commit(version, added, removed, stats)).getBytes("UTF-8")
+        val prior = if (wantCkpt || txn.isDefined) Some(currentFull(fs, table)) else None
+        txn.foreach { case (app, wv) =>
+          if (prior.exists(_._3.get(app).exists(_ >= wv))) return None
+        }
+        val bytes = render(Commit(version, added, removed, stats, txn)).getBytes("UTF-8")
         if (coordinator.putIfAbsent(fs, target, bytes)) {
-          priorLive.foreach { prior =>
+          if (wantCkpt) prior.foreach { case (_, priorLive, priorTxns) =>
             val live = scala.collection.mutable.LinkedHashMap[String, Seq[ColStat]]()
-            prior.foreach { case (f, s) => live(f) = s }
+            priorLive.foreach { case (f, s) => live(f) = s }
             val st = if (stats.isEmpty) added.map(_ => Seq.empty[ColStat]) else stats
             added.zip(st).foreach { case (f, s) => live(f) = s }
             removed.foreach(live.remove)
+            val allTxns = scala.collection.mutable.LinkedHashMap[String, Long]()
+            priorTxns.foreach { case (a, v) => allTxns(a) = v }
+            txn.foreach { case (a, v) =>
+              allTxns(a) = math.max(v, allTxns.getOrElse(a, Long.MinValue)) }
             writeCheckpoint(fs, table,
-              Checkpoint(version, live.keys.toSeq, live.values.toSeq))
+              Checkpoint(version, live.keys.toSeq, live.values.toSeq, allTxns.toSeq))
           }
-          return version
+          return Some(version)
         }
         // lost a cross-process race (coordinator cleaned up its own temp)
         if (expectedHead.isDefined)
@@ -797,7 +882,9 @@ object TxTable {
       xs.map(x => "\"" + enc(x) + "\"").mkString("[", ",", "]")
     val statsPart =
       if (c.stats.isEmpty) "" else s""","stats":${encStatsArr(c.stats)}"""
-    s"""{"version":${c.version},"added":${arr(c.added)},"removed":${arr(c.removed)}$statsPart}"""
+    val txnPart = c.txn.map { case (a, v) =>
+      s""","txn":["${enc(a)}",$v]""" }.getOrElse("")
+    s"""{"version":${c.version},"added":${arr(c.added)},"removed":${arr(c.removed)}$statsPart$txnPart}"""
   }
 
   private[sink] def renderCkpt(c: Checkpoint): String = {
@@ -805,7 +892,13 @@ object TxTable {
     val statsPart =
       if (c.stats.forall(_.isEmpty)) ""
       else s""","livestats":${encStatsArr(c.stats)}"""
-    s"""{"version":${c.version},"live":$arr$statsPart}"""
+    // one percent-encoded token per (app, version) pair, like stats —
+    // the outer comma split never sees the payload
+    val txnsPart =
+      if (c.txns.isEmpty) ""
+      else s""","txns":${c.txns.map { case (a, v) =>
+        "\"" + enc(a + FieldSep + v) + "\"" }.mkString("[", ",", "]")}"""
+    s"""{"version":${c.version},"live":$arr$statsPart$txnsPart}"""
   }
 
   private val LiveRe = """"live":\[(.*?)\]""".r
@@ -816,11 +909,20 @@ object TxTable {
     val live = LiveRe.findFirstMatchIn(txt).map(_.group(1))
       .getOrElse(throw new IllegalArgumentException(
         s"corrupt checkpoint (missing/unterminated live array): $txt"))
+    val txns = TxnsRe.findFirstMatchIn(txt).map(_.group(1)).filter(_.nonEmpty)
+      .map(_.split(",").toSeq.map { x =>
+        val blob = dec(x.stripPrefix("\"").stripSuffix("\""))
+        val cut = blob.lastIndexOf(FieldSep)
+        require(cut >= 0, s"corrupt txn token: $blob")
+        (blob.substring(0, cut), blob.substring(cut + 1).toLong)
+      }).getOrElse(Nil)
     Checkpoint(ver,
       if (live.isEmpty) Nil
       else live.split(",").toSeq.map(x => dec(x.stripPrefix("\"").stripSuffix("\""))),
-      LiveStatsRe.findFirstMatchIn(txt).map(m => decStatsArr(m.group(1))).getOrElse(Nil))
+      LiveStatsRe.findFirstMatchIn(txt).map(m => decStatsArr(m.group(1))).getOrElse(Nil),
+      txns)
   }
+  private val TxnsRe = """"txns":\[(.*?)\]""".r
 
   private val ArrRe = """"(added|removed)":\[(.*?)\]""".r
   private val VerRe = """"version":(\d+)""".r
@@ -835,7 +937,9 @@ object TxTable {
     require(arrs.contains("added") && arrs.contains("removed"),
       s"corrupt commit (missing/unterminated added/removed arrays): $txt")
     val stats = StatsRe.findFirstMatchIn(txt).map(m => decStatsArr(m.group(1))).getOrElse(Nil)
-    Commit(ver, arrs("added"), arrs("removed"), stats)
+    val txn = TxnRe.findFirstMatchIn(txt).map(m => (dec(m.group(1)), m.group(2).toLong))
+    Commit(ver, arrs("added"), arrs("removed"), stats, txn)
   }
   private val StatsRe = """"stats":\[(.*?)\]""".r
+  private val TxnRe = """"txn":\["(.*?)",(\d+)\]""".r
 }
