@@ -960,6 +960,20 @@ object SparkEntry {
         .toDF("batch", "n_orders", "cents")
     }),
 
+    // T — per-language corpus length percentiles (curation diagnostics:
+    // where to set min/max length cuts per language) via exact grouped
+    // PERCENTILE_DISC with NO per-group global sort — rank selection
+    // over a coarse histogram, so a dominant language costs N_g/coarse
+    // per sort task, not N_g. Ranks are exact integer arithmetic
+    // (basis points, `div`), which is what lets DuckDB replay the
+    // selection bit-for-bit.
+    "q122_length_percentiles" -> ((s, dir) => {
+      graft.operators.GroupedPercentiles.percentilesByRange(
+          t(s, dir, "documents"), col("n_chars"), col("lang"),
+          Seq(1000, 2500, 5000, 7500, 9900, 10000), coarse = 64)
+        .select(col("g").as("lang"), col("p_bp"), col("v").as("n_chars"))
+    }),
+
     // T — source-reputation filter (FineWeb-style domain filtering):
     // aggregate the exact-integer classifier score per source, keep
     // sources whose mean beats the corpus mean. The comparison is
@@ -2991,6 +3005,19 @@ object SparkEntry {
            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
          FROM orders WHERE o_orderkey % 5 IN (0, 1)
          GROUP BY o_orderkey % 5""",
+    // PERCENTILE_DISC re-derived by rank: the smallest value whose
+    // ascending rank reaches max(1, ceil(p·n)) — same integer basis-point
+    // arithmetic as the Spark side ('//' is DuckDB's integer division)
+    "q122_length_percentiles" ->
+      """WITH ranked AS (
+           SELECT lang, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+             count(*) OVER (PARTITION BY lang) AS tot
+           FROM documents WHERE n_chars IS NOT NULL),
+         ps(p_bp) AS (VALUES (1000), (2500), (5000), (7500), (9900), (10000))
+         SELECT lang, p_bp, n_chars
+         FROM ranked JOIN ps
+           ON rn = GREATEST(1, (CAST(p_bp AS BIGINT) * tot + 9999) // 10000)""",
     // the merge re-derived relationally: updates replace matched base
     // rows, inserts append, everything else unchanged
     "q115_tx_merge" ->

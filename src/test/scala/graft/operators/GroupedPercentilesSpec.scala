@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact grouped percentile selection must be bit-identical to the
+  * window-derived ANSI PERCENTILE_DISC reference — the smallest value
+  * whose ascending rank reaches ceil(p·n) — on ties, dominant groups,
+  * null values, null groups, all-null groups, and boundary percentiles;
+  * and its plan must contain no single-partition exchange.
+  */
+class GroupedPercentilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference: one global sort per group via a window — the plan this
+    * operator exists to avoid, used here only as the semantic oracle.
+    */
+  private def reference(df: DataFrame, pBp: Seq[Int]): DataFrame = {
+    val w = Window.partitionBy($"g").orderBy($"v".asc)
+    val ranked = df.filter($"v".isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__tot", count(lit(1)).over(Window.partitionBy($"g")))
+    val pDf = pBp.toDF("p_bp")
+    val hit = ranked.join(pDf,
+        $"__rn" === greatest(lit(1L),
+          expr("(CAST(p_bp AS BIGINT) * __tot + 9999L) div 10000L")))
+      .select($"g", $"p_bp", $"v")
+    val allNull = df.select($"g").distinct()
+      .join(df.filter($"v".isNotNull).select($"g").distinct(), Seq("g"), "left_anti")
+      .crossJoin(pDf)
+      .withColumn("v", lit(null).cast(df.schema("v").dataType))
+      .select($"g", $"p_bp", $"v")
+    hit.unionByName(allNull)
+  }
+
+  private def check(df: DataFrame, pBp: Seq[Int], coarse: Int = 1024): Unit = {
+    val got = GroupedPercentiles.percentilesByRange(df, $"v", $"g", pBp, coarse)
+    val want = reference(df, pBp)
+    assert(got.columns.toSeq == Seq("g", "p_bp", "v"))
+    val gs = got.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val ws = want.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(gs == ws, s"got $gs\nwant $ws")
+  }
+
+  test("parity with the window reference, ties and a dominant group") {
+    // group a dominates; heavy ties inside it
+    val rows = (1L to 900L).map(i => ("a", (i % 7).toDouble)) ++
+      (1L to 60L).map(i => ("b", i.toDouble)) ++
+      Seq(("c", 42.0))
+    check(rows.toDF("g", "v"), Seq(0, 1, 2500, 5000, 7500, 9999, 10000),
+      coarse = 8)
+  }
+
+  test("null values ignored; null and all-null groups surface correctly") {
+    val rows: Seq[(Option[String], Option[Double])] = Seq(
+      (Some("a"), Some(3.0)), (Some("a"), None), (Some("a"), Some(1.0)),
+      (None, Some(5.0)), (None, Some(2.0)),      // null GROUP with values
+      (Some("dead"), None), (Some("dead"), None) // all-null group
+    )
+    check(rows.toDF("g", "v"), Seq(2500, 5000, 10000), coarse = 4)
+  }
+
+  test("single-row groups and integer-typed values keep their type") {
+    val df = Seq(("a", 7L), ("b", 1L), ("b", 2L), ("b", 3L)).toDF("g", "v")
+    val got = GroupedPercentiles.percentilesByRange(df, $"v", $"g", Seq(5000))
+    assert(got.schema("v").dataType.typeName == "long")
+    val m = got.collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(m == Map("a" -> 7L, "b" -> 2L))
+  }
+
+  test("rank selection agrees with percentile_disc boundaries exactly") {
+    // n=4: p25→rank 1, p25+ε→rank 2 — the ceil boundary the integer
+    // arithmetic must hit exactly
+    val df = Seq(("g", 10.0), ("g", 20.0), ("g", 30.0), ("g", 40.0)).toDF("g", "v")
+    val got = GroupedPercentiles.percentilesByRange(df, $"v", $"g",
+      Seq(2500, 2501, 5000, 5001, 7500, 7501))
+      .collect().map(r => r.getInt(1) -> r.getDouble(2)).toMap
+    assert(got == Map(2500 -> 10.0, 2501 -> 20.0, 5000 -> 20.0,
+      5001 -> 30.0, 7500 -> 30.0, 7501 -> 40.0))
+  }
+
+  test("plan has no single-partition exchange") {
+    val df = (1L to 1000L).map(i => (s"g${i % 3}", (i * 37 % 101).toDouble))
+      .toDF("g", "v")
+    val got = GroupedPercentiles.percentilesByRange(df, $"v", $"g", Seq(5000, 9900))
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), s"single-partition stage:\n$plan")
+  }
+
+  test("invalid percentiles fail loudly") {
+    val df = Seq(("a", 1.0)).toDF("g", "v")
+    intercept[IllegalArgumentException] {
+      GroupedPercentiles.percentilesByRange(df, $"v", $"g", Seq(10001))
+    }
+    intercept[IllegalArgumentException] {
+      GroupedPercentiles.percentilesByRange(df, $"v", $"g", Nil)
+    }
+    intercept[IllegalArgumentException] {
+      GroupedPercentiles.percentilesByRange(df, $"v", $"g", Seq(5000, 5000))
+    }
+  }
+}
