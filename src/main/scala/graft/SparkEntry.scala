@@ -974,6 +974,15 @@ object SparkEntry {
         .select(col("g").as("lang"), col("p_bp"), col("v").as("n_chars"))
     }),
 
+    // D — duplicate-span REMOVAL (ExactSubstr scrub): q97 finds the
+    // duplicated passages; this emits the REWRITTEN corpus with every
+    // occurrence cut — the text a training run would actually consume.
+    // The oracle replays span detection AND the token-level rewrite, so
+    // the full cleaned text of every document is hash-matched.
+    "q123_scrub_dup_spans" -> ((s, dir) =>
+      graft.functions.Dedup.scrubDuplicateSpans(
+        t(s, dir, "documents"), "text", "doc_id", k = 8, minCount = 2)),
+
     // T — source-reputation filter (FineWeb-style domain filtering):
     // aggregate the exact-integer classifier score per source, keep
     // sources whose mean beats the corpus mean. The comparison is
@@ -3018,6 +3027,29 @@ object SparkEntry {
          SELECT lang, p_bp, n_chars
          FROM ranked JOIN ps
            ON rn = GREATEST(1, (CAST(p_bp AS BIGINT) * tot + 9999) // 10000)""",
+    // q97's span CTEs + the rewrite: tokens outside every span survive,
+    // rejoined with single spaces (the documented normalization)
+    "q123_scrub_dup_spans" ->
+      """WITH w AS (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS ws FROM documents),
+         g AS (SELECT doc_id, i AS pos,
+                 CAST('0x'||substring(md5(array_to_string(ws[i+1:i+8], ' ')),1,15) AS BIGINT) AS gh
+               FROM w, unnest(range(0, len(ws) - 7)) AS t(i) WHERE len(ws) >= 8),
+         dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+         m AS (SELECT doc_id, pos FROM g WHERE gh IN (SELECT gh FROM dup)),
+         isl AS (SELECT doc_id, pos,
+                 CASE WHEN pos > coalesce(max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                      THEN 1 ELSE 0 END AS nw FROM m),
+         i2 AS (SELECT doc_id, pos, sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM isl),
+         sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e FROM i2 GROUP BY doc_id, island),
+         keep AS (SELECT w.doc_id, i, ws[i] AS tok
+                  FROM w, unnest(range(1, len(ws) + 1)) AS t(i)
+                  WHERE NOT EXISTS (SELECT 1 FROM sp
+                    WHERE sp.doc_id = w.doc_id AND i - 1 >= sp.s AND i - 1 < sp.e)),
+         agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text
+                 FROM keep GROUP BY doc_id)
+         SELECT w.doc_id, coalesce(agg.text, '') AS text
+         FROM w LEFT JOIN agg USING (doc_id)""",
     // the merge re-derived relationally: updates replace matched base
     // rows, inserts append, everything else unchanged
     "q115_tx_merge" ->

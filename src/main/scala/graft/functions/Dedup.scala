@@ -544,4 +544,47 @@ object Dedup {
       .withColumn("dup_bp",
         when(col("n_tok") > 0, expr("(10000L * dup_tok) div n_tok")).otherwise(lit(0L)))
   }
+
+  /** Duplicate-span REMOVAL: rewrite every document with its duplicated
+    * spans cut out — [[duplicateSpans]] finds the passages, this returns
+    * the cleaned corpus (the actionable half of ExactSubstr dedup: the
+    * published result is that repeated passages are what hurt training,
+    * so they are removed from EVERY occurrence, Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better").
+    *
+    * Policy: every maximal duplicated span is cut from every document —
+    * no keep-one-copy. A canonical-copy rule sounds nicer but is not
+    * well-defined under maximal-span merging (two documents sharing a
+    * passage merge it into DIFFERENT maximal spans when their
+    * neighborhoods differ, so "the same span" has no stable cross-doc
+    * identity to elect a keeper by); C4-style keep-one operates on
+    * fixed sentence windows instead, at the cost of leaving every
+    * boundary remnant. Cut-all is the published ExactSubstr behavior
+    * and the one with exact, engine-replayable semantics.
+    *
+    * Output is (doc_id, text) where text is the WHITESPACE-NORMALIZED
+    * surviving token stream (single spaces — token offsets, not byte
+    * offsets, are what the span pass produces; a doc losing every token
+    * yields ""). Every input document appears.
+    *
+    * 100 TB shape: [[duplicateSpans]]'s shuffles, plus one left join of
+    * the per-doc cut lists (bounded by spans, not tokens) back to the
+    * corpus; the rewrite itself is a per-row higher-order filter —
+    * no extra shuffle, no UDF.
+    */
+  def scrubDuplicateSpans(df: DataFrame, textCol: String, idCol: String,
+                          k: Int = 8, minCount: Int = 2): DataFrame = {
+    val cuts = duplicateSpans(df, textCol, idCol, k, minCount)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("__cuts"))
+    df.select(col(idCol).cast("long").as("doc_id"),
+        split(trim(col(textCol)), "\\s+").as("__ws"))
+      .join(cuts, Seq("doc_id"), "left")
+      .withColumn("__kept",
+        when(col("__cuts").isNull, col("__ws")).otherwise(
+          filter(col("__ws"), (t, i) =>
+            !exists(col("__cuts"), c => i >= c("s") && i < c("e")))))
+      .select(col("doc_id"), array_join(col("__kept"), " ").as("text"))
+  }
 }

@@ -43,6 +43,54 @@ class CurationOpsSpec extends SparkSpec {
     assert(spans.toSeq == Seq((1L, 0L, 8L), (1L, 11L, 19L)))
   }
 
+  test("scrubDuplicateSpans cuts every occurrence and keeps clean docs verbatim") {
+    val boiler = (1 to 8).map(i => s"b$i").mkString(" ")
+    val d = docs(
+      1L -> s"u1 u2 u3 $boiler v1 v2 v3",
+      2L -> s"w1 $boiler x1 x2 x3 x4 x5",
+      3L -> "z1 z2   z3\tz4 z5 z6 z7 z8 z9 z10") // messy whitespace
+    val got = Dedup.scrubDuplicateSpans(d, "text", "doc_id", k = 8, minCount = 2)
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "u1 u2 u3 v1 v2 v3")
+    assert(got(2L) == "w1 x1 x2 x3 x4 x5")
+    // clean docs survive whole, whitespace-normalized (documented contract)
+    assert(got(3L) == "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10")
+    assert(got.keySet == Set(1L, 2L, 3L), "every input doc must appear")
+  }
+
+  test("scrubDuplicateSpans handles total loss, intra-doc repeats and short docs") {
+    val boiler = (1 to 8).map(i => s"s$i").mkString(" ")
+    val d = docs(
+      1L -> boiler,                       // doc IS the boilerplate → ""
+      2L -> s"$boiler m1 m2 m3 $boiler",  // intra-doc repeat: both cut
+      3L -> "tiny doc")                   // < k tokens: untouched
+    val got = Dedup.scrubDuplicateSpans(d, "text", "doc_id", k = 8, minCount = 2)
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "")
+    assert(got(2L) == "m1 m2 m3")
+    assert(got(3L) == "tiny doc")
+  }
+
+  test("scrubDuplicateSpans equals delete-marked-tokens reference on random corpora") {
+    val rnd = new scala.util.Random(11)
+    val vocab = (1 to 30).map(i => s"t$i")
+    val rows = (1L to 40L).map { id =>
+      id -> (1 to (5 + rnd.nextInt(30))).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val df = rows.toDF("doc_id", "text")
+    val k = 4
+    val spans = Dedup.duplicateSpans(df, "text", "doc_id", k = k, minCount = 2)
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    val want = rows.map { case (id, text) =>
+      val ws = text.trim.split("\\s+")
+      val cut = spans.getOrElse(id, Array()).flatMap { case (_, s, e) => s until e }.toSet
+      id -> ws.zipWithIndex.collect { case (t, i) if !cut(i) => t }.mkString(" ")
+    }.toMap
+    val got = Dedup.scrubDuplicateSpans(df, "text", "doc_id", k = k, minCount = 2)
+      .as[(Long, String)].collect().toMap
+    assert(got == want)
+  }
+
   test("duplicateStats covers every doc and computes exact basis points") {
     val boiler = (1 to 8).map(i => s"b$i").mkString(" ")
     val d = docs(
