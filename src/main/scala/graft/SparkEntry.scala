@@ -983,6 +983,20 @@ object SparkEntry {
       graft.functions.Dedup.scrubDuplicateSpans(
         t(s, dir, "documents"), "text", "doc_id", k = 8, minCount = 2)),
 
+    // T — per-language winsorized length stats: clamp each document's
+    // length into its language's [p1, p99] band (q122's sort-free exact
+    // percentiles, broadcast back) before aggregating — the outlier-
+    // robust form of corpus length accounting, where one megadoc no
+    // longer owns the mean. Oracle re-derives cuts, clamp and aggregate.
+    "q124_winsorized_lengths" -> ((s, dir) => {
+      graft.operators.GroupedPercentiles.winsorize(
+          t(s, dir, "documents"), col("n_chars"), col("lang"),
+          loBp = 100, hiBp = 9900, clampCol = "nc_w", coarse = 64)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nc_w")).as("sum_clamped"),
+          min(col("nc_w")).as("min_clamped"), max(col("nc_w")).as("max_clamped"))
+    }),
+
     // T — source-reputation filter (FineWeb-style domain filtering):
     // aggregate the exact-integer classifier score per source, keep
     // sources whose mean beats the corpus mean. The comparison is
@@ -3050,6 +3064,28 @@ object SparkEntry {
                  FROM keep GROUP BY doc_id)
          SELECT w.doc_id, coalesce(agg.text, '') AS text
          FROM w LEFT JOIN agg USING (doc_id)""",
+    // q122's rank selection for the p1/p99 cuts, then clamp + aggregate
+    "q124_winsorized_lengths" ->
+      """WITH ranked AS (
+           SELECT lang, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+             count(*) OVER (PARTITION BY lang) AS tot
+           FROM documents WHERE n_chars IS NOT NULL),
+         ps(p_bp) AS (VALUES (100), (9900)),
+         sel AS (
+           SELECT lang, p_bp, n_chars
+           FROM ranked JOIN ps
+             ON rn = GREATEST(1, (CAST(p_bp AS BIGINT) * tot + 9999) // 10000)),
+         b AS (
+           SELECT lang,
+             min(CASE WHEN p_bp = 100 THEN n_chars END) AS lo,
+             min(CASE WHEN p_bp = 9900 THEN n_chars END) AS hi
+           FROM sel GROUP BY lang)
+         SELECT d.lang, count(*) AS n_docs,
+           CAST(sum(GREATEST(b.lo, LEAST(b.hi, d.n_chars))) AS BIGINT) AS sum_clamped,
+           min(GREATEST(b.lo, LEAST(b.hi, d.n_chars))) AS min_clamped,
+           max(GREATEST(b.lo, LEAST(b.hi, d.n_chars))) AS max_clamped
+         FROM documents d JOIN b USING (lang) GROUP BY d.lang""",
     // the merge re-derived relationally: updates replace matched base
     // rows, inserts append, everything else unchanged
     "q115_tx_merge" ->

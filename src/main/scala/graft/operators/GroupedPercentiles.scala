@@ -105,4 +105,30 @@ object GroupedPercentiles {
     picked.unionByName(allNull)
       .withColumnsRenamed(Map("__g" -> "g", "__p" -> "p_bp", "__v" -> "v"))
   }
+
+  /** Per-group winsorization: clamp `value` into its group's
+    * [`loBp`, `hiBp`] percentile band (outlier clipping before
+    * aggregates/features — the curation move for heavy-tailed signals
+    * like document length, where a handful of megadocs would dominate a
+    * mean or a token budget). Returns the input plus `clampCol`; the
+    * percentile table is tiny (groups × 2) and broadcast back, so the
+    * cost over a plain scan is [[percentilesByRange]] + one map. Rows
+    * with a null value (or an all-null group) keep null in `clampCol`.
+    */
+  def winsorize(df: DataFrame, value: Column, group: Column,
+                loBp: Int, hiBp: Int, clampCol: String,
+                coarse: Int = 1024): DataFrame = {
+    require(loBp < hiBp, s"loBp $loBp must be < hiBp $hiBp")
+    val cuts = percentilesByRange(df, value, group, Seq(loBp, hiBp), coarse)
+      .groupBy(col("g").as("__wg"))
+      .agg(min(when(col("p_bp") === loBp, col("v"))).as("__wlo"),
+        min(when(col("p_bp") === hiBp, col("v"))).as("__whi"))
+    df.join(broadcast(cuts), group <=> col("__wg"), "left")
+      // least/greatest SKIP nulls (they are not null-strict): a null
+      // value would otherwise "clamp" to the band edge instead of
+      // staying null — guard explicitly
+      .withColumn(clampCol, when(value.isNull, lit(null))
+        .otherwise(greatest(col("__wlo"), least(col("__whi"), value))))
+      .drop("__wg", "__wlo", "__whi")
+  }
 }

@@ -89,6 +89,28 @@ class GroupedPercentilesSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"), s"single-partition stage:\n$plan")
   }
 
+  test("winsorize clamps into the per-group percentile band") {
+    val rows = ("a", 1000.0) +: ("a", -5.0) +:
+      (1 to 98).map(i => ("a", i.toDouble)) :+ ("b", 7.0)
+    val df = rows.toDF("g", "v")
+    val got = GroupedPercentiles.winsorize(df, $"v", $"g", 100, 9900, "vw")
+    assert(got.columns.toSeq == Seq("g", "v", "vw"))
+    val a = got.filter($"g" === "a").select($"v", $"vw").collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    // n=100: p1 → rank 1 (value -5), p99 → rank 99 (value 98): the
+    // megadoc clamps to 98, everything else is inside the band
+    assert(a(1000.0) == 98.0 && a(-5.0) == -5.0 && a(50.0) == 50.0)
+    // single-row group: both cuts are the value itself
+    assert(got.filter($"g" === "b").head().getDouble(2) == 7.0)
+    // null values stay null
+    val dfn = Seq(("a", Some(1.0)), ("a", None)).toDF("g", "v")
+    val gn = GroupedPercentiles.winsorize(dfn, $"v", $"g", 100, 9900, "vw")
+    assert(gn.filter($"v".isNull).head().isNullAt(2))
+    intercept[IllegalArgumentException] {
+      GroupedPercentiles.winsorize(df, $"v", $"g", 9900, 100, "vw")
+    }
+  }
+
   test("invalid percentiles fail loudly") {
     val df = Seq(("a", 1.0)).toDF("g", "v")
     intercept[IllegalArgumentException] {
