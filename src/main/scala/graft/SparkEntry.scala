@@ -983,6 +983,48 @@ object SparkEntry {
       graft.functions.Dedup.scrubDuplicateSpans(
         t(s, dir, "documents"), "text", "doc_id", k = 8, minCount = 2)),
 
+    // ST — streaming exactly-once ingestion + incrementally maintained
+    // aggregate, end to end: two micro-batches land in a base TxTable
+    // under writer-txn idempotence (batch 0 is REPLAYED mid-stream via a
+    // direct appendOnce and REQUIREd to skip), and the per-user derived
+    // table advances from the base's change feed — never a base rescan.
+    // Oracle: the derived table must equal the plain aggregate over all
+    // events, which any double-append or missed refresh breaks.
+    "q125_stream_ivm" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q125").toString
+      val staging = s"$tmp/staging"
+      val base = s"$tmp/base"
+      val derived = s"$tmp/derived"
+      val events = t(s, dir, "events")
+        .select(col("user_id"),
+          round(col("value") * 100).cast("long").as("val_cents"))
+      val mid = events.agg(max(col("user_id"))).head().getLong(0) / 2
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(staging))
+      val halves = Seq(events.filter(col("user_id") <= mid),
+        events.filter(col("user_id") > mid))
+      halves.zipWithIndex.foreach { case (half, i) =>
+        val part = s"$tmp/part$i"
+        half.coalesce(1).write.parquet(part)
+        val src = new java.io.File(part).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(src.toPath,
+          java.nio.file.Paths.get(s"$staging/batch-$i.parquet"))
+      }
+      graft.streaming.EventsStream.runStreamingIvmTx(s, staging,
+        halves.head.schema, base, derived, Seq("user_id"), Seq("val_cents"))
+      // the crash-replay case, explicitly: batch 0 again, same writer id
+      require(graft.sink.TxTable.appendOnce(s, halves.head, base,
+        "ivm-stream", 0L).isEmpty, "replayed micro-batch must skip")
+      require(graft.sink.TxTable.headVersion(s, base) == 2L,
+        "exactly one commit per micro-batch")
+      val out = graft.sink.TxTable.read(s, derived)
+        .select(col("user_id"), col("n_rows"), col("val_cents")).collect()
+      dropStaged(java.nio.file.Paths.get(tmp))
+      import s.implicits._
+      out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        .toDF("user_id", "n_events", "cents")
+    }),
+
     // T — per-language winsorized length stats: clamp each document's
     // length into its language's [p1, p99] band (q122's sort-free exact
     // percentiles, broadcast back) before aggregating — the outlier-
@@ -3064,6 +3106,11 @@ object SparkEntry {
                  FROM keep GROUP BY doc_id)
          SELECT w.doc_id, coalesce(agg.text, '') AS text
          FROM w LEFT JOIN agg USING (doc_id)""",
+    // the maintained derived table must equal the plain aggregate
+    "q125_stream_ivm" ->
+      """SELECT user_id, count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM events GROUP BY user_id""",
     // q122's rank selection for the p1/p99 cuts, then clamp + aggregate
     "q124_winsorized_lengths" ->
       """WITH ranked AS (

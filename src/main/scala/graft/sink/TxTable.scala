@@ -478,6 +478,24 @@ object TxTable {
     commit(spark, table, added = files, removed = live, expectedHead = Some(head))
   }
 
+  /** [[overwrite]] with [[appendOnce]]'s writer-txn idempotence — the
+    * derived-table refresh shape: a replayed refresh of an
+    * already-folded writer version skips (staged files cleaned) instead
+    * of clobbering newer state, so a crash-replay loop cannot
+    * double-apply or rewind a refresh.
+    */
+  def overwriteOnce(spark: SparkSession, df: DataFrame, table: String,
+                    appId: String, writerVersion: Long): Option[Long] = {
+    require(writerVersion >= 0, s"writerVersion must be >= 0, got $writerVersion")
+    if (txnVersion(spark, table, appId).exists(_ >= writerVersion)) return None
+    val (head, live) = currentState(fsFor(spark, table), table)
+    val files = stage(spark, df, table)
+    val out = commitOpt(spark, table, added = files, removed = live,
+      expectedHead = Some(head), txn = Some((appId, writerVersion)))
+    if (out.isEmpty) deleteStaged(spark, table, files)
+    out
+  }
+
   /** Transactional compaction: rewrite the current state at a target file
     * granularity and swap file sets in one commit. A crash at ANY point
     * leaves either the old state (no commit yet) or the new (commit

@@ -262,6 +262,61 @@ object EventsStream {
     try { q.processAllAvailable() } finally q.stop()
   }
 
+  /** End-to-end exactly-once streaming ingestion WITH an incrementally
+    * maintained derived aggregate — the full closure of the tx spine:
+    * each micro-batch (1) lands in `baseTable` under
+    * [[graft.sink.TxTable.appendOnce]] keyed by the micro-batch id (a
+    * REPLAYED batch after crash recovery skips — foreachBatch is
+    * at-least-once, the sink makes it exactly-once), then (2) the
+    * derived per-key (count, sum) table advances from the base table's
+    * change feed — [[graft.operators.IncrementalView.refresh]] over
+    * (last folded version, head], committed with
+    * [[graft.sink.TxTable.overwriteOnce]] keyed by the base version it
+    * folded.
+    *
+    * Crash healing, window by window: a crash between the base append
+    * and the derived refresh replays the batch → the append skips, but
+    * the derived table's own txn watermark (`doneV`) still trails the
+    * base head, so the refresh RUNS — nothing is lost. A crash after
+    * the refresh replays → both skip. The derived watermark, not driver
+    * memory, carries the fold point, so recovery needs no state beyond
+    * the two tables themselves.
+    *
+    * 100 TB shape: per micro-batch, cost = the batch's files (append) +
+    * the version-diff's files (refresh reads ONLY changed files) + one
+    * join against the derived aggregate (small by construction). The
+    * base table is never rescanned.
+    */
+  def runStreamingIvmTx(spark: SparkSession, stagingDir: String,
+                        schema: org.apache.spark.sql.types.StructType,
+                        baseTable: String, derivedTable: String,
+                        keyCols: Seq[String], sumCols: Seq[String],
+                        appId: String = "ivm-stream"): Unit = {
+    import org.apache.spark.sql.Row
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stagingDir)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        graft.sink.TxTable.appendOnce(spark, batch.toDF(), baseTable, appId, batchId)
+        val doneV = graft.sink.TxTable.txnVersion(spark, derivedTable, appId).getOrElse(0L)
+        val headV = graft.sink.TxTable.headVersion(spark, baseTable)
+        if (headV > doneV) {
+          val prev =
+            if (graft.sink.TxTable.headVersion(spark, derivedTable) == 0L)
+              graft.operators.IncrementalView.compute(
+                batch.toDF().limit(0), keyCols, sumCols) // schema-only seed
+            else graft.sink.TxTable.read(spark, derivedTable)
+          val next = graft.operators.IncrementalView.refresh(
+            spark, baseTable, prev, doneV, headV, keyCols, sumCols)
+          graft.sink.TxTable.overwriteOnce(spark, next, derivedTable, appId, headV)
+        }
+        ()
+      }
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+  }
+
   /** Run a streaming query over `dir` into an in-memory table and block
     * until all available files are processed — the local smoke harness
     * (AvailableNow semantics without an external trigger loop).
