@@ -1025,6 +1025,69 @@ object SparkEntry {
         .toDF("user_id", "n_events", "cents")
     }),
 
+    // K — join-view IVM: a per-nation revenue view over facts ⋈ dim is
+    // maintained while BOTH tables change — facts take an append and a
+    // key-slice delete, the dim takes a nation reassignment (merge) and
+    // a customer erasure — via the delta rule Δ(R⋈S) = ΔR⋈S_new ⊎
+    // R_old⋈ΔS. The one historical-fact term is REQUIREd to open only
+    // the files whose committed cust range overlaps the changed dim
+    // keys (stats-pruned time travel), and the fact CDF is REQUIREd to
+    // read a bounded file diff. Oracle recomputes the view from both
+    // head states re-derived relationally.
+    "q126_join_ivm" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q126").toString
+      val rTbl = s"$tmp/tx/orderfacts"
+      val sTbl = s"$tmp/tx/custdim"
+      val rBase = t(s, dir, "orders")
+        .select(col("o_custkey").as("cust"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val sBase = t(s, dir, "customer")
+        .select(col("c_custkey").as("cust"),
+          col("c_nationkey").cast("long").as("nation"), lit(0L).as("ver"))
+      graft.sink.TxTable.append(s,                                  // R v1
+        rBase.repartitionByRange(8, col("cust")), rTbl,
+        statsCols = Seq("cust"))
+      graft.sink.TxTable.append(s, sBase, sTbl)                     // S v1
+      val derived = graft.operators.IncrementalView.computeJoin(
+        graft.sink.TxTable.readAt(s, rTbl, 1L),
+        graft.sink.TxTable.readAt(s, sTbl, 1L),
+        "cust", Seq("nation"), Seq("cents"), cntCol = "n_orders")
+      val rIns = t(s, dir, "orders").filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_custkey").as("cust"), lit(424200L).as("cents"))
+      graft.sink.TxTable.append(s, rIns, rTbl)                      // R v2
+      val rDel = rBase.filter(col("cust") <= 120).select(col("cust"))
+      graft.sink.TxTable.delete(s, rDel, rTbl, key = "cust")        // R v3
+      val sUpd = sBase.filter(col("cust").between(200, 260))
+        .select(col("cust"), (col("nation") + 100L).as("nation"),
+          lit(1L).as("ver"))
+      graft.sink.TxTable.merge(s, sUpd, sTbl,                       // S v2
+        key = "cust", orderCols = Seq("ver"))
+      val sDel = sBase.filter(col("cust").between(300, 330)).select(col("cust"))
+      graft.sink.TxTable.delete(s, sDel, sTbl, key = "cust")        // S v3
+      // the fact CDF plans against a bounded file diff...
+      val all1 = graft.sink.TxTable.filesAt(s, rTbl, 1L).toSet
+      val (_, remF) = graft.sink.TxTable.changedFiles(s, rTbl, 1L, 3L)
+      require(remF.toSet.subsetOf(all1) && remF.size < all1.size,
+        s"fact feed must read a bounded file diff (removed ${remF.size} " +
+          s"of ${all1.size})")
+      // ...and the R_old ⋈ ΔS term opens only the changed dim keys' files
+      val dimKeys = graft.sink.TxTable.readChanges(s, sTbl, 1L, 3L)
+        .select(col("cust"))
+      val rOldSlice = graft.sink.TxTable.readAtOverlapping(
+        s, rTbl, 1L, "cust", dimKeys)
+      require(rOldSlice.inputFiles.length < all1.size,
+        s"historical fact read must be stats-pruned " +
+          s"(${rOldSlice.inputFiles.length} of ${all1.size} files)")
+      val out = graft.operators.IncrementalView.refreshJoin(s, rTbl, sTbl,
+          derived.select("nation", "n_orders", "cents"), 1L, 3L, 1L, 3L,
+          "cust", Seq("nation"), Seq("cents"), cntCol = "n_orders")
+        .collect() // materialize before the fixture dir is dropped
+      dropStaged(java.nio.file.Paths.get(tmp))
+      import s.implicits._
+      out.toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toDF("nation", "n_orders", "cents")
+    }),
+
     // T — per-language winsorized length stats: clamp each document's
     // length into its language's [p1, p99] band (q122's sort-free exact
     // percentiles, broadcast back) before aggregating — the outlier-
@@ -1037,6 +1100,26 @@ object SparkEntry {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("nc_w")).as("sum_clamped"),
           min(col("nc_w")).as("min_clamped"), max(col("nc_w")).as("max_clamped"))
+    }),
+
+    // T — per-language MAD outlier profile: robust length-anomaly
+    // flagging by |x − median| > 3·MAD, both medians exact integer
+    // PERCENTILE_DISC via the sort-free rank selection (q122's
+    // machinery, applied twice) — the robust filter a z-score can't be,
+    // since a megadoc inflates stddev enough to hide itself but cannot
+    // move a median. Oracle re-derives both medians with the identical
+    // rank formula and recomputes the flags.
+    "q127_mad_outliers" -> ((s, dir) => {
+      graft.operators.GroupedPercentiles.madOutliers(
+          t(s, dir, "documents").filter(col("n_chars").isNotNull)
+            .select(col("doc_id"), col("lang"), col("n_chars")),
+          col("n_chars"), col("lang"), k = 3,
+          medCol = "med", madCol = "mad", flagCol = "__f", coarse = 64)
+        .groupBy(col("lang"), col("med"), col("mad"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("__f"), 1L).otherwise(0L)).as("n_outliers"))
+        .select(col("lang"), col("med"), col("mad"),
+          col("n_docs"), col("n_outliers"))
     }),
 
     // T — source-reputation filter (FineWeb-style domain filtering):
@@ -3111,6 +3194,57 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n_events,
            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
          FROM events GROUP BY user_id""",
+    // incremental join-view refresh == full recompute over both head
+    // states re-derived relationally: facts gain the %97 insert slice
+    // and lose cust <= 120; the dim reassigns nations in [200, 260]
+    // (+100) and erases custs in [300, 330]
+    "q126_join_ivm" ->
+      """WITH rhead AS (
+           SELECT * FROM (
+             SELECT o_custkey AS cust,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             FROM orders
+             UNION ALL
+             SELECT o_custkey AS cust, CAST(424200 AS BIGINT) AS cents
+             FROM orders WHERE o_orderkey % 97 = 0)
+           WHERE cust > 120),
+         shead AS (
+           SELECT c_custkey AS cust,
+             CASE WHEN c_custkey BETWEEN 200 AND 260
+               THEN CAST(c_nationkey AS BIGINT) + 100
+               ELSE CAST(c_nationkey AS BIGINT) END AS nation
+           FROM customer
+           WHERE c_custkey NOT BETWEEN 300 AND 330)
+         SELECT nation, count(*) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS cents
+         FROM rhead JOIN shead USING (cust)
+         GROUP BY nation""",
+    // q122's rank formula applied twice (median, then median of
+    // absolute deviations), then the 3·MAD flag recomputed exactly
+    "q127_mad_outliers" ->
+      """WITH med AS (
+           SELECT lang, n_chars AS med FROM (
+             SELECT lang, n_chars,
+               row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+               count(*) OVER (PARTITION BY lang) AS tot
+             FROM documents WHERE n_chars IS NOT NULL)
+           WHERE rn = GREATEST(1, (CAST(5000 AS BIGINT) * tot + 9999) // 10000)),
+         mad AS (
+           SELECT lang, dv AS mad FROM (
+             SELECT d.lang, abs(d.n_chars - m.med) AS dv,
+               row_number() OVER (PARTITION BY d.lang
+                 ORDER BY abs(d.n_chars - m.med)) AS rn,
+               count(*) OVER (PARTITION BY d.lang) AS tot
+             FROM documents d JOIN med m USING (lang)
+             WHERE d.n_chars IS NOT NULL)
+           WHERE rn = GREATEST(1, (CAST(5000 AS BIGINT) * tot + 9999) // 10000))
+         SELECT d.lang, m.med, a.mad, count(*) AS n_docs,
+           CAST(sum(CASE WHEN abs(d.n_chars - m.med) > 3 * a.mad
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         FROM documents d
+         JOIN med m USING (lang) JOIN mad a USING (lang)
+         WHERE d.n_chars IS NOT NULL
+         GROUP BY d.lang, m.med, a.mad""",
     // q122's rank selection for the p1/p99 cuts, then clamp + aggregate
     "q124_winsorized_lengths" ->
       """WITH ranked AS (

@@ -131,4 +131,46 @@ object GroupedPercentiles {
         .otherwise(greatest(col("__wlo"), least(col("__whi"), value))))
       .drop("__wg", "__wlo", "__whi")
   }
+
+  /** Per-group robust outlier flagging by Median Absolute Deviation:
+    * a row is an outlier when `|value − median| > k · MAD`, where MAD is
+    * the median of the group's absolute deviations — the robust
+    * dispersion measure (50% breakdown point) that a z-score filter
+    * lacks: one megadoc inflates a group's stddev enough to hide itself,
+    * but cannot move its median or MAD (reference behavior: the
+    * pipeline carries no outlier guard at all — validation_utils.py
+    * checks counts only — so a corrupt feed's length spike flows
+    * straight to the lake).
+    *
+    * Returns the input plus `medCol`, `madCol` and `flagCol` (boolean).
+    * Both medians are exact PERCENTILE_DISC by [[percentilesByRange]]'s
+    * rank selection — two coarse-histogram passes, never a per-group
+    * global sort — and for integral `value` every derived quantity is
+    * exact integer arithmetic (`k · MAD` included), so the flag is
+    * engine-portable bit-for-bit. The per-group (median, MAD) table is
+    * tiny and broadcast back. Null values keep null med/mad/flag.
+    *
+    * Textbook MAD degeneracy, kept deliberately: when over half the
+    * group shares one value, MAD = 0 and EVERY deviating row is flagged
+    * — for corpus curation that reads "in a group this concentrated,
+    * any deviation is anomalous", and callers wanting slack can filter
+    * on `madCol > 0`.
+    */
+  def madOutliers(df: DataFrame, value: Column, group: Column, k: Int,
+                  medCol: String, madCol: String, flagCol: String,
+                  coarse: Int = 1024): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val med = percentilesByRange(df, value, group, Seq(5000), coarse)
+      .select(col("g").as("__mg"), col("v").as("__med"))
+    val withMed = df.join(broadcast(med), group <=> col("__mg"), "left")
+      .withColumn("__dev", abs(value - col("__med")))
+    val mad = percentilesByRange(withMed, col("__dev"), group, Seq(5000), coarse)
+      .select(col("g").as("__ag"), col("v").as("__mad"))
+    withMed.join(broadcast(mad), group <=> col("__ag"), "left")
+      .withColumn(medCol, col("__med"))
+      .withColumn(madCol, col("__mad"))
+      .withColumn(flagCol, when(value.isNull, lit(null).cast("boolean"))
+        .otherwise(col("__dev") > lit(k) * col("__mad")))
+      .drop("__mg", "__med", "__dev", "__ag", "__mad")
+  }
 }

@@ -94,4 +94,89 @@ object IncrementalView {
     base.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as(cntCol),
         sumCols.map(c => sum(col(c)).as(c)): _*)
+
+  // ------------------------------------------------------ join views
+
+  /** Signed change feed of the equi-join `R ⋈ S` when BOTH sides change —
+    * the classic delta rule (Gupta & Mumick 1995, §join views), in the
+    * form that avoids reading the OLD dimension state:
+    *
+    *   Δ(R ⋈ S) = (ΔR ⋈ S_new) ⊎ (R_old ⋈ ΔS)
+    *
+    * (expand `S_new = S_old ⊎ ΔS` to recover the textbook three-term
+    * rule — the `ΔR ⋈ ΔS` cross term folds into the first join). Each
+    * output row keeps the `_change_type` sign of the DELTA side that
+    * produced it: a dimension update (delete old row + insert new row
+    * from [[graft.sink.TxTable.merge]]) therefore moves every joining
+    * fact row out of the old attribute value and into the new one, and
+    * the ⊎ is a plain multiset union — signs never multiply in this
+    * form because each term carries exactly one delta input.
+    *
+    * Scale shape: ΔR and ΔS read bounded file diffs
+    * ([[graft.sink.TxTable.readChanges]]); `S_new` is the dimension head
+    * (small by definition of a dim — Spark broadcasts it); `R_old ⋈ ΔS`
+    * is the one term that touches historical fact data, and its input
+    * should be [[graft.sink.TxTable.readAtOverlapping]] — the old fact
+    * files whose committed join-key range overlaps the changed dim keys,
+    * NOT a full historical scan (pass it as `rOld`). Either side may be
+    * empty: no dim changes ⇒ the fact-only rule, no fact changes ⇒ the
+    * dim-only rule, and the caller can skip building `rOld` entirely
+    * when ΔS is empty.
+    *
+    * Null join keys never join (SQL inner-equi-join semantics), so rows
+    * with a null `joinKey` are invisible to the view on both the
+    * recompute and the incremental path — consistently. Non-key column
+    * names must be disjoint between the two sides (the join output must
+    * be unambiguous); rename before calling.
+    */
+  def joinFeed(changesR: DataFrame, sHead: DataFrame,
+               rOld: DataFrame, changesS: DataFrame,
+               joinKey: String): DataFrame = {
+    val ct = "_change_type"
+    require(changesR.columns.contains(ct) && changesS.columns.contains(ct),
+      s"changesR/changesS must be change feeds carrying $ct")
+    require(!sHead.columns.contains(ct) && !rOld.columns.contains(ct),
+      s"sHead/rOld are STATES, not feeds — they must not carry $ct")
+    val rCols = changesR.columns.filterNot(c => c == joinKey || c == ct)
+    val sCols = changesS.columns.filterNot(c => c == joinKey || c == ct)
+    val overlap = rCols.toSet intersect sCols.toSet
+    require(overlap.isEmpty,
+      s"non-key columns must be disjoint across the join, both have $overlap")
+    val out = (joinKey +: (rCols ++ sCols) :+ ct).map(col(_))
+    changesR.join(sHead, Seq(joinKey)).select(out: _*)
+      .unionByName(rOld.join(changesS, Seq(joinKey)).select(out: _*))
+  }
+
+  /** The aggregate [[refreshJoin]] maintains, for bootstrapping and
+    * parity checks: `R ⋈ S` on `joinKey`, then [[compute]]'s aggregate.
+    */
+  def computeJoin(r: DataFrame, s: DataFrame, joinKey: String,
+                  keyCols: Seq[String], sumCols: Seq[String],
+                  cntCol: String = "n_rows"): DataFrame =
+    compute(r.join(s, Seq(joinKey)), keyCols, sumCols, cntCol)
+
+  /** One-call refresh of a grouped sum/count view over `R ⋈ S`: derived
+    * state at (`rFrom`, `sFrom`) → derived state at (`rTo`, `sTo`),
+    * reading only (a) both tables' changed files and (b) — only when the
+    * dimension actually changed — the OLD fact files whose committed
+    * `joinKey` stats overlap the changed dimension keys (stats-pruned
+    * time travel, never a full historical scan).
+    */
+  def refreshJoin(spark: SparkSession, rTable: String, sTable: String,
+                  derived: DataFrame, rFrom: Long, rTo: Long,
+                  sFrom: Long, sTo: Long, joinKey: String,
+                  keyCols: Seq[String], sumCols: Seq[String],
+                  cntCol: String = "n_rows"): DataFrame = {
+    import graft.sink.TxTable
+    val changesR = TxTable.readChanges(spark, rTable, rFrom, rTo)
+    val changesS = TxTable.readChanges(spark, sTable, sFrom, sTo)
+    val sHead = TxTable.readAt(spark, sTable, sTo)
+    val rOld =
+      if (changesS.isEmpty) changesR.drop("_change_type").limit(0)
+      else TxTable.readAtOverlapping(spark, rTable, rFrom, joinKey,
+        changesS.select(joinKey))
+    val feed = joinFeed(changesR, sHead, rOld, changesS, joinKey)
+    applied(derived, deltas(feed, keyCols, sumCols, cntCol),
+      keyCols, sumCols, cntCol)
+  }
 }

@@ -227,6 +227,69 @@ object TxTable {
   def readAt(spark: SparkSession, table: String, version: Long): DataFrame =
     readFiles(spark, table, filesAt(spark, table, version))
 
+  /** [[filesAt]] with each file's committed column stats — the planning
+    * input for [[readAtOverlapping]]. Same checkpoint replay and
+    * contiguity rules; stats fold exactly like the live set does in
+    * [[currentFull]] (a file's stats are fixed at its adding commit).
+    */
+  private def entriesAt(fs: FileSystem, table: String,
+                        version: Long): Seq[(String, Seq[ColStat])] = {
+    require(version >= 0, s"version must be >= 0, got $version")
+    if (version == 0) return Nil
+    val (cs, ks) = listLog(fs, table)
+    val head = (0L +: cs.map(_._1) ++: ks.map(_._1)).max
+    require(version <= head, s"version $version is past head $head of $table")
+    val live = scala.collection.mutable.LinkedHashMap[String, Seq[ColStat]]()
+    def fold(files: Seq[String], stats: Seq[Seq[ColStat]],
+             removed: Seq[String]): Unit = {
+      val st = if (stats.isEmpty) files.map(_ => Seq.empty[ColStat]) else stats
+      files.zip(st).foreach { case (f, s) => live(f) = s }
+      removed.foreach(live.remove)
+    }
+    ks.filter(_._1 == version).lastOption match {
+      case Some((_, p)) =>
+        val k = parseCkpt(slurp(fs, p)); fold(k.live, k.stats, Nil)
+      case None =>
+        val base = ks.filter(_._1 < version).lastOption
+          .map { case (_, p) => parseCkpt(slurp(fs, p)) }
+        val baseV = base.map(_.version).getOrElse(0L)
+        val suffix = cs.filter(t => t._1 > baseV && t._1 <= version)
+          .map { case (_, p) => parse(slurp(fs, p)) }
+        require(suffix.map(_.version) == (baseV + 1 to version),
+          s"cannot reconstruct version $version of $table: commits " +
+            s"(${baseV + 1}..$version] are not contiguous in the log " +
+            "(cleaned by vacuum, or corrupt)")
+        base.foreach(k => fold(k.live, k.stats, Nil))
+        suffix.foreach(c => fold(c.added, c.stats, c.removed))
+    }
+    live.toSeq
+  }
+
+  /** Time travel pruned to the files whose committed `key` [min, max]
+    * overlaps the distinct values of `keys`' first column — the
+    * "re-read only the affected slice of a historical version" primitive
+    * (incremental view maintenance reads `R_old ⋈ ΔS` this way: the old
+    * fact slice for the handful of changed dimension keys, never the
+    * whole historical fact table). Pruning changes which files OPEN,
+    * never which rows qualify — callers still apply the row-level join
+    * or filter. Files committed without stats for `key` are always read
+    * (no proof their rows miss — the same keep-by-default rule as
+    * [[merge]]'s touch set). Null keys are dropped, matching the inner
+    * equi-join semantics every caller applies on top.
+    */
+  def readAtOverlapping(spark: SparkSession, table: String, version: Long,
+                        key: String, keys: DataFrame): DataFrame = {
+    val fs = fsFor(spark, table)
+    val keysDf = keys.select(keys.columns.head).na.drop().distinct()
+      .toDF("__k").select(col("__k").cast("string").as("__k"))
+    val touched = overlappingFiles(spark, entriesAt(fs, table, version), keysDf, key)
+    if (touched.isEmpty) {
+      val all = filesAt(spark, table, version)
+      if (all.isEmpty) spark.emptyDataFrame
+      else readFiles(spark, table, all).limit(0) // keep the schema
+    } else readFiles(spark, table, touched)
+  }
+
   /** Current head version (0 = never committed). */
   def headVersion(spark: SparkSession, table: String): Long =
     currentState(fsFor(spark, table), table)._1

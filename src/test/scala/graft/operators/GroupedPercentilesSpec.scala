@@ -123,4 +123,54 @@ class GroupedPercentilesSpec extends SparkSpec {
       GroupedPercentiles.percentilesByRange(df, $"v", $"g", Seq(5000, 5000))
     }
   }
+
+  test("MAD outliers match the exact window reference") {
+    // group a: 1..99 plus two megavalues; group b: tight cluster; a
+    // dominant tie block inside a exercises the coarse histogram
+    val rows = (1L to 99L).map(i => ("a", i)) ++
+      Seq(("a", 100000L), ("a", -50000L)) ++
+      (1L to 40L).map(_ => ("b", 10L)) ++ Seq(("b", 11L), ("b", 9999L))
+    val df = rows.toDF("g", "v")
+    val got = GroupedPercentiles.madOutliers(df, $"v", $"g", k = 3,
+      "med", "mad", "out", coarse = 8)
+    // reference: exact medians via window rank selection on longs
+    val w = Window.partitionBy($"g").orderBy($"v".asc)
+    def disc(in: DataFrame): DataFrame = in
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__tot", count(lit(1)).over(Window.partitionBy($"g")))
+      .filter($"__rn" === greatest(lit(1L),
+        expr("(5000L * __tot + 9999L) div 10000L")))
+      .select($"g", $"v")
+    val medRef = disc(df).withColumnRenamed("v", "m")
+    val devRef = df.join(medRef, Seq("g")).withColumn("v", abs($"v" - $"m"))
+    val madRef = disc(devRef.select($"g", $"v")).withColumnRenamed("v", "s")
+    val want = df.join(medRef, Seq("g")).join(madRef, Seq("g"))
+      .select($"g", $"v", $"m".as("med"), $"s".as("mad"),
+        (abs($"v" - $"m") > lit(3) * $"s").as("out"))
+    val gs = got.select("g", "v", "med", "mad", "out").collect()
+      .map(_.toSeq).sortBy(_.toString).toSeq
+    val ws = want.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(gs == ws, s"got $gs\nwant $ws")
+    // both planted megavalues flagged, the bulk not
+    val flagged = got.filter($"g" === "a" && $"out").select($"v")
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(100000L, -50000L), s"flagged $flagged")
+  }
+
+  test("MAD degeneracy, single-row groups, and nulls") {
+    // >50% of group d shares one value → MAD 0 → every deviant flagged
+    val rows = (1L to 10L).map(_ => ("d", Some(5L))) ++
+      Seq(("d", Some(6L)), ("e", Some(42L)), ("d", None), ("z", None))
+    val got = GroupedPercentiles.madOutliers(rows.toDF("g", "v"), $"v", $"g",
+      k = 3, "med", "mad", "out", coarse = 4)
+    assert(got.filter($"g" === "d" && $"v" === 6L).head().getBoolean(4),
+      "deviation from a zero-MAD group must flag")
+    assert(got.filter($"g" === "d" && $"v" === 5L && $"out").isEmpty)
+    val e = got.filter($"g" === "e").head() // single row: med=v, mad=0
+    assert(e.getLong(2) == 42L && e.getLong(3) == 0L && !e.getBoolean(4))
+    assert(got.filter($"v".isNull).collect()
+      .forall(r => r.isNullAt(4)), "null values keep a null flag")
+    val z = got.filter($"g" === "z").head() // all-null group
+    assert(z.isNullAt(2) && z.isNullAt(3) && z.isNullAt(4))
+  }
 }

@@ -107,4 +107,112 @@ class IncrementalViewSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("unknown _change_type"))
   }
+
+  // ------------------------------------------------------- join views
+
+  /** facts (cust, v), dim (cust, nation); view = per-nation count/sum. */
+  private def mkJoin(): (String, String) = {
+    val r = mk(); val s = mk()
+    TxTable.append(spark,
+      (1L to 60L).map(i => (i % 10, i)).toDF("cust", "v")
+        .repartitionByRange(4, $"cust"), r, statsCols = Seq("cust"))
+    TxTable.append(spark,
+      (0L to 9L).map(c => (c, c % 3)).toDF("cust", "nation"), s)
+    (r, s)
+  }
+
+  private def recomputeJoin(r: String, s: String): DataFrame =
+    IncrementalView.computeJoin(TxTable.read(spark, r), TxTable.read(spark, s),
+      "cust", Seq("nation"), Sums)
+
+  test("join view: refresh equals recompute when both sides change") {
+    val (r, s) = mkJoin()
+    val derived = recomputeJoin(r, s)
+    // facts: update one row, insert rows for an existing cust, delete a cust's rows
+    TxTable.merge(spark, Seq((3L, -1000L)).toDF("cust", "v"),
+      r, key = "cust", orderCols = Seq("v"))
+    TxTable.append(spark, Seq((7L, 500L), (7L, 501L)).toDF("cust", "v"), r)
+    TxTable.delete(spark, Seq(4L).toDF("cust"), r, key = "cust")
+    // dim: move cust 5 to another nation (update = delete+insert),
+    // drop cust 6 entirely (its facts leave the view)
+    TxTable.merge(spark, Seq((5L, 99L)).toDF("cust", "nation"),
+      s, key = "cust", orderCols = Seq("nation"))
+    TxTable.delete(spark, Seq(6L).toDF("cust"), s, key = "cust")
+    val got = IncrementalView.refreshJoin(spark, r, s, derived,
+      1L, TxTable.headVersion(spark, r), 1L, TxTable.headVersion(spark, s),
+      "cust", Seq("nation"), Sums)
+    assertSame(got, recomputeJoin(r, s))
+    assert(got.filter($"nation" === 99L).count() == 1,
+      "dim update must birth the new nation group")
+  }
+
+  test("join view: fact-only and dim-only changes each refresh correctly") {
+    val (r, s) = mkJoin()
+    val d0 = recomputeJoin(r, s)
+    TxTable.append(spark, Seq((2L, 777L)).toDF("cust", "v"), r)
+    val rv = TxTable.headVersion(spark, r)
+    val d1 = IncrementalView.refreshJoin(spark, r, s, d0,
+      1L, rv, 1L, 1L, "cust", Seq("nation"), Sums)
+    assertSame(d1, recomputeJoin(r, s))
+    TxTable.merge(spark, Seq((0L, 50L)).toDF("cust", "nation"),
+      s, key = "cust", orderCols = Seq("nation"))
+    val d2 = IncrementalView.refreshJoin(spark, r, s, d1,
+      rv, rv, 1L, TxTable.headVersion(spark, s), "cust", Seq("nation"), Sums)
+    assertSame(d2, recomputeJoin(r, s))
+  }
+
+  test("join view: fact insert for a dim key inserted in the SAME window") {
+    val (r, s) = mkJoin()
+    val derived = recomputeJoin(r, s)
+    TxTable.append(spark, Seq((100L, 5L)).toDF("cust", "nation"), s)
+    TxTable.append(spark, Seq((100L, 42L), (100L, 43L)).toDF("cust", "v"), r)
+    val got = IncrementalView.refreshJoin(spark, r, s, derived,
+      1L, TxTable.headVersion(spark, r), 1L, TxTable.headVersion(spark, s),
+      "cust", Seq("nation"), Sums)
+    assertSame(got, recomputeJoin(r, s))
+    assert(got.filter($"nation" === 5L && $"n_rows" === 2L).count() == 1)
+  }
+
+  test("join view: compaction on the fact side nets to zero") {
+    val (r, s) = mkJoin()
+    val derived = recomputeJoin(r, s)
+    TxTable.compact(spark, r, targetRowsPerFile = 1000L)
+    val got = IncrementalView.refreshJoin(spark, r, s, derived,
+      1L, TxTable.headVersion(spark, r), 1L, 1L,
+      "cust", Seq("nation"), Sums)
+    assertSame(got, derived)
+  }
+
+  test("joinFeed rejects states carrying _change_type and column overlap") {
+    import org.apache.spark.sql.functions.lit
+    val feed = Seq((1L, 2L)).toDF("cust", "v")
+      .withColumn("_change_type", lit("insert"))
+    val state = Seq((1L, 3L)).toDF("cust", "nation")
+    intercept[IllegalArgumentException] { // state on a feed slot
+      IncrementalView.joinFeed(state, state, state, feed, "cust")
+    }
+    intercept[IllegalArgumentException] { // feed on a state slot
+      IncrementalView.joinFeed(feed, feed, state, feed, "cust")
+    }
+    intercept[IllegalArgumentException] { // non-key columns collide
+      val feedV = Seq((1L, 2L)).toDF("cust", "v")
+        .withColumn("_change_type", lit("insert"))
+      IncrementalView.joinFeed(feedV, Seq((1L, 9L)).toDF("cust", "v"),
+        Seq((1L, 2L)).toDF("cust", "v"), feedV, "cust")
+    }
+  }
+
+  test("readAtOverlapping prunes to the changed keys' files") {
+    val (r, _) = mkJoin()
+    // 4 range-partitioned files over cust 0..9 with cust stats: a probe
+    // for one key must open fewer files than the table holds
+    val all = TxTable.filesAt(spark, r, 1L)
+    val slice = TxTable.readAtOverlapping(spark, r, 1L, "cust",
+      Seq(0L).toDF("cust"))
+    val opened = slice.inputFiles.length
+    assert(opened < all.size, s"pruned read opened $opened of ${all.size}")
+    // pruning never changes which ROWS qualify after the row filter
+    assert(slice.filter($"cust" === 0L).count() ==
+      TxTable.readAt(spark, r, 1L).filter($"cust" === 0L).count())
+  }
 }
