@@ -1122,6 +1122,35 @@ object SparkEntry {
           col("n_docs"), col("n_outliers"))
     }),
 
+    // T — length-matched control sample: subsample the non-English
+    // corpus so its 200-char-bucket length histogram tracks the English
+    // one (count-matched per bucket, min(1, n_T/n_S) in content-hash
+    // basis points, decimal cross-multiplied — no division). The
+    // control-set construction that removes the length confound from
+    // any filter/quality comparison. Oracle recomputes both histograms
+    // and the exact keep rule.
+    "q128_length_matched_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("n_chars").isNotNull)
+      functions.Sampling.histogramMatchedSample(
+          docs.filter(col("lang") =!= "en"),
+          docs.filter(col("lang") === "en"),
+          expr("CAST(n_chars AS BIGINT) div 200"), col("text"))
+        .select(col("doc_id"), col("lang"))
+    }),
+
+    // T — epoch-based mixture upsampling: English repeats 2.5 epochs,
+    // German 1.5, everything else 1.0 — fractional epochs land as
+    // floor(centi/100) full copies plus a salted-hash extra copy, the
+    // standard published-recipe mixture move, emitted with a 0-based
+    // `epoch` index so copies stay distinct downstream. Oracle re-derives
+    // the copy count per document and unions the fixed copy indices.
+    "q129_epoch_upsample" -> ((s, dir) => {
+      functions.Sampling.epochUpsample(t(s, dir, "documents"),
+          col("lang"), col("text"),
+          Map("en" -> 250, "de" -> 150), defaultCenti = 100)
+        .select(col("doc_id"), col("lang"), col("epoch"))
+    }),
+
     // T — source-reputation filter (FineWeb-style domain filtering):
     // aggregate the exact-integer classifier score per source, keep
     // sources whose mean beats the corpus mean. The comparison is
@@ -3219,6 +3248,36 @@ object SparkEntry {
            CAST(sum(cents) AS BIGINT) AS cents
          FROM rhead JOIN shead USING (cust)
          GROUP BY nation""",
+    // both bucket histograms + the exact cross-multiplied keep rule
+    "q128_length_matched_sample" ->
+      """WITH b AS (
+           SELECT doc_id, lang, text, CAST(n_chars AS BIGINT) // 200 AS bk
+           FROM documents WHERE n_chars IS NOT NULL),
+         ns AS (SELECT bk, CAST(count(*) AS BIGINT) AS n_s
+                FROM b WHERE lang <> 'en' GROUP BY bk),
+         nt AS (SELECT bk, CAST(count(*) AS BIGINT) AS n_t
+                FROM b WHERE lang = 'en' GROUP BY bk)
+         SELECT d.doc_id, d.lang
+         FROM b d JOIN ns USING (bk) JOIN nt USING (bk)
+         WHERE d.lang <> 'en' AND (n_t >= n_s OR
+           CAST(('0x' || substring(md5(d.text), 1, 8)) AS BIGINT) % 10000
+             * n_s < 10000 * n_t)""",
+    // copy count = centi // 100 (+1 under the salted fractional hash),
+    // then the fixed copy indices union on
+    "q129_epoch_upsample" ->
+      """WITH c AS (
+           SELECT doc_id, lang,
+             centi // 100 + CASE WHEN
+               CAST(('0x' || substring(md5(text || '#epoch'), 1, 8)) AS BIGINT)
+                 % 10000 < (centi % 100) * 100 THEN 1 ELSE 0 END AS nc
+           FROM (SELECT doc_id, lang, text,
+             CASE lang WHEN 'en' THEN 250 WHEN 'de' THEN 150 ELSE 100 END
+               AS centi FROM documents))
+         SELECT doc_id, lang, CAST(0 AS BIGINT) AS epoch FROM c WHERE nc > 0
+         UNION ALL
+         SELECT doc_id, lang, CAST(1 AS BIGINT) AS epoch FROM c WHERE nc > 1
+         UNION ALL
+         SELECT doc_id, lang, CAST(2 AS BIGINT) AS epoch FROM c WHERE nc > 2""",
     // q122's rank formula applied twice (median, then median of
     // absolute deviations), then the 3·MAD flag recomputed exactly
     "q127_mad_outliers" ->

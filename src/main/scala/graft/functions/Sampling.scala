@@ -124,6 +124,74 @@ object Sampling {
       .drop("__h2", "__id")
   }
 
+  /** Histogram-matched subsample: keep `source` rows so the kept set's
+    * per-`bucket` histogram tracks `target`'s bucket COUNTS — the
+    * length-matched-control-set move (evaluating a filter or building a
+    * contrast corpus needs a comparison set with the same length/shape
+    * distribution, or the comparison measures the length confound, not
+    * the treatment). Per bucket the keep rate is min(1, n_T/n_S) in
+    * content-hash basis points, so kept(b) ≈ min(n_S(b), n_T(b)); source
+    * buckets absent from the target drop entirely (rate 0).
+    *
+    * Decision rule, exact integers only (decimal-widened cross-multiply,
+    * no division — the same engine-portability discipline as
+    * [[sourceReputationFlag]]): keep iff `hash_bp · n_S < 10000 · n_T`,
+    * or `n_T ≥ n_S` (keep all). Below-granularity rates (n_T/n_S <
+    * 1/10000) round down to empty — documented bp granularity, same as
+    * every sampler here. Shape: two tiny per-bucket aggregates broadcast
+    * back, one source pass; no shuffle of source rows.
+    */
+  def histogramMatchedSample(source: DataFrame, target: DataFrame,
+                             bucket: Column, key: Column): DataFrame = {
+    val nS = source.groupBy(bucket.as("__b")).agg(count(lit(1)).as("__ns"))
+    val nT = target.groupBy(bucket.as("__b")).agg(count(lit(1)).as("__nt"))
+    val counts = nS.join(nT, Seq("__b")) // inner: target-absent buckets drop
+    source.join(broadcast(counts), bucket <=> col("__b"))
+      .filter(col("__nt") >= col("__ns") ||
+        hashBucketBp(key).cast("decimal(38,0)") * col("__ns") <
+          lit(10000).cast("decimal(38,0)") * col("__nt"))
+      .drop("__b", "__ns", "__nt")
+  }
+
+  /** Epoch-based domain upsampling: replicate each document
+    * `epochsCenti(stratum)/100` times — the "repeat the high-quality
+    * domain 2.5×" mixture move (fractional epochs are standard in
+    * published LLM data recipes). A row emits `floor(centi/100)` full
+    * copies plus one extra copy iff its content hash (salted with
+    * "#epoch" so the decision is uncorrelated with [[hashSample]]'s)
+    * lands under the fractional remainder; `centi < 100` therefore
+    * degenerates to a plain deterministic downsample. Adds an `epoch`
+    * column (0-based copy index) so downstream shuffles/packing can keep
+    * copies distinct. Exact integer arithmetic end to end — the emitted
+    * multiset is engine- and partitioning-reproducible.
+    *
+    * The generator is `explode(sequence(0, n_copies−1))` — per-row
+    * bounded by `epochsCenti`'s cap (`require`d ≤ 100 epochs: an
+    * upsample beyond that is a config bug amplifying one domain 100×,
+    * and the cap keeps the per-row array allocation trivially small).
+    */
+  def epochUpsample(df: DataFrame, stratum: Column, key: Column,
+                    epochsCenti: Map[String, Int],
+                    defaultCenti: Int): DataFrame = {
+    (defaultCenti +: epochsCenti.values.toSeq).foreach { c =>
+      require(c >= 0 && c <= 10000,
+        s"epochs are centi-epochs in [0, 10000] (= 0..100 epochs), got $c")
+    }
+    val centi = epochsCenti.foldLeft(lit(defaultCenti)) {
+      case (acc, (s, c)) => when(stratum === s, lit(c)).otherwise(acc)
+    }
+    val extra = when(
+      hashBucketBp(concat(key, lit("#epoch"))) < (centi % 100) * 100,
+      lit(1L)).otherwise(lit(0L))
+    // (x − x%100)/100 divides a multiple of 100: exact even through
+    // Spark's double-typed `/`
+    val nCopies = ((centi - centi % 100) / 100).cast("long") + extra
+    df.withColumn("__nc", nCopies)
+      .filter(col("__nc") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__nc") - 1L)))
+      .drop("__nc")
+  }
+
   /** Token-budget curation: per stratum, greedily keep the largest
     * documents (ties → lowest id) until the cumulative token count
     * exceeds `budget`. One partitioned-window pass; integer arithmetic

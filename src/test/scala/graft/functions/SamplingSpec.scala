@@ -94,4 +94,54 @@ class SamplingSpec extends SparkSpec {
       .select($"src_keep").as[Boolean].collect()
     assert(gotEq.forall(_ == false))
   }
+
+  test("histogramMatchedSample tracks the target's bucket counts") {
+    // source: 1000 rows bucket A, 1000 bucket B, 50 bucket C(absent in
+    // target); target: 500 A, 2000 B
+    val src = ((1 to 1000).map(i => (s"sa$i", "A")) ++
+      (1 to 1000).map(i => (s"sb$i", "B")) ++
+      (1 to 50).map(i => (s"sc$i", "C"))).toDF("k", "b")
+    val tgt = ((1 to 500).map(i => (s"ta$i", "A")) ++
+      (1 to 2000).map(i => (s"tb$i", "B"))).toDF("k", "b")
+    val kept = Sampling.histogramMatchedSample(src, tgt, $"b", $"k")
+    val byB = kept.groupBy($"b").count().as[(String, Long)].collect().toMap
+    assert(byB.getOrElse("C", 0L) == 0L, "target-absent bucket must drop")
+    assert(byB("B") == 1000L, "n_T >= n_S keeps the whole bucket")
+    // A: rate 5000 bp of 1000 rows — hash-binomial around 500
+    assert(byB("A") > 350L && byB("A") < 650L, s"A kept ${byB("A")}")
+    // deterministic and partition-invariant
+    val again = Sampling.histogramMatchedSample(
+      src.repartition(13), tgt, $"b", $"k")
+      .select($"k").as[String].collect().toSet
+    assert(again == kept.select($"k").as[String].collect().toSet)
+  }
+
+  test("epochUpsample emits floor+fractional copies, exactly and reproducibly") {
+    val d = (1 to 400).map(i => (s"doc$i", if (i % 2 == 0) "hi" else "lo"))
+      .toDF("k", "lang")
+    val got = Sampling.epochUpsample(d, $"lang", $"k",
+      Map("hi" -> 250, "lo" -> 100), defaultCenti = 0)
+    val n = got.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    assert(n("lo") == 200L, "1.0 epochs = exactly one copy each")
+    // hi: 2 copies each + ~50% third copy → 400..600, hash-binomial ~500
+    assert(n("hi") >= 440L && n("hi") <= 560L, s"hi emitted ${n("hi")}")
+    // every row's copies are epoch-numbered 0..n-1
+    val epochs = got.filter($"k" === "doc2").select($"epoch")
+      .as[Long].collect().sorted.toSeq
+    assert(epochs == (0L until epochs.length).toSeq)
+    // fractional-only epochs downsample; epoch 0 is the only index
+    val frac = Sampling.epochUpsample(d, $"lang", $"k",
+      Map("hi" -> 30, "lo" -> 30), defaultCenti = 30)
+    val fn = frac.count()
+    assert(fn > 60 && fn < 180, s"0.3 epochs kept $fn of 400")
+    assert(frac.select($"epoch").distinct().as[Long].collect().toSeq == Seq(0L))
+    // the extra-copy decision is salted: not the same set hashSample keeps
+    val plain = Sampling.hashSample(d, $"k", 3000).select($"k")
+      .as[String].collect().toSet
+    val fracSet = frac.select($"k").as[String].collect().toSet
+    assert(fracSet != plain, "epoch fraction must be decorrelated from hashSample")
+    intercept[IllegalArgumentException] {
+      Sampling.epochUpsample(d, $"lang", $"k", Map("hi" -> 10001), 100)
+    }
+  }
 }
