@@ -2043,6 +2043,60 @@ object SparkEntry {
         .select(col("k").as("custkey"), col("value").as("status"),
           col("valid_from"), col("valid_to"), col("n_rows"))
     }),
+
+    // G — link-graph reputation (fixed-iteration weighted PageRank, exact
+    // fixed-point integer arithmetic): the host-ranking signal web-corpus
+    // curation sorts sources by. Graph: nation→nation trade edges
+    // (customer nation → supplier nation, weight = lineitem count).
+    // 5 Pregel-shaped rounds of (edge ⋈ rank) + groupBy(dst); the oracle
+    // unrolls the identical recurrence — `//` floor division, BIGINT
+    // casts — so the result is bit-exact, not approximately equal.
+    "q130_nation_pagerank" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer"); val su = t(s, dir, "supplier")
+      val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(su, li("l_suppkey") === su("s_suppkey"))
+        .groupBy(c("c_nationkey").as("src"), su("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      graft.operators.PageRank.run(edges, "src", "dst", "w", iters = 5)
+        .join(broadcast(t(s, dir, "nation")), col("node") === col("n_nationkey"))
+        .select(col("n_name"), col("rank").as("rank_ppb"))
+    }),
+
+    // R — inverted-index build (RAG/search prep): per-term document
+    // frequency, total term frequency, and the sorted posting list
+    // rendered on-wire. One explode + two term-keyed shuffles; the maxDf
+    // tripwire makes a stopword-hot list fail loudly, not OOM silently.
+    "q131_inverted_index" -> ((s, dir) => {
+      functions.Retrieval.invertedIndex(
+        functions.Retrieval.postings(t(s, dir, "documents"),
+          col("doc_id"), col("text")))
+    }),
+
+    // R — conjunctive (AND) Boolean retrieval: documents containing all
+    // three query terms, scored by summed tf. The term filter runs
+    // BEFORE the shuffle, so only query-term postings move — retrieval
+    // cost is O(posting lists touched), never O(corpus).
+    "q132_boolean_search" -> ((s, dir) => {
+      functions.Retrieval.conjunctive(t(s, dir, "documents"),
+          col("doc_id"), col("text"), Seq("dup", "merge", "vector"))
+        .select(col("id").as("doc_id"), col("sum_tf"))
+    }),
+
+    // TS — hourly LOCF gap-fill: resample each user's irregular event
+    // stream onto its hourly grid, carrying the last observation across
+    // gaps (deterministic within-hour argmax by (ts, event_id)). Money
+    // rides as integer cents, so the carried values hash-match exactly.
+    "q133_gapfill_locf" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      graft.operators.GapFill.locf(e, col("user_id"), col("us"),
+          col("event_id"), col("cents"), stepUs = 3600000000L)
+        .select(col("key").as("user_id"), col("step").as("hour_idx"),
+          col("filled").as("cents"), col("is_obs"))
+    }),
   )
 
   // ----------------------------------------------------------- bench-only
@@ -3760,5 +3814,86 @@ object SparkEntry {
            lead(valid_from) OVER (PARTITION BY k ORDER BY island) AS valid_to,
            n_rows
          FROM iv""",
+    // the identical fixed-point recurrence, unrolled: `//` floor division
+    // on non-negative operands == Spark's `div`; CAST pins DuckDB's
+    // HUGEINT sum promotion back to BIGINT at each rank
+    "q130_nation_pagerank" -> {
+      def iter(k: Int): String =
+        s"""r$k AS (
+           SELECT n.node,
+             CAST((SELECT tele FROM b) + (85 * COALESCE(i.inflow, 0)) // 100 AS BIGINT) AS r
+           FROM nodes n LEFT JOIN (
+             SELECT e.dst AS node, SUM((r.r * e.w) // e.outw) AS inflow
+             FROM e JOIN r${k - 1} r ON r.node = e.src GROUP BY e.dst) i
+           ON n.node = i.node)"""
+      s"""WITH e0 AS (
+           SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+           FROM lineitem l
+           JOIN orders o ON l.l_orderkey = o.o_orderkey
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           GROUP BY 1, 2),
+         outd AS (SELECT src, CAST(SUM(w) AS BIGINT) AS outw FROM e0 GROUP BY src),
+         e AS (SELECT e0.src, e0.dst, e0.w, outd.outw
+               FROM e0 JOIN outd ON e0.src = outd.src),
+         nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
+         b AS (SELECT CAST(1000000000 // COUNT(*) AS BIGINT) AS base,
+                      CAST((15 * (1000000000 // COUNT(*))) // 100 AS BIGINT) AS tele
+               FROM nodes),
+         r0 AS (SELECT node, (SELECT base FROM b) AS r FROM nodes),
+         ${(1 to 5).map(iter).mkString(",\n")}
+         SELECT n_name, r.r AS rank_ppb
+         FROM r5 r JOIN nation ON r.node = n_nationkey"""
+    },
+    // identical whitespace tokenization + posting aggregation; sorted
+    // posting list compared as its on-wire string
+    "q131_inverted_index" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+           FROM documents),
+         p AS (
+           SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM toks WHERE term <> '' GROUP BY term, doc_id)
+         SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(SUM(tf) AS BIGINT) AS sum_tf,
+           array_to_string(list_sort(list(doc_id)), ',') AS ids
+         FROM p GROUP BY term""",
+    "q132_boolean_search" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+           FROM documents),
+         p AS (
+           SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM toks WHERE term <> '' GROUP BY term, doc_id)
+         SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS sum_tf
+         FROM p WHERE term IN ('dup', 'merge', 'vector')
+         GROUP BY doc_id HAVING COUNT(*) = 3""",
+    // identical grid + LOCF: epoch_us floor-division steps, row_number
+    // replay of the within-step argmax, IGNORE NULLS carry
+    "q133_gapfill_locf" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) AS us, event_id,
+                  CAST(round(value*100) AS BIGINT) AS cents
+           FROM events),
+         s AS (SELECT user_id, us // 3600000000 AS step, us, event_id, cents
+               FROM e),
+         obs AS (
+           SELECT user_id, step, cents FROM (
+             SELECT *, row_number() OVER (PARTITION BY user_id, step
+               ORDER BY us DESC, event_id DESC) AS rn FROM s)
+           WHERE rn = 1),
+         b AS (SELECT user_id, min(step) AS lo, max(step) AS hi
+               FROM obs GROUP BY user_id),
+         grid AS (SELECT user_id, unnest(generate_series(lo, hi)) AS step
+                  FROM b),
+         j AS (SELECT g.user_id, g.step, o.cents AS obs_c
+               FROM grid g LEFT JOIN obs o
+               ON g.user_id = o.user_id AND g.step = o.step)
+         SELECT user_id, step AS hour_idx,
+           last_value(obs_c IGNORE NULLS) OVER (PARTITION BY user_id
+             ORDER BY step ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cents,
+           obs_c IS NOT NULL AS is_obs
+         FROM j""",
   )
 }
