@@ -2097,6 +2097,55 @@ object SparkEntry {
         .select(col("key").as("user_id"), col("step").as("hour_idx"),
           col("filled").as("cents"), col("is_obs"))
     }),
+
+    // M — image near-dup by perceptual hash: real PNG decode → 64-bit
+    // aHash (exact cross-multiplied integer bits, no float), grouped on
+    // the hash for duplicate-candidate clusters — the image-corpus
+    // first-pass dedup. The oracle regenerates EVERY pixel of every
+    // image from the fixture closed form and re-derives all 64 bits;
+    // a hash match proves the codec path pooled every real pixel.
+    "q134_image_ahash_dups" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val media = functions.Multimodal.syntheticImages(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id", "png")
+      val hashes = functions.Multimodal.aHash(media).toDF()
+      val groups = hashes.groupBy(col("h_hi"), col("h_lo"))
+        .agg(count(lit(1)).as("n_same"))
+      hashes.join(groups, Seq("h_hi", "h_lo"))
+        .select(col("id").as("doc_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("h_hi"), col("h_lo"),
+          col("n_same"))
+    }),
+
+    // TS — batch sessionization: cut each user's stream into sessions at
+    // ≥30-minute inactivity gaps (gaps-and-islands on TIME — the exact
+    // batch analog of the streaming session_window path, spec-pinned to
+    // agree with it). One key shuffle serves the windows AND the rollup.
+    "q135_batch_sessions" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      graft.operators.Sessionize.sessions(e, col("user_id"), col("us"),
+          col("event_id"), gapUs = 1800L * 1000000L,
+          valueAggs = Seq(sum(col("cents")).as("cents_total")))
+        .select(col("key").as("user_id"), col("session_idx"),
+          col("session_start"), col("session_end"), col("n_events"),
+          col("cents_total"))
+    }),
+
+    // T — categorized blocklist safety screen: per-document hit counts
+    // against category wordlists (broadcast map-side join on the token
+    // stream, counted before any shuffle) and the keep/drop gate — the
+    // safety-filter stage next to the PII scrub (q77).
+    "q136_blocklist_screen" -> ((s, dir) => {
+      functions.Safety.blocklistFlags(t(s, dir, "documents"),
+          col("doc_id"), col("text"),
+          Map("perf" -> Seq("slow"), "size" -> Seq("big"),
+            "unsafe" -> Seq("dup")),
+          blockCategories = Set("unsafe"))
+        .select(col("id").as("doc_id"), col("n_warn"), col("n_block"),
+          col("keep"))
+    }),
   )
 
   // ----------------------------------------------------------- bench-only
@@ -3895,5 +3944,80 @@ object SparkEntry {
              AS cents,
            obs_c IS NOT NULL AS is_obs
          FROM j""",
+    // full pixel replay of the checkerboard fixture: per-pixel gray from
+    // the parity closed form, 8×8 pooled cells via floor-division bins,
+    // bits by the identical cross-multiplied mean comparison
+    "q134_image_ahash_dups" ->
+      """WITH imgs AS (
+           SELECT doc_id, 16 + (doc_id*7919)%64 AS w, 16 + (doc_id*104729)%64 AS h,
+             ((doc_id*131)%256 + (doc_id*137)%256 + (doc_id*139)%256) // 3 AS ga,
+             ((doc_id*149)%256 + (doc_id*151)%256 + (doc_id*157)%256) // 3 AS gb
+           FROM documents),
+         xs AS (SELECT doc_id, w, h, ga, gb, unnest(range(w)) AS x FROM imgs),
+         px AS (SELECT doc_id, w, h,
+             CASE WHEN (x + y) % 2 = 0 THEN ga ELSE gb END AS g,
+             (y*8)//h*8 + (x*8)//w AS c
+           FROM (SELECT doc_id, w, h, ga, gb, x, unnest(range(h)) AS y FROM xs)),
+         cells AS (SELECT doc_id, c, SUM(g) AS cs, COUNT(*) AS cn
+                   FROM px GROUP BY doc_id, c),
+         tot AS (SELECT doc_id, SUM(g) AS t_s, COUNT(*) AS tn
+                 FROM px GROUP BY doc_id),
+         bits AS (SELECT c.doc_id, c.c,
+             CASE WHEN c.cs * t.tn > t.t_s * c.cn THEN 1 ELSE 0 END AS b
+           FROM cells c JOIN tot t ON c.doc_id = t.doc_id),
+         hsh AS (SELECT doc_id,
+             CAST(SUM(CASE WHEN c >= 32 THEN b * (CAST(1 AS BIGINT) << (c-32))
+                  ELSE 0 END) AS BIGINT) AS h_hi,
+             CAST(SUM(CASE WHEN c < 32 THEN b * (CAST(1 AS BIGINT) << c)
+                  ELSE 0 END) AS BIGINT) AS h_lo
+           FROM bits GROUP BY doc_id),
+         grp AS (SELECT h_hi, h_lo, CAST(COUNT(*) AS BIGINT) AS n_same
+                 FROM hsh GROUP BY h_hi, h_lo)
+         SELECT hsh.doc_id, CAST(i.w AS BIGINT) AS width,
+           CAST(i.h AS BIGINT) AS height, hsh.h_hi, hsh.h_lo, grp.n_same
+         FROM hsh
+         JOIN imgs i ON hsh.doc_id = i.doc_id
+         JOIN grp ON hsh.h_hi = grp.h_hi AND hsh.h_lo = grp.h_lo""",
+    // identical lag/flag/running-sum islands with the >=-gap rule
+    "q135_batch_sessions" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) AS us, event_id,
+                  CAST(round(value*100) AS BIGINT) AS cents
+           FROM events),
+         f AS (
+           SELECT *, CASE WHEN lag(us) OVER w IS NULL THEN 1
+                          WHEN us - lag(us) OVER w >= 1800000000 THEN 1
+                          ELSE 0 END AS nw
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         a AS (
+           SELECT *, CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT)
+             AS session_idx
+           FROM f)
+         SELECT user_id, session_idx,
+           min(us) AS session_start, max(us) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS cents_total
+         FROM a GROUP BY user_id, session_idx""",
+    // identical token join against the category VALUES list; keep gate
+    // on the blocking category only
+    "q136_blocklist_screen" ->
+      """WITH bl(term, category) AS (
+           VALUES ('slow', 'perf'), ('big', 'size'), ('dup', 'unsafe')),
+         toks AS (
+           SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+           FROM documents),
+         hits AS (
+           SELECT doc_id,
+             CAST(SUM(CASE WHEN category = 'unsafe' THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_warn,
+             CAST(SUM(CASE WHEN category = 'unsafe' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_block
+           FROM toks JOIN bl USING (term) WHERE term <> ''
+           GROUP BY doc_id)
+         SELECT d.doc_id, COALESCE(h.n_warn, 0) AS n_warn,
+           COALESCE(h.n_block, 0) AS n_block,
+           COALESCE(h.n_block, 0) = 0 AS keep
+         FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""",
   )
 }

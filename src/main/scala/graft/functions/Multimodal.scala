@@ -203,6 +203,65 @@ object Multimodal {
       }))
   }
 
+  /** 64-bit average perceptual hash (aHash) split into two unsigned
+    * 32-bit halves — the image-dedup signature (the LAION-era first
+    * pass: identical aHash → duplicate candidate; small Hamming →
+    * near-dup). EXACT-INTEGER definition so the oracle re-derives every
+    * bit: gray = (r+g+b) div 3 per pixel; pixel (x,y) pools into cell
+    * (i,j) = ((x·8) div w, (y·8) div h); bit(j·8+i) = 1 iff
+    * cell_sum·n_pixels > total_sum·cell_n (cross-multiplied mean
+    * comparison — no float, no rounding, no tie ambiguity: ties are 0).
+    * The halves (bits 0–31 / 32–63) sidestep the signed-bit-63 hazard a
+    * single BIGINT hash has on both engines.
+    */
+  case class AHash(id: Long, width: Int, height: Int, h_hi: Long, h_lo: Long)
+
+  def aHash(df: DataFrame, idCol: String = "id", contentCol: String = "content",
+            batchSize: Int = 64)(implicit spark: SparkSession): Dataset[AHash] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(contentCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.flatMap {
+        case (id, bytes) => decodeAHash(id, bytes)
+      }))
+  }
+
+  private def decodeAHash(id: Long, bytes: Array[Byte]): Option[AHash] =
+    withReader(bytes) { r =>
+      val img = r.read(0)
+      val ra = img.getRaster
+      val (w, h, bands) = (img.getWidth, img.getHeight, ra.getNumBands)
+      val cellSum = new Array[Long](64)
+      val cellN = new Array[Long](64)
+      var totalSum = 0L
+      var y = 0
+      while (y < h) {
+        val cj = y * 8 / h
+        var x = 0
+        while (x < w) {
+          val ci = x * 8 / w
+          val g = (ra.getSample(x, y, 0) + ra.getSample(x, y, math.min(1, bands - 1)) +
+            ra.getSample(x, y, math.min(2, bands - 1))) / 3
+          val c = cj * 8 + ci
+          cellSum(c) += g; cellN(c) += 1; totalSum += g
+          x += 1
+        }
+        y += 1
+      }
+      val nPix = w.toLong * h
+      var (hi, lo) = (0L, 0L)
+      var c = 0
+      while (c < 64) {
+        // cross-multiplied cell-mean > pixel-mean; products ≤ 255·n·n
+        // stay in Long for any image up to ~190M pixels
+        if (cellSum(c) * nPix > totalSum * cellN(c)) {
+          if (c < 32) lo |= 1L << c else hi |= 1L << (c - 32)
+        }
+        c += 1
+      }
+      AHash(id, w, h, hi, lo)
+    }
+
   // -------------------------------------------------------------- audio
 
   // Audio fixture arithmetic — like the image fixture, closed-form in

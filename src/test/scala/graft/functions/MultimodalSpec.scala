@@ -34,6 +34,50 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("aHash: decoded perceptual hash matches an independent closed-form recomputation") {
+    val hashes = Multimodal.aHash(
+      Multimodal.syntheticImages(ids(30), "id", "png", batchSize = 7), batchSize = 7)
+      .collect().sortBy(_.id)
+    assert(hashes.length == 30)
+    hashes.foreach { ah =>
+      val id = ah.id
+      val (w, h) = (Multimodal.dimW(id), Multimodal.dimH(id))
+      assert((ah.width, ah.height) == (w, h), s"dims for id=$id")
+      // recompute from the fixture closed form, not from the codec path
+      val (ar, ag, ab) = Multimodal.colorA(id)
+      val (br, bg, bb) = Multimodal.colorB(id)
+      val (gA, gB) = ((ar + ag + ab) / 3, (br + bg + bb) / 3)
+      val cs = new Array[Long](64); val cn = new Array[Long](64); var ts = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = if ((x + y) % 2 == 0) gA else gB
+        val c = (y * 8 / h) * 8 + (x * 8 / w)
+        cs(c) += g; cn(c) += 1; ts += g
+      }
+      var (hi, lo) = (0L, 0L)
+      val nPix = w.toLong * h
+      for (c <- 0 until 64 if cs(c) * nPix > ts * cn(c))
+        if (c < 32) lo |= 1L << c else hi |= 1L << (c - 32)
+      assert((ah.h_hi, ah.h_lo) == (hi, lo), s"hash for id=$id")
+    }
+    // halves are 32-bit clean
+    hashes.foreach(ah => assert(ah.h_hi >= 0 && ah.h_hi < (1L << 32) &&
+      ah.h_lo >= 0 && ah.h_lo < (1L << 32)))
+  }
+
+  test("aHash: identical content hashes identically, different content differs somewhere") {
+    // two ids with the same dims/colors can only arise from the same id —
+    // so fabricate a literal duplicate: same bytes under two ids
+    val one = Multimodal.syntheticImages(ids(1), "id", "png")
+      .collect().head.getAs[Array[Byte]]("content")
+    val dup = spark.createDataFrame(Seq((10L, one), (20L, one))).toDF("id", "content")
+    val hs = Multimodal.aHash(dup).collect()
+    assert(hs.map(a => (a.h_hi, a.h_lo)).distinct.length == 1)
+    val many = Multimodal.aHash(
+      Multimodal.syntheticImages(ids(40), "id", "png"))
+      .collect().map(a => (a.h_hi, a.h_lo))
+    assert(many.distinct.length > 1) // checkerboard family still separates
+  }
+
   test("animated GIF round trip: the reader counts every written frame") {
     val meta = Multimodal.decodeImageMeta(
       Multimodal.syntheticImages(ids(30), "id", "gif", batchSize = 11), batchSize = 11)
