@@ -2146,6 +2146,19 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_warn"), col("n_block"),
           col("keep"))
     }),
+
+    // R — BM25-shaped ranked retrieval in exact integer arithmetic: the
+    // k1=6/5, b=3/4 formula cleared to integers with avgdl kept as the
+    // exact rational L/N, log-free rational idf. Term filter before the
+    // shuffle; top-k via TakeOrderedAndProject (per-partition heaps, no
+    // global sort). The oracle replays every scaled score bit for bit.
+    "q137_bm25_topk" -> ((s, dir) => {
+      functions.Retrieval.bm25TopK(t(s, dir, "documents"),
+          col("doc_id"), col("text"), Seq("vector", "merge", "window"),
+          k = 10)
+        .select(col("id").as("doc_id"), col("dl"), col("n_hit"),
+          col("score_sc"))
+    }),
   )
 
   // ----------------------------------------------------------- bench-only
@@ -4019,5 +4032,35 @@ object SparkEntry {
            COALESCE(h.n_block, 0) AS n_block,
            COALESCE(h.n_block, 0) = 0 AS keep
          FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""",
+    // identical cleared-integer BM25: rational idf, avgdl as exact L/N,
+    // same div chain (all operands nonnegative, so DuckDB floor-div ==
+    // Spark truncating div), same (score desc, id asc) top-10
+    "q137_bm25_topk" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split(lower(text), ' '),
+                                      x -> x <> '') AS t
+           FROM documents),
+         lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                        CAST(sum(dl) AS BIGINT) AS l_tot FROM lens),
+         post AS (
+           SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+           WHERE term IN ('vector', 'merge', 'window')
+           GROUP BY term, doc_id),
+         dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                 FROM post GROUP BY term),
+         sc AS (
+           SELECT p.doc_id, l.dl,
+             CAST(((2*t.n_docs - 2*d.df + 1) * 10000) // (2*d.df + 1)
+                  * 22 * p.tf * t.l_tot
+                  // (10*p.tf*t.l_tot + 3*t.l_tot + 9*l.dl*t.n_docs)
+               AS BIGINT) AS contrib
+           FROM post p JOIN dfc d USING (term)
+           JOIN lens l ON p.doc_id = l.doc_id CROSS JOIN tot t)
+         SELECT doc_id, dl, CAST(count(*) AS BIGINT) AS n_hit,
+           CAST(sum(contrib) AS BIGINT) AS score_sc
+         FROM sc GROUP BY doc_id, dl
+         ORDER BY score_sc DESC, doc_id ASC LIMIT 10""",
   )
 }

@@ -74,4 +74,57 @@ object Retrieval {
       .filter(col("n_hit") === t.size)
       .select(col("id"), col("sum_tf"))
   }
+
+  /** BM25-shaped ranked retrieval (disjunctive) in EXACT integer
+    * arithmetic, so the oracle replays every score bit for bit. With
+    * k1 = 6/5 and b = 3/4 and the average document length kept as the
+    * exact rational L/N (L = corpus token count, N = doc count — never
+    * a rounded avgdl), the classic
+    * `idf · tf·(k1+1) / (tf + k1·(1−b) + k1·b·dl/avgdl)` clears to
+    * integers as `idf_sc · 22·tf·L div (10·tf·L + 3·L + 9·dl·N)`.
+    * The idf is the LOG-FREE rational `((2N − 2df + 1) · idfScale) div
+    * (2df + 1)` — exactly monotone in the Robertson ratio
+    * (N − df + ½)/(df + ½), strictly positive for df ≤ N (where true
+    * BM25 goes negative past df > N/2, Lucene-style floors apply), and
+    * portable because no engine's `ln` is involved. Same trade as
+    * q117's linear idf: a deterministic, cross-engine ranking function
+    * of the BM25 shape, not a float-faithful BM25.
+    *
+    * 100 TB shape: the term filter runs BEFORE the tf shuffle, so only
+    * query-term postings move; df aggregates those same rows (tiny,
+    * broadcast back); (N, L) is one scalar aggregate broadcast to the
+    * candidates; the dl join keys the bounded candidate set against the
+    * doc-length projection on id. The final top-k is
+    * TakeOrderedAndProject — per-partition heaps, never a global sort.
+    * Magnitude bound: `idf_sc · 22 · tf · L` must fit a Long — at
+    * idfScale 10⁴ that holds while N·L stays under ~4·10¹³·tf⁻¹; shrink
+    * `idfScale` for larger corpora (documented, `require`-checked
+    * driver-side against overflow-free bounds is impossible without a
+    * corpus pass, so the scale is the caller's knob).
+    */
+  def bm25TopK(docs: DataFrame, idCol: Column, textCol: Column,
+               terms: Seq[String], k: Int = 10,
+               idfScale: Long = 10000L): DataFrame = {
+    require(terms.nonEmpty, "bm25 retrieval needs at least one term")
+    require(k > 0, s"k must be positive, got $k")
+    require(idfScale > 0, s"idfScale must be positive, got $idfScale")
+    val t = terms.map(_.toLowerCase).distinct
+    val lens = docs.select(idCol.as("id"),
+      size(filter(split(lower(textCol), " "), x => x =!= "")).cast("long")
+        .as("dl"))
+    val tot = lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("l_tot"))
+    val post = postings(docs, idCol, textCol).filter(col("term").isin(t: _*))
+    val dfc = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    post.join(broadcast(dfc), "term")
+      .join(lens, "id")
+      .crossJoin(broadcast(tot))
+      .withColumn("idf_sc",
+        expr(s"(2 * n_docs - 2 * df + 1) * $idfScale div (2 * df + 1)"))
+      .withColumn("contrib", expr(
+        "idf_sc * 22 * tf * l_tot div (10*tf*l_tot + 3*l_tot + 9*dl*n_docs)"))
+      .groupBy(col("id"), col("dl"))
+      .agg(count(lit(1)).as("n_hit"), sum(col("contrib")).as("score_sc"))
+      .orderBy(col("score_sc").desc, col("id").asc)
+      .limit(k)
+  }
 }

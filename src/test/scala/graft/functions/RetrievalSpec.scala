@@ -77,4 +77,60 @@ class RetrievalSpec extends SparkSpec {
       Retrieval.conjunctive(docs, col("doc_id"), col("text"), Seq.empty)
     }
   }
+
+  /** Plain-Scala replay of the cleared-integer BM25 formula — the same
+    * arithmetic the operator and the q137 oracle both implement.
+    */
+  private def bm25Ref(corpus: Seq[(Long, String)], terms: Seq[String],
+                      k: Int): Seq[(Long, Long, Long, Long)] = {
+    val toks = corpus.map { case (id, t) =>
+      id -> t.toLowerCase.split(" ").filter(_.nonEmpty).toSeq }
+    val n = corpus.size.toLong
+    val l = toks.map(_._2.size.toLong).sum
+    val q = terms.map(_.toLowerCase).distinct
+    val df = q.map(t => t -> toks.count(_._2.contains(t)).toLong).toMap
+    toks.flatMap { case (id, ts) =>
+      val dl = ts.size.toLong
+      val hits = q.filter(ts.contains)
+      if (hits.isEmpty) None
+      else {
+        val score = hits.map { t =>
+          val tf = ts.count(_ == t).toLong
+          val idf = (2 * n - 2 * df(t) + 1) * 10000L / (2 * df(t) + 1)
+          idf * 22 * tf * l / (10 * tf * l + 3 * l + 9 * dl * n)
+        }.sum
+        Some((id, dl, hits.size.toLong, score))
+      }
+    }.sortBy { case (id, _, _, s) => (-s, id) }.take(k)
+  }
+
+  test("bm25TopK == plain-Scala integer replay on the corpus table") {
+    val corpus = graft.sources.Tables.load(spark, SfDir, "documents")
+    val terms = Seq("vector", "merge", "window")
+    val got = Retrieval.bm25TopK(corpus, col("doc_id"), col("text"), terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val want = bm25Ref(
+      corpus.select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq, terms, 10)
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("bm25TopK: rarer term outranks common term at equal tf and dl") {
+    val c = Seq(
+      (1L, "rare common pad"), (2L, "common extra pad"),
+      (3L, "common other pad"), (4L, "common more pad"))
+    val scores = Retrieval.bm25TopK(c.toDF("doc_id", "text"),
+        col("doc_id"), col("text"), Seq("rare", "common"), k = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // doc 1 holds the df=1 term (plus 'common'); docs 2-4 only the df=4 one
+    assert(scores(1L) > scores(2L))
+    assert(scores(2L) == scores(3L) && scores(3L) == scores(4L))
+    assert(Retrieval.bm25TopK(c.toDF("doc_id", "text"), col("doc_id"),
+      col("text"), Seq("absent"), k = 3).count() == 0)
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25TopK(c.toDF("doc_id", "text"), col("doc_id"),
+        col("text"), Seq("x"), k = 0)
+    }
+  }
 }
