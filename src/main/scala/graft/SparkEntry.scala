@@ -2159,6 +2159,30 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("dl"), col("n_hit"),
           col("score_sc"))
     }),
+
+    // D — content-defined chunking: Rabin/FastCDC-style boundaries from
+    // LOCAL window hashes, so edits shift only the chunks before the
+    // next surviving cut. Pure per-row generator, zero shuffle; every
+    // boundary and fingerprint re-derivable in any SQL engine.
+    "q138_cdc_chunks" -> ((s, dir) => {
+      functions.Packing.cdcChunks(t(s, dir, "documents"),
+        col("doc_id"), col("text"), window = 4, divisor = 8)
+    }),
+
+    // D — chunk-grained duplicate detection over q138's CDC chunks:
+    // fingerprints occurring in >= 2 places (the boilerplate passages a
+    // doc-level dedup can't see). One groupBy on the 60-bit fp — the
+    // shuffle carries (fp, doc, span), never text.
+    "q139_cdc_dup_chunks" -> ((s, dir) => {
+      functions.Packing.cdcChunks(t(s, dir, "documents"),
+          col("doc_id"), col("text"), window = 4, divisor = 8)
+        .groupBy(col("chunk_fp"))
+        .agg(count(lit(1)).as("n_occ"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("min_doc"),
+          min(col("tok_end") - col("tok_start")).as("len_tok"))
+        .filter(col("n_occ") >= 2)
+    }),
   )
 
   // ----------------------------------------------------------- bench-only
@@ -4062,5 +4086,45 @@ object SparkEntry {
            CAST(sum(contrib) AS BIGINT) AS score_sc
          FROM sc GROUP BY doc_id, dl
          ORDER BY score_sc DESC, doc_id ASC LIMIT 10""",
+    // identical CDC boundary rule: cut at c when the 60-bit md5-prefix
+    // of the 4 tokens ending before c is ≡ 0 (mod 8); chunk fp over the
+    // same 1-based inclusive token slice
+    "q138_cdc_chunks" ->
+      """WITH w AS (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS ws
+                    FROM documents WHERE trim(text) <> ''),
+         nz AS (SELECT doc_id, ws, len(ws) AS n FROM w WHERE len(ws) > 0),
+         cuts AS (SELECT doc_id, ws,
+             list_concat(list_concat([0],
+               list_filter(range(4, n), c ->
+                 CAST('0x'||substring(md5(array_to_string(ws[c-3:c], ' ')),1,15)
+                   AS BIGINT) % 8 = 0)), [n]) AS b
+           FROM nz),
+         u AS (SELECT doc_id, ws, b, unnest(range(len(b)-1)) AS k FROM cuts)
+         SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+           CAST(b[k+1] AS BIGINT) AS tok_start,
+           CAST(b[k+2] AS BIGINT) AS tok_end,
+           CAST('0x'||substring(md5(array_to_string(ws[b[k+1]+1:b[k+2]], ' ')),1,15)
+             AS BIGINT) AS chunk_fp
+         FROM u""",
+    "q139_cdc_dup_chunks" ->
+      """WITH w AS (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS ws
+                    FROM documents WHERE trim(text) <> ''),
+         nz AS (SELECT doc_id, ws, len(ws) AS n FROM w WHERE len(ws) > 0),
+         cuts AS (SELECT doc_id, ws,
+             list_concat(list_concat([0],
+               list_filter(range(4, n), c ->
+                 CAST('0x'||substring(md5(array_to_string(ws[c-3:c], ' ')),1,15)
+                   AS BIGINT) % 8 = 0)), [n]) AS b
+           FROM nz),
+         u AS (SELECT doc_id, ws, b, unnest(range(len(b)-1)) AS k FROM cuts),
+         ch AS (SELECT doc_id, b[k+1] AS s, b[k+2] AS e,
+             CAST('0x'||substring(md5(array_to_string(ws[b[k+1]+1:b[k+2]], ' ')),1,15)
+               AS BIGINT) AS chunk_fp
+           FROM u)
+         SELECT chunk_fp, CAST(count(*) AS BIGINT) AS n_occ,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(min(e - s) AS BIGINT) AS len_tok
+         FROM ch GROUP BY chunk_fp HAVING count(*) >= 2""",
   )
 }

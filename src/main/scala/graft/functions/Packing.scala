@@ -104,6 +104,64 @@ object Packing {
         least(col("chunk_idx") * stride + size, col("n_tok")).as("tok_end"))
   }
 
+  /** Content-defined chunking: split each document's whitespace-token
+    * stream at positions where the fingerprint of the `window` tokens
+    * immediately before the cut is ≡ 0 (mod `divisor`) — the
+    * Rabin/FastCDC boundary rule (Xia et al., FAST'16) reduced to its
+    * parallel core. Because a boundary depends only on LOCAL content, an
+    * insertion near the head of a document shifts only the chunks up to
+    * the first surviving boundary; everything after re-aligns — the
+    * property that makes chunk-grained dedup robust to edits, where
+    * fixed-stride chunking ([[chunkSpans]]) would mis-align every
+    * window. Expected chunk length ≈ `divisor` tokens.
+    *
+    * Emits one row per chunk: (`doc_id`, `chunk_idx`, `tok_start`,
+    * `tok_end`, `chunk_fp`) with `[tok_start, tok_end)` 0-based token
+    * spans covering the document exactly and `chunk_fp` the 60-bit
+    * md5-prefix fingerprint of the chunk's tokens — the same
+    * engine-portable arithmetic as [[TextFunctions.md5Fingerprint]], so
+    * any SQL engine re-derives every boundary and fingerprint
+    * bit-for-bit. Documents whose trimmed text is empty emit nothing.
+    *
+    * 100 TB shape: a pure per-row generator — tokenize, test each cut
+    * position against its local window hash, explode the cut list. ZERO
+    * shuffles; the per-row transient is bounded by the document's own
+    * token count (the same per-doc bound every tokenizing pass here
+    * has). Chunk-level dedup downstream groups on `chunk_fp` — one
+    * shuffle of (fp, doc, span) tuples, never text.
+    */
+  def cdcChunks(df: DataFrame, id: Column, textCol: Column,
+                window: Int = 4, divisor: Int = 8): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(divisor >= 2, s"divisor must be >= 2, got $divisor")
+    def fp(s: Column): Column =
+      conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+    df.filter(length(trim(textCol)) > 0)
+      .select(id.cast("long").as("doc_id"),
+        split(trim(textCol), "\\s+").as("__ws"))
+      .withColumn("__n", size(col("__ws")))
+      // cut positions: c in [window, n-1] where the fingerprint of the
+      // window tokens ending just before c hits the boundary residue;
+      // always cut at 0 and n so chunks tile the document exactly
+      .withColumn("__cuts", concat(
+        array(lit(0)),
+        when(col("__n") > window,
+          filter(sequence(lit(window), col("__n") - 1),
+            c => fp(concat_ws(" ",
+              slice(col("__ws"), c - window + 1, lit(window)))) % divisor === 0))
+          .otherwise(array().cast("array<int>")),
+        array(col("__n"))))
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0), size(col("__cuts")) - 2)))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        element_at(col("__cuts"), col("chunk_idx") + 1).cast("long").as("tok_start"),
+        element_at(col("__cuts"), col("chunk_idx") + 2).cast("long").as("tok_end"),
+        fp(concat_ws(" ", slice(col("__ws"),
+          element_at(col("__cuts"), col("chunk_idx") + 1) + 1,
+          element_at(col("__cuts"), col("chunk_idx") + 2)
+            - element_at(col("__cuts"), col("chunk_idx") + 1)))).as("chunk_fp"))
+  }
+
   /** Materialize the ACTUAL packed training contexts: each shard's
     * documents form one token-ID stream in id order (the [[packChunked]]
     * layout), cut into `contextLen` windows — emitted as one row per

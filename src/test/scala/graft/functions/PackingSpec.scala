@@ -134,4 +134,71 @@ class PackingSpec extends SparkSpec {
       .select($"doc_id", $"bin").as[(Long, Long)].collect().toSet
     assert(a == b)
   }
+
+  // ---- content-defined chunking -----------------------------------------
+
+  /** Independent imperative CDC reference: same 60-bit md5-prefix window
+    * rule, written as a plain loop so an operator bug can't hide in
+    * shared code.
+    */
+  private def md5fp(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+  }
+  private def refCdc(text: String, w: Int = 4, div: Int = 8): Seq[(Long, Long, Long, Long)] = {
+    val toks = text.trim.split("\\s+").toIndexedSeq
+    val n = toks.length
+    val cuts = 0 +: (w until n)
+      .filter(c => md5fp(toks.slice(c - w, c).mkString(" ")) % div == 0) :+ n
+    cuts.sliding(2).zipWithIndex.map { case (Seq(s, e), i) =>
+      (i.toLong, s.toLong, e.toLong, md5fp(toks.slice(s, e).mkString(" ")))
+    }.toSeq
+  }
+  private def collectCdc(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[(Long, Long, Long, Long)]] =
+    Packing.cdcChunks(df, $"doc_id", $"text")
+      .select($"doc_id", $"chunk_idx", $"tok_start", $"tok_end", $"chunk_fp")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)
+        .map(t => (t._2, t._3, t._4, t._5)).toSeq).toMap
+
+  test("cdcChunks matches an independent imperative reference on random docs") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val txt = (1L to 20L).map(i =>
+      (i, Array.fill(20 + rnd.nextInt(180))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    val got = collectCdc(txt.toDF("doc_id", "text"))
+    txt.foreach { case (id, t) =>
+      assert(got(id) == refCdc(t), s"doc $id diverges from reference")
+    }
+  }
+
+  test("cdcChunks: chunks tile the document; boundaries survive a head edit") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("red", "green", "blue", "cyan", "teal", "plum", "gold", "jade")
+    val base = Array.fill(200)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val got = collectCdc(Seq((1L, base), (2L, "zzz " + base)).toDF("doc_id", "text"))
+    // tiling: starts/ends contiguous from 0 to n, in chunk_idx order
+    got.foreach { case (id, cs) =>
+      assert(cs.head._2 == 0L, s"doc $id does not start at 0")
+      cs.sliding(2).foreach {
+        case Seq((_, _, e, _), (_, s, _, _)) => assert(e == s, s"doc $id gap at $s")
+        case _ => ()
+      }
+    }
+    // content-defined cuts re-align after the prepended token: every
+    // chunk of the original past its first is reproduced verbatim in
+    // the edited doc (fixed-stride chunking would mis-align ALL of them)
+    val fpA = got(1L).map(_._4)
+    val fpB = got(2L).map(_._4)
+    assert(fpA.length >= 10, "fixture too short to exercise boundaries")
+    assert(fpB.takeRight(fpA.length - 1) == fpA.drop(1))
+  }
+
+  test("cdcChunks: empty and whitespace-only docs emit nothing; short doc is one chunk") {
+    val got = collectCdc(Seq((1L, ""), (2L, "   "), (3L, "one two"))
+      .toDF("doc_id", "text"))
+    assert(!got.contains(1L) && !got.contains(2L))
+    assert(got(3L) == Seq((0L, 0L, 2L, md5fp("one two"))))
+  }
 }
