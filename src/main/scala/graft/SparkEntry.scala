@@ -2183,6 +2183,64 @@ object SparkEntry {
           min(col("tok_end") - col("tok_start")).as("len_tok"))
         .filter(col("n_occ") >= 2)
     }),
+
+    // R — unpivot/melt: the wide→long reshape (Dataset.unpivot, the
+    // inverse of q39's pivot). Metrics computed as exact integer cents,
+    // melted to one (status, metric, value) row each.
+    "q140_unpivot" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          centsSum(col("o_totalprice")).as("cents_total"),
+          max(round(col("o_totalprice") * 100).cast("long")).as("cents_max"))
+        .unpivot(Array(col("o_orderstatus")),
+          Array(col("n_orders"), col("cents_total"), col("cents_max")),
+          "metric", "value")
+    }),
+
+    // G — explicit GROUPING SETS with grouping_id: the general form of
+    // q37/q38's rollup/cube, plus the bitmask that disambiguates a NULL
+    // group value from an aggregated-away dimension.
+    "q141_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          sum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // A — one-pass table profiler (ANALYZE-style data-quality summary):
+    // every column's null/distinct/bounds from a single scan, exploded
+    // to one row per column. Exact distinct mode so DuckDB re-derives
+    // it; approx (HLL) mode is the lake default, spec-pinned.
+    "q142_profile" -> ((s, dir) => {
+      graft.operators.Profile.profile(t(s, dir, "documents"),
+        Seq("doc_id", "text", "lang", "source", "n_chars"), exact = true)
+    }),
+
+    // D — A-priori pairwise frequent itemsets over document token sets:
+    // support-prune unigrams BEFORE any pair is generated (monotonicity
+    // bound), pairs from a per-row generator — no self-join.
+    "q143_token_pairs" -> ((s, dir) => {
+      functions.Itemsets.frequentPairs(t(s, dir, "documents"),
+        col("doc_id"), col("text"), minSupport = 60)
+    }),
+
+    // A — deterministic per-group mode: most frequent order priority per
+    // status, ties broken to the lexicographically largest — one count
+    // agg + one argmax via struct max, no window over the full table.
+    "q144_mode_per_group" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("__n"))
+        .groupBy(col("o_orderstatus"))
+        .agg(max(struct(col("__n"), col("o_orderpriority"))).as("__m"))
+        .select(col("o_orderstatus"),
+          col("__m.o_orderpriority").as("mode_priority"),
+          col("__m.__n").as("n_mode"))
+    }),
   )
 
   // ----------------------------------------------------------- bench-only
@@ -4126,5 +4184,88 @@ object SparkEntry {
            CAST(min(doc_id) AS BIGINT) AS min_doc,
            CAST(min(e - s) AS BIGINT) AS len_tok
          FROM ch GROUP BY chunk_fp HAVING count(*) >= 2""",
+    // UNION ALL re-derivation of the melt (engine-portable; DuckDB's
+    // UNPIVOT would also work but adds nothing)
+    "q140_unpivot" ->
+      """WITH w AS (SELECT o_orderstatus,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents_total,
+             CAST(max(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents_max
+           FROM orders GROUP BY o_orderstatus)
+         SELECT o_orderstatus, 'n_orders' AS metric, n_orders AS value FROM w
+         UNION ALL
+         SELECT o_orderstatus, 'cents_total', cents_total FROM w
+         UNION ALL
+         SELECT o_orderstatus, 'cents_max', cents_max FROM w""",
+    // same grouping sets; GROUPING(a,b) carries Spark's bit order
+    // (leftmost grouping column = MSB)
+    "q141_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n,
+           sum(l_quantity) AS sum_qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""",
+    // native-type bounds cast to VARCHAR, exact distincts — one UNION ALL
+    // branch per profiled column
+    "q142_profile" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM documents)
+         SELECT 'doc_id' AS "column", n.n_rows,
+           CAST(count(doc_id) AS BIGINT) AS n_nonnull,
+           n.n_rows - CAST(count(doc_id) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+           CAST(min(doc_id) AS VARCHAR) AS min_val,
+           CAST(max(doc_id) AS VARCHAR) AS max_val
+         FROM documents, n GROUP BY n.n_rows
+         UNION ALL
+         SELECT 'text', n.n_rows, CAST(count(text) AS BIGINT),
+           n.n_rows - CAST(count(text) AS BIGINT),
+           CAST(count(DISTINCT text) AS BIGINT),
+           CAST(min(text) AS VARCHAR), CAST(max(text) AS VARCHAR)
+         FROM documents, n GROUP BY n.n_rows
+         UNION ALL
+         SELECT 'lang', n.n_rows, CAST(count(lang) AS BIGINT),
+           n.n_rows - CAST(count(lang) AS BIGINT),
+           CAST(count(DISTINCT lang) AS BIGINT),
+           CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+         FROM documents, n GROUP BY n.n_rows
+         UNION ALL
+         SELECT 'source', n.n_rows, CAST(count(source) AS BIGINT),
+           n.n_rows - CAST(count(source) AS BIGINT),
+           CAST(count(DISTINCT source) AS BIGINT),
+           CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+         FROM documents, n GROUP BY n.n_rows
+         UNION ALL
+         SELECT 'n_chars', n.n_rows, CAST(count(n_chars) AS BIGINT),
+           n.n_rows - CAST(count(n_chars) AS BIGINT),
+           CAST(count(DISTINCT n_chars) AS BIGINT),
+           CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+         FROM documents, n GROUP BY n.n_rows""",
+    // identical A-priori semantics: distinct tokens per doc, support
+    // filter, a<b pairs, pair support filter
+    "q143_token_pairs" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_distinct(list_filter(
+             string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+             x -> x <> ''))) AS tok
+           FROM documents),
+         freq AS (SELECT tok FROM toks GROUP BY tok HAVING count(*) >= 60),
+         kept AS (SELECT doc_id, tok FROM toks
+                  WHERE tok IN (SELECT tok FROM freq))
+         SELECT a.tok AS tok_a, b.tok AS tok_b,
+           CAST(count(*) AS BIGINT) AS support
+         FROM kept a JOIN kept b
+           ON a.doc_id = b.doc_id AND a.tok < b.tok
+         GROUP BY a.tok, b.tok HAVING count(*) >= 60""",
+    // window re-derivation of the argmax with the same (count desc,
+    // priority desc) tie order
+    "q144_mode_per_group" ->
+      """WITH c AS (SELECT o_orderstatus, o_orderpriority,
+             CAST(count(*) AS BIGINT) AS n
+           FROM orders GROUP BY 1, 2),
+         r AS (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+             ORDER BY n DESC, o_orderpriority DESC) AS rn FROM c)
+         SELECT o_orderstatus, o_orderpriority AS mode_priority,
+           n AS n_mode FROM r WHERE rn = 1""",
   )
 }
