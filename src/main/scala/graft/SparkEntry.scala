@@ -2241,6 +2241,68 @@ object SparkEntry {
           col("__m.o_orderpriority").as("mode_priority"),
           col("__m.__n").as("n_mode"))
     }),
+
+    // ST — cohort retention matrix: users grouped by first-active week,
+    // distinct-user counts per week offset. Two aggregations + one join
+    // on user_id; weeks are Monday-truncated in both engines.
+    "q145_cohort_retention" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("user_id"),
+        date_trunc("week", col("ts")).as("w"))
+      val first = e.groupBy(col("user_id")).agg(min(col("w")).as("cw"))
+      e.distinct().join(first, "user_id")
+        .groupBy(date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
+          (datediff(col("w"), col("cw")) / 7).cast("long").as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // ST — ordered funnel (view → click → purchase, strictly later at
+    // each stage): three stage-filtered min-aggregations chained on
+    // user_id — the ORDER constraint is in the join predicate, no
+    // per-user sort, no window over the full stream.
+    "q146_funnel" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val c = e.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      v.join(c.select(col("user_id"), col("t2")), Seq("user_id"), "left")
+        .join(p.select(col("user_id"), col("t3")), Seq("user_id"), "left")
+        .select(col("user_id"),
+          (lit(1) + col("t2").isNotNull.cast("int")
+            + col("t3").isNotNull.cast("int")).as("stage"),
+          coalesce(date_format(col("t1"), "yyyy-MM-dd HH:mm:ss"), lit("")).as("ts_view"),
+          coalesce(date_format(col("t2"), "yyyy-MM-dd HH:mm:ss"), lit("")).as("ts_click"),
+          coalesce(date_format(col("t3"), "yyyy-MM-dd HH:mm:ss"), lit("")).as("ts_purchase"))
+    }),
+
+    // ST — exponentially-weighted recent-activity score in EXACT integer
+    // arithmetic: the i-th most recent event (up to 16) weighs 2^(16-i)
+    // — a binary-exact EWMA with α=1/2, so the score hash-matches any
+    // engine. One bounded per-user window, no float pow anywhere.
+    "q147_ewma_activity" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= 16)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_recent"),
+          sum(expr("cents * shiftleft(CAST(1 AS BIGINT), 16 - __rn)")).as("ewma_sc"))
+    }),
+
+    // D — T5-style span-corruption masking plan: content-derived span
+    // starts (md5 of doc_id:pos), overlap-merged, numbered — the same
+    // mask layout re-derivable on any engine or rerun.
+    "q148_mask_spans" -> ((s, dir) => {
+      functions.SpanMask.maskSpans(t(s, dir, "documents"),
+        col("doc_id"), col("text"), rateDiv = 20, spanLen = 3)
+    }),
   )
 
   // ----------------------------------------------------------- bench-only
@@ -4267,5 +4329,62 @@ object SparkEntry {
              ORDER BY n DESC, o_orderpriority DESC) AS rn FROM c)
          SELECT o_orderstatus, o_orderpriority AS mode_priority,
            n AS n_mode FROM r WHERE rn = 1""",
+    // Monday-truncated weeks in both engines; the offset division is
+    // exact (both weeks are truncated, the gap is a multiple of 7 days)
+    "q145_cohort_retention" ->
+      """WITH e AS (SELECT user_id, date_trunc('week', ts) AS w FROM events),
+         f AS (SELECT user_id, min(w) AS cw FROM e GROUP BY user_id),
+         d AS (SELECT DISTINCT user_id, w FROM e)
+         SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', cw, w) // 7 AS BIGINT) AS week_offset,
+           CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
+         FROM d JOIN f USING (user_id) GROUP BY 1, 2""",
+    // same chained stage mins with the strictly-later predicate in the
+    // join, same second-truncated formatting, '' for unreached stages
+    "q146_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+                    WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN v USING (user_id)
+               WHERE event_type = 'click' AND ts > t1 GROUP BY e.user_id),
+         p AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN c USING (user_id)
+               WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id)
+         SELECT user_id,
+           CAST(1 + CAST(t2 IS NOT NULL AS INT) + CAST(t3 IS NOT NULL AS INT) AS INT) AS stage,
+           coalesce(strftime(t1, '%Y-%m-%d %H:%M:%S'), '') AS ts_view,
+           coalesce(strftime(t2, '%Y-%m-%d %H:%M:%S'), '') AS ts_click,
+           coalesce(strftime(t3, '%Y-%m-%d %H:%M:%S'), '') AS ts_purchase
+         FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""",
+    // identical binary-exact weights via integer shifts — no float pow
+    "q147_ewma_activity" ->
+      """WITH r AS (SELECT user_id, CAST(round(value*100) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_recent,
+           CAST(sum(cents * (CAST(1 AS BIGINT) << (16 - rn))) AS BIGINT) AS ewma_sc
+         FROM r WHERE rn <= 16 GROUP BY user_id""",
+    // same md5(doc_id:pos) start selection, same island merge, same
+    // per-doc ordinal numbering
+    "q148_mask_spans" ->
+      """WITH w AS (SELECT doc_id, len(regexp_extract_all(trim(text), '\S+')) AS n
+                    FROM documents WHERE trim(text) <> ''),
+         st AS (SELECT doc_id, n, unnest(list_filter(range(0, n), p ->
+             CAST('0x'||substring(md5(doc_id::VARCHAR||':'||p::VARCHAR),1,15)
+               AS BIGINT) % 20 = 0)) AS p
+           FROM w),
+         sp AS (SELECT doc_id, p, least(p + 3, n) AS e FROM st),
+         isl AS (SELECT doc_id, p, e,
+             CASE WHEN p > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY p
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS nw FROM sp),
+         i2 AS (SELECT doc_id, p, e,
+             sum(nw) OVER (PARTITION BY doc_id ORDER BY p) AS island FROM isl),
+         m AS (SELECT doc_id, island, CAST(min(p) AS BIGINT) AS span_start,
+             CAST(max(e) AS BIGINT) AS span_end FROM i2 GROUP BY doc_id, island)
+         SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY span_start) - 1
+             AS BIGINT) AS mask_id,
+           span_start, span_end, span_end - span_start AS n_masked
+         FROM m""",
   )
 }
