@@ -59,6 +59,13 @@ object Bench {
       else if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    // accounting invariant: every timed query ends the run with either a
+    // recorded sample or an explicit error — a query can NEVER vanish from
+    // the output (round 5's broken family surfaced only as -1.0 medians;
+    // this makes any future accounting hole a loud crash instead)
+    val unaccounted = names.filterNot(n => samples(n).nonEmpty || errors.contains(n))
+    require(unaccounted.isEmpty,
+      s"bench accounting hole: ${unaccounted.mkString(", ")}")
     val med = names.map(n => n -> median(samples(n)))
     val qs = med.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = med.collect { case (_, v) if v >= 0 => v }.sum

@@ -554,12 +554,17 @@ object SparkEntry {
           round(col("cos"), 4).as("cos_r"))
     }),
 
-    // V2 — LSH-bucketed approximate top-k (rows-only oracle).
+    // V2 — LSH-bucketed approximate top-k under the FULL DuckDB oracle:
+    // portable md5 ±1 hyperplanes (Similarity.portableTables) let the
+    // oracle replay signatures, H2 multi-probe expansion, the candidate
+    // join and the exact re-rank — the approximate pipeline itself is
+    // hash-checked, not just recall-floor-pinned.
     "q28_ann_lsh_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") <= 20)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-      functions.Similarity.annTopK(queries, emb, k = 10, dim = 64)
+      functions.Similarity.annTopK(queries, emb, k = 10, dim = 64,
+          tablesOverride = Some(functions.Similarity.portableTables(64, 8, 8)))
         .select(col("query_id"), col("neighbor_id"),
           round(col("cos"), 4).as("cos_r"))
     }),
@@ -2314,7 +2319,103 @@ object SparkEntry {
     * regression is visible in BENCH output, not hidden behind the
     * portable path's number.
     */
+  /** Memoized tx-lifecycle fixture for the b119/b120/b126 bench twins.
+    * The gate queries q119/q120/q126 time their WHOLE lifecycle — fixture
+    * churn (multiple commits + FS ops per run) dominates their local
+    * wall-clock, which makes round-over-round deltas uninterpretable
+    * (VERDICT r5 item 7). These twins time ONLY the change-feed read /
+    * IVM refresh against a fixture built once per (process, sf dir):
+    * the q120-shaped customers lifecycle (append → merge → delete →
+    * compact, derived aggregate bootstrapped at v1) and the q126-shaped
+    * fact+dim pair with its bootstrapped join view.
+    */
+  private val txBenchFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def txBenchFixture(s: SparkSession, dir: String): String =
+    txBenchFixtures.computeIfAbsent(dir, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-benchfx").toString
+      // customers lifecycle (q120's shape: key, nation, bal_cents, ver)
+      val cTbl = s"$tmp/tx/customers"
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey").cast("long").as("nation"),
+          round(col("c_acctbal") * 100).cast("long").as("bal_cents"),
+          lit(0L).as("ver"))
+      graft.sink.TxTable.append(s,                                 // v1
+        base.repartitionByRange(4, col("c_custkey")), cTbl,
+        statsCols = Seq("c_custkey"))
+      graft.operators.IncrementalView.compute(
+          graft.sink.TxTable.readAt(s, cTbl, 1L), Seq("nation"), Seq("bal_cents"))
+        .write.parquet(s"$tmp/derived_customers.parquet")
+      val upd = base.filter(col("c_custkey") <= 300 && col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"), col("nation"),
+          (col("bal_cents") + 100000L).as("bal_cents"), lit(1L).as("ver"))
+      val ins = base.filter(col("c_custkey") % 100 === 3)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"), col("nation"),
+          col("bal_cents"), lit(1L).as("ver"))
+      graft.sink.TxTable.merge(s, upd.unionByName(ins), cTbl,      // v2
+        key = "c_custkey", orderCols = Seq("ver"))
+      val delKeys = base.filter(col("c_custkey") <= 200 && col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"))
+      graft.sink.TxTable.delete(s, delKeys, cTbl, key = "c_custkey") // v3
+      graft.sink.TxTable.compact(s, cTbl,                          // v4
+        targetRowsPerFile = 1000L, clusterBy = Some("c_custkey"))
+      // fact + dim lifecycle (q126's shape) with the bootstrapped join view
+      val rTbl = s"$tmp/tx/orderfacts"
+      val sTbl = s"$tmp/tx/custdim"
+      val rBase = t(s, dir, "orders")
+        .select(col("o_custkey").as("cust"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val sBase = t(s, dir, "customer")
+        .select(col("c_custkey").as("cust"),
+          col("c_nationkey").cast("long").as("nation"), lit(0L).as("ver"))
+      graft.sink.TxTable.append(s,
+        rBase.repartitionByRange(8, col("cust")), rTbl, statsCols = Seq("cust"))
+      graft.sink.TxTable.append(s, sBase, sTbl)
+      graft.operators.IncrementalView.computeJoin(
+          graft.sink.TxTable.readAt(s, rTbl, 1L),
+          graft.sink.TxTable.readAt(s, sTbl, 1L),
+          "cust", Seq("nation"), Seq("cents"), cntCol = "n_orders")
+        .select("nation", "n_orders", "cents")
+        .write.parquet(s"$tmp/derived_join.parquet")
+      val rIns = t(s, dir, "orders").filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_custkey").as("cust"), lit(424200L).as("cents"))
+      graft.sink.TxTable.append(s, rIns, rTbl)                      // R v2
+      graft.sink.TxTable.delete(s,
+        rBase.filter(col("cust") <= 120).select(col("cust")), rTbl, key = "cust") // R v3
+      graft.sink.TxTable.merge(s,
+        sBase.filter(col("cust").between(200, 260))
+          .select(col("cust"), (col("nation") + 100L).as("nation"), lit(1L).as("ver")),
+        sTbl, key = "cust", orderCols = Seq("ver"))                 // S v2
+      graft.sink.TxTable.delete(s,
+        sBase.filter(col("cust").between(300, 330)).select(col("cust")),
+        sTbl, key = "cust")                                         // S v3
+      tmp
+    })
+
   def benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // fixture-free twins of q119/q120/q126: change-feed read and IVM
+    // refresh timed against the memoized lifecycle fixture — the
+    // "query" half of the gate queries' fixture+query wall-clock
+    "b119_cdf_read" -> ((s, dir) => {
+      val fx = txBenchFixture(s, dir)
+      graft.sink.TxTable.readChanges(s, s"$fx/tx/customers", 1L, 4L)
+        .select(col("c_custkey"), col("bal_cents"), col("ver"),
+          col("_change_type").as("change_type"))
+    }),
+    "b120_ivm_refresh" -> ((s, dir) => {
+      val fx = txBenchFixture(s, dir)
+      graft.operators.IncrementalView.refresh(s, s"$fx/tx/customers",
+        s.read.parquet(s"$fx/derived_customers.parquet"),
+        1L, 4L, Seq("nation"), Seq("bal_cents"))
+    }),
+    "b126_join_ivm_refresh" -> ((s, dir) => {
+      val fx = txBenchFixture(s, dir)
+      graft.operators.IncrementalView.refreshJoin(s,
+        s"$fx/tx/orderfacts", s"$fx/tx/custdim",
+        s.read.parquet(s"$fx/derived_join.parquet"), 1L, 3L, 1L, 3L,
+        "cust", Seq("nation"), Seq("cents"), cntCol = "n_orders")
+    }),
     // q24's production path: xxhash64 simhash (one hash pass vs md5's
     // four rounds). Bit-parity with the portable path is spec-pinned
     // (DedupSpec); q24 times the md5 oracle-portable twin.
@@ -2960,6 +3061,46 @@ object SparkEntry {
              list_dot_product(q.v, c.v)
                / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
            FROM e q JOIN e c ON c.vec_id <> q.vec_id WHERE q.vec_id <= 5)
+         SELECT query_id, neighbor_id, round(cos, 4) AS cos_r FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id ASC) AS rn
+           FROM scored) WHERE rn <= 10""",
+    // full replay of the approximate pipeline: md5 ±1 hyperplane tables
+    // (the q113 sign idiom), sign-bit signatures, H<=2 multi-probe mask
+    // expansion, candidate equi-join, exact-cosine re-rank — every bit
+    // the Spark side computes, re-derived relationally
+    "q28_ann_lsh_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         planes AS (
+           SELECT t, j, list_transform(range(0, 64), i ->
+             CASE WHEN (CAST('0x' || substring(md5('ann:' || t || ':' || j || ':' || i), 1, 1)
+                        AS INTEGER) & 1) = 1
+                  THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS sv
+           FROM range(0, 8) r(t), range(0, 8) s(j)),
+         sigs AS (
+           SELECT e.vec_id, p.t,
+             CAST(sum(CASE WHEN list_dot_product(e.v, p.sv) > 0
+                           THEN 1 << p.j ELSE 0 END) AS BIGINT) AS sig
+           FROM e CROSS JOIN planes p GROUP BY e.vec_id, p.t),
+         masks AS (
+           SELECT 0 AS m
+           UNION ALL SELECT 1 << j FROM range(0, 8) r(j)
+           UNION ALL SELECT (1 << j) | (1 << l)
+             FROM range(0, 8) r(j), range(0, 8) s(l) WHERE j < l),
+         qprobe AS (
+           SELECT s.vec_id AS query_id, s.t, xor(s.sig, CAST(m.m AS BIGINT)) AS sig
+           FROM sigs s CROSS JOIN masks m WHERE s.vec_id <= 20),
+         cand AS (
+           SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+           FROM qprobe q JOIN sigs c ON c.t = q.t AND c.sig = q.sig
+           WHERE c.vec_id <> q.query_id),
+         scored AS (
+           SELECT cand.query_id, cand.neighbor_id,
+             list_dot_product(qe.v, ce.v)
+               / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))) AS cos
+           FROM cand
+           JOIN e qe ON qe.vec_id = cand.query_id
+           JOIN e ce ON ce.vec_id = cand.neighbor_id)
          SELECT query_id, neighbor_id, round(cos, 4) AS cos_r FROM (
            SELECT *, row_number() OVER (PARTITION BY query_id
                        ORDER BY cos DESC, neighbor_id ASC) AS rn

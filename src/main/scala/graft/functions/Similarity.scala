@@ -116,6 +116,21 @@ object Similarity {
     Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** ENGINE-PORTABLE hyperplane tables: ±1 (Rademacher) normals from the
+    * md5 sign matrix of [[projectionSigns]] — sign-LSH is equally valid
+    * under ±1 normals (the collision probability 1 − θ/π only needs a
+    * symmetric direction distribution), and any SQL engine regenerates
+    * the exact matrix (`'0x' || substring(md5('<prefix>:<t>:<j>:<i>'),
+    * 1, 1)` low-bit arithmetic), which puts the FULL ANN pipeline —
+    * signatures, multi-probe expansion, candidate join, exact re-rank —
+    * under a DuckDB hash oracle instead of a recall-floor spec.
+    */
+  def portableTables(dim: Int, bitsPerTable: Int, nTables: Int,
+                     seedPrefix: String = "ann"): Seq[Seq[Seq[Double]]] =
+    (0 until nTables).map(t =>
+      projectionSigns(dim, bitsPerTable, s"$seedPrefix:$t")
+        .map(_.toSeq).toSeq)
+
   /** Signatures pack one sign bit per plane into a Long: `1L << i` wraps
     * at i = 64 and bit 63 flips the sign, so ≥ 63 planes silently alias
     * distinct signatures into the same bucket key.
@@ -159,12 +174,16 @@ object Similarity {
   def annTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
               nTables: Int = 8, bitsPerTable: Int = 8, probeHamming: Int = 2,
               qId: String = "query_id", qVec: String = "query_vec",
-              cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+              cId: String = "vec_id", cVec: String = "embedding",
+              tablesOverride: Option[Seq[Seq[Seq[Double]]]] = None): DataFrame = {
     requireBits(bitsPerTable)
     require(probeHamming >= 0 && probeHamming <= 2,
       s"probeHamming must be 0, 1 or 2, got $probeHamming")
-    val tables = (0 until nTables).map(t =>
-      hyperplanes(dim, bitsPerTable, seed = 42L + t))
+    tablesOverride.foreach(ts => require(
+      ts.size == nTables && ts.forall(_.size == bitsPerTable),
+      s"tablesOverride shape must be $nTables tables x $bitsPerTable planes"))
+    val tables = tablesOverride.getOrElse((0 until nTables).map(t =>
+      hyperplanes(dim, bitsPerTable, seed = 42L + t)))
 
     def sigs(v: Column): Column = array(tables.map(p => lshSignature(v, p)): _*)
 

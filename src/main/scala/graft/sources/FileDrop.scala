@@ -142,4 +142,29 @@ object FileDropSource {
   private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def lockFor(path: String): Object =
     locks.computeIfAbsent(path, _ => new Object)
+
+  /** Report-URL extraction — the engine-side half of the reference's
+    * mail-body step (extractors/ingest_files.py:123-141: strip CRLF,
+    * then regex the href of the anchor after a marker comment). Given a
+    * column of HTML bodies, returns the first href following `marker`
+    * (null when absent). Pure codegen column (`regexp_extract`), no UDF
+    * — with this, the only out-of-engine step left in the S8 pipeline
+    * is the network fetch itself.
+    */
+  def reportUrl(body: org.apache.spark.sql.Column,
+                marker: String = "<!-- CTA OUTLOOK END-->"): org.apache.spark.sql.Column = {
+    val cleaned = regexp_replace(body, "\\r\\n", "")
+    // href value: optionally quoted, terminated by quote/space/'>'
+    val re = java.util.regex.Pattern.quote(marker) + "\\s*<a\\s+href=[\"']?([^\"' >]+)"
+    val url = regexp_extract(cleaned, re, 1)
+    when(url =!= "", url)
+  }
+
+  /** Every href in an HTML body, in document order — the generalized
+    * form (the reference hard-codes one marker; an audit over a mailbox
+    * dump wants them all). `regexp_extract_all` stays codegen.
+    */
+  def allUrls(body: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_extract_all(regexp_replace(body, "\\r\\n", ""),
+      lit("<a\\s+href=[\"']?([^\"' >]+)"), lit(1))
 }

@@ -28,9 +28,17 @@ object Tables {
       // normal µs TIMESTAMP — only convert columns that actually read
       // back as raw nano longs
       nanoCols.foldLeft(df) { (acc, c) =>
-        if (acc.schema(c).dataType == org.apache.spark.sql.types.LongType)
-          acc.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
-        else acc
+        acc.schema(c).dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            acc.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
+          // µs parquet written with isAdjustedToUTC=false reads back as
+          // TIMESTAMP_NTZ; under the session's UTC zone the cast is
+          // value-identical and restores the instant type event-time
+          // operators (watermarks, unix_micros) require
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            acc.withColumn(c, col(c).cast("timestamp"))
+          case _ => acc
+        }
       }
     }
   }

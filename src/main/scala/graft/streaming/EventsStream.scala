@@ -35,12 +35,17 @@ object EventsStream {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(dir).schema
     val stream = spark.readStream.schema(schema).parquet(dir)
-    // raw testdata carries TIMESTAMP(NANOS) (read back as nano longs);
-    // re-written copies already have a µs TIMESTAMP — convert only the
-    // long form
-    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else stream
+    // raw testdata carries either TIMESTAMP(NANOS) (read back as nano
+    // longs) or µs TIMESTAMP_NTZ (isAdjustedToUTC=false); normalize both
+    // to an instant TIMESTAMP so watermarks/unix_micros work. The NTZ
+    // cast is value-identical under the session's UTC zone.
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        stream.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => stream
+    }
   }
 
   /** Tumbling event-time window aggregation with a late-data watermark —

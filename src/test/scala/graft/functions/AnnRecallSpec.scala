@@ -40,6 +40,16 @@ class AnnRecallSpec extends SparkSpec {
     assert(r >= 0.85, f"LSH recall@10 degraded to $r%.4f")
   }
 
+  test("portable-plane (md5 ±1) annTopK — q28's oracled path — holds the same recall floor") {
+    // sign-LSH under Rademacher normals has the same 1 − θ/π collision
+    // geometry; this pins that the ENGINE-PORTABLE table construction
+    // (which puts q28 under the full DuckDB oracle) did not cost recall
+    val r = recallAt10(topSets(Similarity.annTopK(queries, emb, k = 10, dim = 64,
+      tablesOverride = Some(Similarity.portableTables(64, 8, 8)))))
+    info(f"portable LSH recall@10 = $r%.4f")
+    assert(r >= 0.85, f"portable LSH recall@10 degraded to $r%.4f")
+  }
+
   test("IVF ivfTopK recall@10 against exact top-k stays above its pinned floor") {
     // measured 0.9238 at the swept (16, 8, 3) defaults (sf0.001, fixed
     // seeds; 0.9190 at sf0.01 — tools.IvfSweep); was 0.8095 at nProbe=4

@@ -83,4 +83,32 @@ class FileDropSpecTest extends SparkSpec {
     val src = new FileDropSource(spark, s"$dir/nonexistent", s"$dir/manifest")
     assert(src.runOnce(spec, s"$dir/lake").isEmpty)
   }
+
+  test("reportUrl extracts the marker-anchored href from an HTML mail body") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // the reference's shape (extractors/ingest_files.py:136-137): CRLF
+    // inside the markup, marker comment, unquoted href terminated by space
+    val body =
+      "<html><body><!-- CTA OUTLOOK START-->\r\n<span>View report</span>" +
+      "<!-- CTA OUTLOOK END--><a href=https://reports.example.com/dl/abc123.csv " +
+      "target=\"_blank\">VIEW REPORT</a>\r\n" +
+      "<a href=\"https://example.com/unsubscribe\">Unsubscribe</a></body></html>"
+    val df = Seq(
+      (1L, body),
+      (2L, "<html><body>no marker here <a href=\"https://x.example/y\">link</a></body></html>"),
+      (3L, "<!-- CTA OUTLOOK END--><a href='https://q.example/r.csv'>go</a>"))
+      .toDF("id", "body")
+    val got = df.select(col("id"), FileDropSource.reportUrl(col("body")).as("url"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got(1L).contains("https://reports.example.com/dl/abc123.csv"), "unquoted href")
+    assert(got(2L).isEmpty, "no marker -> null")
+    assert(got(3L).contains("https://q.example/r.csv"), "single-quoted href")
+
+    val all = df.filter(col("id") === 1L)
+      .select(FileDropSource.allUrls(col("body")).as("urls"))
+      .collect().head.getSeq[String](0)
+    assert(all == Seq("https://reports.example.com/dl/abc123.csv",
+      "https://example.com/unsubscribe"), "all hrefs in document order")
+  }
 }
