@@ -1716,9 +1716,11 @@ object SparkEntry {
         .toDF("spec_id", "status", "lake_rows")
     }),
 
-    // E2E — the full incremental ingestion lifecycle as a gate query
-    // (rows-only oracle): two runs over a watermark-split source into a
-    // throwaway lake; emits the deterministic log fields.
+    // E2E — the full incremental ingestion lifecycle as a gate query,
+    // oracle-checked: two runs over a watermark-split source into a
+    // throwaway lake; every emitted log field (status, formatted
+    // watermark bounds, counts, reason) is re-derived relationally by
+    // the DuckDB oracle from the events table alone.
     "q40_ingestion_lifecycle" -> ((s, dir) => {
       import s.implicits._
       val tmp = java.nio.file.Files.createTempDirectory("graft-q40").toString
@@ -2990,6 +2992,37 @@ object SparkEntry {
          sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END) AS qty_n,
          sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS qty_r
          FROM lineitem GROUP BY l_linestatus""",
+    // full relational replay of the two-run watermark lifecycle: run 1's
+    // slice is [first-run default, cut), run 2 resumes at max(ts)+1s (the
+    // inclusive bump), run 3 finds nothing — every log field (status,
+    // formatted watermark bounds, source/target counts, reason) is
+    // re-derived from the events table alone
+    "q40_ingestion_lifecycle" ->
+      """WITH b1 AS (
+           SELECT strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS e1,
+                  max(ts) AS e1t, CAST(count(*) AS BIGINT) AS n1
+           FROM events WHERE ts >= TIMESTAMP '2020-01-01 00:00:00'
+             AND ts < TIMESTAMP '2024-01-15 00:00:00'),
+         b2 AS (
+           SELECT strftime(max(e.ts), '%Y-%m-%d %H:%M:%S.%f') AS e2,
+                  max(e.ts) AS e2t, CAST(count(*) AS BIGINT) AS n2,
+                  strftime(b1.e1t + INTERVAL 1 SECOND, '%Y-%m-%d %H:%M:%S.%f') AS s2
+           FROM events e, b1 WHERE e.ts >= b1.e1t + INTERVAL 1 SECOND
+           GROUP BY b1.e1t),
+         b3 AS (SELECT strftime(e2t + INTERVAL 1 SECOND,
+                                '%Y-%m-%d %H:%M:%S.%f') AS s3 FROM b2)
+         SELECT 'data-loaded-to-s3' AS status, '2020-01-01 00:00:00' AS start_value,
+                b1.e1 AS end_value, b1.n1 AS source_count,
+                CAST(0 AS BIGINT) AS target_count,
+                'First-time-ingestion' AS reason FROM b1
+         UNION ALL SELECT 'success', '2020-01-01 00:00:00', b1.e1, b1.n1, b1.n1,
+                'validation-success' FROM b1
+         UNION ALL SELECT 'data-loaded-to-s3', b2.s2, b2.e2, b2.n2,
+                CAST(0 AS BIGINT), 'Subsequent-ingestion' FROM b2
+         UNION ALL SELECT 'success', b2.s2, b2.e2, b2.n2, b2.n2,
+                'validation-success' FROM b2
+         UNION ALL SELECT 'no-data-to-load', b3.s3, b3.s3, CAST(0 AS BIGINT),
+                CAST(0 AS BIGINT), 'Subsequent-ingestion' FROM b3""",
     "q41_stream_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
          event_type, count(*) AS n,
