@@ -2310,6 +2310,38 @@ object SparkEntry {
       functions.SpanMask.maskSpans(t(s, dir, "documents"),
         col("doc_id"), col("text"), rateDiv = 20, spanLen = 3)
     }),
+
+    // D — CCNet-style cross-document boilerplate removal: lines (10-token
+    // pseudo-lines — the fixture has no hard newlines) recurring in ≥3
+    // distinct docs are template chrome and are stripped corpus-wide;
+    // the full cleaned text is hash-checked. Only (60-bit fp, doc)
+    // pairs shuffle in the frequency pass.
+    "q149_boilerplate_scrub" -> ((s, dir) => {
+      functions.Boilerplate.commonLineScrub(
+        t(s, dir, "documents"), "doc_id", "text", lineTokens = 10, minDocs = 3)
+    }),
+
+    // T — deterministic crawl-budget cap / exact-k reservoir: keep 20
+    // docs per language by lowest 52-bit content rank (ties → id). The
+    // TopKByScore partial aggregation shuffles O(k·groups), never a
+    // corpus window sort; the oracle replays the rank + tie rule.
+    "q150_crawl_budget" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val kept = functions.Sampling.capPerGroup(docs, col("lang"),
+          col("doc_id"), functions.Sampling.hashRank52(col("doc_id").cast("string")), k = 20)
+        .select(col("id").as("doc_id"))
+      docs.join(kept, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
+
+    // T — per-source distribution-drift monitor: exact two-sample KS
+    // distance of each source's n_chars distribution vs the rest of the
+    // corpus, in cross-multiplied integer arithmetic (basis points).
+    "q151_ks_drift" -> ((s, dir) => {
+      graft.operators.Drift.ksPerGroup(
+          t(s, dir, "documents"), col("source"), col("n_chars"))
+        .select(col("group").as("source"), col("n"), col("ks_bp"))
+    }),
   )
 
   // ----------------------------------------------------------- bench-only
@@ -4560,5 +4592,63 @@ object SparkEntry {
              AS BIGINT) AS mask_id,
            span_start, span_end, span_end - span_start AS n_masked
          FROM m""",
+    // same 10-token pseudo-line split, same 60-bit md5 line fingerprint,
+    // same >=3-distinct-docs frequency rule, same ordered rebuild
+    "q149_boilerplate_scrub" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+           FROM documents),
+         lns AS (
+           SELECT doc_id, i AS line_no,
+             array_to_string(list_slice(t, i*10+1, i*10+10), ' ') AS line
+           FROM toks, unnest(range(0, greatest((len(t)+9)//10, 1))) AS u(i)),
+         lf AS (
+           SELECT doc_id, line_no, line,
+             CAST('0x'||substring(md5(line),1,15) AS BIGINT) AS lh
+           FROM lns WHERE line <> ''),
+         common AS (
+           SELECT lh FROM (SELECT lh, count(DISTINCT doc_id) AS df
+                           FROM lf GROUP BY lh) WHERE df >= 3),
+         keptg AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             string_agg(line, ' ' ORDER BY line_no) AS cleaned
+           FROM lf WHERE lh NOT IN (SELECT lh FROM common) GROUP BY doc_id),
+         allg AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines FROM lf GROUP BY doc_id)
+         SELECT d.doc_id, COALESCE(a.n_lines, 0) AS n_lines,
+           COALESCE(k.n_kept, 0) AS n_kept, COALESCE(k.cleaned, '') AS cleaned
+         FROM documents d
+         LEFT JOIN allg a USING (doc_id) LEFT JOIN keptg k USING (doc_id)""",
+    // same 52-bit md5 rank, same (rank asc, id asc) tie rule, same k
+    "q150_crawl_budget" ->
+      """SELECT doc_id, lang, n_chars FROM (
+           SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY
+               CAST('0x'||substring(md5(CAST(doc_id AS VARCHAR)),1,13) AS BIGINT) ASC,
+               doc_id ASC) AS rn
+           FROM documents) WHERE rn <= 20""",
+    // same dense (group x value) grid, cross-multiplied integer KS
+    "q151_ks_drift" ->
+      """WITH cnt AS (SELECT source AS g, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+                      FROM documents GROUP BY 1, 2),
+         gs AS (SELECT g, CAST(sum(c) AS BIGINT) AS ng FROM cnt GROUP BY g),
+         vs AS (SELECT v, CAST(sum(c) AS BIGINT) AS cv FROM cnt GROUP BY v),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
+         grid AS (
+           SELECT gs.g, gs.ng, vs.v, vs.cv, COALESCE(cnt.c, 0) AS c
+           FROM gs CROSS JOIN vs LEFT JOIN cnt ON cnt.g = gs.g AND cnt.v = vs.v),
+         st AS (
+           SELECT g, ng, v, cv,
+             CAST(sum(c) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cumg,
+             CAST(sum(cv) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cumall
+           FROM grid),
+         m AS (
+           SELECT g, ng, (SELECT n FROM tot) - ng AS nrest,
+             max(abs(cumg * ((SELECT n FROM tot) - ng)
+                     - (cumall - cumg) * ng)) AS mx
+           FROM st GROUP BY 1, 2, 3)
+         SELECT g AS source, ng AS n,
+           CAST((mx * 10000) // (ng * nrest) AS BIGINT) AS ks_bp
+         FROM m WHERE nrest > 0""",
   )
 }

@@ -205,4 +205,41 @@ object Sampling {
       .filter(col("__cum") <= budget)
       .drop("__cum")
   }
+
+  /** Stable 52-bit content rank for [[capPerGroup]]: the md5 prefix
+    * truncated to 13 hex chars so the value is EXACTLY representable as
+    * a double (the top-k aggregator scores in doubles; 60-bit prefixes
+    * would round and could disagree with an integer-arithmetic oracle).
+    */
+  def hashRank52(key: Column): Column =
+    conv(substring(md5(key), 1, 13), 16, 10).cast("long")
+
+  /** Deterministic per-group cap — crawl-budget enforcement (keep at
+    * most `k` docs per domain) and exact-k reservoir sampling (rank by
+    * [[hashRank52]] for an unbiased stable draw) are the same operator:
+    * keep the k rows with the LOWEST `rank` per group, ties → lowest id.
+    *
+    * Returns the kept (group, id) pairs; callers semi-join back for the
+    * surviving rows. Shape: [[TopKByScore]] partial aggregation trims
+    * every map partition to k before the exchange — O(k·groups)
+    * shuffled, never a window sort over the corpus (the row_number
+    * formulation sorts |corpus| rows; this shuffles |groups|·k).
+    */
+  def capPerGroup(df: DataFrame, group: Column, id: Column, rank: Column,
+                  k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val agg = new TopKByScore(k).toColumn
+    df.select(group.cast("string").as("__g"), id.cast("long").as("__id"),
+        rank.cast("double").as("__r"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      // TopKByScore keeps HIGHEST score (ties → lowest id); negate so the
+      // lowest rank wins with the same tie rule
+      .mapValues(r => (r._2, -r._3))
+      .agg(agg)
+      .flatMap { case (g, top) => top.map(t => (g, t._1)) }
+      .toDF("group", "id")
+  }
 }

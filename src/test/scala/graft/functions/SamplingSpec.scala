@@ -144,4 +144,25 @@ class SamplingSpec extends SparkSpec {
       Sampling.epochUpsample(d, $"lang", $"k", Map("hi" -> 10001), 100)
     }
   }
+
+  test("capPerGroup keeps exactly k per group by (rank asc, id asc), small groups intact") {
+    val rows = (1L to 100L).map(i => (s"g${i % 3}", i)) :+ (("tiny", 999L))
+    val df = rows.toDF("grp", "id")
+    val kept = Sampling.capPerGroup(df, $"grp", $"id",
+      Sampling.hashRank52($"id".cast("string")), k = 10)
+    val byG = kept.as[(String, Long)].collect().toSeq.groupBy(_._1)
+    assert(byG("g0").size == 10 && byG("g1").size == 10 && byG("g2").size == 10)
+    assert(byG("tiny").map(_._2) == Seq(999L), "groups under k keep everything")
+    // matches the window-sort reference (rank asc, id asc) exactly
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"grp")
+      .orderBy(Sampling.hashRank52($"id".cast("string")).asc, $"id".asc)
+    val ref = df.withColumn("rn", row_number().over(w)).filter($"rn" <= 10)
+      .select($"grp", $"id").as[(String, Long)].collect().toSet
+    assert(kept.as[(String, Long)].collect().toSet == ref)
+    // deterministic under repartitioning
+    val again = Sampling.capPerGroup(df.repartition(7), $"grp", $"id",
+      Sampling.hashRank52($"id".cast("string")), k = 10)
+      .as[(String, Long)].collect().toSet
+    assert(again == ref)
+  }
 }
