@@ -1588,11 +1588,17 @@ object SparkEntry {
 
     // V — IVF-bucketed approximate top-k (rows-only oracle: centroid
     // means are fp-order dependent, but k·|queries| output rows are not).
+    // V3 — IVF ANN under the FULL DuckDB oracle: fixed-point integer
+    // Lloyd training (quantize → argmin → floor-division means, unrolled
+    // 3 iterations) is engine-replayable bit for bit, closing the one
+    // rows-only holdout (the float variant's distributed means carry
+    // partition-order ulp drift no oracle can reproduce; it remains the
+    // production path, recall-pinned by AnnRecallSpec).
     "q61_ann_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") <= 20)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-      functions.Similarity.ivfTopK(queries, emb, k = 10)
+      functions.Similarity.ivfTopKPortable(queries, emb, k = 10)
         .select(col("query_id"), col("neighbor_id"),
           round(col("cos"), 4).as("cos_r"))
     }),
@@ -2342,6 +2348,44 @@ object SparkEntry {
           t(s, dir, "documents"), col("source"), col("n_chars"))
         .select(col("group").as("source"), col("n"), col("ks_bp"))
     }),
+
+    // E2E — LIVE JDBC MERGE upsert (K5's write leg, the half q67's read
+    // round-trip leaves untested): two overlapping batches land in Derby
+    // through JdbcSink.upsert's ANSI-MERGE dialect, the final DB state is
+    // read back and aggregated; the oracle replays last-write-wins from
+    // parquet — a hash match proves the distributed DML leg is lossless
+    // and the update path actually updates.
+    "q152_jdbc_upsert" -> ((s, dir) => {
+      System.setProperty("derby.stream.error.file", "/tmp/derby.log")
+      val url = "jdbc:derby:memory:graftq152;create=true"
+      Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = conn.createStatement()
+        try st.execute("DROP TABLE APP.ORDERS_UP") catch { case _: Throwable => () }
+        st.execute("CREATE TABLE APP.ORDERS_UP (O_ORDERKEY BIGINT PRIMARY KEY, CENTS BIGINT)")
+      } finally conn.close()
+      // fixed key slice: DB fixture stays ~5k rows at any sf (q67's rule)
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey").as("O_ORDERKEY"),
+          round(col("o_totalprice") * 100).cast("long").as("CENTS"))
+      val b1 = orders.filter(col("O_ORDERKEY") <= 2000)
+      val b2 = orders.filter(col("O_ORDERKEY") > 1000 && col("O_ORDERKEY") <= 3000)
+        .withColumn("CENTS", col("CENTS") + 77700L)
+      // 2 writer connections: enough to prove the distributed leg while
+      // keeping Derby's lock-escalated concurrent-MERGE contention (the
+      // partition-level retry's job) off the gate's critical path
+      graft.sink.JdbcSink.upsert(b1.repartition(2), url, "APP.ORDERS_UP",
+        mergeKeys = Seq("O_ORDERKEY"))
+      graft.sink.JdbcSink.upsert(b2.repartition(2), url, "APP.ORDERS_UP",
+        mergeKeys = Seq("O_ORDERKEY"))
+      val p = new java.util.Properties()
+      p.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      s.read.jdbc(url, "APP.ORDERS_UP", p)
+        .groupBy((col("O_ORDERKEY") <= 1000).as("first_batch_only"))
+        .agg(count(lit(1)).as("n"), sum(col("CENTS")).as("cents"))
+        .select(col("first_batch_only"), col("n"), col("cents"))
+    }),
   )
 
   // ----------------------------------------------------------- bench-only
@@ -2523,7 +2567,73 @@ object SparkEntry {
          FROM documents d LEFT JOIN bagg b USING (doc_id))"""
   }
 
+  /** Full relational replay of [[functions.Similarity.ivfTopKPortable]]:
+    * fixed-point quantization, three UNROLLED Lloyd iterations (argmin by
+    * lexicographic [dist, cid] list-min, floor-division means with
+    * empty-cluster carry), probe ranking and exact-cosine re-rank — every
+    * integer op the Spark side computes, re-derived in DuckDB.
+    */
+  private val q61OracleSql: String = {
+    def dist(vi: String, c: String): String =
+      s"CAST(list_sum(list_transform(range(1, 65), j -> ($vi[j] - $c[j]) * ($vi[j] - $c[j]))) AS BIGINT)"
+    def iteration(i: Int): String = {
+      val prev = s"c${i - 1}"
+      s"""a$i AS (
+           SELECT ei.vec_id, (min([${dist("ei.vi", "c.c")}, c.cid]))[2] AS cid
+           FROM ei CROSS JOIN $prev c GROUP BY ei.vec_id),
+         s$i AS (
+           SELECT a.cid, r.j AS pos, CAST(sum(ei.vi[r.j]) AS BIGINT) AS s,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM a$i a JOIN ei ON ei.vec_id = a.vec_id
+           CROSS JOIN range(1, 65) r(j)
+           GROUP BY a.cid, r.j),
+         m$i AS (SELECT cid, pos, (s - ((s % n) + n) % n) // n AS m FROM s$i),
+         c$i AS (
+           SELECT p.cid, list(COALESCE(m.m, p.c[r.j]) ORDER BY r.j) AS c
+           FROM $prev p CROSS JOIN range(1, 65) r(j)
+           LEFT JOIN m$i m ON m.cid = p.cid AND m.pos = r.j
+           GROUP BY p.cid)"""
+    }
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       ei AS (SELECT vec_id,
+                list_transform(v, x -> CAST(round(x * 1048576) AS BIGINT)) AS vi
+              FROM e),
+       c0 AS (
+         SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, vi AS c
+         FROM (SELECT vec_id, vi FROM ei ORDER BY vec_id LIMIT 16)),
+       ${iteration(1)},
+       ${iteration(2)},
+       ${iteration(3)},
+       a4 AS (
+         SELECT ei.vec_id, (min([${dist("ei.vi", "c.c")}, c.cid]))[2] AS cid
+         FROM ei CROSS JOIN c3 c GROUP BY ei.vec_id),
+       qp AS (
+         SELECT ei.vec_id AS query_id, c.cid, ${dist("ei.vi", "c.c")} AS d
+         FROM ei CROSS JOIN c3 c WHERE ei.vec_id <= 20),
+       probe AS (
+         SELECT query_id, cid FROM (
+           SELECT query_id, cid,
+             row_number() OVER (PARTITION BY query_id ORDER BY d, cid) AS rn
+           FROM qp) WHERE rn <= 8),
+       cand AS (
+         SELECT p.query_id, a.vec_id AS neighbor_id
+         FROM probe p JOIN a4 a ON a.cid = p.cid
+         WHERE a.vec_id <> p.query_id),
+       scored AS (
+         SELECT cand.query_id, cand.neighbor_id,
+           list_dot_product(qe.v, ce.v)
+             / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))) AS cos
+         FROM cand
+         JOIN e qe ON qe.vec_id = cand.query_id
+         JOIN e ce ON ce.vec_id = cand.neighbor_id)
+       SELECT query_id, neighbor_id, round(cos, 4) AS cos_r FROM (
+         SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, neighbor_id ASC) AS rn
+         FROM scored) WHERE rn <= 10"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q61_ann_ivf_topk" -> q61OracleSql,
     "q92_bpe_merged" ->
       s"""WITH RECURSIVE $bpeCtes
          SELECT doc_id, n_pre, n_tok, toks FROM bpe""",
@@ -4650,5 +4760,17 @@ object SparkEntry {
          SELECT g AS source, ng AS n,
            CAST((mx * 10000) // (ng * nrest) AS BIGINT) AS ks_bp
          FROM m WHERE nrest > 0""",
+    // last-write-wins replay of the two merge batches: keys <= 1000 keep
+    // batch 1's value, (1000, 3000] carry batch 2's +77700
+    "q152_jdbc_upsert" ->
+      """WITH fin AS (
+           SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey > 1000
+                  THEN CAST(round(o_totalprice*100) AS BIGINT) + 77700
+                  ELSE CAST(round(o_totalprice*100) AS BIGINT) END AS cents
+           FROM orders WHERE o_orderkey <= 3000)
+         SELECT k <= 1000 AS first_batch_only, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS cents
+         FROM fin GROUP BY 1""",
   )
 }

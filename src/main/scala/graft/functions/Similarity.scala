@@ -302,6 +302,85 @@ object Similarity {
         cosineWithNorms(col("__qv"), col("v"), col("__qn"), col("__cn")).as("cos")), k, qId)
   }
 
+  /** ENGINE-PORTABLE IVF top-k: the same inverted-file construction as
+    * [[ivfTopK]] with every Lloyd step in FIXED-POINT INTEGER arithmetic
+    * so any SQL engine replays training, assignment, probing and
+    * re-ranking bit for bit — the float variant's distributed means
+    * carry last-ulp partition-order drift that no oracle can reproduce.
+    *
+    *  - vectors quantize to `round(v · 2^20)` longs (sub-ppm centroid
+    *    placement error — recall is spec-pinned unchanged);
+    *  - assignment = argmin Σ(vᵢ−cᵢ)² over long diffs (≤ 2.7·10^16 for
+    *    64 dims at |v| ≤ 10 — safely inside Long), ties → lowest cid;
+    *  - centroid update = floor-division mean (pmod form, exact on any
+    *    engine), empty clusters keep their previous centroid;
+    *  - probes and final scores re-rank candidates with EXACT double
+    *    cosine (identical IEEE fold order both engines, as q27).
+    *
+    * Iterations unroll (no driver loop state beyond the centroid table,
+    * same as ivfTopK); all distributed work is DataFrame jobs.
+    */
+  def ivfTopKPortable(queries: DataFrame, corpus: DataFrame, k: Int,
+                      nCentroids: Int = 16, nProbe: Int = 8, iters: Int = 3,
+                      qId: String = "query_id", qVec: String = "query_vec",
+                      cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val Scale = 1L << 20
+    def toInt(v: Column): Column =
+      transform(asDouble(v), x => round(x * Scale.toDouble).cast("long"))
+    val c0 = corpus.select(col(cId).as("id"), asDouble(col(cVec)).as("v"))
+      .withColumn("vi", toInt(col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    var centroids: Array[Array[Long]] = c0.orderBy(col("id")).limit(nCentroids)
+      .select(col("vi")).collect()
+      .map(_.getAs[scala.collection.Seq[Long]](0).toArray)
+
+    // (−dist, −cid) structs: greatest == nearest with lowest-cid tie-break.
+    // zip_with/aggregate are CodegenFallback (SCALE.md) — acceptable here:
+    // the argmin runs once per corpus row per iteration, not per pair.
+    def sqDist(vi: Column, cArr: Array[Long]): Column =
+      aggregate(
+        zip_with(vi, lit(cArr), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+    def distStructs(vi: Column) = centroids.zipWithIndex.map { case (cArr, i) =>
+      struct((-sqDist(vi, cArr)).as("negd"), lit(-i).as("negcid"))
+    }
+    def nearestCid(vi: Column): Column =
+      if (centroids.length < 2) lit(0)
+      else -greatest(distStructs(vi): _*).getField("negcid")
+    def probeCids(vi: Column): Column =
+      if (centroids.length < 2) array(lit(0))
+      else transform(slice(reverse(array_sort(array(distStructs(vi): _*))), 1, nProbe),
+        s => -s.getField("negcid"))
+
+    (1 to iters).foreach { _ =>
+      val sums = c0.withColumn("cid", nearestCid(col("vi")))
+        .select(col("cid"), posexplode(col("vi")))
+        .toDF("cid", "pos", "x")
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        // exact floor division, engine-portable: (s − pmod(s, n)) div n
+        .select(col("cid"), col("pos"),
+          expr("(s - pmod(s, n)) div n").as("m"))
+        .collect()
+      val next = centroids.map(_.clone()) // empty clusters keep previous
+      sums.foreach(r => next(r.getAs[Int]("cid"))(r.getAs[Int]("pos")) = r.getAs[Long]("m"))
+      centroids = next
+    }
+    c0.unpersist()
+
+    val assigned = c0
+      .withColumn("cid", nearestCid(col("vi")))
+      .withColumn("__cn", l2norm(col("v")))
+    val q = queries.select(col(qId), asDouble(col(qVec)).as("__qv"))
+      .withColumn("__qn", l2norm(col("__qv")))
+      .withColumn("cid", explode(probeCids(toInt(col("__qv")))))
+    topkOf(assigned.join(broadcast(q), Seq("cid"))
+      .filter(col(qId) =!= col("id"))
+      .select(col(qId), col("id").as("neighbor_id"),
+        cosineWithNorms(col("__qv"), col("v"), col("__qn"), col("__cn")).as("cos")), k, qId)
+  }
+
   /** Embedding-cosine near-dup pairs: MULTI-TABLE sign-bit LSH candidate
     * generation (a pair is a candidate if its b-bit signature matches in
     * ANY of the `nTables` independent tables — banding, like MinHash

@@ -28,33 +28,89 @@ object JdbcSink {
     s"INSERT INTO $table ($collist) VALUES ($placeholders) ON DUPLICATE KEY UPDATE $updates"
   }
 
+  /** ANSI `MERGE INTO … USING SYSIBM.SYSDUMMY1` upsert for engines
+    * without MySQL's ON DUPLICATE KEY (Derby, DB2 share the dummy-table
+    * idiom; swap the table name for `dual`/`(VALUES(1))` elsewhere).
+    * One statement per row shape; parameters bind keys (ON), then
+    * non-key updates (SET), then every column (INSERT) — see
+    * [[mergeBindOrder]].
+    */
+  def mergeUpsertSql(table: String, columns: Seq[String], keys: Seq[String]): String = {
+    require(keys.nonEmpty && keys.forall(columns.contains),
+      s"merge keys $keys must be a nonempty subset of $columns")
+    val nonKeys = columns.filterNot(keys.contains)
+    val on = keys.map(k => s"$table.$k = ?").mkString(" AND ")
+    val collist = columns.mkString(", ")
+    val placeholders = columns.map(_ => "?").mkString(", ")
+    val matched =
+      if (nonKeys.isEmpty) "" // pure-key rows: nothing to update on match
+      else s"WHEN MATCHED THEN UPDATE SET ${nonKeys.map(c => s"$c = ?").mkString(", ")} "
+    s"MERGE INTO $table USING SYSIBM.SYSDUMMY1 ON $on " + matched +
+      s"WHEN NOT MATCHED THEN INSERT ($collist) VALUES ($placeholders)"
+  }
+
+  /** Parameter slot → dataframe column index for [[mergeUpsertSql]]. */
+  def mergeBindOrder(columns: Seq[String], keys: Seq[String]): Seq[Int] = {
+    val nonKeys = columns.filterNot(keys.contains)
+    (keys ++ nonKeys ++ columns).map(columns.indexOf)
+  }
+
   /** Distributed upsert: one connection + prepared statement per
     * partition, batched execution. Partition count bounds source-DB
     * connection pressure — `df.repartition(n)` first to control it.
+    *
+    * With `mergeKeys` empty (default) the statement is MySQL's
+    * `ON DUPLICATE KEY UPDATE` (the reference's dialect, key owned by
+    * the DB schema); with keys given, the ANSI MERGE form runs instead
+    * — the variant the live Derby spec and gate query execute.
     */
-  def upsert(df: DataFrame, url: String, table: String, batchSize: Int = 500): Unit = {
+  def upsert(df: DataFrame, url: String, table: String, batchSize: Int = 500,
+             mergeKeys: Seq[String] = Nil): Unit = {
     val columns = df.columns.toSeq
-    val sql = upsertSql(table, columns)
+    val sql =
+      if (mergeKeys.isEmpty) upsertSql(table, columns)
+      else mergeUpsertSql(table, columns, mergeKeys)
+    val bind =
+      if (mergeKeys.isEmpty) columns.indices.toSeq
+      else mergeBindOrder(columns, mergeKeys)
     df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
-      if (rows.nonEmpty) {
-        // transient connect failures are the common DB-side flake; retry
-        // with backoff (reference: MySQLWrapper.py:34-41) before letting
-        // the task fail into Spark's own retry layer
-        val conn = graft.util.Retry.withBackoff(attempts = 3, baseDelayMs = 1000L) {
-          java.sql.DriverManager.getConnection(url)
+      // materialize the partition so the WHOLE transaction can retry —
+      // upserts are idempotent (same final state), so a lock-timeout or
+      // deadlock victim (Derby escalates row locks under concurrent
+      // MERGEs; MySQL can deadlock on gap locks) re-runs safely. DML
+      // partitions are batch-sized by the caller (repartition first),
+      // so the buffer is bounded.
+      val buf = rows.toVector
+      if (buf.nonEmpty) {
+        // transient connect failures and lock conflicts are the common
+        // DB-side flakes; retry with backoff (reference:
+        // MySQLWrapper.py:34-41) before letting the task fail into
+        // Spark's own retry layer
+        graft.util.Retry.withBackoff(attempts = 3, baseDelayMs = 1000L) {
+          val conn = java.sql.DriverManager.getConnection(url)
+          try {
+            conn.setAutoCommit(false)
+            val st = conn.prepareStatement(sql)
+            var n = 0
+            buf.foreach { r =>
+              bind.zipWithIndex.foreach { case (ci, slot) =>
+                st.setObject(slot + 1, r.get(ci))
+              }
+              st.addBatch(); n += 1
+              if (n % batchSize == 0) st.executeBatch()
+            }
+            st.executeBatch()
+            conn.commit()
+          } catch {
+            case e: Throwable =>
+              // roll back BEFORE close: closing with an open transaction
+              // throws its own exception and masks the root cause (and
+              // some drivers refuse the close outright)
+              try conn.rollback() catch { case _: Throwable => () }
+              throw e
+          } finally conn.close()
         }
-        try {
-          conn.setAutoCommit(false)
-          val st = conn.prepareStatement(sql)
-          var n = 0
-          rows.foreach { r =>
-            columns.indices.foreach(i => st.setObject(i + 1, r.get(i)))
-            st.addBatch(); n += 1
-            if (n % batchSize == 0) st.executeBatch()
-          }
-          st.executeBatch()
-          conn.commit()
-        } finally conn.close()
+        ()
       }
     }
   }

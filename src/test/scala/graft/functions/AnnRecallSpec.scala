@@ -58,6 +58,13 @@ class AnnRecallSpec extends SparkSpec {
     assert(r >= 0.85, f"IVF recall@10 degraded to $r%.4f")
   }
 
+  test("fixed-point portable IVF — q61's oracled path — holds the same recall floor") {
+    // 2^20 quantization moves centroids by sub-ppm; recall must not move
+    val r = recallAt10(topSets(Similarity.ivfTopKPortable(queries, emb, k = 10)))
+    info(f"portable IVF recall@10 = $r%.4f")
+    assert(r >= 0.85, f"portable IVF recall@10 degraded to $r%.4f")
+  }
+
   private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.select($"idA".cast("long"), $"idB".cast("long"))
       .as[(Long, Long)].collect().toSet

@@ -27,6 +27,42 @@ class SinkSpec extends SparkSpec {
       "INSERT INTO db.t (id, v) VALUES (?, ?) ON DUPLICATE KEY UPDATE id = VALUES(id), v = VALUES(v)")
   }
 
+  test("mergeUpsertSql golden text + bind order") {
+    assert(JdbcSink.mergeUpsertSql("APP.T", Seq("id", "v", "w"), Seq("id")) ==
+      "MERGE INTO APP.T USING SYSIBM.SYSDUMMY1 ON APP.T.id = ? " +
+        "WHEN MATCHED THEN UPDATE SET v = ?, w = ? " +
+        "WHEN NOT MATCHED THEN INSERT (id, v, w) VALUES (?, ?, ?)")
+    assert(JdbcSink.mergeBindOrder(Seq("id", "v", "w"), Seq("id")) ==
+      Seq(0, 1, 2, 0, 1, 2))
+    intercept[IllegalArgumentException] {
+      JdbcSink.mergeUpsertSql("t", Seq("id"), Seq("missing"))
+    }
+  }
+
+  test("live merge upsert on Derby: insert, update, idempotent replay") {
+    System.setProperty("derby.stream.error.file", "/tmp/derby.log")
+    val url = "jdbc:derby:memory:graftsink;create=true"
+    Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute("DROP TABLE APP.UP_T") catch { case _: Throwable => () }
+      st.execute("CREATE TABLE APP.UP_T (ID BIGINT PRIMARY KEY, V BIGINT)")
+    } finally conn.close()
+    val b1 = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("ID", "V")
+    JdbcSink.upsert(b1.repartition(2), url, "APP.UP_T", mergeKeys = Seq("ID"))
+    // overlap: 2,3 update; 4 inserts
+    val b2 = Seq((2L, 200L), (3L, 300L), (4L, 400L)).toDF("ID", "V")
+    JdbcSink.upsert(b2.repartition(2), url, "APP.UP_T", mergeKeys = Seq("ID"))
+    // replaying an identical batch must be a no-op on the final state
+    JdbcSink.upsert(b2, url, "APP.UP_T", mergeKeys = Seq("ID"))
+    val p = new java.util.Properties()
+    p.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val got = spark.read.jdbc(url, "APP.UP_T", p)
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(got == Seq((1L, 10L), (2L, 200L), (3L, 300L), (4L, 400L)))
+  }
+
   test("pre-existing window rows are absorbed by append accounting (no rollback loop)") {
     import org.apache.spark.sql.functions._
     import graft.model._
