@@ -2507,6 +2507,17 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         functions.DeflateSize.compressionBp(col("text")).as("bp"))
     }),
+    // q61's production path: float Lloyd IVF (codegen DotProduct argmin
+    // vs the portable variant's CodegenFallback integer distance). The
+    // gate times the engine-portable twin; recall parity is spec-pinned.
+    "b61_ivf_fast" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") <= 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      functions.Similarity.ivfTopK(queries, emb, k = 10)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos"), 4).as("cos_r"))
+    }),
   )
 
   // ----------------------------------------------------------- oracle SQL
