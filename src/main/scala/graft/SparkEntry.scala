@@ -3152,18 +3152,26 @@ object SparkEntry {
     // re-derived from the events table alone
     "q40_ingestion_lifecycle" ->
       """WITH b1 AS (
-           SELECT strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS e1,
+           SELECT CASE WHEN date_part('microseconds', max(ts)) % 1000000 = 0
+                       THEN strftime(max(ts), '%Y-%m-%d %H:%M:%S')
+                       ELSE strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') END AS e1,
                   max(ts) AS e1t, CAST(count(*) AS BIGINT) AS n1
            FROM events WHERE ts >= TIMESTAMP '2020-01-01 00:00:00'
              AND ts < TIMESTAMP '2024-01-15 00:00:00'),
          b2 AS (
-           SELECT strftime(max(e.ts), '%Y-%m-%d %H:%M:%S.%f') AS e2,
+           SELECT CASE WHEN date_part('microseconds', max(e.ts)) % 1000000 = 0
+                       THEN strftime(max(e.ts), '%Y-%m-%d %H:%M:%S')
+                       ELSE strftime(max(e.ts), '%Y-%m-%d %H:%M:%S.%f') END AS e2,
                   max(e.ts) AS e2t, CAST(count(*) AS BIGINT) AS n2,
-                  strftime(b1.e1t + INTERVAL 1 SECOND, '%Y-%m-%d %H:%M:%S.%f') AS s2
+                  CASE WHEN date_part('microseconds', b1.e1t) % 1000000 = 0
+                       THEN strftime(b1.e1t + INTERVAL 1 SECOND, '%Y-%m-%d %H:%M:%S')
+                       ELSE strftime(b1.e1t + INTERVAL 1 SECOND, '%Y-%m-%d %H:%M:%S.%f') END AS s2
            FROM events e, b1 WHERE e.ts >= b1.e1t + INTERVAL 1 SECOND
            GROUP BY b1.e1t),
-         b3 AS (SELECT strftime(e2t + INTERVAL 1 SECOND,
-                                '%Y-%m-%d %H:%M:%S.%f') AS s3 FROM b2)
+         b3 AS (SELECT CASE WHEN date_part('microseconds', e2t) % 1000000 = 0
+                            THEN strftime(e2t + INTERVAL 1 SECOND, '%Y-%m-%d %H:%M:%S')
+                            ELSE strftime(e2t + INTERVAL 1 SECOND, '%Y-%m-%d %H:%M:%S.%f') END AS s3
+                FROM b2)
          SELECT 'data-loaded-to-s3' AS status, '2020-01-01 00:00:00' AS start_value,
                 b1.e1 AS end_value, b1.n1 AS source_count,
                 CAST(0 AS BIGINT) AS target_count,

@@ -124,14 +124,28 @@ object Incremental {
     * `least(max(a), max(b))` (reference: ingest_mysql_data.py:281-282).
     */
   def deltaBounds(df: DataFrame, deltaExpr: String): (Option[String], Option[String], Long) = {
+    // Timestamp bounds format like the reference's python str(datetime):
+    // whole seconds plain, else EXACTLY 6 fractional digits (same rule as
+    // LogStore.fmtTs). Spark's cast-to-string strips TRAILING zeros
+    // (.65048 for .650480) — a formatting the +1 s bump round-trips fine
+    // but no other engine reproduces, which made the q40 oracle fragile
+    // whenever a max watermark's micros end in 0.
+    def fmt(c: Column): Column =
+      df.select(expr(deltaExpr)).schema.head.dataType match {
+        case org.apache.spark.sql.types.TimestampType =>
+          when(unix_micros(c) % 1000000L === 0L,
+            date_format(c, "yyyy-MM-dd HH:mm:ss"))
+            .otherwise(date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+        case _ => c.cast("string")
+      }
     val row = parseCoalesceExpr(deltaExpr) match {
       case Some((a, b)) =>
-        df.agg(min(expr(deltaExpr)).cast("string").as("lo"),
-               least(max(col(a)), max(col(b))).cast("string").as("hi"),
+        df.agg(fmt(min(expr(deltaExpr))).as("lo"),
+               fmt(least(max(col(a)), max(col(b)))).as("hi"),
                count(lit(1)).as("n")).head()
       case None =>
-        df.agg(min(expr(deltaExpr)).cast("string").as("lo"),
-               max(expr(deltaExpr)).cast("string").as("hi"),
+        df.agg(fmt(min(expr(deltaExpr))).as("lo"),
+               fmt(max(expr(deltaExpr))).as("hi"),
                count(lit(1)).as("n")).head()
     }
     (Option(row.getString(0)), Option(row.getString(1)), row.getLong(2))
