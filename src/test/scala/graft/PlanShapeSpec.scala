@@ -1,0 +1,55 @@
+package graft
+
+/** Pins the physical-plan SHAPES the engine's scale story depends on
+  * (PLANS.md records them; this makes regressions fail the build, not
+  * just a doc diff): filters reach the parquet scan, projections prune
+  * the read schema, dimension joins broadcast, and the latest-row view
+  * is a partial aggregate — never a window sort over the corpus.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, SfDir).queryExecution.executedPlan.toString
+
+  test("q02 filter+projection reach the scan: PushedFilters populated, ReadSchema pruned") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: ["), s"no pushdown:\n$p")
+    assert(!p.contains("PushedFilters: []"), s"empty pushdown:\n$p")
+    // the lineitem scan must not read all 16 columns for a 4-column query
+    // (assert on the FileScan output list — the ReadSchema text truncates)
+    val scanCols = "FileScan parquet \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(scanCols.nonEmpty && scanCols.forall(_.split(",").length <= 6),
+      s"scan reads unpruned schema:\n$p")
+  }
+
+  test("q03 dimension joins broadcast — no shuffle join on a dim table") {
+    val p = plan("q03_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast dim join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dim join fell back to SMJ:\n$p")
+  }
+
+  test("q05 latest-row view is a partial aggregate, not a window sort") {
+    val p = plan("q05_latest_row_view")
+    assert(!p.contains("Window"), s"latest-row regressed to a window plan:\n$p")
+    // max_by(struct) plans as SortAggregate — still a PARTIAL aggregate
+    // (partial_max_by before the exchange, |keys| rows shuffled); the
+    // property pinned here is partial-agg-before-exchange, not the
+    // aggregate impl
+    assert(p.contains("partial_max_by"),
+      s"expected partial max_by aggregation before the exchange:\n$p")
+  }
+
+  test("q64 top-k per group shuffles the aggregator's partial buffers, not all rows") {
+    val p = plan("q64_topk_aggregator")
+    assert(!p.contains("Window"), s"top-k regressed to a window sort:\n$p")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"expected typed-aggregator plan:\n$p")
+  }
+
+  test("q28 ANN candidate probe broadcasts the query side") {
+    val p = plan("q28_ann_lsh_topk")
+    assert(p.contains("BroadcastExchange"), s"probe side must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"ANN must never go all-pairs:\n$p")
+  }
+}
