@@ -2404,6 +2404,78 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("CENTS")).as("cents"))
         .select(col("first_batch_only"), col("n"), col("cents"))
     }),
+
+    // D — prefix-filtered EXACT Jaccard similarity self-join (AllPairs /
+    // PPJoin) over 3-gram shingle sets: the lossless tier of the dedup
+    // family — every pair ≥ 0.6 found, none missed, no hashing. The
+    // oracle is the naive all-pairs join, so a hash match PROVES the
+    // prefix filter's completeness lemma held on this corpus, not just
+    // that the verify step is right. (Shingle sets, not token sets: the
+    // template corpus shares vocabulary corpus-wide — unigram Jaccard
+    // ≥ 0.6 holds for 57% of ALL pairs, carrying no dedup signal.)
+    "q153_prefix_jaccard" -> ((s, dir) => {
+      functions.PrefixJoin.shingleHashJaccardJoin(
+        t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.6)
+    }),
+
+    // E2E — row-level snapshot diff: a deterministic mutation of orders
+    // (deletes %97, value updates %89, inserts shifted +20M for %101)
+    // diffed against the base by key → added/removed/changed. Each side
+    // reduces to (key, md5) map-side before the single full-outer join.
+    "q154_snapshot_diff" -> ((s, dir) => {
+      val base = t(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderstatus"))
+      val v2 = base.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("cents", when(col("o_orderkey") % 89 === 0,
+          col("cents") + 1111L).otherwise(col("cents")))
+        .unionByName(base.filter(col("o_orderkey") % 101 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 20000000L))
+      graft.operators.SnapshotDiff.diff(base, v2, Seq("o_orderkey"))
+    }),
+
+    // ST — streaming exact dedup with WATERMARK-BOUNDED state
+    // (dropDuplicatesWithinWatermark): state holds only keys first seen
+    // within the lateness horizon — the unbounded-state dropDuplicates
+    // footgun removed. Keys-only projection makes the emitted row
+    // arrival-order independent; the oracle is batch DISTINCT.
+    "q155_stream_dedup" -> ((s, dir) => {
+      val tmp = stageEvents(dir)
+      val name = "graft_q155_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      graft.streaming.EventsStream.runToMemory(s, tmp.toString, name,
+        df => df.select(col("user_id"), col("event_type"), col("ts"))
+          .withWatermark("ts", "24 hours")
+          .dropDuplicatesWithinWatermark("user_id", "event_type")
+          .select(col("user_id"), col("event_type")),
+        outputMode = "append")
+      dropStaged(tmp)
+      s.table(name)
+    }),
+
+    // V — SemDeDup cluster-scoped semantic dedup: k-means buckets (q100's
+    // broadcast argmin assignment) confine the exact pairwise cosine to
+    // within-cluster blocks; members with a smaller-id ≥0.95 partner in
+    // their own cluster drop. The oracle replays assignment AND the
+    // within-cluster prune, so the cluster-boundary approximation itself
+    // is pinned, not just the survivors.
+    "q156_semdedup" -> ((s, dir) => {
+      functions.Similarity.semDedup(
+        t(s, dir, "embeddings"), "vec_id", "embedding", nClusters = 16, threshold = 0.95)
+    }),
+
+    // ST — HOPPING event-time windows (1 h window / 15 min slide): each
+    // event lands in exactly 4 overlapping windows; counts + integer
+    // cents keep the overlap deterministic. The oracle materializes the
+    // 4-fold expansion relationally.
+    "q157_hopping_windows" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("value_cents"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hop_start"),
+          col("event_type"), col("n"), col("value_cents"))
+    }),
   )
 
   // ----------------------------------------------------------- bench-only
@@ -4809,5 +4881,72 @@ object SparkEntry {
          SELECT k <= 1000 AS first_batch_only, CAST(count(*) AS BIGINT) AS n,
            CAST(sum(cents) AS BIGINT) AS cents
          FROM fin GROUP BY 1""",
+    // the NAIVE all-pairs join: a hash match proves the Spark side's
+    // prefix filter lost no qualifying pair (completeness lemma) and
+    // invented none (the exact verify)
+    "q153_prefix_jaccard" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(
+             string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS t
+           FROM documents),
+         sets AS (
+           SELECT doc_id, list_distinct(list_transform(
+             CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                  ELSE list_transform(range(1, len(t)-1),
+                         i -> t[i]||' '||t[i+1]||' '||t[i+2]) END,
+             s -> CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT))) AS sh
+           FROM toks),
+         s AS (SELECT doc_id, sh, len(sh) AS n FROM sets WHERE len(sh) > 0),
+         pairs AS (
+           SELECT a.doc_id AS idA, b.doc_id AS idB,
+             len(list_intersect(a.sh, b.sh)) AS i, a.n AS na, b.n AS nb
+           FROM s a JOIN s b ON b.doc_id > a.doc_id)
+         SELECT idA, idB, CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) AS jaccard
+         FROM pairs WHERE i * 10000 >= 6000 * (na + nb - i)""",
+    // statuses re-derived logically from the mutation rules (deletion
+    // wins over update for keys divisible by both 97 and 89)
+    "q154_snapshot_diff" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, 'removed' AS status
+         FROM orders WHERE o_orderkey % 97 = 0
+         UNION ALL
+         SELECT CAST(o_orderkey AS BIGINT), 'changed'
+         FROM orders WHERE o_orderkey % 97 <> 0 AND o_orderkey % 89 = 0
+         UNION ALL
+         SELECT CAST(o_orderkey + 20000000 AS BIGINT), 'added'
+         FROM orders WHERE o_orderkey % 101 = 0""",
+    "q155_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events""",
+    // q100's assignment CTE + the within-cluster cosine prune
+    "q156_semdedup" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+         d AS (SELECT e.vec_id, c.cid,
+                 list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)
+                   + list_dot_product(c.cv, c.cv) AS dist
+               FROM e CROSS JOIN c),
+         a AS (SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id FROM (
+                 SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                 FROM d) WHERE rn = 1),
+         losers AS (
+           SELECT DISTINCT y.vec_id
+           FROM a x JOIN a y ON y.cluster_id = x.cluster_id AND y.vec_id > x.vec_id
+           JOIN e ex ON ex.vec_id = x.vec_id
+           JOIN e ey ON ey.vec_id = y.vec_id
+           WHERE list_dot_product(ex.v, ey.v)
+             / (sqrt(list_dot_product(ex.v, ex.v)) * sqrt(list_dot_product(ey.v, ey.v))) >= 0.95)
+         SELECT vec_id, cluster_id FROM a
+         WHERE vec_id NOT IN (SELECT vec_id FROM losers)""",
+    // each event expands into its 4 hops: bucket15(ts) − k·15min, k=0..3
+    "q157_hopping_windows" ->
+      """WITH ev AS (SELECT ts, event_type, CAST(round(value*100) AS BIGINT) AS cents
+                     FROM events),
+         hops AS (
+           SELECT strftime(time_bucket(INTERVAL '15 minutes', ts)
+                           - k * INTERVAL '15 minutes', '%Y-%m-%d %H:%M:%S') AS hop_start,
+             event_type, cents
+           FROM ev, unnest(range(0, 4)) AS u(k))
+         SELECT hop_start, event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS value_cents
+         FROM hops GROUP BY 1, 2""",
   )
 }

@@ -470,4 +470,38 @@ object Similarity {
       .select(col("idB").as(idCol)).distinct()
     df.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** SemDeDup (Abbas et al., arXiv:2303.09540): cluster-scoped semantic
+    * dedup — k-means-bucket the embeddings, compute EXACT pairwise
+    * cosine only WITHIN each cluster, and drop every member with a
+    * smaller-id partner at ≥ `threshold`. The published recipe for
+    * web-scale corpora: all-pairs cosine is confined to cluster-sized
+    * blocks, so the pair volume is Σ|cluster|², tuned by k — at 100 TB
+    * k grows with the corpus so cluster size (and the per-cluster
+    * quadratic block) stays CONSTANT; the cross-cluster near-dups this
+    * sacrifices are the algorithm's documented approximation (the
+    * banded-LSH path, [[cosineNearDupDedup]], is the alternative whose
+    * misses are probabilistic instead of boundary-shaped).
+    *
+    * Plan: one broadcast-assign pass ([[assignToLowestIdCentroids]] —
+    * argmin as a partial agg, no window), one self-equi-join on
+    * cluster_id with `idA < idB` and the cosine filter fused into the
+    * same stage, one distinct + left_anti. Nothing global is quadratic.
+    */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+               nClusters: Int, threshold: Double = 0.95): DataFrame = {
+    val assigned = assignToLowestIdCentroids(df, idCol, vecCol, nClusters)
+    val vecs = df.select(col(idCol).cast("long").as("vec_id"),
+        asDouble(col(vecCol)).as("__v"))
+      .join(assigned, Seq("vec_id"))
+    val a = vecs.select(col("cluster_id"), col("vec_id").as("idA"), col("__v").as("__va"))
+    val b = vecs.select(col("cluster_id"), col("vec_id").as("idB"), col("__v").as("__vb"))
+    val losers = a.join(b, Seq("cluster_id"))
+      .filter(col("idA") < col("idB") &&
+        cosineWithNorms(col("__va"), col("__vb"),
+          l2norm(col("__va")), l2norm(col("__vb"))) >= threshold)
+      .select(col("idB").as("vec_id")).distinct()
+    vecs.select(col("vec_id"), col("cluster_id"))
+      .join(losers, Seq("vec_id"), "left_anti")
+  }
 }
