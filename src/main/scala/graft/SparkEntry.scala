@@ -2464,6 +2464,23 @@ object SparkEntry {
         t(s, dir, "embeddings"), "vec_id", "embedding", nClusters = 16, threshold = 0.95)
     }),
 
+    // T — iterative proportional fitting (raking) of sampling weights to
+    // equal-share (lang × source) marginal targets, 3 alternating passes
+    // in pure ppm-integer arithmetic; the corpus is scanned ONCE for the
+    // contingency cells, the loop runs on the bounded cell grid.
+    "q158_ipf_raking" -> ((s, dir) => {
+      functions.Raking.rakeEqualShares(
+        t(s, dir, "documents"), "lang", "source", iterations = 3)
+    }),
+
+    // A — Count-Min sketch over event user_ids (4×256, portable salted
+    // md5 bucket hashes) with per-key point estimates vs exact counts:
+    // the fixed-memory frequency sketch beside q110's Misra-Gries pass.
+    "q159_count_min" -> ((s, dir) => {
+      functions.CountMin.estimates(
+        t(s, dir, "events"), "user_id", depth = 4, width = 256)
+    }),
+
     // ST — HOPPING event-time windows (1 h window / 15 min slide): each
     // event lands in exactly 4 overlapping windows; counts + integer
     // cents keep the overlap deterministic. The oracle materializes the
@@ -4936,6 +4953,46 @@ object SparkEntry {
              / (sqrt(list_dot_product(ex.v, ex.v)) * sqrt(list_dot_product(ey.v, ey.v))) >= 0.95)
          SELECT vec_id, cluster_id FROM a
          WHERE vec_id NOT IN (SELECT vec_id FROM losers)""",
+    // 3 unrolled row/col scaling passes, integer ppm weights; window
+    // sums over BIGINT cells are exact, so every division replays
+    "q158_ipf_raking" ->
+      """WITH cells AS (
+           SELECT CAST(lang AS VARCHAR) AS rowv, CAST(source AS VARCHAR) AS colv,
+             CAST(count(*) AS BIGINT) AS n
+           FROM documents GROUP BY 1, 2),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS t,
+                   CAST(count(DISTINCT rowv) AS BIGINT) AS nr,
+                   CAST(count(DISTINCT colv) AS BIGINT) AS nc FROM cells),
+         t0 AS (SELECT rowv, colv, n, CAST(1000000 AS BIGINT) AS w FROM cells),
+         r1 AS (SELECT rowv, colv, n, CAST(w * ((SELECT (t // nr) * 1000000 FROM tot))
+                  // CAST(sum(n*w) OVER (PARTITION BY rowv) AS BIGINT) AS BIGINT) AS w FROM t0),
+         c1 AS (SELECT rowv, colv, n, CAST(w * ((SELECT (t // nc) * 1000000 FROM tot))
+                  // CAST(sum(n*w) OVER (PARTITION BY colv) AS BIGINT) AS BIGINT) AS w FROM r1),
+         r2 AS (SELECT rowv, colv, n, CAST(w * ((SELECT (t // nr) * 1000000 FROM tot))
+                  // CAST(sum(n*w) OVER (PARTITION BY rowv) AS BIGINT) AS BIGINT) AS w FROM c1),
+         c2 AS (SELECT rowv, colv, n, CAST(w * ((SELECT (t // nc) * 1000000 FROM tot))
+                  // CAST(sum(n*w) OVER (PARTITION BY colv) AS BIGINT) AS BIGINT) AS w FROM r2),
+         r3 AS (SELECT rowv, colv, n, CAST(w * ((SELECT (t // nr) * 1000000 FROM tot))
+                  // CAST(sum(n*w) OVER (PARTITION BY rowv) AS BIGINT) AS BIGINT) AS w FROM c2),
+         c3 AS (SELECT rowv, colv, n, CAST(w * ((SELECT (t // nc) * 1000000 FROM tot))
+                  // CAST(sum(n*w) OVER (PARTITION BY colv) AS BIGINT) AS BIGINT) AS w FROM r3)
+         SELECT rowv, colv, n, w AS w_ppm FROM c3""",
+    // identical salted-md5 bucket hashes; sketch counters re-derived
+    // from the per-key exacts (same sums)
+    "q159_count_min" ->
+      """WITH ex AS (SELECT CAST(user_id AS VARCHAR) AS key,
+                       CAST(count(*) AS BIGINT) AS exact
+                     FROM events GROUP BY 1),
+         probes AS (
+           SELECT key, exact, d,
+             CAST(('0x' || substring(md5(CAST(d AS VARCHAR) || ':' || key), 1, 15)) AS BIGINT)
+               % 256 AS bucket
+           FROM ex, unnest(range(0, 4)) AS u(d)),
+         cells AS (
+           SELECT d, bucket, CAST(sum(exact) AS BIGINT) AS counter
+           FROM probes GROUP BY 1, 2)
+         SELECT p.key, p.exact, CAST(min(c.counter) AS BIGINT) AS est
+         FROM probes p JOIN cells c USING (d, bucket) GROUP BY 1, 2""",
     // each event expands into its 4 hops: bucket15(ts) − k·15min, k=0..3
     "q157_hopping_windows" ->
       """WITH ev AS (SELECT ts, event_type, CAST(round(value*100) AS BIGINT) AS cents

@@ -10,6 +10,20 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   */
 object JdbcSink {
 
+  /** Embedded Derby is an in-JVM engine whose MERGE is not safe under
+    * concurrent same-statement execution: two executor threads racing
+    * the same MERGE text can hit an internal NPE
+    * (MatchingClauseConstantAction._actionRS null) and — worse — leave
+    * the database-level statement-plan cache in a state where later
+    * MERGEs silently skip their action (observed once in the gate as a
+    * lost INSERT that a clean rerun replayed fine). Server-mode
+    * databases are unaffected; for `jdbc:derby:` URLs the partition
+    * transactions serialize on this JVM-wide lock — the distributed
+    * plan shape is unchanged, only the embedded test double is
+    * protected.
+    */
+  private val embeddedDerbyMergeLock = new Object
+
   /** Plain insert: the built-in writer, batched per partition. */
   def insert(df: DataFrame, url: String, table: String,
              props: Map[String, String] = Map.empty): Unit = {
@@ -82,34 +96,38 @@ object JdbcSink {
       // so the buffer is bounded.
       val buf = rows.toVector
       if (buf.nonEmpty) {
-        // transient connect failures and lock conflicts are the common
-        // DB-side flakes; retry with backoff (reference:
-        // MySQLWrapper.py:34-41) before letting the task fail into
-        // Spark's own retry layer
-        graft.util.Retry.withBackoff(attempts = 3, baseDelayMs = 1000L) {
-          val conn = java.sql.DriverManager.getConnection(url)
-          try {
-            conn.setAutoCommit(false)
-            val st = conn.prepareStatement(sql)
-            var n = 0
-            buf.foreach { r =>
-              bind.zipWithIndex.foreach { case (ci, slot) =>
-                st.setObject(slot + 1, r.get(ci))
+        def runTx(): Unit =
+          // transient connect failures and lock conflicts are the common
+          // DB-side flakes; retry with backoff (reference:
+          // MySQLWrapper.py:34-41) before letting the task fail into
+          // Spark's own retry layer
+          graft.util.Retry.withBackoff(attempts = 3, baseDelayMs = 1000L) {
+            val conn = java.sql.DriverManager.getConnection(url)
+            try {
+              conn.setAutoCommit(false)
+              val st = conn.prepareStatement(sql)
+              var n = 0
+              buf.foreach { r =>
+                bind.zipWithIndex.foreach { case (ci, slot) =>
+                  st.setObject(slot + 1, r.get(ci))
+                }
+                st.addBatch(); n += 1
+                if (n % batchSize == 0) st.executeBatch()
               }
-              st.addBatch(); n += 1
-              if (n % batchSize == 0) st.executeBatch()
-            }
-            st.executeBatch()
-            conn.commit()
-          } catch {
-            case e: Throwable =>
-              // roll back BEFORE close: closing with an open transaction
-              // throws its own exception and masks the root cause (and
-              // some drivers refuse the close outright)
-              try conn.rollback() catch { case _: Throwable => () }
-              throw e
-          } finally conn.close()
-        }
+              st.executeBatch()
+              conn.commit()
+            } catch {
+              case e: Throwable =>
+                // roll back BEFORE close: closing with an open transaction
+                // throws its own exception and masks the root cause (and
+                // some drivers refuse the close outright)
+                try conn.rollback() catch { case _: Throwable => () }
+                throw e
+            } finally conn.close()
+          }
+        if (url.startsWith("jdbc:derby:"))
+          embeddedDerbyMergeLock.synchronized(runTx())
+        else runTx()
         ()
       }
     }
