@@ -2601,6 +2601,13 @@ object SparkEntry {
         s.read.parquet(s"$fx/derived_join.parquet"), 1L, 3L, 1L, 3L,
         "cust", Seq("nation"), Seq("cents"), cntCol = "n_orders")
     }),
+    // q153's production path: xxhash64 shingle hashes (codegen, no
+    // MessageDigest per element) — same pair set as the md5-portable
+    // gate form barring a ~2⁻⁶⁵-scale collision; spec-pinned equal.
+    "b153_prefix_fast" -> ((s, dir) => {
+      functions.PrefixJoin.shingleFastJaccardJoin(
+        t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.6)
+    }),
     // q24's production path: xxhash64 simhash (one hash pass vs md5's
     // four rounds). Bit-parity with the portable path is spec-pinned
     // (DedupSpec); q24 times the md5 oracle-portable twin.

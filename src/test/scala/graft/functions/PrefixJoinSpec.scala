@@ -63,11 +63,14 @@ class PrefixJoinSpec extends SparkSpec {
     val fast = PrefixJoin.shingleJaccardJoin(docs, "doc_id", "text", 3, 0.6)
       .select("idA", "idB").as[(Long, Long)].collect().toSet
     assert(fast === slow)
-    // the hashed production shape finds the identical pair set (60-bit
+    // the hashed production shapes find the identical pair set (60/64-bit
     // conflation is deterministic and collision-free at corpus scale)
     val hashed = PrefixJoin.shingleHashJaccardJoin(docs, "doc_id", "text", 3, 0.6)
       .select("idA", "idB").as[(Long, Long)].collect().toSet
     assert(hashed === slow)
+    val xxfast = PrefixJoin.shingleFastJaccardJoin(docs, "doc_id", "text", 3, 0.6)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(xxfast === slow)
   }
 
   test("threshold 1.0 degenerates to exact-set equality, prefix length 1") {
