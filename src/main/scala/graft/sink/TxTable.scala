@@ -724,6 +724,54 @@ object TxTable {
       expectedHead = Some(head), stats = stats)
   }
 
+  /** Snapshot clone: publish `src`'s state at `version` (0 = head) as
+    * commit v1 of a NEW table at `dst` — the Delta SHALLOW CLONE shape.
+    * Data files are HARDLINKED when both sides are on a local POSIX
+    * filesystem (zero-copy, O(files) metadata ops; the linked inodes
+    * keep the clone readable even after the source compacts and vacuums
+    * the originals away) and byte-copied otherwise (HDFS/object stores;
+    * a reference-only clone would need absolute URIs in commits, and
+    * TxTable deliberately keeps table-relative refs so vacuum/compact
+    * stay closed over the table dir). Per-file column stats ride along,
+    * so pruned reads work on the clone unchanged. After the clone the
+    * two tables are fully independent: append/delete/compact/vacuum on
+    * either never touches the other.
+    *
+    * 100 TB shape: no data pass at all on local/posix (links) and one
+    * distributed-copy-free sequential copy otherwise; the commit is one
+    * JSON rename either way. Cloning a petabyte table is a metadata
+    * operation, which is the entire point.
+    */
+  def cloneAt(spark: SparkSession, src: String, dst: String,
+              version: Long = 0L): Long = {
+    val sfs = fsFor(spark, src)
+    val dfs = fsFor(spark, dst)
+    require(headVersion(spark, dst) == 0L, s"clone target $dst is not empty")
+    val v = if (version == 0L) headVersion(spark, src) else version
+    require(v > 0L, s"clone source $src has no committed version")
+    val entries = entriesAt(sfs, src, v)
+    val batch = "batch-clone-" + java.util.UUID.randomUUID().toString.take(12)
+    dfs.mkdirs(new Path(s"$dst/$batch"))
+    val added = entries.map { case (rel, _) =>
+      val flat = rel.replace("/", "__")
+      val from = sfs.makeQualified(new Path(s"$src/$rel"))
+      val to = dfs.makeQualified(new Path(s"$dst/$batch/$flat"))
+      val linked =
+        if (from.toUri.getScheme == "file" && to.toUri.getScheme == "file")
+          try {
+            java.nio.file.Files.createLink(
+              java.nio.file.Paths.get(to.toUri), java.nio.file.Paths.get(from.toUri))
+            true
+          } catch { case _: UnsupportedOperationException | _: java.io.IOException => false }
+        else false
+      if (!linked)
+        org.apache.hadoop.fs.FileUtil.copy(sfs, from, dfs, to, false,
+          spark.sparkContext.hadoopConfiguration)
+      s"$batch/$flat"
+    }
+    commit(spark, dst, added = added, removed = Nil, stats = entries.map(_._2))
+  }
+
   /** Delete data files no commit path can reach (crash orphans and
     * compacted-away files). `minAgeMs` is the reader/writer grace window
     * and applies to BOTH classes: staged-but-uncommitted batches younger

@@ -84,7 +84,8 @@ object EventsStream {
     * count.
     */
   def purchaseAttribution(events: DataFrame, windowHours: Int = 24,
-                          lateness: String = "30 minutes"): DataFrame = {
+                          lateness: String = "30 minutes",
+                          joinType: String = "inner"): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
         col("event_id").as("click_id"))
@@ -96,9 +97,23 @@ object EventsStream {
     purchases.join(clicks,
       col("p_user") === col("c_user") &&
         col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowHours HOURS") &&
-        col("c_ts") <= col("p_ts"))
+        col("c_ts") <= col("p_ts"), joinType)
       .select(col("purchase_id"), col("click_id"))
   }
+
+  /** LEFT OUTER form of [[purchaseAttribution]]: unattributed purchases
+    * emit (purchase_id, NULL) — but only once the watermark passes the
+    * purchase's own eviction point (clicks up to `p_ts` could still
+    * match, so state holds until watermark > p_ts + lateness). The tail
+    * of the stream younger than the final watermark therefore never
+    * null-emits in a finite drain — the outer join's completeness is
+    * watermark-bounded BY DESIGN, which is exactly what bounds its
+    * state at 100 TB (an unconditional outer emit would require holding
+    * every unmatched row forever).
+    */
+  def purchaseAttributionLeftOuter(events: DataFrame, windowHours: Int = 24,
+                                   lateness: String = "30 minutes"): DataFrame =
+    purchaseAttribution(events, windowHours, lateness, joinType = "left_outer")
 
   /** Per-user event-time sessionization via mapGroupsWithState: a session
     * closes after `gapMinutes` of event-time silence. State is one small

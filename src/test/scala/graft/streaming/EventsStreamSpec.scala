@@ -86,6 +86,41 @@ class EventsStreamSpec extends SparkSpec {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
+  test("stream-stream LEFT OUTER join: matched pairs exact, nulls watermark-complete") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssloj")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$SfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    EventsStream.runToMemory(spark, dir.toString, "attrib_lo",
+      df => EventsStream.purchaseAttributionLeftOuter(df, windowHours = 24))
+    val streamed = spark.table("attrib_lo")
+    val ev = Tables.load(spark, SfDir, "events")
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id".as("pu"), $"ts".as("pts"))
+    val c = ev.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id".as("cu"), $"ts".as("cts"))
+    val inner = p.join(c, $"pu" === $"cu" &&
+        $"cts" >= $"pts" - expr("INTERVAL 24 HOURS") && $"cts" <= $"pts")
+      .select($"purchase_id", $"click_id")
+    // matched rows are exactly the batch inner join
+    val matched = streamed.filter($"click_id".isNotNull)
+    assert(matched.except(inner).isEmpty && inner.except(matched).isEmpty)
+    // null rows: a subset of the batch-unmatched purchases (no false
+    // nulls), and COMPLETE for purchases safely older than the final
+    // watermark (max_ts − lateness), where eviction has provably fired
+    val unmatchedBatch = p.join(inner, Seq("purchase_id"), "left_anti")
+    val nulls = streamed.filter($"click_id".isNull).select($"purchase_id")
+    assert(nulls.except(unmatchedBatch.select($"purchase_id")).isEmpty,
+      "a matched purchase must never null-emit")
+    val maxTs = ev.agg(max($"ts")).collect()(0).getTimestamp(0).getTime
+    val safe = unmatchedBatch
+      .filter($"pts" < new java.sql.Timestamp(maxTs - 45L * 60L * 1000L))
+      .select($"purchase_id")
+    assert(safe.except(nulls).isEmpty,
+      "every unmatched purchase past the watermark horizon must null-emit")
+    assert(nulls.count() > 0, "fixture must exercise the null-emit path")
+  }
+
   test("foreachBatch upsert leaves exactly the latest row per key") {
     val dir = java.nio.file.Files.createTempDirectory("graft-fbu")
     java.nio.file.Files.copy(
