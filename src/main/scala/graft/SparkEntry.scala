@@ -2493,6 +2493,77 @@ object SparkEntry {
         .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hop_start"),
           col("event_type"), col("n"), col("value_cents"))
     }),
+
+    // R — hybrid retrieval with Reciprocal Rank Fusion (Cormack et al.
+    // 2009): lexical query-by-document ranking (idf-weighted shared
+    // terms, q117's linear integer idf) fused with exact dense cosine
+    // ranking (q27's leg) via EXACT integer RRF — every 1/(60+r) is
+    // lcm(61..70) div (60+r), so the fused ordering replays bit for bit.
+    // Both legs reach the fusion step already trimmed to top-10 per
+    // query by the bounded TopKByScore partial aggregation.
+    "q160_hybrid_rrf" -> ((s, dir) => {
+      functions.Fusion.hybridTopK(
+        t(s, dir, "documents"), t(s, dir, "embeddings"),
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)
+    }),
+
+    // E2E — order-independent table content checksum (migration/backfill
+    // validation): 60-bit row digests summed as two exact 30-bit-half
+    // BIGINTs per l_returnflag group. Equal triples <=> equal content
+    // multisets regardless of row order, file layout or partitioning —
+    // the oracle computes the same sums from its OWN row order, so a
+    // hash match proves order independence, not just the arithmetic.
+    "q161_table_checksum" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      graft.operators.Checksum.grouped(li, col("l_returnflag"),
+          concat_ws("|", col("l_orderkey"), col("l_linenumber").cast("long"),
+            col("l_partkey"), col("l_suppkey"),
+            round(col("l_extendedprice") * 100).cast("long"),
+            col("l_returnflag"), col("l_linestatus")))
+        .select(col("group").as("l_returnflag"), col("n_rows"),
+          col("lo_sum"), col("hi_sum"))
+    }),
+
+    // T — HTML -> text extraction for crawl bodies: each doc is wrapped
+    // in a deterministic page (title, a script whose body contains a
+    // bare `<`, a style block, bold tags around 'table', an &amp;
+    // entity) and htmlToText recovers the text. The oracle derives the
+    // expected output INDEPENDENTLY from the closed form — not by
+    // replaying the regex chain — so the strip logic itself is proven,
+    // not just mirrored.
+    "q162_html_to_text" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val html = concat(
+        lit("<html><head><title>D"), col("doc_id"),
+        lit("</title><script type=\"text/javascript\">var x = 1 < 2;" +
+          "</script><style>.c { color: red; }</style></head><body><h1>Doc "),
+        col("doc_id"), lit("</h1><p>"),
+        regexp_replace(col("text"), "table", "<b>table</b>"),
+        lit(" &amp; tail</p></body></html>"))
+      docs.select(col("doc_id"),
+          functions.TextFunctions.htmlToText(html).as("cleaned"))
+        .withColumn("n_chars_clean", length(col("cleaned")).cast("long"))
+    }),
+
+    // T — URL canonicalization for crawl-frontier dedup: deterministic
+    // fixture urls (host case, default vs real ports, fragments,
+    // tracking params, unsorted params, trailing slashes) canonicalized;
+    // the oracle derives the canonical form INDEPENDENTLY from the
+    // fixture's closed form, so every rule is proven end-to-end.
+    "q163_url_canonicalize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val url = concat(
+        lit("HTTPS://WWW.Site"), col("doc_id") % 7, lit(".COM"),
+        when(col("doc_id") % 4 === 0, ":443")
+          .when(col("doc_id") % 4 === 1, ":8080").otherwise(""),
+        lit("/Path/"), col("doc_id"),
+        when(col("doc_id") % 3 === 0, "/?utm_source=tw&b=2&a=1")
+          .when(col("doc_id") % 3 === 1, "?z=9&utm_campaign=c&fbclid=x&a=1")
+          .otherwise("/"),
+        when(col("doc_id") % 2 === 0, "#frag").otherwise(""))
+      docs.select(col("doc_id"), url.as("url"),
+        functions.Urls.canonicalize(url).as("canon_url"))
+    }),
   )
 
   // ----------------------------------------------------------- bench-only
@@ -5012,5 +5083,94 @@ object SparkEntry {
          SELECT hop_start, event_type, CAST(count(*) AS BIGINT) AS n,
            CAST(sum(cents) AS BIGINT) AS value_cents
          FROM hops GROUP BY 1, 2""",
+    // both legs re-ranked relationally (lexical idf sums, q27's cosine),
+    // fused with the identical exact-integer RRF arithmetic
+    "q160_hybrid_rrf" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+           FROM documents),
+         post AS (
+           SELECT doc_id AS id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY 1, 2),
+         q AS (SELECT DISTINCT id AS query_id, term FROM post WHERE id <= 4),
+         dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df_docs FROM post
+                 WHERE term IN (SELECT term FROM q) GROUP BY 1),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         lex AS (
+           SELECT q.query_id, p.id AS cand_id,
+             CAST(sum(p.tf * ((10000 * (SELECT n_docs FROM tot)) // d.df_docs)) AS BIGINT) AS lex_sc
+           FROM post p JOIN q ON p.term = q.term JOIN dfc d ON d.term = p.term
+           WHERE p.id <> q.query_id GROUP BY 1, 2),
+         lexr AS (
+           SELECT query_id, cand_id, CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY lex_sc DESC, cand_id ASC) AS BIGINT) AS lex_rank
+           FROM lex),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         den AS (
+           SELECT qq.vec_id AS query_id, c.vec_id AS cand_id,
+             list_dot_product(qq.v, c.v)
+               / (sqrt(list_dot_product(qq.v, qq.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+           FROM e qq JOIN e c ON c.vec_id <> qq.vec_id WHERE qq.vec_id <= 4),
+         denr AS (
+           SELECT query_id, cand_id, CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS BIGINT) AS dense_rank
+           FROM den),
+         fused AS (
+           SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+             COALESCE(l.cand_id, d.cand_id) AS cand_id,
+             l.lex_rank, d.dense_rank,
+             COALESCE(142813628717760 // (60 + l.lex_rank), 0)
+               + COALESCE(142813628717760 // (60 + d.dense_rank), 0) AS rrf_sc
+           FROM (SELECT * FROM lexr WHERE lex_rank <= 10) l
+           FULL OUTER JOIN (SELECT * FROM denr WHERE dense_rank <= 10) d
+             ON l.query_id = d.query_id AND l.cand_id = d.cand_id)
+         SELECT query_id, cand_id, lex_rank, dense_rank, CAST(rrf_sc AS BIGINT) AS rrf_sc
+         FROM (SELECT *, row_number() OVER (
+                 PARTITION BY query_id ORDER BY rrf_sc DESC, cand_id ASC) AS rn
+               FROM fused) WHERE rn <= 10""",
+    // same canonical row repr + digest split, summed from DuckDB's own
+    // (different) row order — the hash match IS the order-independence
+    "q161_table_checksum" ->
+      """WITH r AS (
+           SELECT l_returnflag,
+             CAST(('0x' || substring(md5(concat_ws('|',
+               CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+               CAST(l_partkey AS VARCHAR), CAST(l_suppkey AS VARCHAR),
+               CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR),
+               l_returnflag, l_linestatus)), 1, 15)) AS BIGINT) AS h
+           FROM lineitem)
+         SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(h % 1073741824) AS BIGINT) AS lo_sum,
+           CAST(sum(h // 1073741824) AS BIGINT) AS hi_sum
+         FROM r GROUP BY 1""",
+    // INDEPENDENT closed-form derivation of the cleaned text (never the
+    // regex chain): title + heading + body + decoded '&' tail
+    "q162_html_to_text" ->
+      """SELECT doc_id,
+           'D' || CAST(doc_id AS VARCHAR) || ' Doc ' || CAST(doc_id AS VARCHAR)
+             || ' ' || text || ' & tail' AS cleaned,
+           CAST(length('D' || CAST(doc_id AS VARCHAR) || ' Doc '
+             || CAST(doc_id AS VARCHAR) || ' ' || text || ' & tail') AS BIGINT)
+             AS n_chars_clean
+         FROM documents""",
+    // INDEPENDENT closed-form canonical urls: lowercased host, :8080
+    // survives / :443 dropped, fragment gone, params filtered + sorted,
+    // trailing slash stripped
+    "q163_url_canonicalize" ->
+      """SELECT doc_id,
+           'HTTPS://WWW.Site' || CAST(doc_id % 7 AS VARCHAR) || '.COM'
+             || CASE WHEN doc_id % 4 = 0 THEN ':443'
+                     WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END
+             || '/Path/' || CAST(doc_id AS VARCHAR)
+             || CASE WHEN doc_id % 3 = 0 THEN '/?utm_source=tw&b=2&a=1'
+                     WHEN doc_id % 3 = 1 THEN '?z=9&utm_campaign=c&fbclid=x&a=1'
+                     ELSE '/' END
+             || CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END AS url,
+           'https://www.site' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+             || CASE WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END
+             || '/Path/' || CAST(doc_id AS VARCHAR)
+             || CASE WHEN doc_id % 3 = 0 THEN '?a=1&b=2'
+                     WHEN doc_id % 3 = 1 THEN '?a=1&z=9' ELSE '' END AS canon_url
+         FROM documents""",
   )
 }

@@ -350,6 +350,31 @@ object TextFunctions {
     * [[NfcNormalize]] expression — zero shuffle, engine-portable (the
     * oracle runs the identical chain).
     */
+  /** HTML → text extraction for crawl bodies: drop script/style blocks
+    * WHOLE (their content is code, and an unstripped `<` inside a script
+    * would corrupt the later tag pass), drop comments, strip remaining
+    * tags, decode the entity set (`&amp;` LAST so `&amp;lt;` decodes to
+    * the literal `&lt;`, the [[cleanText]] rule), collapse whitespace.
+    *
+    * Pure per-row codegen'd regexp chain — zero shuffle at any scale —
+    * and deliberately restricted to the RE2-safe regex subset (no
+    * backreferences: script and style are separate patterns), so an
+    * engine whose regex is RE2 replays it exactly.
+    */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "(?s)<[^>]+>", " ")
+    val entities = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+      "&nbsp;" -> " ", "&amp;" -> "&")
+    val decoded = entities.foldLeft(noTags) { case (c, (e, r)) =>
+      regexp_replace(c, e, r)
+    }
+    trim(regexp_replace(decoded, "[ \\t\\r\\n]+", " "))
+  }
+
   def cleanText(text: Column): Column = {
     val entities = Seq(
       "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
