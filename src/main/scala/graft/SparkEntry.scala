@@ -2564,6 +2564,66 @@ object SparkEntry {
       docs.select(col("doc_id"), url.as("url"),
         functions.Urls.canonicalize(url).as("canon_url"))
     }),
+
+    // A — first-order Markov transition matrix over per-user event
+    // streams ("what happens after X"): one key shuffle for the lag
+    // window (frame = previous row only), then a partial-agg'd groupBy
+    // over the tiny (from, to) domain; probabilities in exact ppm.
+    "q164_markov_transitions" -> ((s, dir) => {
+      graft.operators.Transitions.matrix(t(s, dir, "events"),
+        col("user_id"), col("event_type"),
+        Seq(col("ts").asc, col("event_id").asc))
+    }),
+
+    // D — deletion-neighborhood fuzzy record linkage (FastSS/SymSpell):
+    // dirty probe names (deterministic 1-edit typos; %7 rows get +3
+    // chars and must NOT match) link to the uniquified part catalog via
+    // an EQUI-join over single-deletion variant keys — complete for
+    // edit distance <= 1, no similarity join, no block scan — then
+    // levenshtein verify + argmin. The oracle replays keys, join,
+    // verify, and the (dist, id) tie rule.
+    "q165_fuzzy_match" -> ((s, dir) => {
+      val cat = t(s, dir, "part").select(col("p_partkey").as("cid"),
+        concat_ws(" ", col("p_name"), col("p_partkey")).as("cname"))
+      val probe = cat.select((col("cid") + 1000000L).as("pid"),
+        when(col("cid") % 7 === 0, concat(col("cname"), lit("zzz")))
+          .when(col("cid") % 4 === 1,
+            concat(substring(col("cname"), 1, 2), expr("substring(cname, 4)")))
+          .when(col("cid") % 4 === 2,
+            concat(substring(col("cname"), 1, 4), expr("substring(cname, 4)")))
+          .when(col("cid") % 4 === 3,
+            concat(substring(col("cname"), 1, 1), lit("x"), expr("substring(cname, 3)")))
+          .otherwise(col("cname")).as("pname"))
+      graft.operators.FuzzyJoin.bestMatch1(probe, col("pid"), col("pname"),
+        cat, col("cid"), col("cname"))
+    }),
+
+    // T — knowledge-cutoff date extraction: ISO-shaped dates injected
+    // into the text in closed form; isoDates pulls them back out and
+    // the per-doc count + lexicographic max (== latest date) are
+    // checked against an INDEPENDENT derivation — the oracle never runs
+    // the regex, so extraction itself is proven.
+    "q166_date_extract" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val aug = concat(col("text"),
+        when(col("doc_id") % 5 === 0, "").otherwise(
+          concat(lit(" updated 202"), col("doc_id") % 4, lit("-0"),
+            col("doc_id") % 9 + 1, lit("-1"), col("doc_id") % 3)),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" archived 2019-12-2"), col("doc_id") % 8)).otherwise(""))
+      docs.select(col("doc_id"),
+        size(functions.TextFunctions.isoDates(aug)).cast("long").as("n_dates"),
+        array_max(functions.TextFunctions.isoDates(aug)).as("max_date"))
+    }),
+
+    // T — priority sampling (Duffield–Lund–Thorup 2007) in deterministic
+    // integer quantization: top-50 docs by w·10^12 div (rank52+1) with
+    // each survivor's τ-capped unbiased weight estimate; ONE bounded
+    // TopKByScore pass, τ from the same top-(k+1) rows.
+    "q167_priority_sample" -> ((s, dir) => {
+      functions.Sampling.prioritySample(
+        t(s, dir, "documents"), col("doc_id"), col("n_chars"), k = 50)
+    }),
   )
 
   // ----------------------------------------------------------- bench-only
@@ -5172,5 +5232,75 @@ object SparkEntry {
              || CASE WHEN doc_id % 3 = 0 THEN '?a=1&b=2'
                      WHEN doc_id % 3 = 1 THEN '?a=1&z=9' ELSE '' END AS canon_url
          FROM documents""",
+    // identical lag ordering (ts, event_id) and exact ppm division
+    "q164_markov_transitions" ->
+      """WITH seq AS (
+           SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+         cnt AS (SELECT prev AS from_state, event_type AS to_state,
+                   CAST(count(*) AS BIGINT) AS n
+                 FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+         ft AS (SELECT from_state, CAST(sum(n) AS BIGINT) AS n_from FROM cnt GROUP BY 1)
+         SELECT c.from_state, c.to_state, c.n,
+           CAST((c.n * 1000000) // f.n_from AS BIGINT) AS p_ppm
+         FROM cnt c JOIN ft f USING (from_state)""",
+    // full replay: same typos, same deletion-variant keys, same
+    // candidate equi-join, levenshtein <= 1 verify, (dist, id) argmin
+    "q165_fuzzy_match" ->
+      """WITH cat AS (
+           SELECT p_partkey AS cid,
+             p_name || ' ' || CAST(p_partkey AS VARCHAR) AS cname
+           FROM part),
+         probe AS (
+           SELECT cid + 1000000 AS pid,
+             CASE WHEN cid % 7 = 0 THEN cname || 'zzz'
+                  WHEN cid % 4 = 1 THEN substring(cname, 1, 2) || substring(cname, 4)
+                  WHEN cid % 4 = 2 THEN substring(cname, 1, 4) || substring(cname, 4)
+                  WHEN cid % 4 = 3 THEN substring(cname, 1, 1) || 'x' || substring(cname, 3)
+                  ELSE cname END AS pname
+           FROM cat),
+         pk AS (
+           SELECT pid, pname, unnest(list_distinct(list_prepend(pname,
+             list_transform(range(1, length(pname) + 1),
+               i -> substring(pname, 1, i - 1) || substring(pname, i + 1))))) AS k
+           FROM probe),
+         ck AS (
+           SELECT cid, cname, unnest(list_distinct(list_prepend(cname,
+             list_transform(range(1, length(cname) + 1),
+               i -> substring(cname, 1, i - 1) || substring(cname, i + 1))))) AS k
+           FROM cat),
+         cand AS (SELECT DISTINCT pid, cid, pname, cname FROM pk JOIN ck USING (k)),
+         v AS (SELECT pid, cid, levenshtein(pname, cname) AS dist FROM cand
+               WHERE levenshtein(pname, cname) <= 1)
+         SELECT pid AS probe_id, cid AS match_id, CAST(dist AS BIGINT) AS dist
+         FROM (SELECT *, row_number() OVER (
+                 PARTITION BY pid ORDER BY dist, cid) AS rn FROM v) WHERE rn = 1""",
+    // INDEPENDENT closed-form derivation: counts and latest date from
+    // the injection rules, never the regex (updated year 202x always
+    // beats archived 2019)
+    "q166_date_extract" ->
+      """SELECT doc_id,
+           CAST((CASE WHEN doc_id % 5 <> 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dates,
+           CASE WHEN doc_id % 5 <> 0
+                  THEN '202' || CAST(doc_id % 4 AS VARCHAR) || '-0'
+                    || CAST(doc_id % 9 + 1 AS VARCHAR) || '-1'
+                    || CAST(doc_id % 3 AS VARCHAR)
+                WHEN doc_id % 7 = 0 THEN '2019-12-2' || CAST(doc_id % 8 AS VARCHAR)
+                ELSE NULL END AS max_date
+         FROM documents""",
+    // same integer priorities, same (k+1)-th-priority tau, same cap
+    "q167_priority_sample" ->
+      """WITH s AS (
+           SELECT doc_id AS id, n_chars AS w,
+             CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) AS r
+           FROM documents),
+         p AS (SELECT id, w, (w * 1000000000000) // (r + 1) AS p_sc FROM s),
+         rk AS (SELECT *, row_number() OVER (ORDER BY p_sc DESC, id ASC) AS rn FROM p),
+         tau AS (SELECT COALESCE(max(CASE WHEN rn = 51 THEN p_sc END), 0) AS tau FROM rk)
+         SELECT id, CAST(w AS BIGINT) AS weight, CAST(p_sc AS BIGINT) AS p_sc,
+           CAST(greatest(w * 1000000000000, (SELECT tau FROM tau)) AS BIGINT) AS w_est_sc
+         FROM rk WHERE rn <= 50""",
   )
 }

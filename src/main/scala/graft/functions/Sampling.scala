@@ -242,4 +242,58 @@ object Sampling {
       .flatMap { case (g, top) => top.map(t => (g, t._1)) }
       .toDF("group", "id")
   }
+
+  /** Priority sampling (Duffield, Lund & Thorup, JACM 2007) with the
+    * deterministic integer quantization this module's hash discipline
+    * requires: priority `q_i = w_i / u_i` becomes the exact BIGINT
+    * `w_i · 10^12 div (rank52_i + 1)` (so `u_i ≈ (rank52+1)/2^52`, a
+    * content-derived uniform), keep the k highest priorities, and emit
+    * each survivor's τ-capped unbiased weight estimate
+    * `max(w_i, τ)` where τ is the (k+1)-th priority — all in the same
+    * 10^12-scaled weight units, every division exact.
+    *
+    * Subset sums of `w_est_sc` estimate the population weight total
+    * with variance ≤ one extra sample (the DLT optimality bound); the
+    * deterministic u_i trades the i.i.d. guarantee for reproducibility,
+    * the standing trade of this module.
+    *
+    * Magnitude: w · 10^12 must stay double-exact through the top-k
+    * aggregator → w ≤ 9007 required loudly. Shape: per-row priority
+    * projection + ONE bounded TopKByScore pass (O(k) shuffled per
+    * partition); the τ computation reuses the same top-(k+1) rows.
+    */
+  def prioritySample(df: DataFrame, id: Column, weight: Column,
+                     k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val agg = new TopKByScore(k + 1).toColumn
+    val scored = df.select(id.cast("long").as("__id"),
+        weight.cast("long").as("__w"),
+        hashRank52(id.cast("string")).as("__r"))
+      .withColumn("__w", when(col("__w") <= 9007L && col("__w") >= 0L, col("__w"))
+        .otherwise(raise_error(format_string(
+          "prioritySample: weight %d outside [0, 9007] — priorities would " +
+            "lose integer exactness in the double-scored aggregator", col("__w")))
+          .cast("long")))
+      .withColumn("__p", expr("__w * 1000000000000L div (__r + 1)"))
+    val top = scored.select(lit(1).as("__g"), col("__id"), col("__w"), col("__p"))
+      .as[(Int, Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._4.toDouble))
+      .agg(agg)
+      .flatMap { case (_, t) => t.map(x => (x._1, x._2.toLong)) }
+      .toDF("id", "p_sc")
+    // τ = the (k+1)-th priority (0 when the population has ≤ k rows);
+    // tiny (k+1)-row set: the window is over O(k), not the corpus
+    val w = Window.orderBy(col("p_sc").desc, col("id").asc)
+    val ranked = top.withColumn("__rk", row_number().over(w))
+    val tau = ranked.agg(coalesce(
+      max(when(col("__rk") === k + 1, col("p_sc"))), lit(0L)).as("__tau"))
+    ranked.filter(col("__rk") <= k)
+      .join(scored.select(col("__id").as("id"), col("__w")), "id")
+      .crossJoin(broadcast(tau))
+      .select(col("id"), col("__w").as("weight"), col("p_sc"),
+        greatest(col("__w") * lit(1000000000000L), col("__tau")).as("w_est_sc"))
+  }
 }

@@ -350,6 +350,17 @@ object TextFunctions {
     * [[NfcNormalize]] expression — zero shuffle, engine-portable (the
     * oracle runs the identical chain).
     */
+  /** All ISO-shaped dates (`\d{4}-\d{2}-\d{2}`) in the text, in
+    * document order — the raw material for knowledge-cutoff audits and
+    * decontamination-by-date (drop docs referencing dates past the
+    * training cutoff). Extraction only, no validation: the caller
+    * decides whether 9999-99-99 is a date. ISO strings sort
+    * lexicographically as dates, so `array_max` of the result IS the
+    * latest reference. Pure codegen projection, zero shuffle.
+    */
+  def isoDates(text: Column): Column =
+    regexp_extract_all(text, lit("\\d{4}-\\d{2}-\\d{2}"), lit(0))
+
   /** HTML → text extraction for crawl bodies: drop script/style blocks
     * WHOLE (their content is code, and an unstripped `<` inside a script
     * would corrupt the later tag pass), drop comments, strip remaining

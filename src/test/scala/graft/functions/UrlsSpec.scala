@@ -50,6 +50,15 @@ class UrlsSpec extends SparkSpec {
     assert(out == "Title a &lt; b & c d")
   }
 
+  test("isoDates: extraction order, no validation, empty case") {
+    val out = Seq("from 2021-05-17 to 2023-01-02 (and bogus 9999-99-99, not 21-05-17)")
+      .toDF("t").select(TextFunctions.isoDates(col("t"))).head().getSeq[String](0)
+    assert(out == Seq("2021-05-17", "2023-01-02", "9999-99-99"))
+    val none = Seq("no dates here 123-45").toDF("t")
+      .select(TextFunctions.isoDates(col("t"))).head().getSeq[String](0)
+    assert(none.isEmpty)
+  }
+
   test("htmlToText: plain text passes through collapsed") {
     val out = Seq("no  markup\n at all").toDF("h")
       .select(TextFunctions.htmlToText(col("h"))).head().getString(0)
