@@ -2624,6 +2624,42 @@ object SparkEntry {
       functions.Sampling.prioritySample(
         t(s, dir, "documents"), col("doc_id"), col("n_chars"), k = 50)
     }),
+
+    // M — energy-threshold activity segmentation over REAL WAV PCM (the
+    // VAD shape): per-window Σs² vs the file's own mean window energy in
+    // exact cross-multiplied integers, maximal active runs found inside
+    // the batched decode — zero shuffle, only segment rows leave the
+    // executor. Oracle brute-forces the sample stream and replays
+    // windows, threshold and islands relationally.
+    "q168_audio_segments" -> ((s, dir) => {
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      val wav = functions.Multimodal.syntheticAudio(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id")
+      functions.Multimodal.extractAudioSegments(wav).toDF()
+    }),
+
+    // V — margin-based alignment scoring (Artetxe & Schwenk 2019, the
+    // LASER bitext-mining criterion): cosine normalized by both
+    // endpoints' kNN-average similarity de-hubs the ranking; kNN sums
+    // fold in ascending value order via explicit element adds and the
+    // margin is the literal tree cos·8/(s_x+s_y), so every 4dp-rounded
+    // score replays on IEEE engines.
+    "q169_margin_align" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") <= 9)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      functions.Similarity.marginTopK(queries, emb, k = 5)
+    }),
+
+    // D — exact ASYMMETRIC shingle containment join (|A∩B|/|A| >= 0.8):
+    // the quote/excerpt-inclusion relation Jaccard cannot see. Probe
+    // prefix vs candidate full-list equi-join; the oracle is the NAIVE
+    // all-pairs join, so a hash match proves the containment prefix
+    // filter's completeness lemma held, not just the verify.
+    "q170_containment_join" -> ((s, dir) => {
+      functions.PrefixJoin.shingleHashContainmentJoin(
+        t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.8)
+    }),
   )
 
   // ----------------------------------------------------------- bench-only
@@ -5302,5 +5338,71 @@ object SparkEntry {
          SELECT id, CAST(w AS BIGINT) AS weight, CAST(p_sc AS BIGINT) AS p_sc,
            CAST(greatest(w * 1000000000000, (SELECT tau FROM tau)) AS BIGINT) AS w_est_sc
          FROM rk WHERE rn <= 50""",
+    // q86's brute-forced sample stream -> 100-sample window energies ->
+    // mean threshold (cross-multiplied) -> gaps-and-islands runs
+    "q168_audio_segments" ->
+      """WITH ids AS (SELECT doc_id, 1000 + doc_id % 500 AS n FROM documents),
+         s AS (SELECT doc_id, n, unnest(range(n)) AS i FROM ids),
+         smp AS (SELECT doc_id, i // 100 AS w,
+                   CAST(((i*7919 + doc_id*104729) % 65536) - 32768 AS BIGINT) AS v
+                 FROM s),
+         wins AS (SELECT doc_id, w, CAST(sum(v*v) AS BIGINT) AS e
+                  FROM smp GROUP BY 1, 2),
+         tw AS (SELECT doc_id, w, e,
+                  CAST(sum(e) OVER (PARTITION BY doc_id) AS BIGINT) AS tot,
+                  CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS nw
+                FROM wins),
+         act AS (SELECT doc_id, w, e,
+                   w - row_number() OVER (PARTITION BY doc_id ORDER BY w) AS isl
+                 FROM tw WHERE e * nw > tot)
+         SELECT doc_id AS id, CAST(min(w) AS BIGINT) AS seg_start,
+           CAST(max(w) AS BIGINT) AS seg_end, CAST(count(*) AS BIGINT) AS n_win,
+           CAST(sum(e) AS BIGINT) AS energy
+         FROM act GROUP BY doc_id, isl""",
+    // identical kNN sums (ascending 4-element fold) and the identical
+    // margin tree cos*8/(s_x+s_y); q27's cosine arithmetic throughout
+    "q169_margin_align" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         pr AS (
+           SELECT a.vec_id AS id, b.vec_id AS nid,
+             list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+           FROM e a JOIN e b ON b.vec_id <> a.vec_id),
+         top4 AS (SELECT id, cos FROM (
+                    SELECT id, cos, row_number() OVER (
+                      PARTITION BY id ORDER BY cos DESC, nid ASC) AS rn FROM pr)
+                  WHERE rn <= 4),
+         sm AS (SELECT id, l[1] + l[2] + l[3] + l[4] AS s FROM (
+                  SELECT id, list_sort(list(cos)) AS l FROM top4 GROUP BY id)),
+         mg AS (
+           SELECT p.id AS query_id, p.nid AS match_id,
+             p.cos * 8.0 / (sa.s + sb.s) AS margin
+           FROM pr p JOIN sm sa ON sa.id = p.id JOIN sm sb ON sb.id = p.nid
+           WHERE p.id <= 9)
+         SELECT query_id, match_id, round(margin, 4) AS margin_r
+         FROM (SELECT *, row_number() OVER (
+                 PARTITION BY query_id ORDER BY margin DESC, match_id ASC) AS rn
+               FROM mg) WHERE rn <= 5""",
+    // the NAIVE all-pairs containment join (q153's shingle-hash sets):
+    // a hash match proves the asymmetric prefix filter lost nothing
+    "q170_containment_join" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(
+             string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS t
+           FROM documents),
+         sets AS (
+           SELECT doc_id, list_distinct(list_transform(
+             CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                  ELSE list_transform(range(1, len(t)-1),
+                         i -> t[i]||' '||t[i+1]||' '||t[i+2]) END,
+             s -> CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT))) AS sh
+           FROM toks),
+         s AS (SELECT doc_id, sh, len(sh) AS n FROM sets WHERE len(sh) > 0),
+         pairs AS (
+           SELECT a.doc_id AS idA, b.doc_id AS idB,
+             len(list_intersect(a.sh, b.sh)) AS i, a.n AS na
+           FROM s a JOIN s b ON b.doc_id <> a.doc_id)
+         SELECT idA, idB, CAST((i * 10000) // na AS BIGINT) AS cont_bp
+         FROM pairs WHERE i * 10000 >= 8000 * na""",
   )
 }

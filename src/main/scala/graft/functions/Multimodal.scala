@@ -359,6 +359,74 @@ object Multimodal {
       }))
   }
 
+  /** One active-energy segment: a maximal run of consecutive
+    * above-mean-energy windows (window = `winSamples` samples, last
+    * window may be partial). `seg_start`/`seg_end` are inclusive window
+    * indices; `energy` is the exact Σ s² over the run.
+    */
+  case class AudioSegment(id: Long, seg_start: Long, seg_end: Long,
+                          n_win: Long, energy: Long)
+
+  /** Energy-threshold activity segmentation (the VAD shape: windowed
+    * energy vs a per-file threshold, here the file's own mean window
+    * energy, compared in exact cross-multiplied integers —
+    * `e_w · n_windows > Σe`). Decode, window energies, threshold and
+    * the gaps-and-islands run detection all happen INSIDE the batched
+    * per-file decode — windows per file are bounded by the clip length,
+    * so segments cost zero shuffle at any corpus size; only segment
+    * rows leave the executor.
+    */
+  def extractAudioSegments(df: DataFrame, idCol: String = "id",
+                           contentCol: String = "content",
+                           winSamples: Int = 100, batchSize: Int = 64)
+                          (implicit spark: SparkSession): Dataset[AudioSegment] = {
+    import spark.implicits._
+    require(winSamples >= 1, s"winSamples must be >= 1, got $winSamples")
+    df.select(col(idCol).cast("long"), col(contentCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.flatMap {
+        case (id, bytes) => segmentsOf(id, bytes, winSamples)
+      }))
+  }
+
+  private def segmentsOf(id: Long, bytes: Array[Byte],
+                         winSamples: Int): Seq[AudioSegment] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) Nil
+        else {
+          val le = !fmt.isBigEndian
+          val buf = ais.readAllBytes()
+          val n = buf.length / 2
+          val nw = (n + winSamples - 1) / winSamples
+          val e = new Array[Long](nw)
+          var i = 0
+          while (i < n) {
+            val (b0, b1) = (buf(2 * i) & 0xFF, buf(2 * i + 1) & 0xFF)
+            val s = (if (le) (b1 << 8) | b0 else (b0 << 8) | b1).toShort.toLong
+            e(i / winSamples) += s * s
+            i += 1
+          }
+          val tot = e.sum
+          val segs = scala.collection.mutable.ArrayBuffer[AudioSegment]()
+          var w = 0
+          while (w < nw) {
+            if (e(w) * nw > tot) {
+              val start = w
+              var energy = 0L
+              while (w < nw && e(w) * nw > tot) { energy += e(w); w += 1 }
+              segs += AudioSegment(id, start.toLong, (w - 1).toLong,
+                (w - start).toLong, energy)
+            } else w += 1
+          }
+          segs.toSeq
+        }
+      } finally ais.close()
+    } catch { case _: Exception => Nil }
+
   // ------------------------------------------- video (multi-frame) path
 
   /** Per-SAMPLED-frame pixel statistics — the video analog of

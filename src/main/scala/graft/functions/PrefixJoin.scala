@@ -190,6 +190,66 @@ object PrefixJoin {
         s => xxhash64(s))),
       idCol, "__set", threshold, dfOrder)
 
+  /** Exact ASYMMETRIC containment self-join: all ordered pairs with
+    * `|A ∩ B| / |A| ≥ t` — "A is (mostly) contained in B", the
+    * quote/excerpt/boilerplate-inclusion relation Jaccard cannot see
+    * (a 30-shingle quote inside a 300-shingle article has Jaccard
+    * ≈ 0.1 but containment 1.0). Both directions are distinct rows.
+    *
+    * Prefix filter, containment form: if C(A→B) ≥ t then A misses at
+    * most `|A| − ceil(t·|A|)` of its own elements, so A's first
+    * `|A| − ceil(t·|A|) + 1` elements (global value order) must hit B
+    * SOMEWHERE — probe-side prefix against candidate-side FULL element
+    * list (no symmetric prefix: B's obligation is only
+    * `|B| ≥ ceil(t·|A|)`, fused into the join as the size filter).
+    * Exact verify on candidates only. Same persisted sorted relation,
+    * two consumer branches.
+    */
+  def containmentJoinSets(df: DataFrame, idCol: String, setCol: String,
+                          threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val tBp = math.round(threshold * 10000).toInt
+    val docs = df
+      .select(col(idCol).cast("long").as("id"),
+        array_distinct(col(setCol)).as("els"))
+      .filter(size(col("els")) > 0)
+    val sorted = docs.select(col("id"), size(col("els")).as("n"),
+        array_sort(col("els")).as("els"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prefixLen =
+      expr(s"cast(n - (($tBp * cast(n as bigint) + 9999) div 10000) + 1 as int)")
+    val probe = sorted
+      .select(col("id").as("idA"), col("n").as("na"),
+        explode(slice(col("els"), lit(1), prefixLen)).as("elA"))
+    val cand = sorted
+      .select(col("id").as("idB"), col("n").as("nb"),
+        explode(col("els")).as("elB"))
+    val pairs = probe.join(cand,
+        col("elA") === col("elB") && col("idA") =!= col("idB") &&
+          col("nb") * 10000L >= lit(tBp.toLong) * col("na"))
+      .select(col("idA"), col("idB")).distinct()
+    val sets = sorted.select(col("id"), col("els"), col("n"))
+    pairs
+      .join(sets.select(col("id").as("idA"), col("els").as("ta"), col("n").as("na")), Seq("idA"))
+      .join(sets.select(col("id").as("idB"), col("els").as("tb")), Seq("idB"))
+      .withColumn("__i", size(array_intersect(col("ta"), col("tb"))))
+      .filter(col("__i") * 10000L >= lit(tBp.toLong) * col("na"))
+      .select(col("idA"), col("idB"),
+        expr("cast(__i as bigint) * 10000 div na").as("cont_bp"))
+  }
+
+  /** Hashed-shingle containment — the production/gate shape (portable
+    * 60-bit md5 shingle hashes, the [[shingleHashJaccardJoin]] idiom).
+    */
+  def shingleHashContainmentJoin(df: DataFrame, idCol: String, textCol: String,
+                                 n: Int, threshold: Double): DataFrame =
+    containmentJoinSets(
+      df.withColumn("__set", transform(
+        TextFunctions.shingles(TextFunctions.tokens(col(textCol)), n),
+        s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))),
+      idCol, "__set", threshold)
+
   /** Dedup on the exact join: drop every doc with a qualifying
     * smaller-id partner (the batch rule shared with [[Dedup]]).
     */

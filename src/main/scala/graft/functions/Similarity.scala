@@ -504,4 +504,56 @@ object Similarity {
     vecs.select(col("vec_id"), col("cluster_id"))
       .join(losers, Seq("vec_id"), "left_anti")
   }
+
+  /** Margin-based neighbor scoring (Artetxe & Schwenk, ACL 2019 — the
+    * LASER bitext-mining criterion): raw cosine over-selects hubs
+    * (vectors close to EVERYTHING), so each pair's cosine is normalized
+    * by both endpoints' average similarity to their own k nearest
+    * neighbors: `margin(x, y) = cos(x, y) / ((a_x + a_y) / 2)` — a hub
+    * with a_y ≈ cos gets margin ≈ 1, a genuinely aligned pair scores
+    * well above its neighborhoods.
+    *
+    * Determinism discipline: each a-sum folds its k cosines in ASCENDING
+    * value order via explicit `element_at` adds (an unordered SQL `sum`
+    * of doubles is partition-order-dependent), and the margin expression
+    * is the literal tree `cos · 8 / (s_x + s_y)` (with s the k=4 SUM,
+    * so /8 absorbs both the /k and the /2) that any IEEE engine replays
+    * bit for bit.
+    *
+    * Shape: the per-vector kNN sums come from the bounded
+    * [[bruteForceTopK]] aggregator (O(k·N) out); the pair scoring is
+    * the exact broadcast-query corpus scan joined to the sum table on
+    * the candidate key. At corpus scale swap both legs for [[annTopK]]
+    * candidates; the margin arithmetic is unchanged.
+    */
+  def marginTopK(queries: DataFrame, corpus: DataFrame, k: Int, knn: Int = 4,
+                 qId: String = "query_id", qVec: String = "query_vec",
+                 cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    require(knn == 4, s"margin fold is unrolled for knn = 4, got $knn")
+    val self = corpus.select(col(cId).as(qId), col(cVec).as(qVec))
+    val nnSum = bruteForceTopK(self, corpus, knn, qId, qVec, cId, cVec)
+      .groupBy(col(qId).as("id"))
+      .agg(sort_array(collect_list(col("cos"))).as("cs"))
+      .select(col("id"),
+        when(size(col("cs")) === knn,
+          element_at(col("cs"), 1) + element_at(col("cs"), 2) +
+            element_at(col("cs"), 3) + element_at(col("cs"), 4))
+          .otherwise(raise_error(
+            lit(s"marginTopK: corpus must have > $knn vectors")))
+          .as("s"))
+    val q = queries.select(col(qId), asDouble(col(qVec)).as("__qv"))
+      .withColumn("__qn", l2norm(col("__qv")))
+      .join(nnSum.select(col("id").as(qId), col("s").as("__sq")), qId)
+    val c = corpus.select(col(cId), asDouble(col(cVec)).as("__cv"))
+      .withColumn("__cn", l2norm(col("__cv")))
+      .join(nnSum.select(col("id").as(cId), col("s").as("__sc")), cId)
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col(qId) =!= col(cId))
+      .select(col(qId), col(cId).as("neighbor_id"),
+        (cosineWithNorms(col("__qv"), col("__cv"), col("__qn"), col("__cn")) * lit(8.0)
+          / (col("__sq") + col("__sc"))).as("cos"))
+    topkOf(scored, k, qId)
+      .select(col(qId), col("neighbor_id").as("match_id"),
+        round(col("cos"), 4).as("margin_r"))
+  }
 }

@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Margin scoring vs an in-test reference implementation. */
+class MarginSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic pseudo-random corpus (no RNG: content-derived)
+  private val dim = 8
+  private def vec(id: Long): Array[Float] =
+    Array.tabulate(dim)(j => (((id * 31 + j * 17) % 13) - 6).toFloat / 7f)
+  private val n = 20
+  private val corpus = (0L until n.toLong).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+    val d = ad.zip(bd).map { case (x, y) => x * y }.sum
+    d / (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum))
+  }
+
+  private def referenceTop(qid: Long, k: Int): Seq[(Long, Double)] = {
+    def s4(id: Long): Double = {
+      val tops = (0L until n.toLong).filter(_ != id)
+        .map(o => (cos(vec(id), vec(o)), o)).sortBy(t => (-t._1, t._2)).take(4)
+      tops.map(_._1).sorted.sum
+    }
+    (0L until n.toLong).filter(_ != qid)
+      .map { o =>
+        (o, cos(vec(qid), vec(o)) * 8.0 / (s4(qid) + s4(o)))
+      }
+      .sortBy(t => (-t._2, t._1)).take(k)
+      .map { case (o, m) => (o, math.rint(m * 10000) / 10000) }
+  }
+
+  test("marginTopK matches the brute-force reference on every query") {
+    val queries = corpus.filter(col("vec_id") <= 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val got = Similarity.marginTopK(queries, corpus, k = 5)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(r => (r.getLong(1), r.getDouble(2))).toSeq }
+    (0L to 3L).foreach { q =>
+      assert(got(q).map(_._1) == referenceTop(q, 5).map(_._1),
+        s"match order differs for query $q")
+      got(q).zip(referenceTop(q, 5)).foreach { case ((_, m1), (_, m2)) =>
+        assert(math.abs(m1 - m2) <= 1e-4, s"margin mismatch for query $q")
+      }
+    }
+  }
+
+  test("an exact duplicate is its twin's top match") {
+    val dup = corpus.unionByName(Seq((99L, vec(7L))).toDF("vec_id", "embedding"))
+    val queries = dup.filter(col("vec_id") === 99L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val top = Similarity.marginTopK(queries, dup, k = 1).collect()
+    assert(top.head.getLong(1) == 7L)
+  }
+
+  test("corpus not larger than knn fails loudly") {
+    val tiny = corpus.filter(col("vec_id") <= 3) // 4 vectors, knn = 4
+    val queries = tiny.select(col("vec_id").as("query_id"),
+      col("embedding").as("query_vec"))
+    intercept[Exception] {
+      Similarity.marginTopK(queries, tiny, k = 2).collect()
+    }
+  }
+}
