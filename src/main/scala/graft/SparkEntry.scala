@@ -2660,6 +2660,67 @@ object SparkEntry {
       functions.PrefixJoin.shingleHashContainmentJoin(
         t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.8)
     }),
+
+    // V+T — k-means cluster labeling: q100's broadcast argmin assignment
+    // composed with q117's integer TF-IDF, each CLUSTER treated as one
+    // document — the salient-terms summary a curation UI shows per
+    // semantic bucket. Windows partition over clusters (bounded), the
+    // corpus only feeds partial-agg'd counts.
+    "q171_cluster_labels" -> ((s, dir) => {
+      val assigned = functions.Similarity.assignToLowestIdCentroids(
+        t(s, dir, "embeddings"), "vec_id", "embedding", 16)
+      val docs = t(s, dir, "documents")
+      val terms = docs.join(assigned, docs("doc_id") === assigned("vec_id"))
+        .select(col("cluster_id"),
+          explode(functions.TextFunctions.tokens(col("text"))).as("term"))
+      val tf = terms.groupBy(col("cluster_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df_cl"))
+      val ncl = assigned.agg(countDistinct(col("cluster_id")).as("n_cl"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster_id"))
+        .orderBy(col("score_sc").desc, col("term").asc)
+      tf.join(dfc, Seq("term")).crossJoin(broadcast(ncl))
+        .withColumn("score_sc", expr("tf * 10000 * n_cl div df_cl"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("cluster_id"), col("rk"), col("term"), col("tf"),
+          col("df_cl"), col("score_sc"))
+    }),
+
+    // T — 2-D Pareto skyline (Börzsönyi 2001): docs maximizing BOTH
+    // length and lexical diversity with neither collapsing into a
+    // weighted sum. No all-pairs, no corpus sort: max-y-per-x reduction,
+    // sweep over the reduced set, semi-join back. The oracle is the
+    // NAIVE NOT-EXISTS domination query — a hash match proves the sweep
+    // kept exactly the non-dominated set.
+    "q172_pareto_skyline" -> ((s, dir) => {
+      val m = t(s, dir, "documents")
+        .withColumn("__tk", functions.TextFunctions.tokens(col("text")))
+        .select(col("doc_id"), col("n_chars").cast("long").as("x"),
+          expr("cast(size(array_distinct(__tk)) as bigint) * 10000 div size(__tk)")
+            .as("y"))
+      graft.operators.Skyline.pareto2D(m, col("doc_id"), col("x"), col("y"))
+        .select(col("id").as("doc_id"), col("x").as("n_chars"),
+          col("y").as("diversity_bp"))
+    }),
+
+    // ST — stateful per-user rate-spike detection (flatMapGroupsWithState):
+    // hourly event-time buckets fold in order; a bucket CLOSING with
+    // n > 2·prev_closed emits an anomaly. One 3-long struct per user;
+    // a user's final bucket never closes, so it never emits — the batch
+    // oracle drops each user's last bucket for exactly that reason.
+    "q173_rate_spikes" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[graft.streaming.EventsStream.Event]
+      graft.streaming.EventsStream.rateSpikes(ev, factor = 2L).toDF()
+        .select(col("user_id"),
+          date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          col("n"), col("prev_n"))
+    }),
   )
 
   // ----------------------------------------------------------- bench-only
@@ -5404,5 +5465,56 @@ object SparkEntry {
            FROM s a JOIN s b ON b.doc_id <> a.doc_id)
          SELECT idA, idB, CAST((i * 10000) // na AS BIGINT) AS cont_bp
          FROM pairs WHERE i * 10000 >= 8000 * na""",
+    // q156's assignment CTE + q117's integer tf-idf, clusters as docs
+    "q171_cluster_labels" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+         d AS (SELECT e.vec_id, c.cid,
+                 list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)
+                   + list_dot_product(c.cv, c.cv) AS dist
+               FROM e CROSS JOIN c),
+         a AS (SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id FROM (
+                 SELECT vec_id, cid, row_number() OVER (
+                   PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d) WHERE rn = 1),
+         toks AS (SELECT doc_id, list_filter(
+                    string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS t
+                  FROM documents),
+         terms AS (SELECT a.cluster_id, unnest(tk.t) AS term
+                   FROM toks tk JOIN a ON a.vec_id = tk.doc_id),
+         tf AS (SELECT cluster_id, term, CAST(count(*) AS BIGINT) AS tf
+                FROM terms GROUP BY 1, 2),
+         dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df_cl FROM tf GROUP BY 1),
+         nc AS (SELECT CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_cl FROM a),
+         sc AS (SELECT f.cluster_id, f.term, f.tf, d.df_cl,
+                  CAST((f.tf * 10000 * nc.n_cl) // d.df_cl AS BIGINT) AS score_sc
+                FROM tf f JOIN dfc d USING (term) CROSS JOIN nc)
+         SELECT cluster_id, CAST(rk AS BIGINT) AS rk, term, tf, df_cl, score_sc
+         FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
+                 ORDER BY score_sc DESC, term ASC) AS rk FROM sc) WHERE rk <= 3""",
+    // the NAIVE NOT-EXISTS domination query: proves the sweep exact
+    "q172_pareto_skyline" ->
+      """WITH t AS (SELECT doc_id, n_chars, list_filter(
+                      string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS tk
+                    FROM documents),
+         m AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS x,
+                 CAST((len(list_distinct(tk)) * 10000) // len(tk) AS BIGINT) AS y
+               FROM t)
+         SELECT doc_id, x AS n_chars, y AS diversity_bp FROM m p
+         WHERE NOT EXISTS (
+           SELECT 1 FROM m q WHERE q.x >= p.x AND q.y >= p.y
+             AND (q.x > p.x OR q.y > p.y))""",
+    // batch replay: hourly counts, lag per user, last (never-closed)
+    // bucket dropped, spike rule n > 2*prev
+    "q173_rate_spikes" ->
+      """WITH b AS (SELECT user_id, date_trunc('hour', ts) AS h,
+                      CAST(count(*) AS BIGINT) AS n
+                    FROM events GROUP BY 1, 2),
+         o AS (SELECT user_id, h, n,
+                 lag(n) OVER (PARTITION BY user_id ORDER BY h) AS pn,
+                 row_number() OVER (PARTITION BY user_id ORDER BY h DESC) AS rdesc
+               FROM b)
+         SELECT user_id, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_start, n,
+           CAST(pn AS BIGINT) AS prev_n
+         FROM o WHERE rdesc > 1 AND pn IS NOT NULL AND n > 2 * pn""",
   )
 }

@@ -140,6 +140,50 @@ object EventsStream {
       }
   }
 
+  final case class RateSpike(user_id: Long, hour_start: Timestamp,
+                             n: Long, prev_n: Long)
+
+  private final case class RateState(bucket: Long, n: Long, prevN: Long)
+
+  /** Stateful per-user rate-spike detection via flatMapGroupsWithState:
+    * events fold into hourly event-time buckets in (ts, event_id) order;
+    * when a bucket CLOSES (the user's next event lands in a later hour)
+    * its count compares against the previously closed bucket, and
+    * `n > factor · prev_n` emits an anomaly row. State per user is one
+    * 3-long struct — the scale limit is live users, not events. A
+    * user's final bucket never closes inside the stream, so it never
+    * emits (the watermark-style completeness bound); the batch replay
+    * oracle drops each user's last bucket for exactly that reason.
+    */
+  def rateSpikes(events: Dataset[Event], factor: Long = 3L): Dataset[RateSpike] = {
+    import events.sparkSession.implicits._
+    val hourMs = 3600000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RateState, RateSpike](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[RateState]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer[RateSpike]()
+          var st = state.getOption.orNull
+          sorted.foreach { e =>
+            val b = Math.floorDiv(e.ts.getTime, hourMs)
+            st = st match {
+              case null => RateState(b, 1L, 0L)
+              case RateState(bb, n, _) if bb == b => RateState(b, n + 1, st.prevN)
+              case RateState(bb, n, _) =>
+                // bucket bb closed with count n: spike-check it, then it
+                // becomes the new "previously closed" reference
+                if (st.prevN > 0L && n > factor * st.prevN)
+                  out += RateSpike(userId, new Timestamp(bb * hourMs), n, st.prevN)
+                RateState(b, 1L, n)
+            }
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
   /** Batch-mode session windows (the same semantics Catalyst-native):
     * `session_window` merges events within the gap — use this form when
     * the data is at rest; it's one shuffle on (user, window).
