@@ -2721,6 +2721,56 @@ object SparkEntry {
           date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
           col("n"), col("prev_n"))
     }),
+
+    // T — training-mix budget allocation by EXACT water-filling: every
+    // source as close to the equal share of a half-corpus token budget
+    // as its volume allows; the classic sorted closed form replaces the
+    // iterative loop — one corpus aggregate, then windows over the
+    // |sources| grid only. All integer comparisons/divisions.
+    "q174_mix_waterfill" -> ((s, dir) => {
+      functions.MixPlanner.waterfill(t(s, dir, "documents"), col("source"),
+        size(functions.TextFunctions.tokens(col("text"))))
+    }),
+
+    // G — triangle counting on the nation trade graph via degree-ordered
+    // edge orientation (Schank-Wagner / Suri-Vassilvitskii): strong
+    // trade edges (>= 120 lineitems per directed nation pair) -> orient
+    // along (degree, id) -> wedge equi-join -> close. Orientation caps
+    // per-node wedge fan-out at O(sqrt E); the oracle counts the same
+    // triangles with the naive a<b<c 3-way join.
+    "q175_trade_triangles" -> ((s, dir) => {
+      val tr = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").as("cn"), col("s_nationkey").as("sn"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 120 && col("cn") =!= col("sn"))
+      graft.operators.Triangles.perNode(tr, col("cn"), col("sn"))
+        .select(col("node").as("nationkey"), col("n_triangles"))
+    }),
+
+    // ST — streaming trending: hopping-window event-type counts drained
+    // through the update-mode memory sink (q41's protocol), then ranked
+    // top-3 per hop on the materialized counts. The oracle replays the
+    // 4-fold hop expansion and the rank rule relationally.
+    "q176_stream_trending" -> ((s, dir) => {
+      val tmp = stageEvents(dir)
+      val name = "graft_q176_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      graft.streaming.EventsStream.runToMemory(s, tmp.toString, name,
+        df => df.withWatermark("ts", "30 minutes")
+          .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n")),
+        outputMode = "update")
+      dropStaged(tmp)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("hop_start")).orderBy(col("n").desc, col("event_type").asc)
+      s.table(name)
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hop_start"),
+          col("event_type"), col("n"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+    }),
   )
 
   // ----------------------------------------------------------- bench-only
@@ -5516,5 +5566,69 @@ object SparkEntry {
          SELECT user_id, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_start, n,
            CAST(pn AS BIGINT) AS prev_n
          FROM o WHERE rdesc > 1 AND pn IS NOT NULL AND n > 2 * pn""",
+    // identical sorted closed form: prefix-closed saturation test, then
+    // the survivors split the remainder; all integer floor divisions
+    "q174_mix_waterfill" ->
+      """WITH per AS (
+           SELECT source, CAST(sum(len(list_filter(
+             string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> ''))) AS BIGINT)
+             AS tokens
+           FROM documents GROUP BY 1),
+         tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS t,
+                   CAST(count(*) AS BIGINT) AS m FROM per),
+         r AS (SELECT source, tokens,
+                 CAST(row_number() OVER (ORDER BY tokens ASC, source ASC) AS BIGINT) AS i,
+                 CAST(COALESCE(sum(tokens) OVER (ORDER BY tokens ASC, source ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prefix
+               FROM per),
+         sat AS (SELECT source, tokens,
+                   tokens * ((SELECT m FROM tot) - i + 1)
+                     <= ((SELECT t FROM tot) // 2) - prefix AS saturated
+                 FROM r),
+         sa AS (SELECT CAST(COALESCE(sum(CASE WHEN saturated THEN tokens END), 0) AS BIGINT) AS sat_t,
+                  CAST(COALESCE(sum(CASE WHEN saturated THEN 1 END), 0) AS BIGINT) AS sat_m
+                FROM sat),
+         fin AS (SELECT source, tokens, saturated,
+                   CASE WHEN saturated THEN CAST(1000000 AS BIGINT)
+                        ELSE least(1000000, ((((SELECT t FROM tot) // 2) - (SELECT sat_t FROM sa))
+                          // ((SELECT m FROM tot) - (SELECT sat_m FROM sa))) * 1000000 // tokens)
+                   END AS rate_ppm
+                 FROM sat)
+         SELECT source, tokens, saturated, CAST(rate_ppm AS BIGINT) AS rate_ppm,
+           CAST(tokens * rate_ppm // 1000000 AS BIGINT) AS planned_tokens
+         FROM fin""",
+    // the naive a<b<c 3-way self-join over the identically-derived
+    // strong-edge list — orientation-free, counts each triangle once
+    "q175_trade_triangles" ->
+      """WITH tr AS (
+           SELECT c.c_nationkey AS cn, s.s_nationkey AS sn, count(*) AS cnt
+           FROM lineitem l
+           JOIN orders o ON l.l_orderkey = o.o_orderkey
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           GROUP BY 1, 2),
+         e AS (SELECT DISTINCT least(cn, sn) AS a, greatest(cn, sn) AS b
+               FROM tr WHERE cnt >= 120 AND cn <> sn),
+         t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+               FROM e e1 JOIN e e2 ON e2.a = e1.b
+               JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         nodes AS (SELECT x AS node FROM t UNION ALL SELECT y FROM t
+                   UNION ALL SELECT z FROM t)
+         SELECT CAST(node AS BIGINT) AS nationkey,
+           CAST(count(*) AS BIGINT) AS n_triangles
+         FROM nodes GROUP BY 1""",
+    // q157's hop expansion + the (n desc, type asc) rank rule
+    "q176_stream_trending" ->
+      """WITH ev AS (SELECT ts, event_type FROM events),
+         hops AS (
+           SELECT strftime(time_bucket(INTERVAL '15 minutes', ts)
+                           - k * INTERVAL '15 minutes', '%Y-%m-%d %H:%M:%S') AS hop_start,
+             event_type
+           FROM ev, unnest(range(0, 4)) AS u(k)),
+         cnt AS (SELECT hop_start, event_type, CAST(count(*) AS BIGINT) AS n
+                 FROM hops GROUP BY 1, 2)
+         SELECT hop_start, event_type, n, CAST(rk AS BIGINT) AS rk
+         FROM (SELECT *, row_number() OVER (PARTITION BY hop_start
+                 ORDER BY n DESC, event_type ASC) AS rk FROM cnt) WHERE rk <= 3""",
   )
 }
