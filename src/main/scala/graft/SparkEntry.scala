@@ -2771,6 +2771,95 @@ object SparkEntry {
         .withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 3)
     }),
+
+    // E2E — INCREMENTAL inverted-index maintenance: the index's term
+    // stats (df, sum_tf) are a count/sum aggregate over postings, so the
+    // q120 IVM machinery maintains them from the doc table's change feed
+    // — late-arriving docs append, GDPR erasures delete, and the index
+    // refresh explodes ONLY changed docs into signed posting deltas
+    // (bounded file diff REQUIREd), never re-tokenizing the corpus.
+    "q177_incremental_index" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q177").toString
+      val tbl = s"$tmp/tx/docs"
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      graft.sink.TxTable.append(s,                                  // v1
+        docs.filter(col("doc_id") % 3 =!= 0).repartitionByRange(4, col("doc_id")),
+        tbl, statsCols = Seq("doc_id"))
+      val index0 = graft.operators.IncrementalView.compute(
+        functions.Retrieval.postings(graft.sink.TxTable.readAt(s, tbl, 1L),
+          col("doc_id"), col("text")).withColumnRenamed("id", "doc_id"),
+        Seq("term"), Seq("tf"))
+      graft.sink.TxTable.append(s, docs.filter(col("doc_id") % 3 === 0), tbl) // v2
+      graft.sink.TxTable.delete(s,                                  // v3
+        docs.filter(col("doc_id") >= 30 && col("doc_id") < 90)
+          .select(col("doc_id")), tbl, key = "doc_id")
+      val all1 = graft.sink.TxTable.filesAt(s, tbl, 1L).toSet
+      val (_, remF) = graft.sink.TxTable.changedFiles(s, tbl, 1L, 3L)
+      require(remF.toSet.subsetOf(all1) && remF.size < all1.size,
+        s"index refresh must read a bounded file diff (removed " +
+          s"${remF.size} of ${all1.size})")
+      val feed = graft.sink.TxTable.readChanges(s, tbl, 1L, 3L)
+      val postDelta = feed
+        .select(col("doc_id"), col("_change_type"),
+          explode(split(lower(col("text")), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy(col("term"), col("doc_id"), col("_change_type"))
+        .agg(count(lit(1)).as("tf"))
+      val out = graft.operators.IncrementalView.applied(index0,
+          graft.operators.IncrementalView.deltas(postDelta, Seq("term"), Seq("tf")),
+          Seq("term"), Seq("tf"))
+        .collect()
+      dropStaged(java.nio.file.Paths.get(tmp))
+      import s.implicits._
+      out.toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toDF("term", "df_docs", "sum_tf")
+    }),
+
+    // A — equi-depth histogram publishing (optimizer-style column
+    // stats): 8 exact PERCENTILE_DISC bucket edges per group from the
+    // sort-free rank-selection machinery — no per-group global sort.
+    "q178_equidepth_hist" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      graft.operators.GroupedPercentiles.percentilesByRange(li, col("cents"),
+          col("l_returnflag"),
+          Seq(1250, 2500, 3750, 5000, 6250, 7500, 8750, 10000), coarse = 1024)
+        .select(col("g").as("l_returnflag"), col("p_bp"),
+          col("v").as("edge_cents"))
+    }),
+
+    // A — CUPED variance reduction (Deng et al. 2013): per-user
+    // pre/post-period outcome totals split at the stream's epoch
+    // midpoint, arms by user hash, pooled θ and per-arm adjusted totals
+    // in exact basis-point integers.
+    "q179_cuped" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val mid = ev.agg(min(unix_micros(col("ts"))).as("__mn"),
+          max(unix_micros(col("ts"))).as("__mx"))
+        .select(expr("(__mn + __mx) div 2").as("mid_us"))
+      val units = ev.crossJoin(broadcast(mid))
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(unix_micros(col("ts")) < col("mid_us"),
+            round(col("value")).cast("long")).otherwise(0L)).as("x"),
+          sum(when(unix_micros(col("ts")) >= col("mid_us"),
+            round(col("value")).cast("long")).otherwise(0L)).as("y"))
+        .withColumn("arm", (col("user_id") % 2).cast("long"))
+      graft.operators.Cuped.adjust(units)
+    }),
+
+    // A — hopping-window audience uniques: exact distinct users per
+    // 1 h/15 min hop beside the event counts — the dashboard uniques
+    // query (the approximate path at extreme cardinality is
+    // approx_count_distinct; exact is the oracle-able form).
+    "q180_hourly_uniques" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+        .agg(countDistinct(col("user_id")).as("uniques"),
+          count(lit(1)).as("n"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hop_start"),
+          col("uniques"), col("n"))
+    }),
   )
 
   // ----------------------------------------------------------- bench-only
@@ -5630,5 +5719,68 @@ object SparkEntry {
          SELECT hop_start, event_type, n, CAST(rk AS BIGINT) AS rk
          FROM (SELECT *, row_number() OVER (PARTITION BY hop_start
                  ORDER BY n DESC, event_type ASC) AS rk FROM cnt) WHERE rk <= 3""",
+    // full recompute over the final doc set (base + late arrivals −
+    // the contiguous erasure slice): the maintained index must equal it
+    "q177_incremental_index" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+           FROM documents WHERE doc_id < 30 OR doc_id >= 90),
+         p AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+               FROM toks WHERE term <> '' GROUP BY 1, 2)
+         SELECT term, CAST(count(*) AS BIGINT) AS df_docs,
+           CAST(sum(tf) AS BIGINT) AS sum_tf
+         FROM p GROUP BY term""",
+    // q122's exact PERCENTILE_DISC rank formula per group
+    "q178_equidepth_hist" ->
+      """WITH ranked AS (
+           SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+           FROM lineitem),
+         r2 AS (SELECT l_returnflag, cents,
+                  row_number() OVER (PARTITION BY l_returnflag ORDER BY cents) AS rn,
+                  count(*) OVER (PARTITION BY l_returnflag) AS tot
+                FROM ranked),
+         ps(p_bp) AS (VALUES (1250), (2500), (3750), (5000), (6250), (7500),
+                             (8750), (10000))
+         SELECT l_returnflag, p_bp, cents AS edge_cents
+         FROM r2 JOIN ps
+           ON rn = GREATEST(1, (CAST(p_bp AS BIGINT) * tot + 9999) // 10000)""",
+    // identical pooled moments, theta and adjustment arithmetic
+    "q179_cuped" ->
+      """WITH mid AS (
+           SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid_us FROM events),
+         units AS (
+           SELECT user_id,
+             CAST(sum(CASE WHEN epoch_us(ts) < (SELECT mid_us FROM mid)
+               THEN CAST(round(value) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN epoch_us(ts) >= (SELECT mid_us FROM mid)
+               THEN CAST(round(value) AS BIGINT) ELSE 0 END) AS BIGINT) AS y,
+             CAST(user_id % 2 AS BIGINT) AS arm
+           FROM events GROUP BY user_id),
+         g AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * x) AS BIGINT) AS sxx_raw,
+                 CAST(sum(x * y) AS BIGINT) AS sxy_raw
+               FROM units),
+         a AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_units,
+                 CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y
+               FROM units GROUP BY arm),
+         th AS (SELECT CASE WHEN n * sxx_raw - sx * sx > 0
+                  THEN (n * sxy_raw - sx * sy) * 10000 // (n * sxx_raw - sx * sx)
+                  ELSE 0 END AS theta_bp, n, sx FROM g)
+         SELECT a.arm, a.n_units, a.sum_x, a.sum_y,
+           CAST(th.theta_bp AS BIGINT) AS theta_bp,
+           CAST(a.sum_y * 10000
+             - th.theta_bp * (th.n * a.sum_x - a.n_units * th.sx) // th.n AS BIGINT)
+             AS adj_sum_bp
+         FROM a, th""",
+    // hop expansion + exact distinct per hop
+    "q180_hourly_uniques" ->
+      """WITH hops AS (
+           SELECT strftime(time_bucket(INTERVAL '15 minutes', ts)
+                           - k * INTERVAL '15 minutes', '%Y-%m-%d %H:%M:%S') AS hop_start,
+             user_id
+           FROM events, unnest(range(0, 4)) AS u(k))
+         SELECT hop_start, CAST(count(DISTINCT user_id) AS BIGINT) AS uniques,
+           CAST(count(*) AS BIGINT) AS n
+         FROM hops GROUP BY 1""",
   )
 }
