@@ -2860,6 +2860,55 @@ object SparkEntry {
         .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hop_start"),
           col("uniques"), col("n"))
     }),
+
+    // J — the SCD2 TEMPORAL join: every shipment joined to the customer
+    // status version valid AT SHIP TIME (q82's intervals + the keyed
+    // bucketized range join — equi-join on (customer, time-bucket), so
+    // candidates track versions-per-entity, never a global time bucket).
+    // The oracle replays intervals AND the raw theta-join.
+    "q181_scd2_temporal_join" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val iv = graft.operators.Scd2.intervals(orders, col("o_custkey"),
+          col("o_orderdate"), col("o_orderkey"), col("o_orderstatus"))
+        .select(col("k").as("ck"), col("value").as("status"),
+          // orderdate/shipdate parquet is TIMESTAMP_NTZ; cast to instant
+          // (value-identical under the session's UTC) for unix_millis
+          col("valid_from").cast("timestamp").as("valid_from"),
+          coalesce(col("valid_to").cast("timestamp"),
+            lit("2003-01-01").cast("timestamp")).as("valid_end"))
+      val facts = t(s, dir, "lineitem")
+        .join(orders.select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("fk"),
+          col("l_shipdate").cast("timestamp").as("ship_ts"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      graft.operators.RangeJoin.intervalJoinKeyed(facts, col("fk"),
+          col("ship_ts"), iv, col("ck"), col("valid_from"), col("valid_end"),
+          bucketMs = 30L * 86400000L)
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+    }),
+
+    // A — Bradley–Terry preference-strength estimation (the RLHF
+    // pairwise-preference model, Hunter 2004's MM iteration in exact
+    // integers): per-user event-type duels aggregate into the pairwise
+    // grid in ONE pass; 3 MM+normalize rounds run on the bounded grid;
+    // the oracle unrolls the identical trajectory.
+    "q182_bradley_terry" -> ((s, dir) => {
+      val cnt = t(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type")).agg(count(lit(1)).as("c"))
+      val a = cnt.select(col("user_id"), col("event_type").as("ta"), col("c").as("ca"))
+      val b = cnt.select(col("user_id"), col("event_type").as("tb"), col("c").as("cb"))
+      val duels = a.join(b, Seq("user_id")).filter(col("ta") < col("tb"))
+        .select(
+          when(col("ca") > col("cb"), col("ta"))
+            .when(col("cb") > col("ca"), col("tb")).as("winner"),
+          when(col("ca") > col("cb"), col("tb"))
+            .when(col("cb") > col("ca"), col("ta")).as("loser"))
+        .filter(col("winner").isNotNull)
+        .groupBy(col("winner"), col("loser")).agg(count(lit(1)).as("n"))
+      functions.BradleyTerry.strengths(duels, iterations = 3)
+    }),
   )
 
   // ----------------------------------------------------------- bench-only
@@ -5782,5 +5831,84 @@ object SparkEntry {
          SELECT hop_start, CAST(count(DISTINCT user_id) AS BIGINT) AS uniques,
            CAST(count(*) AS BIGINT) AS n
          FROM hops GROUP BY 1""",
+    // q82's interval CTEs + the raw theta temporal join
+    "q181_scd2_temporal_join" ->
+      """WITH log AS (
+           SELECT o_custkey AS k, o_orderdate AS ts, o_orderkey AS tie,
+                  o_orderstatus AS v
+           FROM orders),
+         flagged AS (
+           SELECT k, ts, tie, v,
+             CASE WHEN row_number() OVER (PARTITION BY k ORDER BY ts, tie) = 1 THEN 1
+                  WHEN NOT (v IS NOT DISTINCT FROM
+                            lag(v) OVER (PARTITION BY k ORDER BY ts, tie)) THEN 1
+                  ELSE 0 END AS chg
+           FROM log),
+         islands AS (
+           SELECT *, sum(chg) OVER (PARTITION BY k ORDER BY ts, tie
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+           FROM flagged),
+         iv AS (
+           SELECT k, island, min(v) AS status, min(ts) AS valid_from
+           FROM islands GROUP BY k, island),
+         ivc AS (
+           SELECT k, status, valid_from,
+             COALESCE(lead(valid_from) OVER (PARTITION BY k ORDER BY island),
+                      TIMESTAMP '2003-01-01') AS valid_end
+           FROM iv),
+         facts AS (
+           SELECT o.o_custkey AS fk, l.l_shipdate AS ship_ts,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         j AS (SELECT i.status, f.cents FROM facts f JOIN ivc i
+               ON i.k = f.fk AND f.ship_ts >= i.valid_from
+                 AND f.ship_ts < i.valid_end)
+         SELECT status, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS cents
+         FROM j GROUP BY status""",
+    // identical duel rule, then the MM trajectory unrolled — every
+    // division an exact floor over the bounded item grid
+    "q182_bradley_terry" -> {
+      def iter(k: Int): String = {
+        val p = k - 1
+        s"""d$k AS (SELECT gs.a AS item,
+             CAST(sum(gs.n * 1000000000000 // (sa.s + sb.s)) AS BIGINT) AS den
+           FROM gs JOIN t$p sa ON sa.item = gs.a JOIN t$p sb ON sb.item = gs.b
+           GROUP BY 1),
+         u$k AS (SELECT t$p.item,
+             CASE WHEN COALESCE(d$k.den, 0) = 0 THEN t$p.s
+                  ELSE CAST(w.w * 1000000000000 // d$k.den AS BIGINT) END AS s
+           FROM t$p LEFT JOIN d$k ON d$k.item = t$p.item
+           JOIN wins w ON w.item = t$p.item),
+         t$k AS (SELECT item, CAST(s * ((SELECT m FROM mm) * 1000000)
+             // (SELECT CAST(sum(s) AS BIGINT) FROM u$k) AS BIGINT) AS s
+           FROM u$k)"""
+      }
+      s"""WITH cnt AS (SELECT user_id, event_type, count(*) AS c
+                       FROM events GROUP BY 1, 2),
+         duels AS (
+           SELECT CASE WHEN x.c > y.c THEN x.event_type ELSE y.event_type END AS winner,
+                  CASE WHEN x.c > y.c THEN y.event_type ELSE x.event_type END AS loser
+           FROM cnt x JOIN cnt y ON x.user_id = y.user_id
+             AND x.event_type < y.event_type
+           WHERE x.c <> y.c),
+         p AS (SELECT winner, loser, CAST(count(*) AS BIGINT) AS n
+               FROM duels GROUP BY 1, 2),
+         items AS (SELECT DISTINCT item FROM
+           (SELECT winner AS item FROM p UNION SELECT loser FROM p)),
+         wins AS (SELECT i.item, CAST(COALESCE(sum(p.n), 0) AS BIGINT) AS w
+                  FROM items i LEFT JOIN p ON p.winner = i.item GROUP BY 1),
+         gs AS (SELECT a, b, CAST(sum(n) AS BIGINT) AS n FROM
+           (SELECT winner AS a, loser AS b, n FROM p
+            UNION ALL SELECT loser, winner, n FROM p) GROUP BY 1, 2),
+         mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM items),
+         t0 AS (SELECT item, CAST(1000000 AS BIGINT) AS s FROM items),
+         ${iter(1)},
+         ${iter(2)},
+         ${iter(3)}
+         SELECT i.item, w.w AS wins, t3.s AS strength_ppm
+         FROM items i JOIN wins w ON w.item = i.item
+         JOIN t3 ON t3.item = i.item"""
+    },
   )
 }

@@ -54,4 +54,38 @@ object RangeJoin {
       .filter(ts >= start && ts < end)
       .drop("__rj_bucket")
   }
+
+  /** KEYED interval join — the SCD2 temporal-join shape: each left row
+    * matches right intervals of the SAME key containing its timestamp
+    * ("the dimension version valid when this fact happened"). Identical
+    * bucketization, but the equi-join runs on (key, bucket), so a hot
+    * time bucket no longer collides across unrelated keys — candidate
+    * volume tracks per-key interval density, the quantity that's
+    * actually bounded in an SCD2 dimension (versions per entity).
+    */
+  def intervalJoinKeyed(left: DataFrame, lKey: Column, ts: Column,
+                        right: DataFrame, rKey: Column,
+                        start: Column, end: Column,
+                        bucketMs: Long = 3600000L,
+                        maxBucketsPerInterval: Long = 1000000L): DataFrame = {
+    require(bucketMs > 0, s"bucketMs must be positive, got $bucketMs")
+    require(maxBucketsPerInterval > 0,
+      s"maxBucketsPerInterval must be positive, got $maxBucketsPerInterval")
+    val lBucket = floor(unix_millis(ts) / lit(bucketMs.toDouble)).cast("long")
+    val rFirst = floor(unix_millis(start) / lit(bucketMs.toDouble)).cast("long")
+    val rLast0 = floor((unix_millis(end) - 1) / lit(bucketMs.toDouble)).cast("long")
+    val rLast = when(rLast0 - rFirst < lit(maxBucketsPerInterval), rLast0)
+      .otherwise(raise_error(format_string(
+        s"intervalJoinKeyed: interval spans %d buckets at bucketMs=$bucketMs " +
+          s"(cap $maxBucketsPerInterval) — raise bucketMs or filter the interval",
+        rLast0 - rFirst + 1)).cast("long"))
+    val l = left.withColumn("__rj_bucket", lBucket).withColumn("__rj_k", lKey)
+    val r = right
+      .filter(end > start)
+      .withColumn("__rj_bucket", explode(sequence(rFirst, rLast)))
+      .withColumn("__rj_k", rKey)
+    l.join(r, Seq("__rj_k", "__rj_bucket"))
+      .filter(ts >= start && ts < end)
+      .drop("__rj_bucket", "__rj_k")
+  }
 }

@@ -88,4 +88,35 @@ class RangeJoinSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$plan")
     assert(plan.contains("Join") || plan.contains("join"), plan)
   }
+
+  test("keyed join: same timestamp matches only the SAME key's interval") {
+    val facts = Seq((1L, ts(10)), (2L, ts(10)), (1L, ts(100)))
+      .toDF("k", "fts")
+    // key 1 valid [0, 60); key 2 valid [0, 5) then [5, 60)
+    val ivs = Seq((1L, ts(0), ts(60), "a"),
+      (2L, ts(0), ts(5), "b1"), (2L, ts(5), ts(60), "b2"))
+      .toDF("ik", "start", "end", "tag")
+    val got = RangeJoin.intervalJoinKeyed(facts, $"k", $"fts",
+        ivs, $"ik", $"start", $"end", bucketMs = 60000L)
+      .select($"k", $"tag").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "b2"))) // ts(100) past every interval
+  }
+
+  test("keyed join: boundary semantics are [start, end) per key") {
+    val facts = Seq((5L, ts(5)), (5L, ts(10))).toDF("k", "fts")
+    val ivs = Seq((5L, ts(0), ts(5), "lo"), (5L, ts(5), ts(10), "hi"))
+      .toDF("ik", "start", "end", "tag")
+    val got = RangeJoin.intervalJoinKeyed(facts, $"k", $"fts",
+        ivs, $"ik", $"start", $"end", bucketMs = 60000L)
+      .select($"tag").as[String].collect().toSeq
+    assert(got == Seq("hi")) // ts(5) starts "hi"; ts(10) is past it
+  }
+
+  test("keyed join plans as an equi-join on (key, bucket)") {
+    val facts = Seq((1L, ts(10))).toDF("k", "fts")
+    val ivs = Seq((1L, ts(0), ts(60), "a")).toDF("ik", "start", "end", "tag")
+    val plan = RangeJoin.intervalJoinKeyed(facts, $"k", $"fts",
+      ivs, $"ik", $"start", $"end").queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$plan")
+  }
 }
