@@ -2909,6 +2909,54 @@ object SparkEntry {
         .groupBy(col("winner"), col("loser")).agg(count(lit(1)).as("n"))
       functions.BradleyTerry.strengths(duels, iterations = 3)
     }),
+
+    // T — EXACT stratified train/val/test split (80/10/10 PER STRATUM,
+    // not in expectation): content-hash ranks through the sort-free
+    // grouped ntile — small strata get exact proportions where a
+    // Bernoulli hash split drifts. Composition of pinned stages.
+    "q183_exact_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("rk", functions.Sampling.hashRank52(col("doc_id").cast("string")))
+      graft.operators.ScalableNtile
+        .ntileByRangeGrouped(docs, 10, col("rk"), col("lang"), Seq(col("doc_id")))
+        .select(col("doc_id"), col("lang"),
+          when(col("__graft_ntile") <= 8, "train")
+            .when(col("__graft_ntile") === 9, "val")
+            .otherwise("test").as("split"))
+    }),
+
+    // D — SFT prompt dedup, keep-the-best form: duplicate prompts (first
+    // 5 tokens) collapse to the LONGEST response (ties → lowest id) via
+    // one struct-max partial aggregation — curation keeps the best copy,
+    // not the first seen; no window over the corpus.
+    "q184_prompt_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val prompt = concat_ws(" ",
+        slice(functions.TextFunctions.tokens(col("text")), 1, 5))
+      docs.select(prompt.as("prompt"), col("doc_id"),
+          length(col("text")).cast("long").as("len"))
+        .groupBy(col("prompt"))
+        .agg(count(lit(1)).as("n_candidates"),
+          max(struct(col("len"), (-col("doc_id")).as("negid"))).as("__best"))
+        .select(col("prompt"), col("n_candidates"),
+          (-col("__best.negid")).as("kept_doc_id"),
+          col("__best.len").as("kept_len"))
+    }),
+
+    // G — HITS hubs & authorities (Kleinberg 1999) on the directed
+    // nation trade graph, 3 synchronous rounds in exact fixed-point
+    // integers — which nations ROUTE trade (hubs) vs RECEIVE it
+    // (authorities), the directional complement of q130's PageRank.
+    "q185_trade_hits" -> ((s, dir) => {
+      val tr = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").as("cn"), col("s_nationkey").as("sn"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 120 && col("cn") =!= col("sn"))
+      graft.operators.Hits.run(tr, "cn", "sn", iters = 3)
+    }),
   )
 
   // ----------------------------------------------------------- bench-only
@@ -5909,6 +5957,76 @@ object SparkEntry {
          SELECT i.item, w.w AS wins, t3.s AS strength_ppm
          FROM items i JOIN wins w ON w.item = i.item
          JOIN t3 ON t3.item = i.item"""
+    },
+    // NTILE window replay (the q111 parity rule) + the split mapping
+    "q183_exact_split" ->
+      """WITH r AS (
+           SELECT doc_id, lang,
+             CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) AS rk
+           FROM documents),
+         nt AS (SELECT doc_id, lang,
+                  NTILE(10) OVER (PARTITION BY lang ORDER BY rk, doc_id) AS t
+                FROM r)
+         SELECT doc_id, lang,
+           CASE WHEN t <= 8 THEN 'train' WHEN t = 9 THEN 'val'
+                ELSE 'test' END AS split
+         FROM nt""",
+    // (len desc, id asc) argmax replay per prompt
+    "q184_prompt_dedup" ->
+      """WITH toks AS (
+           SELECT doc_id, text, list_filter(
+             string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS t
+           FROM documents),
+         p AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
+                 array_to_string(t[1:5], ' ') AS prompt
+               FROM toks),
+         r AS (SELECT prompt, doc_id, len,
+                 row_number() OVER (PARTITION BY prompt
+                   ORDER BY len DESC, doc_id ASC) AS rn,
+                 count(*) OVER (PARTITION BY prompt) AS n
+               FROM p)
+         SELECT prompt, CAST(n AS BIGINT) AS n_candidates,
+           doc_id AS kept_doc_id, len AS kept_len
+         FROM r WHERE rn = 1""",
+    // the identical mutual-recursion trajectory unrolled: authority
+    // half-step from the PREVIOUS hubs, hub half-step from the NEW
+    // authorities, sum-normalized to m*1e6 after every half-step
+    "q185_trade_hits" -> {
+      def round(k: Int): String = {
+        val p = k - 1
+        s"""ar$k AS MATERIALIZED (SELECT e.dst AS node, CAST(sum(h.v) AS BIGINT) AS v
+             FROM e JOIN h$p h ON h.node = e.src GROUP BY 1),
+         af$k AS MATERIALIZED (SELECT n.node, CAST(COALESCE(ar$k.v, 0) AS BIGINT) AS v
+             FROM nodes n LEFT JOIN ar$k ON ar$k.node = n.node),
+         a$k AS MATERIALIZED (SELECT node, CAST(v * ((SELECT m FROM mm) * 1000000)
+             // (SELECT CAST(sum(v) AS BIGINT) FROM af$k) AS BIGINT) AS v
+             FROM af$k),
+         hr$k AS MATERIALIZED (SELECT e.src AS node, CAST(sum(a.v) AS BIGINT) AS v
+             FROM e JOIN a$k a ON a.node = e.dst GROUP BY 1),
+         hf$k AS MATERIALIZED (SELECT n.node, CAST(COALESCE(hr$k.v, 0) AS BIGINT) AS v
+             FROM nodes n LEFT JOIN hr$k ON hr$k.node = n.node),
+         h$k AS MATERIALIZED (SELECT node, CAST(v * ((SELECT m FROM mm) * 1000000)
+             // (SELECT CAST(sum(v) AS BIGINT) FROM hf$k) AS BIGINT) AS v
+             FROM hf$k)"""
+      }
+      s"""WITH tr AS MATERIALIZED (
+           SELECT c.c_nationkey AS cn, s.s_nationkey AS sn, count(*) AS cnt
+           FROM lineitem l
+           JOIN orders o ON l.l_orderkey = o.o_orderkey
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           GROUP BY 1, 2),
+         e AS MATERIALIZED (SELECT DISTINCT CAST(cn AS BIGINT) AS src, CAST(sn AS BIGINT) AS dst
+               FROM tr WHERE cnt >= 120 AND cn <> sn),
+         nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+           (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+         mm AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS m FROM nodes),
+         h0 AS MATERIALIZED (SELECT node, CAST(1000000 AS BIGINT) AS v FROM nodes),
+         ${round(1)},
+         ${round(2)},
+         ${round(3)}
+         SELECT n.node, h3.v AS hub_ppm, a3.v AS auth_ppm
+         FROM nodes n JOIN h3 ON h3.node = n.node JOIN a3 ON a3.node = n.node"""
     },
   )
 }
