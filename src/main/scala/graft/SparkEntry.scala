@@ -2957,6 +2957,79 @@ object SparkEntry {
         .filter(col("cnt") >= 120 && col("cn") =!= col("sn"))
       graft.operators.Hits.run(tr, "cn", "sn", iters = 3)
     }),
+
+    // ST+K — streaming EXACTLY-ONCE to an RDBMS: hourly counts drain
+    // through foreachBatch into Derby, guard row + data MERGE in ONE
+    // transaction per batch (JdbcSink.upsertBatchOnce). The stream is
+    // then REPLAYED from a fresh checkpoint and every batch is REQUIREd
+    // to skip whole on the guard PK — the DB state the oracle checks
+    // would double if exactly-once broke.
+    "q186_stream_jdbc_once" -> ((s, dir) => {
+      System.setProperty("derby.stream.error.file", "/tmp/derby.log")
+      val url = "jdbc:derby:memory:graftq186;create=true"
+      Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+      val c0 = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = c0.createStatement()
+        Seq("DROP TABLE APP.HOURLY", "DROP TABLE APP.GUARD").foreach(q =>
+          try st.execute(q) catch { case _: Throwable => () })
+        st.execute("CREATE TABLE APP.HOURLY (HOUR_START VARCHAR(19) NOT NULL, " +
+          "EVENT_TYPE VARCHAR(16) NOT NULL, N BIGINT, CENTS BIGINT, " +
+          "PRIMARY KEY (HOUR_START, EVENT_TYPE))")
+        st.execute("CREATE TABLE APP.GUARD (APP_ID VARCHAR(32) NOT NULL, " +
+          "BATCH_ID BIGINT NOT NULL, PRIMARY KEY (APP_ID, BATCH_ID))")
+      } finally c0.close()
+      val landed = scala.collection.mutable.ArrayBuffer[Boolean]()
+      def drain(): Unit = {
+        val tmp = stageEvents(dir)
+        graft.streaming.EventsStream.runForeachBatch(s, tmp.toString,
+          df => graft.streaming.EventsStream.hourlyTypeCounts(df)
+            .select(
+              date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss").as("HOUR_START"),
+              col("event_type").as("EVENT_TYPE"), col("n").as("N"),
+              col("value_cents").as("CENTS")),
+          (batch, bid) => {
+            val rows = batch.collect().toSeq
+            if (rows.nonEmpty)
+              landed += graft.sink.JdbcSink.upsertBatchOnce(rows,
+                batch.columns.toSeq, url, "APP.HOURLY",
+                Seq("HOUR_START", "EVENT_TYPE"), "APP.GUARD", "loader", bid)
+          })
+        dropStaged(tmp)
+      }
+      drain()
+      val landedFirst = landed.count(identity)
+      require(landedFirst >= 1, "first drain must land at least one batch")
+      drain() // fresh checkpoint, same deterministic batches
+      require(landed.size > landedFirst, "replay must have produced batches")
+      require(landed.drop(landedFirst).forall(l => !l),
+        "replayed batches must skip whole via the guard")
+      val p = new java.util.Properties()
+      p.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      s.read.jdbc(url, "APP.HOURLY", p)
+        .select(col("HOUR_START").as("hour_start"),
+          col("EVENT_TYPE").as("event_type"), col("N").as("n"),
+          col("CENTS").as("value_cents"))
+    }),
+
+    // T — dataset card: the one-row summary a data release ships
+    // (volume, language spread, exact-dup rate, token totals) — every
+    // field exact-integer and re-derivable.
+    "q187_data_card" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.select(col("doc_id"), col("lang"), col("n_chars"),
+          size(functions.TextFunctions.tokens(col("text"))).cast("long").as("n_tok"),
+          md5(col("text")).as("h"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("h")).as("n_unique_texts"),
+          sum(col("n_tok")).as("total_tokens"),
+          sum(col("n_chars")).as("total_chars"))
+        .select(col("n_docs"), col("n_langs"), col("n_unique_texts"),
+          col("total_tokens"), col("total_chars"),
+          expr("(n_docs - n_unique_texts) * 10000 div n_docs").as("dup_rate_bp"),
+          expr("total_chars div n_docs").as("mean_chars"))
+    }),
   )
 
   // ----------------------------------------------------------- bench-only
@@ -6028,5 +6101,29 @@ object SparkEntry {
          SELECT n.node, h3.v AS hub_ppm, a3.v AS auth_ppm
          FROM nodes n JOIN h3 ON h3.node = n.node JOIN a3 ON a3.node = n.node"""
     },
+    // the DB must hold exactly one landing of the hourly aggregate
+    "q186_stream_jdbc_once" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+         event_type, count(*) AS n,
+         cast(sum(cast(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+         FROM events GROUP BY 1, 2""",
+    // every card field re-derived
+    "q187_data_card" ->
+      """WITH t AS (
+           SELECT doc_id, lang, n_chars,
+             CAST(len(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+               x -> x <> '')) AS BIGINT) AS n_tok,
+             md5(text) AS h
+           FROM documents),
+         g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                 CAST(count(DISTINCT h) AS BIGINT) AS n_unique_texts,
+                 CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+                 CAST(sum(n_chars) AS BIGINT) AS total_chars
+               FROM t)
+         SELECT n_docs, n_langs, n_unique_texts, total_tokens, total_chars,
+           CAST((n_docs - n_unique_texts) * 10000 // n_docs AS BIGINT) AS dup_rate_bp,
+           CAST(total_chars // n_docs AS BIGINT) AS mean_chars
+         FROM g""",
   )
 }

@@ -132,4 +132,59 @@ object JdbcSink {
       }
     }
   }
+
+  /** EXACTLY-ONCE landing of one bounded micro-batch into a JDBC target
+    * (the streaming-foreachBatch → RDBMS pattern): a guard row keyed
+    * (APP_ID, BATCH_ID) and the data MERGE commit in ONE transaction, so
+    * a crash leaves either nothing or everything, and a replayed batch
+    * (restart from an old checkpoint, speculative retry) hits the guard
+    * table's primary key and skips WHOLE. Returns true iff this call
+    * landed the batch.
+    *
+    * Driver-side by design: foreachBatch output here is an AGGREGATED
+    * micro-batch (windowed counts, watermarked sessions — bounded by the
+    * key domain, not the stream). For bulk rows use the distributed
+    * [[upsert]] into a staging table + an atomic swap instead — a
+    * multi-connection write can't share one transaction.
+    */
+  def upsertBatchOnce(rows: Seq[org.apache.spark.sql.Row], columns: Seq[String],
+                      url: String, table: String, keys: Seq[String],
+                      guardTable: String, appId: String,
+                      batchId: Long): Boolean = {
+    def runTx(): Boolean = {
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        conn.setAutoCommit(false)
+        val g = conn.prepareStatement(
+          s"INSERT INTO $guardTable (APP_ID, BATCH_ID) VALUES (?, ?)")
+        try {
+          g.setString(1, appId); g.setLong(2, batchId); g.executeUpdate()
+        } catch {
+          case _: java.sql.SQLIntegrityConstraintViolationException =>
+            conn.rollback(); return false // already landed: skip whole
+        } finally g.close()
+        val sql = mergeUpsertSql(table, columns, keys)
+        val order = mergeBindOrder(columns, keys)
+        val ps = conn.prepareStatement(sql)
+        try {
+          rows.foreach { r =>
+            order.zipWithIndex.foreach { case (ci, slot) =>
+              ps.setObject(slot + 1, r.get(ci))
+            }
+            ps.addBatch()
+          }
+          ps.executeBatch()
+        } finally ps.close()
+        conn.commit()
+        true
+      } catch {
+        case e: Throwable =>
+          try conn.rollback() catch { case _: Throwable => () }
+          throw e
+      } finally conn.close()
+    }
+    if (url.startsWith("jdbc:derby:"))
+      embeddedDerbyMergeLock.synchronized(runTx())
+    else runTx()
+  }
 }

@@ -385,6 +385,46 @@ object EventsStream {
     * until all available files are processed — the local smoke harness
     * (AvailableNow semantics without an external trigger loop).
     */
+  /** Drain a streaming query through foreachBatch — the external-sink
+    * twin of [[runToMemory]] (same conf/checkpoint discipline); `f`
+    * receives each micro-batch DataFrame and its batch id.
+    */
+  def runForeachBatch(spark: SparkSession, dir: String,
+                      transform: DataFrame => DataFrame,
+                      f: (DataFrame, Long) => Unit,
+                      outputMode: String = "update"): Unit = {
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData =
+      spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled").getOrElse("true")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.min(8, prevParts.toInt).toString)
+    if (outputMode == "update")
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val shm = new java.io.File("/dev/shm")
+    val ckDir =
+      if (shm.isDirectory && shm.canWrite)
+        Some(java.nio.file.Files.createTempDirectory(shm.toPath, "graft-ck"))
+      else None
+    try {
+      var w = transform(readEvents(spark, dir))
+        .writeStream.outputMode(outputMode)
+        .foreachBatch(f)
+      ckDir.foreach(d => w = w.option("checkpointLocation", d.toString))
+      val q = w.start()
+      try { q.processAllAvailable() } finally q.stop()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+      ckDir.foreach { d =>
+        def rm(file: java.io.File): Unit = {
+          if (file.isDirectory) file.listFiles().foreach(rm)
+          file.delete()
+        }
+        rm(d.toFile)
+      }
+    }
+  }
+
   def runToMemory(spark: SparkSession, dir: String, queryName: String,
                   transform: DataFrame => DataFrame,
                   outputMode: String = "append"): Unit = {
