@@ -3030,6 +3030,17 @@ object SparkEntry {
           expr("(n_docs - n_unique_texts) * 10000 div n_docs").as("dup_rate_bp"),
           expr("total_chars div n_docs").as("mean_chars"))
     }),
+
+    // V — product quantization (Jégou et al. 2011): 4 subspaces × 8
+    // integer-Lloyd codebooks compress each 64-float vector to a 4-id
+    // code word (12 bits); codes AND exact integer reconstruction
+    // errors are emitted, and the oracle replays training (subspace as
+    // a data dimension), assignment and the error sums bit for bit.
+    "q188_pq_encode" -> ((s, dir) => {
+      functions.Similarity.pqEncodePortable(
+        t(s, dir, "embeddings"), "vec_id", "embedding", dim = 64,
+        m = 4, kCentroids = 8, iters = 2)
+    }),
   )
 
   // ----------------------------------------------------------- bench-only
@@ -6125,5 +6136,52 @@ object SparkEntry {
            CAST((n_docs - n_unique_texts) * 10000 // n_docs AS BIGINT) AS dup_rate_bp,
            CAST(total_chars // n_docs AS BIGINT) AS mean_chars
          FROM g""",
+    // q61's integer-Lloyd replay with SUBSPACE AS A DATA DIMENSION: one
+    // CTE chain trains all 4 codebooks; codes and exact reconstruction
+    // errors re-derived
+    "q188_pq_encode" -> {
+      def dist(vi: String, c: String): String =
+        s"CAST(list_sum(list_transform(range(1, 17), j -> ($vi[j] - $c[j]) * ($vi[j] - $c[j]))) AS BIGINT)"
+      def iteration(i: Int): String = {
+        val prev = s"c${i - 1}"
+        s"""a$i AS MATERIALIZED (
+             SELECT ei.vec_id, ei.s, (min([${dist("ei.vi", "c.c")}, c.cid]))[2] AS cid
+             FROM eis ei JOIN $prev c ON c.s = ei.s GROUP BY ei.vec_id, ei.s),
+           s$i AS MATERIALIZED (
+             SELECT a.s, a.cid, r.j AS pos, CAST(sum(ei.vi[r.j]) AS BIGINT) AS sm,
+                    CAST(count(*) AS BIGINT) AS n
+             FROM a$i a JOIN eis ei ON ei.vec_id = a.vec_id AND ei.s = a.s
+             CROSS JOIN range(1, 17) r(j)
+             GROUP BY a.s, a.cid, r.j),
+           m$i AS MATERIALIZED (
+             SELECT s, cid, pos, (sm - ((sm % n) + n) % n) // n AS mn FROM s$i),
+           c$i AS MATERIALIZED (
+             SELECT p.s, p.cid, list(COALESCE(m.mn, p.c[r.j]) ORDER BY r.j) AS c
+             FROM $prev p CROSS JOIN range(1, 17) r(j)
+             LEFT JOIN m$i m ON m.s = p.s AND m.cid = p.cid AND m.pos = r.j
+             GROUP BY p.s, p.cid)"""
+      }
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         eis AS MATERIALIZED (
+           SELECT vec_id, s.s AS s,
+             list_transform(v[(s.s*16+1):(s.s*16+16)],
+               x -> CAST(round(x * 1048576) AS BIGINT)) AS vi
+           FROM e CROSS JOIN range(0, 4) s(s)),
+         c0 AS MATERIALIZED (
+           SELECT s, CAST(rn - 1 AS BIGINT) AS cid, vi AS c FROM (
+             SELECT vec_id, s, vi,
+               row_number() OVER (PARTITION BY s ORDER BY vec_id) AS rn
+             FROM eis) WHERE rn <= 8),
+         ${iteration(1)},
+         ${iteration(2)},
+         fin AS MATERIALIZED (
+           SELECT ei.vec_id, ei.s,
+             (min([${dist("ei.vi", "c.c")}, c.cid]))[1] AS d,
+             (min([${dist("ei.vi", "c.c")}, c.cid]))[2] AS cid
+           FROM eis ei JOIN c2 c ON c.s = ei.s GROUP BY ei.vec_id, ei.s)
+         SELECT vec_id, string_agg(CAST(cid AS VARCHAR), ',' ORDER BY s) AS code,
+           CAST(sum(d) AS BIGINT) AS err_q
+         FROM fin GROUP BY vec_id"""
+    },
   )
 }

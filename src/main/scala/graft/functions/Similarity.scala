@@ -381,6 +381,86 @@ object Similarity {
         cosineWithNorms(col("__qv"), col("v"), col("__qn"), col("__cn")).as("cos")), k, qId)
   }
 
+  /** Product quantization (Jégou, Douze & Schmid, TPAMI 2011) — the
+    * vector-compression workhorse behind billion-scale ANN: the vector
+    * splits into `m` subspaces, each learns its own `kCentroids`-entry
+    * codebook, and every vector compresses to `m` small centroid ids
+    * (here m·log₂k bits ≈ 12 bits vs 64 floats — a ~170× cut before
+    * anything shuffles or lands in an index).
+    *
+    * ENGINE-PORTABLE form, the [[ivfTopKPortable]] discipline: vectors
+    * quantize to `round(v·2²⁰)` longs; per-subspace Lloyd runs in exact
+    * integer arithmetic (argmin by lexicographic (dist, cid), exact
+    * floor-division means, empty clusters keep their centroid); encoding
+    * emits each vector's code word and its EXACT integer reconstruction
+    * error — so codebooks, codes and errors replay bit for bit on any
+    * engine.
+    *
+    * Shape: training is `iters` aggregate jobs per subspace over the
+    * corpus (codebooks are driver-side literals — m·k tiny arrays);
+    * encoding is ONE map-side pass, zero shuffle. At 100 TB you train on
+    * a sample and only the encoding pass touches the full corpus.
+    */
+  def pqEncodePortable(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                       m: Int = 4, kCentroids: Int = 8,
+                       iters: Int = 2): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    require(kCentroids >= 1 && iters >= 0, "bad kCentroids/iters")
+    val subDim = dim / m
+    val Scale = 1L << 20
+    def base0 = df.select(col(idCol).cast("long").as("id"),
+        asDouble(col(vecCol)).as("v"))
+      .withColumn("vi", transform(col("v"),
+        x => round(x * Scale.toDouble).cast("long")))
+    val c0 = base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    def sqDistTo(viCol: Column, cArr: Array[Long]): Column =
+      aggregate(zip_with(viCol, lit(cArr), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+
+    val codebooks: Array[Array[Array[Long]]] = (0 until m).map { s =>
+      val sl = slice(col("vi"), s * subDim + 1, subDim)
+      var cents: Array[Array[Long]] = c0.orderBy(col("id")).limit(kCentroids)
+        .select(sl.as("c")).collect()
+        .map(_.getAs[scala.collection.Seq[Long]](0).toArray)
+      def structs(viCol: Column) = cents.zipWithIndex.map { case (cA, i) =>
+        struct((-sqDistTo(viCol, cA)).as("negd"), lit(-i).as("negcid"))
+      }
+      def nearest(viCol: Column): Column =
+        if (cents.length < 2) lit(0)
+        else -greatest(structs(viCol): _*).getField("negcid")
+      (1 to iters).foreach { _ =>
+        val sums = c0.withColumn("cid", nearest(sl))
+          .select(col("cid"), posexplode(sl))
+          .toDF("cid", "pos", "x")
+          .groupBy(col("cid"), col("pos"))
+          .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+          .select(col("cid"), col("pos"),
+            expr("(s - pmod(s, n)) div n").as("m"))
+          .collect()
+        val next = cents.map(_.clone()) // empty clusters keep previous
+        sums.foreach(r =>
+          next(r.getAs[Int]("cid"))(r.getAs[Int]("pos")) = r.getAs[Long]("m"))
+        cents = next
+      }
+      cents
+    }.toArray
+    c0.unpersist()
+
+    // encoding: one zero-shuffle pass over the (re-read) source
+    val enc = base0
+    val perSub = (0 until m).map { s =>
+      val sl = slice(col("vi"), s * subDim + 1, subDim)
+      val cand = codebooks(s).zipWithIndex.map { case (cA, i) =>
+        struct(sqDistTo(sl, cA).as("d"), lit(i.toLong).as("cid"))
+      }
+      if (cand.length < 2) cand.head else least(cand: _*)
+    }
+    enc.select(col("id").as("vec_id"),
+      concat_ws(",", perSub.map(_.getField("cid").cast("string")): _*).as("code"),
+      perSub.map(_.getField("d")).reduce(_ + _).as("err_q"))
+  }
+
   /** Embedding-cosine near-dup pairs: MULTI-TABLE sign-bit LSH candidate
     * generation (a pair is a candidate if its b-bit signature matches in
     * ANY of the `nTables` independent tables — banding, like MinHash
