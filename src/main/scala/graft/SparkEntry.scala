@@ -3053,6 +3053,41 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       functions.Similarity.pqAdcTopK(queries, emb, k = 10, dim = 64)
     }),
+
+    // E2E — data-quality audit (the Deequ/expectations family as exact
+    // aggregates): PK uniqueness, functional dependency, referential
+    // integrity, null rate and k-anonymity over a deterministically
+    // CORRUPTED orders/lineitem pair, so every rule fires a known count
+    // the oracle re-derives from the corruption rules themselves.
+    "q190_dq_audit" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      // corrupted fixture: %1000==7 orders duplicated with a shifted
+      // custkey (PK dups AND FD breaks); parents %97==0 dropped
+      // (orphaned lineitems); priority nulled on %53==0
+      val corrupted = orders.unionByName(
+          orders.filter(col("o_orderkey") % 1000 === 7)
+            .withColumn("o_custkey", col("o_custkey") + 1L))
+        .filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_orderpriority",
+          when(col("o_orderkey") % 53 === 0, lit(null: String))
+            .otherwise(col("o_orderpriority")))
+      graft.operators.DataQuality.audit(Seq(
+        "pk_unique_orderkey" ->
+          graft.operators.DataQuality.pkViolations(corrupted, col("o_orderkey")),
+        "fd_orderkey_to_custkey" ->
+          graft.operators.DataQuality.fdViolations(corrupted,
+            col("o_orderkey"), col("o_custkey")),
+        "ri_lineitem_orders" ->
+          graft.operators.DataQuality.orphans(li, col("l_orderkey"),
+            corrupted, col("o_orderkey")),
+        "null_priority" ->
+          graft.operators.DataQuality.nullCount(corrupted, col("o_orderpriority")),
+        "k_anonymity_customer_5" ->
+          graft.operators.DataQuality.kAnonymityViolations(
+            t(s, dir, "customer"),
+            Seq(col("c_nationkey"), col("c_mktsegment")), k = 5)))
+    }),
   )
 
   // ----------------------------------------------------------- bench-only
@@ -6249,5 +6284,36 @@ object SparkEntry {
                  ORDER BY adc_q ASC, neighbor_id ASC) AS rn
                FROM scored) WHERE rn <= 10"""
     },
+    // the corruption replayed mechanically, then each rule re-derived
+    "q190_dq_audit" ->
+      """WITH dup AS (
+           SELECT o_orderkey, o_custkey + 1 AS o_custkey, o_orderpriority
+           FROM orders WHERE o_orderkey % 1000 = 7),
+         base AS (
+           SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+           UNION ALL SELECT o_orderkey, o_custkey, o_orderpriority FROM dup),
+         corr AS (
+           SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 53 = 0 THEN NULL
+                  ELSE o_orderpriority END AS pri
+           FROM base WHERE o_orderkey % 97 <> 0),
+         r1 AS (SELECT 'pk_unique_orderkey' AS rule,
+                  CAST(COALESCE(sum(n - 1), 0) AS BIGINT) AS n_violations
+                FROM (SELECT o_orderkey, count(*) AS n FROM corr GROUP BY 1)
+                WHERE n > 1),
+         r2 AS (SELECT 'fd_orderkey_to_custkey', CAST(count(*) AS BIGINT) FROM
+                (SELECT o_orderkey FROM corr GROUP BY 1
+                 HAVING count(DISTINCT o_custkey) > 1)),
+         r3 AS (SELECT 'ri_lineitem_orders', CAST(count(*) AS BIGINT)
+                FROM lineitem WHERE l_orderkey IS NOT NULL
+                  AND l_orderkey NOT IN (SELECT o_orderkey FROM corr)),
+         r4 AS (SELECT 'null_priority',
+                  CAST(COALESCE(sum(CASE WHEN pri IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+                FROM corr),
+         r5 AS (SELECT 'k_anonymity_customer_5', CAST(count(*) AS BIGINT) FROM
+                (SELECT c_nationkey, c_mktsegment FROM customer GROUP BY 1, 2
+                 HAVING count(*) < 5))
+         SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
+         UNION ALL SELECT * FROM r4 UNION ALL SELECT * FROM r5""",
   )
 }
