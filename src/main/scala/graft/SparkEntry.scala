@@ -3088,6 +3088,60 @@ object SparkEntry {
             t(s, dir, "customer"),
             Seq(col("c_nationkey"), col("c_mktsegment")), k = 5)))
     }),
+
+    // V — kNN classification (semi-supervised labeling): every 5th
+    // vector is "unlabeled" and takes the majority label of its 5
+    // nearest labeled neighbors by exact cosine (ties → smallest
+    // label); predictions checked against ground truth. Bounded
+    // TopKByScore candidates, one vote aggregation.
+    "q191_knn_classify" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val unl = emb.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val lab = emb.filter(col("vec_id") % 5 =!= 0)
+      val votes = functions.Similarity.bruteForceTopK(unl, lab, k = 5)
+        .join(lab.select(col("vec_id").as("neighbor_id"), col("label")),
+          Seq("neighbor_id"))
+        .groupBy(col("query_id"), col("label")).agg(count(lit(1)).as("v"))
+      votes.groupBy(col("query_id"))
+        .agg(max(struct(col("v"),
+          (-col("label")).cast("long").as("neglab"))).as("b"))
+        .select(col("query_id"), (-col("b.neglab")).cast("int").as("predicted"))
+        .join(emb.select(col("vec_id").as("query_id"),
+          col("label").as("true_label")), Seq("query_id"))
+        .select(col("query_id"), col("predicted"), col("true_label"),
+          (col("predicted") === col("true_label")).as("correct"))
+    }),
+
+    // V+T — embedding-centroid drift per source (the semantic
+    // complement of q151's KS): per-source and corpus per-dimension
+    // sums in EXACT quantized integers (float sums are partition-order
+    // dependent; integer sums are not), then one 4dp cosine between
+    // each source's sum vector and the corpus's.
+    "q192_embedding_drift" -> ((s, dir) => {
+      val ev = t(s, dir, "embeddings")
+        .join(t(s, dir, "documents").select(col("doc_id"), col("source")),
+          col("doc_id") === col("vec_id"))
+        .select(col("source"), col("vec_id"),
+          transform(col("embedding").cast("array<double>"),
+            x => round(x * 1048576d).cast("long")).as("vi"))
+      val perDim = ev.select(col("source"), col("vec_id"),
+          posexplode(col("vi")).as(Seq("pos", "x")))
+      val srcSums = perDim.groupBy(col("source"), col("pos"))
+        .agg(sum(col("x")).as("s"))
+      val corpus = srcSums.groupBy(col("pos")).agg(sum(col("s")).as("t"))
+      val srcVec = srcSums.groupBy(col("source"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("s")))).as("a"))
+        .select(col("source"),
+          transform(col("a"), x => x.getField("s").cast("double")).as("sv"))
+      val corpVec = corpus
+        .agg(sort_array(collect_list(struct(col("pos"), col("t")))).as("a"))
+        .select(transform(col("a"), x => x.getField("t").cast("double")).as("cv"))
+      val n = ev.groupBy(col("source")).agg(count(lit(1)).as("n_vecs"))
+      srcVec.join(n, Seq("source")).crossJoin(broadcast(corpVec))
+        .select(col("source"), col("n_vecs"),
+          round(functions.Similarity.cosine(col("sv"), col("cv")), 4).as("cos_r"))
+    }),
   )
 
   // ----------------------------------------------------------- bench-only
@@ -6315,5 +6369,48 @@ object SparkEntry {
                  HAVING count(*) < 5))
          SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
          UNION ALL SELECT * FROM r4 UNION ALL SELECT * FROM r5""",
+    // q27's cosine + (cos desc, id asc) kNN + (votes desc, label asc)
+    // majority replay
+    "q191_knn_classify" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+                    FROM embeddings),
+         nn AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS nid, c.label,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               list_dot_product(q.v, c.v)
+                 / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+               DESC, c.vec_id ASC) AS rn
+           FROM e q JOIN e c ON c.vec_id % 5 <> 0 AND c.vec_id <> q.vec_id
+           WHERE q.vec_id % 5 = 0),
+         votes AS (SELECT query_id, label, CAST(count(*) AS BIGINT) AS v
+                   FROM nn WHERE rn <= 5 GROUP BY 1, 2),
+         pred AS (SELECT query_id, label AS predicted FROM (
+                    SELECT query_id, label, row_number() OVER (
+                      PARTITION BY query_id ORDER BY v DESC, label ASC) AS rn
+                    FROM votes) WHERE rn = 1)
+         SELECT p.query_id, CAST(p.predicted AS INTEGER) AS predicted,
+           e.label AS true_label, p.predicted = e.label AS correct
+         FROM pred p JOIN e ON e.vec_id = p.query_id""",
+    // identical quantized-integer dimension sums, then the 4dp cosine
+    "q192_embedding_drift" ->
+      """WITH ev AS (
+           SELECT d.source, e.vec_id,
+             list_transform(CAST(e.embedding AS DOUBLE[]),
+               x -> CAST(round(x * 1048576) AS BIGINT)) AS vi
+           FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+         sums AS (
+           SELECT source, r.j AS pos, CAST(sum(vi[r.j]) AS BIGINT) AS s
+           FROM ev CROSS JOIN range(1, 65) r(j) GROUP BY 1, 2),
+         tot AS (SELECT pos, CAST(sum(s) AS BIGINT) AS t FROM sums GROUP BY 1),
+         sv AS (SELECT source, list(CAST(s AS DOUBLE) ORDER BY pos) AS a
+                FROM sums GROUP BY 1),
+         cv AS (SELECT list(CAST(t AS DOUBLE) ORDER BY pos) AS a FROM tot),
+         n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_vecs
+               FROM ev GROUP BY 1)
+         SELECT s.source, n.n_vecs,
+           round(list_dot_product(s.a, c.a)
+             / (sqrt(list_dot_product(s.a, s.a)) * sqrt(list_dot_product(c.a, c.a))), 4)
+             AS cos_r
+         FROM sv s JOIN n ON n.source = s.source CROSS JOIN cv c""",
   )
 }
