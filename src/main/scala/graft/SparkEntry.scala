@@ -3142,6 +3142,59 @@ object SparkEntry {
         .select(col("source"), col("n_vecs"),
           round(functions.Similarity.cosine(col("sv"), col("cv")), 4).as("cos_r"))
     }),
+
+    // E2E — metadata-only RESTORE (Delta semantics): a corrupting
+    // overwrite is rolled back by re-pointing the head at v1's FILES —
+    // the restored head's file set is REQUIREd identical to v1's (zero
+    // data copied) while time travel still reads the corrupted v2. The
+    // oracle checks the restored CONTENT against the clean slice.
+    "q193_tx_restore" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q193").toString
+      val tbl = s"$tmp/tx/orders"
+      val good = t(s, dir, "orders").filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      graft.sink.TxTable.append(s,                                 // v1
+        good.repartitionByRange(4, col("o_orderkey")), tbl,
+        statsCols = Seq("o_orderkey"))
+      graft.sink.TxTable.overwrite(s,                              // v2: corrupt
+        good.withColumn("cents", col("cents") + 99999L), tbl)
+      val v3 = graft.sink.TxTable.restore(s, tbl, 1L)              // v3
+      require(graft.sink.TxTable.filesAt(s, tbl, v3).toSet ==
+        graft.sink.TxTable.filesAt(s, tbl, 1L).toSet,
+        "restore must re-point at v1's files, not copy data")
+      val corrupt2 = graft.sink.TxTable.readAt(s, tbl, 2L)
+        .agg(sum(col("cents"))).head().getLong(0)
+      val clean1 = graft.sink.TxTable.readAt(s, tbl, 1L)
+        .agg(sum(col("cents"))).head().getLong(0)
+      require(corrupt2 > clean1, "time travel must still see the corrupted v2")
+      val out = graft.sink.TxTable.readAt(s, tbl, v3)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .collect()
+      dropStaged(java.nio.file.Paths.get(tmp))
+      import s.implicits._
+      out.toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toDF("o_orderstatus", "n", "cents")
+    }),
+
+    // T — SFT chat-template rendering: deterministic 1-turn
+    // conversations assembled from docs (user = first 8 tokens,
+    // assistant = the rest) into a ChatML-shaped string — the
+    // training-text materialization step of an SFT pipeline; pure
+    // codegen string assembly, zero shuffle.
+    "q194_chat_render" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("__tk", functions.TextFunctions.tokens(col("text")))
+      val user = concat_ws(" ", slice(col("__tk"), 1, 8))
+      val asst = concat_ws(" ", slice(col("__tk"), 9, 1000000))
+      val rendered = concat(
+        lit("<|system|>\nYou are a helpful assistant.\n<|user|>\n"), user,
+        lit("\n<|assistant|>\n"), asst, lit("<|end|>"))
+      docs.select(col("doc_id"), rendered.as("rendered"),
+        length(rendered).cast("long").as("n_chars"),
+        size(col("__tk")).cast("long").as("n_tok"))
+    }),
   )
 
   // ----------------------------------------------------------- bench-only
@@ -6412,5 +6465,27 @@ object SparkEntry {
              / (sqrt(list_dot_product(s.a, s.a)) * sqrt(list_dot_product(c.a, c.a))), 4)
              AS cos_r
          FROM sv s JOIN n ON n.source = s.source CROSS JOIN cv c""",
+    // the restored head must equal the CLEAN slice (the corruption
+    // vanished without a rewrite)
+    "q193_tx_restore" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM orders WHERE o_orderkey % 3 = 0 GROUP BY 1""",
+    // identical template assembly from the same token split
+    "q194_chat_render" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(
+             string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS t
+           FROM documents),
+         r AS (
+           SELECT doc_id, t,
+             '<|system|>' || chr(10) || 'You are a helpful assistant.' || chr(10)
+               || '<|user|>' || chr(10) || array_to_string(t[1:8], ' ')
+               || chr(10) || '<|assistant|>' || chr(10)
+               || array_to_string(t[9:len(t)], ' ') || '<|end|>' AS rendered
+           FROM toks)
+         SELECT doc_id, rendered, CAST(length(rendered) AS BIGINT) AS n_chars,
+           CAST(len(t) AS BIGINT) AS n_tok
+         FROM r""",
   )
 }

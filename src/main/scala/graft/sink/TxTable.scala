@@ -772,6 +772,32 @@ object TxTable {
     commit(spark, dst, added = added, removed = Nil, stats = entries.map(_._2))
   }
 
+  /** Metadata-only RESTORE: make `toVersion`'s content the new head
+    * WITHOUT copying any data — the restore commit adds back exactly
+    * the files of `toVersion` that the current head dropped and removes
+    * exactly the head files `toVersion` lacks (Delta's RESTORE
+    * semantics). History is preserved: time travel still reads every
+    * intermediate version, and the restore is itself just another
+    * commit (optimistic-concurrency checked against the head it saw).
+    * [[vacuum]] keeps the re-referenced files — they are reachable from
+    * the new head. Per-file column stats ride along, so pruned reads
+    * keep working on the restored head.
+    */
+  def restore(spark: SparkSession, table: String, toVersion: Long): Long = {
+    val fs = fsFor(spark, table)
+    val head = headVersion(spark, table)
+    require(toVersion >= 1L && toVersion <= head,
+      s"restore target v$toVersion outside [1, $head]")
+    val target = entriesAt(fs, table, toVersion)
+    val current = entriesAt(fs, table, head)
+    val targetSet = target.map(_._1).toSet
+    val curSet = current.map(_._1).toSet
+    val added = target.filterNot(e => curSet.contains(e._1))
+    val removed = current.map(_._1).filterNot(targetSet.contains)
+    commit(spark, table, added = added.map(_._1), removed = removed,
+      expectedHead = Some(head), stats = added.map(_._2))
+  }
+
   /** Delete data files no commit path can reach (crash orphans and
     * compacted-away files). `minAgeMs` is the reader/writer grace window
     * and applies to BOTH classes: staged-but-uncommitted batches younger
