@@ -3195,6 +3195,23 @@ object SparkEntry {
         length(rendered).cast("long").as("n_chars"),
         size(col("__tk")).cast("long").as("n_tok"))
     }),
+
+    // T — deterministic text augmentation (EDA-style token dropout):
+    // token i drops when md5(doc:i) lands in the 10% band — content-
+    // derived, so the augmented copy is reproducible across reruns,
+    // partitionings and engines (the Sampling module's standing rule).
+    // Zero shuffle: one higher-order filter per row.
+    "q195_text_augment" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("__tk", functions.TextFunctions.tokens(col("text")))
+      val kept = filter(col("__tk"), (x, i) =>
+        conv(substring(md5(concat(col("doc_id"), lit(":"), i + 1)), 1, 4),
+          16, 10).cast("long") % 10 =!= 0)
+      docs.select(col("doc_id"),
+          concat_ws(" ", kept).as("aug_text"),
+          size(col("__tk")).cast("long").as("n_tok"),
+          (size(col("__tk")) - size(kept)).cast("long").as("n_dropped"))
+    }),
   )
 
   // ----------------------------------------------------------- bench-only
@@ -6487,5 +6504,26 @@ object SparkEntry {
          SELECT doc_id, rendered, CAST(length(rendered) AS BIGINT) AS n_chars,
            CAST(len(t) AS BIGINT) AS n_tok
          FROM r""",
+    // identical md5 dropout band over 1-based token positions
+    "q195_text_augment" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(
+             string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS t
+           FROM documents),
+         px AS (
+           SELECT doc_id, unnest(t) AS x, generate_subscripts(t, 1) AS i
+           FROM toks),
+         kept AS (
+           SELECT doc_id, x, i FROM px
+           WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':'
+             || CAST(i AS VARCHAR)), 1, 4)) AS BIGINT) % 10 <> 0),
+         agg AS (
+           SELECT doc_id, string_agg(x, ' ' ORDER BY i) AS aug_text,
+             CAST(count(*) AS BIGINT) AS n_kept
+           FROM kept GROUP BY 1)
+         SELECT t.doc_id, COALESCE(a.aug_text, '') AS aug_text,
+           CAST(len(t.t) AS BIGINT) AS n_tok,
+           CAST(len(t.t) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_dropped
+         FROM toks t LEFT JOIN agg a USING (doc_id)""",
   )
 }
