@@ -3212,6 +3212,219 @@ object SparkEntry {
           size(col("__tk")).cast("long").as("n_tok"),
           (size(col("__tk")) - size(kept)).cast("long").as("n_dropped"))
     }),
+
+    // V — binary (1-bit) quantization + Hamming top-k: sign-bit
+    // signatures packed into two 32-bit blocks (Quantize.signBits), then
+    // per-query top-10 by bit_count(xor) — the 32×-smaller first-pass
+    // scan a billion-vector re-rank pipeline runs BEFORE touching float
+    // precision. Broadcast queries, one integer-ops corpus pass, bounded
+    // per-query top-k (shuffles k·|queries| rows).
+    "q196_hamming_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val sigs = emb.select(col("vec_id"),
+        functions.Quantize.signBits(col("embedding"), dim = 64).as("sig"))
+      val queries = sigs.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("query_id"), col("sig").as("query_sig"))
+      functions.Similarity.hammingTopK(queries, sigs, k = 10, nBlocks = 2)
+    }),
+
+    // V — contrastive hard-negative mining: per labeled query vector,
+    // the 5 most cosine-similar corpus vectors with a DIFFERENT label
+    // ("looks alike, isn't") — the negative half of an embedding
+    // trainer's (anchor, positive, negatives) triples. Same broadcast +
+    // bounded-top-k shape as q27.
+    "q197_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 25 === 7)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"),
+          col("label").as("query_label"))
+      functions.Similarity.hardNegatives(queries, emb, k = 5)
+        .select(col("query_id"), col("neg_id"), col("rank"),
+          round(col("cos"), 4).as("cos_r"))
+    }),
+
+    // A — exact-integer Pearson correlation matrix over lineitem's
+    // numeric features: every sum (Σx, Σx², Σxy) accumulates in
+    // decimal(38,0) over integer-quantized values — partition-order
+    // independent — and only the final closed-form ratio touches
+    // doubles, so the 6dp result is engine-portable. ONE pass, one
+    // partial-aggregated row, zero data shuffle.
+    "q198_feature_corr" -> ((s, dir) => {
+      val names = Seq("qty", "price", "disc", "tax")
+      val li = t(s, dir, "lineitem").select(
+        round(col("l_quantity")).cast("long").as("qty"),
+        round(col("l_extendedprice") * 100).cast("long").as("price"),
+        round(col("l_discount") * 100).cast("long").as("disc"),
+        round(col("l_tax") * 100).cast("long").as("tax"))
+      val aggs =
+        (count(lit(1)).cast("decimal(38,0)").as("n") +:
+          names.map(c => sum(col(c).cast("decimal(38,0)")).as(s"s_$c"))) ++
+        (for { i <- names.indices; j <- names.indices if i <= j } yield
+          sum((col(names(i)) * col(names(j))).cast("decimal(38,0)"))
+            .as(s"s_${names(i)}_${names(j)}"))
+      val sums = li.agg(aggs.head, aggs.tail: _*)
+      def corrOf(x: String, y: String) = round(
+        (col("n") * col(s"s_${x}_$y") - col(s"s_$x") * col(s"s_$y")).cast("double") /
+          (sqrt((col("n") * col(s"s_${x}_$x") - col(s"s_$x") * col(s"s_$x")).cast("double")) *
+            sqrt((col("n") * col(s"s_${y}_$y") - col(s"s_$y") * col(s"s_$y")).cast("double"))), 6)
+      val pairs = for { i <- names.indices; j <- names.indices if i < j } yield
+        struct(lit(names(i)).as("x_name"), lit(names(j)).as("y_name"),
+          corrOf(names(i), names(j)).as("corr_r"))
+      sums.select(explode(array(pairs: _*)).as("p"))
+        .select(col("p.x_name"), col("p.y_name"), col("p.corr_r"))
+    }),
+
+    // T — RAG sentence-window chunking: sentence split on terminal
+    // punctuation (TextFunctions.sentences), then 3-sentence windows at
+    // stride 2 (one-sentence overlap keeps boundary context
+    // retrievable). Per-row generator — sequence + slice higher-order
+    // functions, no UDF, zero shuffle; chunk count per doc is
+    // ⌈(n−1)/2⌉, never quadratic. The synthetic corpus carries no
+    // punctuation, so boundaries are marked deterministically first
+    // (a period after every "the") — content-derived, so the oracle
+    // replays it and the window/tail paths get real 1–9-sentence work.
+    "q199_sentence_chunks" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val marked = regexp_replace(col("text"), "\\bthe\\b", "the.")
+      val sents = functions.TextFunctions.sentences(marked)
+      docs.select(col("doc_id"), sents.as("sents"))
+        .withColumn("n_sent", size(col("sents")).cast("long"))
+        .filter(col("n_sent") > 0)
+        .select(col("doc_id"), col("sents"), col("n_sent"),
+          posexplode(sequence(lit(1L), greatest(lit(1L), col("n_sent") - 1L), lit(2L))
+            ).as(Seq("__p", "start_sent")))
+        .select(col("doc_id"),
+          (col("__p") + 1).cast("long").as("chunk_idx"),
+          col("start_sent"), col("n_sent"),
+          least(lit(3L), col("n_sent") - col("start_sent") + 1L).as("chunk_sents"),
+          array_join(slice(col("sents"), col("start_sent").cast("int"), lit(3)), " ")
+            .as("chunk_text"))
+    }),
+
+    // T — hashing-trick vectorization (the HashingVectorizer analogue):
+    // token → md5-derived bucket in [0, 64), per-doc term frequencies in
+    // sparse (doc, bucket, tf) form — fixed-width features with no vocab
+    // table to build, broadcast, or version. The groupBy collapses to
+    // ≤64 rows/doc map-side before any exchange.
+    "q200_feature_hashing" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(functions.TextFunctions.tokens(col("text"))).as("tok"))
+        .withColumn("bucket",
+          conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("long") % 64)
+        .groupBy(col("doc_id"), col("bucket"))
+        .agg(count(lit(1)).as("tf"))
+    }),
+
+    // D — dedup threshold tuning: precision/recall of simhash-at-h
+    // (h ∈ {1,2,3}) against the EXACT shingle-Jaccard ≥ 0.6 gold pairs
+    // (q153's complete prefix-filtered join — no all-pairs anywhere).
+    // The 4-block banding is pigeonhole-complete for hamming ≤ 3, so
+    // every per-h predicted set is exact, and the whole tuning curve —
+    // the "which threshold do I ship?" table — is one full-outer join
+    // of two bounded pair sets + ONE aggregated row. Exact integers,
+    // basis points by floor division.
+    "q201_dedup_pr_sweep" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val cand = functions.Dedup.simhashPairsPortable(d, "text", "doc_id",
+        maxHamming = 3)
+      val gold = functions.PrefixJoin.shingleHashJaccardJoin(d, "doc_id", "text",
+          n = 3, threshold = 0.6)
+        .select(col("idA"), col("idB"), lit(1L).as("__g"))
+      val j = cand.join(gold, Seq("idA", "idB"), "full_outer")
+        .select(coalesce(col("hamming").cast("long"), lit(99L)).as("hamming"),
+          col("__g").isNotNull.as("is_gold"))
+      val hs = Seq(1, 2, 3)
+      val aggs = hs.flatMap { h => Seq(
+        sum(when(col("hamming") <= h && col("is_gold"), 1L).otherwise(0L)).as(s"tp_$h"),
+        sum(when(col("hamming") <= h && !col("is_gold"), 1L).otherwise(0L)).as(s"fp_$h"))
+      } :+ sum(when(col("is_gold"), 1L).otherwise(0L)).as("n_gold")
+      val row = j.agg(aggs.head, aggs.tail: _*)
+      val out = hs.map { h =>
+        val tp = col(s"tp_$h"); val fp = col(s"fp_$h")
+        struct(lit(h.toLong).as("max_hamming"), tp.as("tp"), fp.as("fp"),
+          (col("n_gold") - tp).as("fn"),
+          when(tp + fp === 0L, lit(10000L))
+            .otherwise(expr(s"(10000 * tp_$h) div (tp_$h + fp_$h)")).as("precision_bp"),
+          expr(s"(10000 * tp_$h) div n_gold").as("recall_bp"))
+      }
+      row.select(explode(array(out: _*)).as("r")).select(col("r.*"))
+    }),
+
+    // A — Poisson bootstrap (the distributed bootstrap: per-row
+    // independent Poisson(1) weights replace global resampling, so the
+    // whole replica set is ONE map pass + one 32-row aggregate — no
+    // per-replica corpus shuffle, no driver resample). Weights are
+    // content-hash deterministic: a 52-bit md5 uniform against the
+    // EXACT floor(cdf·2^52) Poisson(1) thresholds, so every engine
+    // draws the identical replica. Replica means in scaled integers
+    // (swap the longs for decimal(38,0) once Σw·x nears 2^63 — the
+    // arithmetic is otherwise unchanged).
+    "q202_poisson_bootstrap" -> ((s, dir) => {
+      // floor(CDF_Poisson(1)(k) · 2^52) for k = 0..5; u ≥ all → w = 6
+      val cdf = Seq(1656781714176974L, 3313563428353948L, 4141954285442435L,
+        4418084571138597L, 4487117142562637L, 4500923656847445L)
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          explode(sequence(lit(1), lit(32))).as("replica"))
+        .withColumn("u",
+          conv(substring(md5(concat(col("doc_id"), lit(":"), col("replica"))), 1, 13),
+            16, 10).cast("long"))
+        .withColumn("w",
+          cdf.zipWithIndex.foldRight(lit(6L): Column) { case ((c, k), el) =>
+            when(col("u") < c, k.toLong).otherwise(el) })
+      d.groupBy(col("replica"))
+        .agg(sum(col("w")).as("n_eff"),
+          sum(col("w") * col("n_chars")).as("wsum"))
+        .select(col("replica").cast("long").as("replica"), col("n_eff"),
+          expr("(1000000 * wsum) div n_eff").as("mean_chars_sc"))
+    }),
+
+    // ST — stream-stream LEFT OUTER interval join under the full
+    // oracle: matched pairs emit eagerly (= the batch theta-join);
+    // unmatched purchases null-emit only at state eviction, so the
+    // gate keeps null rows for purchases safely past the final
+    // watermark (p_ts < max_ts − 45 min: 30 min lateness + margin,
+    // the horizon the spec proves eviction has fired by) and the
+    // oracle re-derives exactly that set with NOT EXISTS. This is the
+    // watermark-bounded completeness contract made hash-checkable —
+    // the same bound that keeps outer-join state finite at 100 TB.
+    "q203_stream_left_outer" -> ((s, dir) => {
+      val tmp = stageEvents(dir)
+      val name = "graft_q203_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      graft.streaming.EventsStream.runToMemory(s, tmp.toString, name,
+        df => graft.streaming.EventsStream.purchaseAttributionLeftOuterTs(df))
+      dropStaged(tmp)
+      val maxTs = t(s, dir, "events").agg(max(col("ts"))).head().getTimestamp(0)
+      val cutoff = new java.sql.Timestamp(maxTs.getTime - 45L * 60L * 1000L)
+      s.table(name)
+        .filter(col("click_id").isNotNull || col("p_ts") < lit(cutoff))
+        .select(col("purchase_id"), col("click_id"))
+    }),
+
+    // T — classifier calibration table across INDEPENDENT signals: the
+    // cheap linear quality score (q112's z) binned into deciles via the
+    // sort-free scalable ntile, each bin's near-duplicate rate (q24's
+    // simhash losers) in exact basis points — "does low quality predict
+    // duplication?" is the reliability diagram a curation pipeline
+    // reads before wiring score thresholds into dedup budgets. Sums
+    // stay exact integers (no mean division: `div` truncates and `//`
+    // floors, which disagree below zero — the reader divides).
+    "q204_quality_calibration" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val scored = d.select(col("doc_id"),
+        functions.TextFunctions.linearQuality(col("text")).getField("z").as("z"))
+      val losers = functions.Dedup.simhashPairsPortable(d, "text", "doc_id")
+        .select(col("idB").as("doc_id")).distinct().withColumn("__dup", lit(1L))
+      val lab = scored.join(losers, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("z"), col("__dup").isNotNull.as("is_dup"))
+      operators.ScalableNtile.ntileByRange(lab, 10, -col("z"), Seq(col("doc_id")))
+        .groupBy(col("__graft_ntile").cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("z")).as("sum_z"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"))
+        .select(col("bucket"), col("n"), col("sum_z"), col("n_dup"),
+          expr("(10000 * n_dup) div n").as("dup_rate_bp"))
+    }),
   )
 
   // ----------------------------------------------------------- bench-only
@@ -6525,5 +6738,283 @@ object SparkEntry {
            CAST(len(t.t) AS BIGINT) AS n_tok,
            CAST(len(t.t) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_dropped
          FROM toks t LEFT JOIN agg a USING (doc_id)""",
+    // identical MSB-first sign-bit packing (Σ bit·2^(32-i) per block),
+    // identical xor/bit_count Hamming, ties to the lowest neighbor id
+    "q196_hamming_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         px AS (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM e),
+         sig AS (
+           SELECT vec_id,
+             CAST(sum(CASE WHEN i <= 32 AND x > 0
+               THEN (1::BIGINT << (32 - i)) ELSE 0 END) AS BIGINT) AS b0,
+             CAST(sum(CASE WHEN i > 32 AND x > 0
+               THEN (1::BIGINT << (64 - i)) ELSE 0 END) AS BIGINT) AS b1
+           FROM px GROUP BY 1),
+         ham AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(bit_count(xor(q.b0, c.b0)) + bit_count(xor(q.b1, c.b1)) AS BIGINT) AS hamming,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               bit_count(xor(q.b0, c.b0)) + bit_count(xor(q.b1, c.b1)) ASC,
+               c.vec_id ASC) AS rn
+           FROM sig q JOIN sig c ON c.vec_id <> q.vec_id
+           WHERE q.vec_id % 25 = 0)
+         SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank, hamming
+         FROM ham WHERE rn <= 10""",
+    // top-5 cosine among DIFFERENT-label vectors, ties to the lowest id
+    "q197_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+                    FROM embeddings),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neg_id,
+             list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+               AS cos,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               list_dot_product(q.v, c.v)
+                 / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+               DESC, c.vec_id ASC) AS rn
+           FROM e q JOIN e c ON c.label <> q.label
+           WHERE q.vec_id % 25 = 7)
+         SELECT query_id, neg_id, CAST(rn AS BIGINT) AS rank, round(cos, 4) AS cos_r
+         FROM scored WHERE rn <= 5""",
+    // identical exact-integer sums (HUGEINT here, decimal(38,0) in
+    // Spark), identical closed-form double ratio, 6dp
+    "q198_feature_corr" ->
+      """WITH li AS (SELECT CAST(round(l_quantity) AS BIGINT) AS qty,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price,
+             CAST(round(l_discount * 100) AS BIGINT) AS disc,
+             CAST(round(l_tax * 100) AS BIGINT) AS tax FROM lineitem),
+         s AS (SELECT count(*)::HUGEINT AS n,
+             sum(qty)::HUGEINT AS s_qty, sum(price)::HUGEINT AS s_price,
+             sum(disc)::HUGEINT AS s_disc, sum(tax)::HUGEINT AS s_tax,
+             sum(qty*qty)::HUGEINT AS s_qty_qty, sum(qty*price)::HUGEINT AS s_qty_price,
+             sum(qty*disc)::HUGEINT AS s_qty_disc, sum(qty*tax)::HUGEINT AS s_qty_tax,
+             sum(price*price)::HUGEINT AS s_price_price,
+             sum(price*disc)::HUGEINT AS s_price_disc,
+             sum(price*tax)::HUGEINT AS s_price_tax,
+             sum(disc*disc)::HUGEINT AS s_disc_disc, sum(disc*tax)::HUGEINT AS s_disc_tax,
+             sum(tax*tax)::HUGEINT AS s_tax_tax
+           FROM li)
+         SELECT 'qty' AS x_name, 'price' AS y_name,
+           round(CAST(n*s_qty_price - s_qty*s_price AS DOUBLE)
+             / (sqrt(CAST(n*s_qty_qty - s_qty*s_qty AS DOUBLE))
+                * sqrt(CAST(n*s_price_price - s_price*s_price AS DOUBLE))), 6) AS corr_r
+         FROM s
+         UNION ALL SELECT 'qty', 'disc',
+           round(CAST(n*s_qty_disc - s_qty*s_disc AS DOUBLE)
+             / (sqrt(CAST(n*s_qty_qty - s_qty*s_qty AS DOUBLE))
+                * sqrt(CAST(n*s_disc_disc - s_disc*s_disc AS DOUBLE))), 6) FROM s
+         UNION ALL SELECT 'qty', 'tax',
+           round(CAST(n*s_qty_tax - s_qty*s_tax AS DOUBLE)
+             / (sqrt(CAST(n*s_qty_qty - s_qty*s_qty AS DOUBLE))
+                * sqrt(CAST(n*s_tax_tax - s_tax*s_tax AS DOUBLE))), 6) FROM s
+         UNION ALL SELECT 'price', 'disc',
+           round(CAST(n*s_price_disc - s_price*s_disc AS DOUBLE)
+             / (sqrt(CAST(n*s_price_price - s_price*s_price AS DOUBLE))
+                * sqrt(CAST(n*s_disc_disc - s_disc*s_disc AS DOUBLE))), 6) FROM s
+         UNION ALL SELECT 'price', 'tax',
+           round(CAST(n*s_price_tax - s_price*s_tax AS DOUBLE)
+             / (sqrt(CAST(n*s_price_price - s_price*s_price AS DOUBLE))
+                * sqrt(CAST(n*s_tax_tax - s_tax*s_tax AS DOUBLE))), 6) FROM s
+         UNION ALL SELECT 'disc', 'tax',
+           round(CAST(n*s_disc_tax - s_disc*s_tax AS DOUBLE)
+             / (sqrt(CAST(n*s_disc_disc - s_disc*s_disc AS DOUBLE))
+                * sqrt(CAST(n*s_tax_tax - s_tax*s_tax AS DOUBLE))), 6) FROM s""",
+    // identical boundary marking, sentence split, stride-2 window
+    // starts, slice bounds
+    "q199_sentence_chunks" ->
+      """WITH sents AS (
+           SELECT doc_id, list_filter(string_split_regex(
+             regexp_replace(text, '\bthe\b', 'the.', 'g'), '[.!?]+\s+'),
+             x -> length(trim(x)) > 0) AS s
+           FROM documents),
+         d AS (SELECT doc_id, s, len(s) AS n FROM sents WHERE len(s) > 0),
+         st AS (SELECT doc_id, s, n,
+                  unnest(range(1, greatest(1, n - 1) + 1, 2)) AS start
+                FROM d)
+         SELECT doc_id, CAST((start + 1) / 2 AS BIGINT) AS chunk_idx,
+           CAST(start AS BIGINT) AS start_sent, CAST(n AS BIGINT) AS n_sent,
+           CAST(least(3, n - start + 1) AS BIGINT) AS chunk_sents,
+           array_to_string(s[start:least(start + 2, n)], ' ') AS chunk_text
+         FROM st""",
+    // identical md5 bucket in [0, 64)
+    "q200_feature_hashing" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_filter(
+             string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '')) AS tok
+           FROM documents)
+         SELECT doc_id,
+           CAST(CAST(('0x' || substring(md5(tok), 1, 4)) AS BIGINT) % 64 AS BIGINT)
+             AS bucket,
+           CAST(count(*) AS BIGINT) AS tf
+         FROM toks GROUP BY 1, 2""",
+    // q24's simhash-pair replay (kept hamming) × q153's exact-Jaccard
+    // gold replay, full-outer joined, per-threshold exact counts
+    "q201_dedup_pr_sweep" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                      x -> x <> '') AS t
+           FROM documents),
+         th AS (
+           SELECT doc_id,
+                  list_transform(t, x -> CAST('0x'||substring(md5(x), 1, 15) AS BIGINT)) AS h,
+                  len(t) AS n
+           FROM toks),
+         bits AS (
+           SELECT doc_id, b,
+                  CASE WHEN 2 * len(list_filter(h, v -> (v >> b) & 1 = 1)) > n
+                       THEN (CAST(1 AS BIGINT) << b) ELSE 0 END AS bit
+           FROM th, range(0, 60) r(b)),
+         sims AS (
+           SELECT doc_id, CAST(sum(bit) AS BIGINT) AS sim FROM bits GROUP BY doc_id),
+         blocks AS (
+           SELECT doc_id, blk, (sim >> CAST(blk * 15 AS INTEGER)) & 32767 AS bucket, sim
+           FROM sims, range(0, 4) r(blk)),
+         cpairs AS (
+           SELECT DISTINCT a.doc_id AS idA, b.doc_id AS idB,
+             CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+           FROM blocks a JOIN blocks b
+             ON a.blk = b.blk AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.sim, b.sim)) <= 3),
+         sets AS (
+           SELECT doc_id, list_distinct(list_transform(
+             CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                  ELSE list_transform(range(1, len(t)-1),
+                         i -> t[i]||' '||t[i+1]||' '||t[i+2]) END,
+             s -> CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT))) AS sh
+           FROM toks),
+         s2 AS (SELECT doc_id, sh, len(sh) AS n FROM sets WHERE len(sh) > 0),
+         gpairs AS (
+           SELECT a.doc_id AS idA, b.doc_id AS idB
+           FROM s2 a JOIN s2 b ON b.doc_id > a.doc_id
+           WHERE len(list_intersect(a.sh, b.sh)) * 10000
+                 >= 6000 * (a.n + b.n - len(list_intersect(a.sh, b.sh)))),
+         j AS (SELECT COALESCE(c.hamming, 99) AS hamming,
+                 g.idA IS NOT NULL AS is_gold
+               FROM cpairs c FULL OUTER JOIN gpairs g
+                 ON c.idA = g.idA AND c.idB = g.idB),
+         agg AS (SELECT
+             CAST(sum(CASE WHEN hamming <= 1 AND is_gold THEN 1 ELSE 0 END) AS BIGINT) AS tp1,
+             CAST(sum(CASE WHEN hamming <= 1 AND NOT is_gold THEN 1 ELSE 0 END) AS BIGINT) AS fp1,
+             CAST(sum(CASE WHEN hamming <= 2 AND is_gold THEN 1 ELSE 0 END) AS BIGINT) AS tp2,
+             CAST(sum(CASE WHEN hamming <= 2 AND NOT is_gold THEN 1 ELSE 0 END) AS BIGINT) AS fp2,
+             CAST(sum(CASE WHEN hamming <= 3 AND is_gold THEN 1 ELSE 0 END) AS BIGINT) AS tp3,
+             CAST(sum(CASE WHEN hamming <= 3 AND NOT is_gold THEN 1 ELSE 0 END) AS BIGINT) AS fp3,
+             CAST(sum(CASE WHEN is_gold THEN 1 ELSE 0 END) AS BIGINT) AS n_gold
+           FROM j)
+         SELECT CAST(1 AS BIGINT) AS max_hamming, tp1 AS tp, fp1 AS fp,
+           n_gold - tp1 AS fn,
+           CAST(CASE WHEN tp1 + fp1 = 0 THEN 10000
+                ELSE (10000 * tp1) // (tp1 + fp1) END AS BIGINT) AS precision_bp,
+           CAST((10000 * tp1) // n_gold AS BIGINT) AS recall_bp FROM agg
+         UNION ALL
+         SELECT CAST(2 AS BIGINT), tp2, fp2, n_gold - tp2,
+           CAST(CASE WHEN tp2 + fp2 = 0 THEN 10000
+                ELSE (10000 * tp2) // (tp2 + fp2) END AS BIGINT),
+           CAST((10000 * tp2) // n_gold AS BIGINT) FROM agg
+         UNION ALL
+         SELECT CAST(3 AS BIGINT), tp3, fp3, n_gold - tp3,
+           CAST(CASE WHEN tp3 + fp3 = 0 THEN 10000
+                ELSE (10000 * tp3) // (tp3 + fp3) END AS BIGINT),
+           CAST((10000 * tp3) // n_gold AS BIGINT) FROM agg""",
+    // identical 52-bit md5 uniforms against the same exact
+    // floor(cdf·2^52) Poisson(1) thresholds
+    "q202_poisson_bootstrap" ->
+      """WITH r AS (SELECT doc_id, n_chars, unnest(range(1, 33)) AS replica
+                    FROM documents),
+         u AS (SELECT replica, n_chars,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':'
+               || CAST(replica AS VARCHAR)), 1, 13)) AS BIGINT) AS u
+           FROM r),
+         w AS (SELECT replica, n_chars,
+             CASE WHEN u < 1656781714176974 THEN 0
+                  WHEN u < 3313563428353948 THEN 1
+                  WHEN u < 4141954285442435 THEN 2
+                  WHEN u < 4418084571138597 THEN 3
+                  WHEN u < 4487117142562637 THEN 4
+                  WHEN u < 4500923656847445 THEN 5
+                  ELSE 6 END AS w
+           FROM u)
+         SELECT CAST(replica AS BIGINT) AS replica,
+           CAST(sum(w) AS BIGINT) AS n_eff,
+           CAST((1000000 * sum(w * n_chars)) // sum(w) AS BIGINT) AS mean_chars_sc
+         FROM w GROUP BY 1""",
+    // q84's matched pairs + the watermark-horizon-complete null set
+    // (unmatched purchases older than max_ts − 45 min)
+    "q203_stream_left_outer" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+                    FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT event_id AS click_id, user_id, ts AS c_ts
+               FROM events WHERE event_type = 'click'),
+         matched AS (
+           SELECT p.purchase_id, c.click_id
+           FROM p JOIN c ON c.user_id = p.user_id
+            AND epoch_us(c.c_ts) >= epoch_us(p.p_ts) - 86400000000
+            AND epoch_us(c.c_ts) <= epoch_us(p.p_ts)),
+         mx AS (SELECT max(ts) AS m FROM events),
+         unmatched AS (
+           SELECT p.purchase_id, CAST(NULL AS BIGINT) AS click_id
+           FROM p, mx
+           WHERE p.p_ts < mx.m - INTERVAL 45 MINUTE
+             AND NOT EXISTS (
+               SELECT 1 FROM c WHERE c.user_id = p.user_id
+                 AND epoch_us(c.c_ts) >= epoch_us(p.p_ts) - 86400000000
+                 AND epoch_us(c.c_ts) <= epoch_us(p.p_ts)))
+         SELECT * FROM matched UNION ALL SELECT * FROM unmatched""",
+    // q112's z formula + q24's loser set + a plain NTILE(10) window the
+    // scalable ntile must match; exact sums, basis-point rates
+    "q204_quality_calibration" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                      x -> x <> '') AS t
+           FROM documents),
+         f AS (
+           SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS wc,
+             CAST(COALESCE(list_sum(list_transform(t, x -> length(x))), 0) AS BIGINT) AS chars,
+             CAST(len(list_intersect(t,
+               ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_d,
+             CAST(CASE WHEN len(t) < 3 THEN 0 ELSE len(t) - 2 END AS BIGINT) AS n3,
+             CAST(CASE WHEN len(t) < 3 THEN 0
+                  ELSE len(list_distinct(list_transform(range(1, len(t)-1),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) END AS BIGINT) AS n3d
+           FROM toks),
+         z AS (
+           SELECT doc_id,
+             CAST(-600 + 30 * least(wc, 100) + 400 * stop_d
+                  - 2 * (CASE WHEN wc = 0 THEN 0 ELSE (chars * 100) // wc END)
+                  - 1 * (CASE WHEN n3 = 0 THEN 0
+                         ELSE ((n3 - n3d) * 10000) // n3 END) AS BIGINT) AS z
+           FROM f),
+         th AS (
+           SELECT doc_id,
+                  list_transform(t, x -> CAST('0x'||substring(md5(x), 1, 15) AS BIGINT)) AS h,
+                  len(t) AS n
+           FROM toks),
+         bits AS (
+           SELECT doc_id, b,
+                  CASE WHEN 2 * len(list_filter(h, v -> (v >> b) & 1 = 1)) > n
+                       THEN (CAST(1 AS BIGINT) << b) ELSE 0 END AS bit
+           FROM th, range(0, 60) r(b)),
+         sims AS (
+           SELECT doc_id, CAST(sum(bit) AS BIGINT) AS sim FROM bits GROUP BY doc_id),
+         blocks AS (
+           SELECT doc_id, blk, (sim >> CAST(blk * 15 AS INTEGER)) & 32767 AS bucket, sim
+           FROM sims, range(0, 4) r(blk)),
+         losers AS (
+           SELECT DISTINCT b.doc_id AS doc_id
+           FROM blocks a JOIN blocks b
+             ON a.blk = b.blk AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.sim, b.sim)) <= 3),
+         lab AS (
+           SELECT z.doc_id, z.z, l.doc_id IS NOT NULL AS is_dup,
+             ntile(10) OVER (ORDER BY -z.z ASC, z.doc_id ASC) AS bucket
+           FROM z LEFT JOIN losers l ON l.doc_id = z.doc_id)
+         SELECT CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(z) AS BIGINT) AS sum_z,
+           CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           CAST((10000 * sum(CASE WHEN is_dup THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
+             AS dup_rate_bp
+         FROM lab GROUP BY 1""",
   )
 }

@@ -33,4 +33,30 @@ object Quantize {
   /** Reconstruction scale for [[int8]] (`v ≈ q · scale`). */
   def int8Scale(vec: Column): Column =
     array_max(transform(vec, x => abs(x.cast("double")))) / 127.0
+
+  /** Sign-bit (1-bit) quantization packed into `dim / blockBits`
+    * big-endian integer blocks: within block `b`, the element at
+    * position `b·blockBits + i` contributes bit `blockBits-1-i`
+    * (MSB-first fold `acc·2 + (v>0)`), so Hamming distance between two
+    * vectors is `Σ_b bit_count(xor(a_b, c_b))` — a 32× smaller
+    * representation than float32 and the standard first-pass filter
+    * for billion-vector search (re-rank survivors on full precision).
+    *
+    * Blocks of ≤62 bits keep every partial fold value positive and in
+    * BIGINT range, which is what makes the SAME packing expressible as
+    * a plain integer sum in any engine (the gate's DuckDB oracle
+    * replays it as `Σ bit·2^(blockBits-i)`). Pure higher-order-function
+    * arithmetic, per-row, no shuffle, no UDF.
+    */
+  def signBits(vec: Column, dim: Int, blockBits: Int = 32): Column = {
+    require(blockBits >= 1 && blockBits <= 62, s"blockBits $blockBits not in [1,62]")
+    require(dim % blockBits == 0, s"dim $dim not a multiple of blockBits $blockBits")
+    val nBlocks = dim / blockBits
+    array((0 until nBlocks).map { b =>
+      aggregate(
+        slice(vec, b * blockBits + 1, blockBits),
+        lit(0L),
+        (acc, x) => acc * 2L + when(x.cast("double") > 0d, 1L).otherwise(0L))
+    }: _*)
+  }
 }

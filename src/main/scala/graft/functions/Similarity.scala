@@ -94,6 +94,79 @@ object Similarity {
         cosineWithNorms(col("__qv"), col("__cv"), col("__qn"), col("__cn")).as("cos")), k, qId)
   }
 
+  /** Hamming top-k over [[Quantize.signBits]] signatures: broadcast the
+    * (small) query signature set, one codegen pass over the corpus
+    * signatures (`Σ_b bit_count(xor)` — integer ops on 2 longs per pair
+    * instead of a 64-float dot product), bounded per-query top-k via the
+    * aggregator. Smallest distance wins; ties break to the lowest
+    * neighbor id. This is the billion-vector first-pass shape: the scan
+    * reads 16 B/vector (32× under float32), so a 100 TB float corpus
+    * filters through a ~3 TB signature pass before any full-precision
+    * re-rank touches the survivors.
+    *
+    * `queries`: (query_id, query_sig array<long>); `corpus`:
+    * (vec_id, sig array<long>), both from [[Quantize.signBits]] with the
+    * same dim/blockBits.
+    */
+  def hammingTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                  nBlocks: Int): DataFrame = {
+    val ham = (0 until nBlocks)
+      .map(b => bit_count(col("query_sig").getItem(b)
+        .bitwiseXOR(col("sig").getItem(b))))
+      .reduce(_ + _)
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        ham.cast("long").as("hamming"))
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val agg = new TopKByScore(k).toColumn
+    scored.select(col("query_id").cast("long"), col("neighbor_id"),
+        -col("hamming").cast("double"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(agg)
+      .flatMap { case (q, top) =>
+        top.zipWithIndex.map { case ((id, negHam), i) =>
+          (q, id, (i + 1).toLong, -negHam.toLong) } }
+      .toDF("query_id", "neighbor_id", "rank", "hamming")
+  }
+
+  /** Contrastive hard-negative mining: for each labeled query vector,
+    * the k most cosine-similar corpus vectors with a DIFFERENT label —
+    * the "looks alike, isn't" pairs a contrastive/embedding trainer
+    * wants next to each positive. Same scale shape as
+    * [[bruteForceTopK]]: broadcast queries, one corpus pass, bounded
+    * per-query top-k (shuffles k·|queries| rows, never the corpus).
+    *
+    * `queries`: (query_id, query_vec, query_label); `corpus`:
+    * (vec_id, embedding, label). Emits (query_id, neg_id, rank, cos).
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("query_id"), asDouble(col("query_vec")).as("__qv"),
+        col("query_label"))
+      .withColumn("__qn", l2norm(col("__qv")))
+    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("__cv"),
+        col("label"))
+      .withColumn("__cn", l2norm(col("__cv")))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("label") =!= col("query_label"))
+      .select(col("query_id"), col("vec_id").as("neg_id"),
+        cosineWithNorms(col("__qv"), col("__cv"), col("__qn"), col("__cn")).as("cos"))
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val agg = new TopKByScore(k).toColumn
+    scored.select(col("query_id").cast("long"), col("neg_id").cast("long"), col("cos"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(agg)
+      .flatMap { case (qid, top) =>
+        top.zipWithIndex.map { case ((id, cos), i) => (qid, id, (i + 1).toLong, cos) } }
+      .toDF("query_id", "neg_id", "rank", "cos")
+  }
+
   /** (query_id, neighbor_id, cos) → top-k per query via the aggregator. */
   private def topkOf(scored: DataFrame, k: Int, qId: String): DataFrame = {
     val spark = scored.sparkSession

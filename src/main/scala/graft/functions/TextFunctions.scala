@@ -26,6 +26,16 @@ object TextFunctions {
   def tokens(text: Column): Column =
     filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
 
+  /** Sentence split on terminal-punctuation runs followed by whitespace
+    * (`[.!?]+\s+`), empty/whitespace-only fragments dropped — the
+    * Java-regex ∩ RE2 subset (no lookbehind), so any SQL engine replays
+    * it. The trailing sentence keeps its final punctuation; interior
+    * ones lose theirs to the delimiter — chunking cares about
+    * boundaries, not the dots.
+    */
+  def sentences(text: Column): Column =
+    filter(split(text, "[.!?]+\\s+"), x => length(trim(x)) > 0)
+
   /** GPT-2-style BPE pre-tokenization pattern, restricted to the
     * Java-regex ∩ RE2 subset (no lookahead — DuckDB/RE2 lacks it; the
     * original pattern's `\s+(?!\S)` trailing-space rule is dropped, a

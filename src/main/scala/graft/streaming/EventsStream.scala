@@ -85,7 +85,12 @@ object EventsStream {
     */
   def purchaseAttribution(events: DataFrame, windowHours: Int = 24,
                           lateness: String = "30 minutes",
-                          joinType: String = "inner"): DataFrame = {
+                          joinType: String = "inner"): DataFrame =
+    attributionJoin(events, windowHours, lateness, joinType)
+      .select(col("purchase_id"), col("click_id"))
+
+  private def attributionJoin(events: DataFrame, windowHours: Int,
+                              lateness: String, joinType: String): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
         col("event_id").as("click_id"))
@@ -98,8 +103,19 @@ object EventsStream {
       col("p_user") === col("c_user") &&
         col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowHours HOURS") &&
         col("c_ts") <= col("p_ts"), joinType)
-      .select(col("purchase_id"), col("click_id"))
   }
+
+  /** [[purchaseAttributionLeftOuter]] keeping the purchase's event time
+    * in the output: a consumer that needs the null rows to be COMPLETE
+    * (not just correct) filters the drain to purchases safely older
+    * than the final watermark — `p_ts < max_ts − lateness − margin` —
+    * where eviction has provably fired; p_ts is what makes that filter
+    * expressible downstream (q203's gate applies it at 45 min).
+    */
+  def purchaseAttributionLeftOuterTs(events: DataFrame, windowHours: Int = 24,
+                                     lateness: String = "30 minutes"): DataFrame =
+    attributionJoin(events, windowHours, lateness, joinType = "left_outer")
+      .select(col("purchase_id"), col("click_id"), col("p_ts"))
 
   /** LEFT OUTER form of [[purchaseAttribution]]: unattributed purchases
     * emit (purchase_id, NULL) — but only once the watermark passes the

@@ -9,6 +9,21 @@ class FunctionsSpec extends SparkSpec {
 
   // ------------------------------------------------------------- text
 
+  test("sentences: splits on terminal punctuation runs, drops empties, keeps the tail") {
+    val got = Seq(
+      "One. Two!  Three?? Four",   // mixed terminators, multi-space
+      "No terminators here",       // single sentence
+      ". . leading and doubled.",  // leading/empty fragments dropped
+      "").toDF("text")
+      .select(TextFunctions.sentences($"text").as("s"))
+      .as[Seq[String]].collect().toSeq
+    assert(got(0) == Seq("One", "Two", "Three", "Four"))
+    assert(got(1) == Seq("No terminators here"))
+    assert(got(2) == Seq("leading and doubled."),
+      "interior punctuation-only fragments drop; trailing dot stays")
+    assert(got(3) == Seq.empty)
+  }
+
   test("bigramLmScore: hand-computed corpus counts and integer-exact scaled probabilities") {
     // uni: a=3 b=3 c=1; bigrams: "a b"=3, "b a"=1
     // p("a b") = 1e6*3 div 3 = 1000000; p("b a") = 1e6*1 div 3 = 333333
