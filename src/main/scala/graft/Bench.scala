@@ -36,9 +36,20 @@ object Bench {
     val timed = (SparkEntry.queries ++ SparkEntry.benchOnly)
       .filter { case (name, _) => filter.forall(_.findFirstIn(name).isDefined) }
     val warmDir = "/root/testdata/sf0.001"
+    // the timing action: a noop-sink write forces FULL evaluation of
+    // every output column. `count()` let Catalyst prune computed
+    // columns wholesale — a projection query's entire payload (e.g. a
+    // per-doc quality score) could be optimized away and bench as a
+    // bare row count (q112 "ran" in 0.19 s while its z column really
+    // cost 45 s at sf0.1 — found when q204, which aggregates z, timed
+    // the truth)
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+            dir: String): Unit =
+      fn(spark, dir).write.mode("overwrite").format("noop").save()
     if (new java.io.File(warmDir).exists() && warmDir != sfDir)
       timed.foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        try run(fn, warmDir) catch { case _: Throwable => () }
+        spark.catalog.clearCache()
       }
     val names = timed.keys.toSeq.sorted
     val samples = scala.collection.mutable.Map[String, List[Double]]().withDefaultValue(Nil)
@@ -47,11 +58,17 @@ object Bench {
       val fn = timed(name)
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).count()
+        run(fn, sfDir)
         samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples(name)
       } catch { case e: Throwable =>
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(120)
       }
+      // queries may persist intermediates for their own multi-pass
+      // internals (q204's labeling feeds ntile's three passes); drop
+      // leftovers so the NEXT sample is cold — medians must measure
+      // recompute, not a warm cache from sample 1 — and so cached
+      // plans don't accumulate across the 200+-query suite
+      spark.catalog.clearCache()
     }
     def median(xs: List[Double]): Double = {
       val s = xs.sorted

@@ -1179,8 +1179,9 @@ object SparkEntry {
     // safe at corpus scale. One shuffle for the per-source aggregate, a
     // key join back, a 1-row broadcast for the global total.
     "q114_source_reputation" -> ((s, dir) => {
-      val z = t(s, dir, "documents").select(col("doc_id"), col("source"),
-        TextFunctions.linearQuality(col("text")).getField("z").as("z"))
+      val z = TextFunctions.withLinearQuality(
+          t(s, dir, "documents"), col("text"), "__q")
+        .select(col("doc_id"), col("source"), col("__q.z").as("z"))
       functions.Sampling.sourceReputationFlag(z, col("source"), col("z"))
         .select(col("doc_id"), col("source"), col("sum_z"), col("n_s"),
           col("src_keep"))
@@ -1192,8 +1193,8 @@ object SparkEntry {
     // integer score and keep decision. Pure codegen projection, zero
     // shuffle — classifier inference at 100 TB is a map.
     "q112_quality_classifier" -> ((s, dir) => {
-      t(s, dir, "documents").select(col("doc_id"),
-          TextFunctions.linearQuality(col("text")).as("q"))
+      TextFunctions.withLinearQuality(
+          t(s, dir, "documents"), col("text"), "q")
         .select(col("doc_id"), col("q.wc").as("wc"),
           col("q.mwl_centi").as("mwl_centi"), col("q.stop_d").as("stop_d"),
           col("q.dup3_bp").as("dup3_bp"), col("q.z").as("z"),
@@ -3412,18 +3413,221 @@ object SparkEntry {
     // floors, which disagree below zero — the reader divides).
     "q204_quality_calibration" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val scored = d.select(col("doc_id"),
-        functions.TextFunctions.linearQuality(col("text")).getField("z").as("z"))
+      val scored = functions.TextFunctions.withLinearQuality(d, col("text"), "__q")
+        .select(col("doc_id"), col("__q.z").as("z"))
       val losers = functions.Dedup.simhashPairsPortable(d, "text", "doc_id")
         .select(col("idB").as("doc_id")).distinct().withColumn("__dup", lit(1L))
+      // ntileByRange makes three passes over its input (min/max, bucket
+      // counts, final assignment); unpersisted, each pass would re-run
+      // the simhash banded join — persist the skinny (id, z, flag)
+      // labeling once (same pattern as Hits/PageRank iteration state)
       val lab = scored.join(losers, Seq("doc_id"), "left")
         .select(col("doc_id"), col("z"), col("__dup").isNotNull.as("is_dup"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       operators.ScalableNtile.ntileByRange(lab, 10, -col("z"), Seq(col("doc_id")))
         .groupBy(col("__graft_ntile").cast("long").as("bucket"))
         .agg(count(lit(1)).as("n"), sum(col("z")).as("sum_z"),
           sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"))
         .select(col("bucket"), col("n"), col("sum_z"), col("n_dup"),
           expr("(10000 * n_dup) div n").as("dup_rate_bp"))
+    }),
+
+    // A — Wilson 95% lower bound per source on the quality-keep rate:
+    // "rank segments by how good they PROVABLY are" (the small-n-safe
+    // ordering — a 3/3 source must not outrank a 940/1000 one). Exact
+    // integer (n, k) from one partial-agg pass; the closed-form bound
+    // is ONE literal double expression tree over those integers, so
+    // both engines produce bit-identical doubles before the 6dp round.
+    "q205_wilson_bounds" -> ((s, dir) => {
+      val agg0 = functions.TextFunctions.withLinearQuality(
+          t(s, dir, "documents"), col("text"), "__q")
+        .select(col("source"), col("__q.keep").as("keep"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(when(col("keep"), 1L).otherwise(0L)).as("k"))
+      val n = col("n").cast("double"); val k = col("k").cast("double")
+      val z = lit(1.96); val z2 = lit(1.96) * lit(1.96)
+      val p = k / n
+      val lo = (p + z2 / (n * lit(2d)) -
+        z * sqrt(p * (lit(1d) - p) / n + z2 / (n * n * lit(4d)))) /
+        (lit(1d) + z2 / n)
+      agg0.select(col("source"), col("n"), col("k"),
+        expr("(10000 * k) div n").as("rate_bp"), round(lo, 6).as("wilson_lo_r"))
+    }),
+
+    // A — recency-decay engagement: per-day half-life weights as EXACT
+    // integer shifts (10^12 >> age_days — float pow() differs across
+    // libms, an integer shift does not), summed per user in one
+    // partial-agg pass. The decay-weighted counter every freshness-
+    // aware sampler/dashboard needs, deterministic on any engine.
+    "q206_recency_weights" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val mxDf = ev.agg(max(to_date(col("ts"))).as("mx"))
+      ev.crossJoin(broadcast(mxDf))
+        .select(col("user_id"),
+          datediff(col("mx"), to_date(col("ts"))).as("age"))
+        .select(col("user_id"),
+          expr("shiftright(CAST(1000000000000 AS BIGINT), CAST(least(age, 62) AS INT))").as("w"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum(col("w")).as("recency_sc"))
+    }),
+
+    // V — rank-aware quality of the 1-bit Hamming ranking (q196)
+    // against the exact-cosine top-10 gold: binary-relevance nDCG@10
+    // with the log2 discounts PRE-QUANTIZED to integer literals
+    // (floor(10^9/log2(i+1)) — no runtime logs, so the whole metric is
+    // exact integer arithmetic and basis-point floor division). The
+    // standard "what did 32× compression cost in ranking?" eval.
+    "q207_hamming_ndcg" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val sigs = emb.select(col("vec_id"),
+        functions.Quantize.signBits(col("embedding"), dim = 64).as("sig"))
+      val queries = sigs.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("query_id"), col("sig").as("query_sig"))
+      val sys = functions.Similarity.hammingTopK(queries, sigs, k = 10, nBlocks = 2)
+      val qv = emb.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val gold = functions.Similarity.bruteForceTopK(qv, emb, k = 10)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("__rel"))
+      // floor(10^9 / log2(rank+1)), rank 1..10; idcg = their sum
+      val W = Seq(1000000000L, 630929753L, 500000000L, 430676558L, 386852807L,
+        356207187L, 333333333L, 315464876L, 301029995L, 289064826L)
+      val wCol = element_at(array(W.map(lit): _*), col("rank").cast("int"))
+      sys.join(gold, Seq("query_id", "neighbor_id"), "left")
+        .select(col("query_id"),
+          when(col("__rel").isNotNull, wCol).otherwise(lit(0L)).as("w"))
+        .groupBy(col("query_id"))
+        .agg(sum(when(col("w") > 0, 1L).otherwise(0L)).as("n_hits"),
+          sum(col("w")).as("dcg_sc"))
+        .select(col("query_id"), col("n_hits"), col("dcg_sc"),
+          expr("(10000 * dcg_sc) div 4543559335").as("ndcg_bp"))
+    }),
+
+    // W — time-weighted average (TWAP): each event's value holds until
+    // the user's next event; durations are exact µs→s integer floor
+    // divisions and the weighted mean is integer cents — the
+    // monitoring/finance aggregate where a plain AVG over-counts
+    // bursts. One shuffle on user (the window), exact everywhere; all
+    // operands nonnegative so truncating div == floor div.
+    "q208_twap" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("nxt", lead(col("us"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("user_id"), col("cents"),
+          expr("(nxt - us) div 1000000").as("dur_s"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_seg"), sum(col("dur_s")).as("dur_s"),
+          sum(col("cents") * col("dur_s")).as("wsum"))
+        .select(col("user_id"), col("n_seg"), col("dur_s"), col("wsum"),
+          when(col("dur_s") === 0L, 0L)
+            .otherwise(expr("(1000000 * wsum) div dur_s")).as("twap_sc"))
+    }),
+
+    // V — EXACT tied ROC-AUC of the quality score as a near-dup
+    // detector (the threshold-free companion to q201's PR sweep and
+    // q204's reliability table): score groups carry (pos, neg) counts,
+    // one cumulative window over the DISTINCT-score grid (cardinality
+    // = score range, never the corpus), and 2U = Σ p·(2·cum_neg + n)
+    // — the Mann-Whitney rank-sum with ties counted at half, all in
+    // exact integers (u2 keeps the ×2 scaling so no halves exist).
+    "q209_exact_auc" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val scored = functions.TextFunctions.withLinearQuality(d, col("text"), "__q")
+        .select(col("doc_id"), (-col("__q.z")).as("score")) // high = predicted dup
+      val losers = functions.Dedup.simhashPairsPortable(d, "text", "doc_id")
+        .select(col("idB").as("doc_id")).distinct().withColumn("__dup", lit(1L))
+      val grp = scored.join(losers, Seq("doc_id"), "left")
+        .select(col("score"), col("__dup").isNotNull.as("pos"))
+        .groupBy(col("score"))
+        .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("p"),
+          sum(when(col("pos"), 0L).otherwise(1L)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("score"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      grp.withColumn("cum_n", coalesce(sum(col("n")).over(w), lit(0L)))
+        .agg(sum(col("p")).as("n_pos"), sum(col("n")).as("n_neg"),
+          sum(col("p") * (lit(2L) * col("cum_n") + col("n"))).as("u2"))
+        .select(col("n_pos"), col("n_neg"), col("u2"),
+          expr("""CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0
+                  ELSE (10000 * u2) div (2 * n_pos * n_neg) END""").as("auc_bp"))
+    }),
+
+    // V — Cohen's kappa between two INDEPENDENT quality raters (the
+    // Gopher rule conjunction vs the linear classifier): one
+    // contingency aggregate, kappa as an exact integer fraction
+    // (kappa_num/kappa_den; the reader divides — `div` truncates and
+    // `//` floors, and kappa goes negative, exactly where they
+    // disagree). The standard "do my filters even agree?" audit
+    // before composing them into a curation gate.
+    "q210_cohens_kappa" -> ((s, dir) => {
+      val scored = functions.TextFunctions.withLinearQuality(
+          t(s, dir, "documents"), col("text"), "__q")
+        .select(
+          functions.TextFunctions.gopherFlags(col("text")).getField("pass").as("g"),
+          col("__q.keep").as("k"))
+      scored.agg(count(lit(1)).as("n_docs"),
+          sum(when(col("g") && col("k"), 1L).otherwise(0L)).as("a"),
+          sum(when(col("g") && !col("k"), 1L).otherwise(0L)).as("b"),
+          sum(when(!col("g") && col("k"), 1L).otherwise(0L)).as("c"),
+          sum(when(!col("g") && !col("k"), 1L).otherwise(0L)).as("d"))
+        .select(col("n_docs"), col("a"), col("b"), col("c"), col("d"),
+          expr("1000000 * (n_docs * (a + d) - ((a+b)*(a+c) + (c+d)*(b+d)))")
+            .as("kappa_num"),
+          expr("n_docs * n_docs - ((a+b)*(a+c) + (c+d)*(b+d))").as("kappa_den"))
+    }),
+
+    // A — event-type association (market-basket lift over user
+    // baskets): distinct (user, type) pairs self-join WITHIN user
+    // (baskets are ≤ |types| wide, so the join fans out ≤ C(|types|,2)
+    // per user, never user²), then exact support/lift against the
+    // type marginals. All divisions are over positive integers, where
+    // truncating div == floor div on both engines.
+    "q211_event_pair_lift" -> ((s, dir) => {
+      val ut = t(s, dir, "events")
+        .select(col("user_id"), col("event_type")).distinct()
+      val nUsers = ut.agg(countDistinct(col("user_id")).as("n_users"))
+      val totals = ut.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+      val co = ut.as("x").join(ut.as("y"),
+          col("x.user_id") === col("y.user_id") &&
+            col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("type_a"),
+          col("y.event_type").as("type_b"))
+        .agg(count(lit(1)).as("co"))
+      co.join(broadcast(totals.select(col("event_type").as("type_a"),
+          col("cnt").as("cnt_a"))), Seq("type_a"))
+        .join(broadcast(totals.select(col("event_type").as("type_b"),
+          col("cnt").as("cnt_b"))), Seq("type_b"))
+        .crossJoin(broadcast(nUsers))
+        .select(col("type_a"), col("type_b"), col("co"), col("cnt_a"),
+          col("cnt_b"),
+          expr("(10000 * co) div n_users").as("support_bp"),
+          expr("(1000000 * co * n_users) div (cnt_a * cnt_b)").as("lift_ppm"))
+    }),
+
+    // A — cross-source trigram overlap matrix (corpus-diversity audit:
+    // which sources are near-clones of each other BEFORE near-dup
+    // pairing ever runs): per-source DISTINCT trigram sets, one
+    // gram-keyed equi-join for intersections (fan-out per gram ≤
+    // |sources|², never corpus-shaped), exact Jaccard in basis
+    // points. Pairs sharing zero trigrams are omitted by definition.
+    "q212_source_overlap" -> ((s, dir) => {
+      val g = functions.TextFunctions.withTokenGrams(
+          t(s, dir, "documents"), col("text"), 3, "__g3")
+        .select(col("source"), explode(col("__g3")).as("gram"))
+        .distinct()
+      val sizes = g.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+      g.as("x").join(g.as("y"),
+          col("x.gram") === col("y.gram") && col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+        .agg(count(lit(1)).as("inter"))
+        .join(broadcast(sizes.select(col("source").as("src_a"), col("sz").as("sz_a"))),
+          Seq("src_a"))
+        .join(broadcast(sizes.select(col("source").as("src_b"), col("sz").as("sz_b"))),
+          Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("inter"), col("sz_a"), col("sz_b"),
+          expr("(10000 * inter) div (sz_a + sz_b - inter)").as("jac_bp"))
     }),
   )
 
@@ -7016,5 +7220,272 @@ object SparkEntry {
            CAST((10000 * sum(CASE WHEN is_dup THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
              AS dup_rate_bp
          FROM lab GROUP BY 1""",
+    // q112's keep replay per source + the IDENTICAL Wilson expression
+    // tree (z² kept as the runtime product 1.96*1.96 on both sides)
+    "q205_wilson_bounds" ->
+      """WITH toks AS (
+           SELECT doc_id, source, list_filter(
+             string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS t
+           FROM documents),
+         f AS (
+           SELECT doc_id, source,
+             CAST(len(t) AS BIGINT) AS wc,
+             CAST(COALESCE(list_sum(list_transform(t, x -> length(x))), 0) AS BIGINT) AS chars,
+             CAST(len(list_intersect(t,
+               ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_d,
+             CAST(CASE WHEN len(t) < 3 THEN 0 ELSE len(t) - 2 END AS BIGINT) AS n3,
+             CAST(CASE WHEN len(t) < 3 THEN 0
+                  ELSE len(list_distinct(list_transform(range(1, len(t)-1),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) END AS BIGINT) AS n3d
+           FROM toks),
+         kf AS (
+           SELECT source,
+             (-600 + 30 * least(wc, 100) + 400 * stop_d
+              - 2 * (CASE WHEN wc = 0 THEN 0 ELSE (chars * 100) // wc END)
+              - 1 * (CASE WHEN n3 = 0 THEN 0
+                     ELSE ((n3 - n3d) * 10000) // n3 END)) > 0 AS keep
+           FROM f),
+         a AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS k
+               FROM kf GROUP BY 1)
+         SELECT source, n, k, CAST((10000 * k) // n AS BIGINT) AS rate_bp,
+           round(
+             (CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+               + (1.96 * 1.96) / (CAST(n AS DOUBLE) * 2)
+               - 1.96 * sqrt(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                   * (1 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+                 + (1.96 * 1.96) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 4)))
+             / (1 + (1.96 * 1.96) / CAST(n AS DOUBLE)), 6) AS wilson_lo_r
+         FROM a""",
+    // identical integer day ages and 10^12 >> age weights
+    "q206_recency_weights" ->
+      """WITH mx AS (SELECT max(CAST(ts AS DATE)) AS m FROM events),
+         w AS (SELECT user_id,
+             (CAST(1000000000000 AS BIGINT)
+               >> least(date_diff('day', CAST(ts AS DATE), mx.m), 62)) AS w
+           FROM events, mx)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(w) AS BIGINT) AS recency_sc
+         FROM w GROUP BY 1""",
+    // q196's Hamming ranking + q27's exact-cosine gold + the same
+    // integer discount table, all in exact arithmetic
+    "q207_hamming_ndcg" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         px AS (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM e),
+         sig AS (
+           SELECT vec_id,
+             CAST(sum(CASE WHEN i <= 32 AND x > 0
+               THEN (1::BIGINT << (32 - i)) ELSE 0 END) AS BIGINT) AS b0,
+             CAST(sum(CASE WHEN i > 32 AND x > 0
+               THEN (1::BIGINT << (64 - i)) ELSE 0 END) AS BIGINT) AS b1
+           FROM px GROUP BY 1),
+         sys AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               bit_count(xor(q.b0, c.b0)) + bit_count(xor(q.b1, c.b1)) ASC,
+               c.vec_id ASC) AS rn
+           FROM sig q JOIN sig c ON c.vec_id <> q.vec_id
+           WHERE q.vec_id % 25 = 0),
+         gold AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_dot_product(q.v, c.v)
+                   / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+                 DESC, c.vec_id ASC) AS rn
+             FROM e q JOIN e c ON c.vec_id <> q.vec_id
+             WHERE q.vec_id % 25 = 0) WHERE rn <= 10),
+         ws AS (
+           SELECT s.query_id,
+             CASE WHEN g.neighbor_id IS NOT NULL THEN
+               [1000000000, 630929753, 500000000, 430676558, 386852807,
+                356207187, 333333333, 315464876, 301029995, 289064826][s.rn]
+             ELSE 0 END AS w
+           FROM (SELECT * FROM sys WHERE rn <= 10) s
+           LEFT JOIN gold g
+             ON g.query_id = s.query_id AND g.neighbor_id = s.neighbor_id)
+         SELECT query_id,
+           CAST(sum(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           CAST(sum(w) AS BIGINT) AS dcg_sc,
+           CAST((10000 * sum(w)) // 4543559335 AS BIGINT) AS ndcg_bp
+         FROM ws GROUP BY 1""",
+    // identical µs arithmetic, segment durations, and floor-division
+    // weighted mean (all operands nonnegative)
+    "q208_twap" ->
+      """WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+             CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+         l AS (SELECT user_id, cents, us,
+             lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS nxt
+           FROM x),
+         seg AS (SELECT user_id, cents, (nxt - us) // 1000000 AS dur_s
+                 FROM l WHERE nxt IS NOT NULL)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_seg,
+           CAST(sum(dur_s) AS BIGINT) AS dur_s,
+           CAST(sum(cents * dur_s) AS BIGINT) AS wsum,
+           CAST(CASE WHEN sum(dur_s) = 0 THEN 0
+                ELSE (1000000 * sum(cents * dur_s)) // sum(dur_s) END AS BIGINT)
+             AS twap_sc
+         FROM seg GROUP BY 1""",
+    // q205's z replay + q204's loser replay + the identical tied
+    // rank-sum over DISTINCT score groups (u2 keeps the ×2 scaling;
+    // every operand in the final division is positive)
+    "q209_exact_auc" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                      x -> x <> '') AS t
+           FROM documents),
+         f AS (
+           SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS wc,
+             CAST(COALESCE(list_sum(list_transform(t, x -> length(x))), 0) AS BIGINT) AS chars,
+             CAST(len(list_intersect(t,
+               ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_d,
+             CAST(CASE WHEN len(t) < 3 THEN 0 ELSE len(t) - 2 END AS BIGINT) AS n3,
+             CAST(CASE WHEN len(t) < 3 THEN 0
+                  ELSE len(list_distinct(list_transform(range(1, len(t)-1),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) END AS BIGINT) AS n3d
+           FROM toks),
+         z AS (
+           SELECT doc_id,
+             CAST(-600 + 30 * least(wc, 100) + 400 * stop_d
+                  - 2 * (CASE WHEN wc = 0 THEN 0 ELSE (chars * 100) // wc END)
+                  - 1 * (CASE WHEN n3 = 0 THEN 0
+                         ELSE ((n3 - n3d) * 10000) // n3 END) AS BIGINT) AS z
+           FROM f),
+         th AS (
+           SELECT doc_id,
+                  list_transform(t, x -> CAST('0x'||substring(md5(x), 1, 15) AS BIGINT)) AS h,
+                  len(t) AS n
+           FROM toks),
+         bits AS (
+           SELECT doc_id, b,
+                  CASE WHEN 2 * len(list_filter(h, v -> (v >> b) & 1 = 1)) > n
+                       THEN (CAST(1 AS BIGINT) << b) ELSE 0 END AS bit
+           FROM th, range(0, 60) r(b)),
+         sims AS (
+           SELECT doc_id, CAST(sum(bit) AS BIGINT) AS sim FROM bits GROUP BY doc_id),
+         blocks AS (
+           SELECT doc_id, blk, (sim >> CAST(blk * 15 AS INTEGER)) & 32767 AS bucket, sim
+           FROM sims, range(0, 4) r(blk)),
+         losers AS (
+           SELECT DISTINCT b.doc_id AS doc_id
+           FROM blocks a JOIN blocks b
+             ON a.blk = b.blk AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.sim, b.sim)) <= 3),
+         lab AS (
+           SELECT -z.z AS score, l.doc_id IS NOT NULL AS pos
+           FROM z LEFT JOIN losers l ON l.doc_id = z.doc_id),
+         grp AS (
+           SELECT score,
+             CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS p,
+             CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n
+           FROM lab GROUP BY 1),
+         cum AS (
+           SELECT score, p, n,
+             CAST(COALESCE(sum(n) OVER (ORDER BY score ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_n
+           FROM grp)
+         SELECT CAST(sum(p) AS BIGINT) AS n_pos, CAST(sum(n) AS BIGINT) AS n_neg,
+           CAST(sum(p * (2 * cum_n + n)) AS BIGINT) AS u2,
+           CAST(CASE WHEN sum(p) = 0 OR sum(n) = 0 THEN 0
+                ELSE (10000 * sum(p * (2 * cum_n + n))) // (2 * sum(p) * sum(n))
+                END AS BIGINT) AS auc_bp
+         FROM cum""",
+    // q107's gopher-rule replay (on raw text) × q205's keep replay →
+    // one contingency row; kappa emitted as an exact integer fraction
+    "q210_cohens_kappa" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                      x -> x <> '') AS t
+           FROM documents),
+         f AS (
+           SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS wc,
+             CAST(COALESCE(list_sum(list_transform(t, x -> length(x))), 0) AS BIGINT) AS chars,
+             CAST(len(list_intersect(t,
+               ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_d,
+             CAST(CASE WHEN len(t) < 3 THEN 0 ELSE len(t) - 2 END AS BIGINT) AS n3,
+             CAST(CASE WHEN len(t) < 3 THEN 0
+                  ELSE len(list_distinct(list_transform(range(1, len(t)-1),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) END AS BIGINT) AS n3d
+           FROM toks),
+         keepz AS (
+           SELECT doc_id,
+             (-600 + 30 * least(wc, 100) + 400 * stop_d
+              - 2 * (CASE WHEN wc = 0 THEN 0 ELSE (chars * 100) // wc END)
+              - 1 * (CASE WHEN n3 = 0 THEN 0
+                     ELSE ((n3 - n3d) * 10000) // n3 END)) > 0 AS k
+           FROM f),
+         gm AS (SELECT doc_id, trim(text) AS t FROM documents),
+         gf AS (SELECT doc_id,
+           CASE WHEN length(t) = 0 THEN 0
+                ELSE len(regexp_extract_all(t, '\S+')) END AS n,
+           length(regexp_replace(t, '\s+', '', 'g')) AS chars,
+           length(t) - length(regexp_replace(t, '#', '', 'g')) AS hashes,
+           (length(t) - length(regexp_replace(t, '\.\.\.', '', 'g'))) // 3 AS ellipses,
+           len(list_filter(regexp_extract_all(t, '\S+'),
+               w -> regexp_matches(w, '[A-Za-z]'))) AS alpha,
+           len(list_intersect(list_transform(regexp_extract_all(t, '\S+'), w -> lower(w)),
+               ['the','be','to','of','and','that','have','with'])) AS stops
+           FROM gm),
+         gp AS (SELECT doc_id,
+           (n >= 50 AND n <= 100000) AND (chars >= n*3 AND chars <= n*10)
+             AND ((hashes + ellipses) * 10 <= n) AND (alpha * 5 >= n * 4)
+             AND (stops >= 2) AS g
+           FROM gf),
+         ct AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN g AND k THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN g AND NOT k THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(sum(CASE WHEN NOT g AND k THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(sum(CASE WHEN NOT g AND NOT k THEN 1 ELSE 0 END) AS BIGINT) AS d
+           FROM gp JOIN keepz USING (doc_id))
+         SELECT n_docs, a, b, c, d,
+           CAST(1000000 * (n_docs * (a + d) - ((a+b)*(a+c) + (c+d)*(b+d))) AS BIGINT)
+             AS kappa_num,
+           CAST(n_docs * n_docs - ((a+b)*(a+c) + (c+d)*(b+d)) AS BIGINT) AS kappa_den
+         FROM ct""",
+    // identical distinct baskets, within-user pairing, and positive
+    // integer floor divisions
+    "q211_event_pair_lift" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+         nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM ut),
+         tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS cnt FROM ut GROUP BY 1),
+         co AS (
+           SELECT x.event_type AS type_a, y.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS co
+           FROM ut x JOIN ut y
+             ON x.user_id = y.user_id AND x.event_type < y.event_type
+           GROUP BY 1, 2)
+         SELECT type_a, type_b, co, ta.cnt AS cnt_a, tb.cnt AS cnt_b,
+           CAST((10000 * co) // n_users AS BIGINT) AS support_bp,
+           CAST((1000000 * co * n_users) // (ta.cnt * tb.cnt) AS BIGINT) AS lift_ppm
+         FROM co
+         JOIN tot ta ON ta.event_type = type_a
+         JOIN tot tb ON tb.event_type = type_b
+         CROSS JOIN nu""",
+    // identical tokenization, 1-indexed trigram windows, distinct
+    // per-source sets, and gram-keyed intersection join
+    "q212_source_overlap" ->
+      """WITH toks AS (
+           SELECT source, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                      x -> x <> '') AS t
+           FROM documents),
+         g AS (
+           SELECT DISTINCT source,
+             unnest(list_transform(range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+           FROM toks),
+         sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS sz FROM g GROUP BY 1),
+         inter AS (
+           SELECT x.source AS src_a, y.source AS src_b, CAST(count(*) AS BIGINT) AS inter
+           FROM g x JOIN g y ON x.gram = y.gram AND x.source < y.source
+           GROUP BY 1, 2)
+         SELECT src_a, src_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+           CAST((10000 * inter) // (sa.sz + sb.sz - inter) AS BIGINT) AS jac_bp
+         FROM inter
+         JOIN sizes sa ON sa.source = src_a
+         JOIN sizes sb ON sb.source = src_b""",
   )
 }

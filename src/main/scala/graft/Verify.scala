@@ -33,6 +33,9 @@ object Verify {
         failed(name) = msg
         System.err.println(s"[verify] $name failed: $msg")
       }
+      // drop any intermediate a query persisted for its own multi-pass
+      // internals so cached plans don't accumulate across the suite
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -350,6 +350,60 @@ object TextFunctions {
       dup3Bp.as("dup3_bp"), z.as("z"), (z > 0).as("keep"))
   }
 
+  /** `df` plus a column `outCol` holding the word-token n-gram array of
+    * `text`, with the token array staged as its own projection column so
+    * the interpreted `tokens` lambda runs ONCE per row (see
+    * [[withLinearQuality]] for why repeated references re-evaluate).
+    */
+  def withTokenGrams(df: DataFrame, text: Column, n: Int, outCol: String)
+    : DataFrame =
+    df.withColumn("__tg_toks", tokens(text))
+      .withColumn(outCol, ngrams(col("__tg_toks"), n))
+      .drop("__tg_toks")
+
+  /** [[linearQuality]] with the heavy intermediates evaluated ONCE per
+    * row. The single-Column form repeats `tokens(text)` (an interpreted
+    * higher-order `filter`) in every feature subtree and `ngrams` (an
+    * interpreted `transform`) three times — Catalyst's subexpression
+    * elimination does not reach CodegenFallback lambdas, so one z costs
+    * ~8 interpreted tokenizations per row (measured: 9 ms/doc at sf0.1,
+    * the whole of q204's former 164 s). Staging the token and trigram
+    * arrays as their own projection columns pins each lambda to exactly
+    * one evaluation — `CollapseProject` keeps the stages separate
+    * because inlining a non-cheap expression used more than once is
+    * against its own cost rule. Output values are bit-identical to
+    * [[linearQuality]] (FunctionsSpec pins both to the same rows).
+    *
+    * Returns `df` plus a struct column `outCol` with the same fields as
+    * [[linearQuality]]; input order and other columns are preserved.
+    */
+  def withLinearQuality(
+      df: DataFrame, text: Column, outCol: String,
+      weights: (Long, Long, Long, Long, Long) = (-600L, 30L, 400L, -2L, -1L))
+    : DataFrame = {
+    val (bias, wWc, wStop, wMwl, wDup3) = weights
+    val staged = df
+      .withColumn("__lq_toks", tokens(text))
+      .withColumn("__lq_g3", ngrams(col("__lq_toks"), 3))
+    val toks = col("__lq_toks"); val g3 = col("__lq_g3")
+    val wc = size(toks).cast("long")
+    val chars = length(concat_ws("", toks)).cast("long")
+    val mwlCenti = when(wc === 0, lit(0L))
+      .otherwise(floor(chars * 100 / wc).cast("long"))
+    val stopD = size(array_intersect(toks,
+      array(GopherStopwords.map(lit): _*))).cast("long")
+    val dup3Bp = when(size(g3) === 0, lit(0L))
+      .otherwise(floor((size(g3) - size(array_distinct(g3))).cast("long")
+        * 10000 / size(g3)).cast("long"))
+    val z = lit(bias) + least(wc, lit(100L)) * wWc + stopD * wStop +
+      mwlCenti * wMwl + dup3Bp * wDup3
+    staged
+      .withColumn(outCol, struct(wc.as("wc"), mwlCenti.as("mwl_centi"),
+        stopD.as("stop_d"), dup3Bp.as("dup3_bp"), z.as("z"),
+        (z > 0).as("keep")))
+      .drop("__lq_toks", "__lq_g3")
+  }
+
   // ------------------------------------------------------- text cleaning
 
   /** Crawl-text cleaning chain: decode the five predefined HTML entities

@@ -48,15 +48,24 @@ object Hits {
       // authority half-step: a_i = Σ h_j over in-edges j→i
       val aRaw = e.join(h.select(col("node").as("src"), col("h")), Seq("src"))
         .groupBy(col("dst").as("node")).agg(sum(col("h")).as("a"))
+      // eager-checkpoint each half-step (the PageRank discipline):
+      // `normalize` references its input twice (once for the total, once
+      // for the scaled rows) and each half-step references the previous
+      // one, so an unmaterialized trajectory re-executes upstream ~2×
+      // per reference — 4^iters recompute by the final action (measured:
+      // 58 s for 3 rounds on a 25-node graph). A checkpoint is one tiny
+      // |nodes|-row job per half-step and also keeps lineage bounded.
       a = normalize(
         nodes.join(aRaw, Seq("node"), "left")
           .select(col("node"), coalesce(col("a"), lit(0L)).as("a")), "a")
+        .localCheckpoint(true)
       // hub half-step: h_i = Σ a_j over out-edges i→j (the NEW a)
       val hRaw = e.join(a.select(col("node").as("dst"), col("a")), Seq("dst"))
         .groupBy(col("src").as("node")).agg(sum(col("a")).as("h"))
       h = normalize(
         nodes.join(hRaw, Seq("node"), "left")
           .select(col("node"), coalesce(col("h"), lit(0L)).as("h")), "h")
+        .localCheckpoint(true)
     }
     h.join(a, Seq("node"))
       .select(col("node"), col("h").as("hub_ppm"), col("a").as("auth_ppm"))

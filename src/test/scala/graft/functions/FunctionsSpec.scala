@@ -502,4 +502,27 @@ class FunctionsSpec extends SparkSpec {
     // empty doc: all-zero features; z = bias = -600
     assert(got(3L) == ((3L, 0L, 0L, 0L, 0L, -600L, false)))
   }
+
+  test("withLinearQuality: staged form is row-identical to the Column form") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "the cat and the dog have fun with that ball"),
+      (2L, "zz zz zz zz zz zz zz zz"),
+      (3L, ""),
+      (4L, "one two three four five six seven eight nine ten and so on")
+    ).toDF("doc_id", "text")
+    val direct = docs.select(col("doc_id"),
+        TextFunctions.linearQuality(col("text")).as("q"))
+      .select(col("doc_id"), col("q.wc"), col("q.mwl_centi"), col("q.stop_d"),
+        col("q.dup3_bp"), col("q.z"), col("q.keep"))
+      .as[(Long, Long, Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    val staged = TextFunctions.withLinearQuality(docs, col("text"), "q")
+      .select(col("doc_id"), col("q.wc"), col("q.mwl_centi"), col("q.stop_d"),
+        col("q.dup3_bp"), col("q.z"), col("q.keep"))
+      .as[(Long, Long, Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(direct.toSeq == staged.toSeq)
+    // and the staging must not leak its scratch columns
+    val cols = TextFunctions.withLinearQuality(docs, col("text"), "q").columns.toSeq
+    assert(cols == Seq("doc_id", "text", "q"))
+  }
 }
