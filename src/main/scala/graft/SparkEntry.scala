@@ -692,8 +692,12 @@ object SparkEntry {
     // per-doc window over terms-per-doc-sized partitions.
     "q117_tfidf_keywords" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // explode_outer + null filter on every tokens() explode here on:
+      // InferFiltersFromGenerate would re-tokenize per row otherwise
+      // (see graft.util.Explode)
       val terms = docs.select(col("doc_id"),
-        explode(TextFunctions.tokens(col("text"))).as("term"))
+          explode_outer(TextFunctions.tokens(col("text"))).as("term"))
+        .filter(col("term").isNotNull)
       val tf = terms.groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
       val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df_docs"))
@@ -1479,7 +1483,9 @@ object SparkEntry {
         .orderBy(col("n").desc, col("bigram").asc)
       t(s, dir, "documents")
         .select(col("lang"), TextFunctions.tokens(col("text")).as("__t"))
-        .select(col("lang"), explode(TextFunctions.ngrams(col("__t"), 2)).as("bigram"))
+        .select(col("lang"),
+          explode_outer(TextFunctions.ngrams(col("__t"), 2)).as("bigram"))
+        .filter(col("bigram").isNotNull)
         .groupBy(col("lang"), col("bigram"))
         .agg(count(lit(1)).as("n"))
         .withColumn("rn", row_number().over(w))
@@ -2673,7 +2679,8 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val terms = docs.join(assigned, docs("doc_id") === assigned("vec_id"))
         .select(col("cluster_id"),
-          explode(functions.TextFunctions.tokens(col("text"))).as("term"))
+          explode_outer(functions.TextFunctions.tokens(col("text"))).as("term"))
+        .filter(col("term").isNotNull)
       val tf = terms.groupBy(col("cluster_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
       val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df_cl"))
@@ -3310,7 +3317,8 @@ object SparkEntry {
     "q200_feature_hashing" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"),
-          explode(functions.TextFunctions.tokens(col("text"))).as("tok"))
+          explode_outer(functions.TextFunctions.tokens(col("text"))).as("tok"))
+        .filter(col("tok").isNotNull)
         .withColumn("bucket",
           conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("long") % 64)
         .groupBy(col("doc_id"), col("bucket"))
@@ -3607,27 +3615,95 @@ object SparkEntry {
     }),
 
     // A — cross-source trigram overlap matrix (corpus-diversity audit:
-    // which sources are near-clones of each other BEFORE near-dup
-    // pairing ever runs): per-source DISTINCT trigram sets, one
-    // gram-keyed equi-join for intersections (fan-out per gram ≤
-    // |sources|², never corpus-shaped), exact Jaccard in basis
-    // points. Pairs sharing zero trigrams are omitted by definition.
+    // which sources are near-clones of each other BEFORE doc-level
+    // near-dup ever runs). Pair counting goes through a SOURCE-MASK
+    // HISTOGRAM, not a gram-keyed pair join: each gram aggregates to
+    // one ≤64-bit membership mask, masks aggregate to a (mask, count)
+    // histogram, and the C(|sources|,2) pair expansion happens on THAT
+    // table — |distinct masks| rows, corpus-size independent. The
+    // naive gram self-join emitted C(20,2)=190 rows per shared gram
+    // (28.7 s at sf0.1 — a synthetic corpus shares most trigrams
+    // across all sources); the histogram shape shuffles each distinct
+    // gram exactly twice (distinct, mask agg) and nothing else.
+    // Pairs sharing zero trigrams are omitted by definition.
     "q212_source_overlap" -> ((s, dir) => {
+      val srcIds = t(s, dir, "documents").select(col("source")).distinct()
+        .withColumn("sid",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("source"))) - 1) // tiny dim: |sources| rows
+        .localCheckpoint(true) // referenced 4×; also guards the driver count below
+      require(srcIds.count() <= 64,
+        "source-mask overlap supports at most 64 sources; shard the matrix by source group beyond that")
       val g = functions.TextFunctions.withTokenGrams(
           t(s, dir, "documents"), col("text"), 3, "__g3")
-        .select(col("source"), explode(col("__g3")).as("gram"))
+        .select(col("source"), explode_outer(col("__g3")).as("gram"))
+        .filter(col("gram").isNotNull) // explode_outer: graft.util.Explode
         .distinct()
-      val sizes = g.groupBy(col("source")).agg(count(lit(1)).as("sz"))
-      g.as("x").join(g.as("y"),
-          col("x.gram") === col("y.gram") && col("x.source") < col("y.source"))
-        .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
-        .agg(count(lit(1)).as("inter"))
+        .join(broadcast(srcIds), Seq("source"))
+      val masks = g.groupBy(col("gram"))
+        .agg(sum(expr("CAST(1 AS BIGINT) << sid")).as("mask")) // sid distinct per gram ⇒ sum == bit_or
+        .groupBy(col("mask")).agg(count(lit(1)).as("cnt"))
+      val a = srcIds.select(col("source").as("src_a"), col("sid").as("sid_a"))
+      val b = srcIds.select(col("source").as("src_b"), col("sid").as("sid_b"))
+      val inter = masks.join(broadcast(a), expr("((mask >> sid_a) & 1) = 1"))
+        .join(broadcast(b), expr("((mask >> sid_b) & 1) = 1 AND src_a < src_b"))
+        .groupBy(col("src_a"), col("src_b")).agg(sum(col("cnt")).as("inter"))
+      // per-source set sizes fall out of the SAME histogram — no second
+      // corpus pass
+      val sizes = masks
+        .join(broadcast(srcIds), expr("((mask >> sid) & 1) = 1"))
+        .groupBy(col("source")).agg(sum(col("cnt")).as("sz"))
+      inter
         .join(broadcast(sizes.select(col("source").as("src_a"), col("sz").as("sz_a"))),
           Seq("src_a"))
         .join(broadcast(sizes.select(col("source").as("src_b"), col("sz").as("sz_b"))),
           Seq("src_b"))
         .select(col("src_a"), col("src_b"), col("inter"), col("sz_a"), col("sz_b"),
           expr("(10000 * inter) div (sz_a + sz_b - inter)").as("jac_bp"))
+    }),
+
+    // Q — Benford first-digit audit on order line prices (the classic
+    // fabricated-data / broken-ETL tripwire): observed first-digit
+    // shares vs the Benford expectation, with log10(1+1/d) PRE-QUANTIZED
+    // to ppb integer literals (the q207 discipline — no runtime logs,
+    // so the whole audit is exact integer arithmetic). diff_ppb is a
+    // subtraction, not a division — sign-safe on both engines. One
+    // map + one 9-group aggregate; the total re-derives from the digit
+    // counts themselves (a window over ≤9 rows, never the corpus).
+    "q213_benford_audit" -> ((s, dir) => {
+      val benford = Seq(301029995L, 176091259L, 124938736L, 96910013L,
+        79181246L, 66946789L, 57991946L, 51152522L, 45757490L)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy()
+      t(s, dir, "lineitem")
+        .select(substring(round(col("l_extendedprice") * 100).cast("long")
+          .cast("string"), 1, 1).cast("long").as("d"))
+        .groupBy(col("d")).agg(count(lit(1)).as("n_d"))
+        .withColumn("__n", sum(col("n_d")).over(w))
+        .select(col("d"), col("n_d"),
+          expr("(1000000000 * n_d) div __n").as("share_ppb"),
+          element_at(array(benford.map(lit): _*), col("d").cast("int"))
+            .as("benford_ppb"))
+        .withColumn("diff_ppb", col("share_ppb") - col("benford_ppb"))
+    }),
+
+    // A — vocabulary health per language: type-token ratio and the
+    // hapax-legomenon share (words seen exactly once — the classic
+    // "is this corpus slice big/diverse enough" lexicostatistics).
+    // One exploded count aggregate + one per-lang rollup; everything
+    // shuffle-bounded by distinct (lang, token) cardinality.
+    "q214_hapax_ratio" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("lang"),
+          explode_outer(functions.TextFunctions.tokens(col("text"))).as("tok"))
+        .filter(col("tok").isNotNull) // explode_outer: graft.util.Explode
+        .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("vocab"),
+          sum(when(col("cnt") === 1L, 1L).otherwise(0L)).as("hapax"),
+          sum(col("cnt")).as("n_tokens"))
+        .select(col("lang"), col("vocab"), col("hapax"), col("n_tokens"),
+          expr("(10000 * hapax) div vocab").as("hapax_bp"),
+          expr("(10000 * vocab) div n_tokens").as("ttr_bp"))
     }),
   )
 
@@ -7487,5 +7563,39 @@ object SparkEntry {
          FROM inter
          JOIN sizes sa ON sa.source = src_a
          JOIN sizes sb ON sb.source = src_b""",
+    // the identical cents string first digit + the same ppb literal
+    // table; diff is a subtraction (sign-safe), never a division
+    "q213_benford_audit" ->
+      """WITH d AS (
+           SELECT CAST(substring(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+             AS VARCHAR), 1, 1) AS BIGINT) AS d
+           FROM lineitem),
+         g AS (SELECT d, CAST(count(*) AS BIGINT) AS n_d FROM d GROUP BY 1),
+         tt AS (SELECT CAST(sum(n_d) AS BIGINT) AS n FROM g)
+         SELECT d, n_d,
+           CAST((1000000000 * n_d) // tt.n AS BIGINT) AS share_ppb,
+           CAST([301029995, 176091259, 124938736, 96910013, 79181246,
+                 66946789, 57991946, 51152522, 45757490][CAST(d AS INTEGER)]
+             AS BIGINT) AS benford_ppb,
+           CAST((1000000000 * n_d) // tt.n
+             - [301029995, 176091259, 124938736, 96910013, 79181246,
+                66946789, 57991946, 51152522, 45757490][CAST(d AS INTEGER)]
+             AS BIGINT) AS diff_ppb
+         FROM g CROSS JOIN tt""",
+    // identical tokenization, per-(lang, token) counts, per-lang rollup
+    "q214_hapax_ratio" ->
+      """WITH toks AS (
+           SELECT lang, unnest(list_filter(
+             string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '')) AS tok
+           FROM documents),
+         c AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS cnt
+               FROM toks GROUP BY 1, 2)
+         SELECT lang, CAST(count(*) AS BIGINT) AS vocab,
+           CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+           CAST(sum(cnt) AS BIGINT) AS n_tokens,
+           CAST((10000 * sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)) // count(*)
+             AS BIGINT) AS hapax_bp,
+           CAST((10000 * count(*)) // sum(cnt) AS BIGINT) AS ttr_bp
+         FROM c GROUP BY 1""",
   )
 }

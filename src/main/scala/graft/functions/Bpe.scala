@@ -101,7 +101,10 @@ object Bpe {
     */
   def trainFromCorpus(df: DataFrame, text: Column, nMerges: Int,
                       topK: Int = 1 << 16): Vector[Merge] = {
-    val wf = df.select(explode(TextFunctions.bpeTokens(text)).as("tok"))
+    // explode_outer + null filter: an inferred pre-Generate filter would
+    // run the BPE pre-token regex twice more per row (graft.util.Explode)
+    val wf = df.select(explode_outer(TextFunctions.bpeTokens(text)).as("tok"))
+      .filter(col("tok").isNotNull)
       .groupBy(col("tok")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("tok").asc)
       .limit(topK)
@@ -235,7 +238,8 @@ object Bpe {
     * characters; only the (charset-bounded) alphabet reaches the driver.
     */
   def baseCharsOf(df: DataFrame, text: Column): Vector[String] =
-    df.select(explode(TextFunctions.bpeTokens(text)).as("tok"))
+    df.select(explode_outer(TextFunctions.bpeTokens(text)).as("tok"))
+      .filter(col("tok").isNotNull)
       .select(explode(split(col("tok"), "")).as("c"))
       .filter(length(col("c")) > 0)
       .distinct().collect().map(_.getString(0)).toVector.sorted

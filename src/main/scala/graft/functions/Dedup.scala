@@ -330,8 +330,11 @@ object Dedup {
                         k: Int = 64, bands: Int = 16): DataFrame = {
     val cands = minhashCandidatePairs(df, textCol, idCol, k, bands,
       threshold = threshold * 0.5) // loose LSH pass, exact verify below
-    val sets = df.select(col(idCol).as("id"),
-      array_distinct(shingles(tokens(col(textCol)), shingleLen)).as("sh"))
+    // stage the token array: shingles references it several times
+    val sets = df
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("__t"))
+      .select(col("id"),
+        array_distinct(shingles(col("__t"), shingleLen)).as("sh"))
     cands
       .join(sets.withColumnRenamed("id", "idA").withColumnRenamed("sh", "shA"), Seq("idA"))
       .join(sets.withColumnRenamed("id", "idB").withColumnRenamed("sh", "shB"), Seq("idB"))
@@ -439,9 +442,14 @@ object Dedup {
                          probes: DataFrame, probeId: String, probeText: String,
                          n: Int = 5, minShared: Int = 2,
                          excludeSelfPairs: Boolean = false): DataFrame = {
+    // explode_outer + null filter, NOT explode: InferFiltersFromGenerate
+    // would inline the tokenize+ngram pipeline into an inferred filter
+    // and re-run it per row (see graft.util.Explode)
     def grams(df: DataFrame, id: String, text: String, outId: String) =
       df.select(col(id).as(outId), TextFunctions.tokens(col(text)).as("__t"))
-        .select(col(outId), explode(array_distinct(TextFunctions.ngrams(col("__t"), n))).as("gram"))
+        .select(col(outId),
+          explode_outer(array_distinct(TextFunctions.ngrams(col("__t"), n))).as("gram"))
+        .filter(col("gram").isNotNull)
     val c = grams(corpus, corpusId, corpusText, "doc_id")
     val p = grams(probes, probeId, probeText, "probe_id")
     val joined = c.join(broadcast(p), Seq("gram"))

@@ -103,6 +103,8 @@ object HeavyHitters {
       num: Long,
       den: Long): DataFrame =
     heavyHitters(
-      docs.select(explode(TextFunctions.tokens(text)).as("term")),
+      // explode_outer + null filter: see graft.util.Explode
+      docs.select(explode_outer(TextFunctions.tokens(text)).as("term"))
+        .filter(col("term").isNotNull),
       "term", num, den)
 }

@@ -27,8 +27,11 @@ object Itemsets {
   def frequentPairs(df: DataFrame, id: Column, text: Column,
                     minSupport: Long): DataFrame = {
     require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    // explode_outer + null filter: see graft.util.Explode (an inferred
+    // pre-Generate filter would re-tokenize per row)
     val toks = df.select(id.cast("long").as("doc_id"),
-        explode(array_distinct(TextFunctions.tokens(text))).as("tok"))
+        explode_outer(array_distinct(TextFunctions.tokens(text))).as("tok"))
+      .filter(col("tok").isNotNull)
     val freq = toks.groupBy(col("tok"))
       .agg(count(lit(1)).as("__sup")).filter(col("__sup") >= minSupport)
     // survivor vocabulary is support-pruned → broadcast the semi-join
@@ -36,9 +39,12 @@ object Itemsets {
     val perDoc = kept.groupBy(col("doc_id"))
       .agg(array_sort(collect_set(col("tok"))).as("__ts"))
     perDoc
-      .select(explode(flatten(transform(col("__ts"), (a, i) =>
+      // explode_outer: an inferred pre-Generate filter would build the
+      // O(k²) pair expansion twice per row (see graft.util.Explode)
+      .select(explode_outer(flatten(transform(col("__ts"), (a, i) =>
         transform(slice(col("__ts"), i + 2, greatest(size(col("__ts")), lit(1))),
           b => struct(a.as("tok_a"), b.as("tok_b")))))).as("p"))
+      .filter(col("p").isNotNull)
       .groupBy(col("p.tok_a").as("tok_a"), col("p.tok_b").as("tok_b"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)

@@ -83,10 +83,16 @@ object PrefixJoin {
     // staging table instead if caching pressure matters.
     val sorted = (
       if (dfOrder) {
-        val dfreq = docs.select(explode(col("els")).as("el"))
+        // explode_outer + null filter: an inferred pre-Generate filter
+        // would inline the caller's set-building pipeline and re-run it
+        // per row (see graft.util.Explode)
+        val dfreq = docs.select(explode_outer(col("els")).as("el"))
+          .filter(col("el").isNotNull)
           .groupBy(col("el")).agg(count(lit(1)).as("df"))
         docs
-          .select(col("id"), size(col("els")).as("n"), explode(col("els")).as("el"))
+          .select(col("id"), size(col("els")).as("n"),
+            explode_outer(col("els")).as("el"))
+          .filter(col("el").isNotNull)
           .join(dfreq, Seq("el"))
           .groupBy(col("id"), col("n"))
           .agg(array_sort(collect_list(struct(col("df"), col("el")))).as("st"))
@@ -154,8 +160,11 @@ object PrefixJoin {
                          n: Int, threshold: Double,
                          dfOrder: Boolean = false): DataFrame =
     jaccardJoinSets(
-      df.withColumn("__set",
-        TextFunctions.shingles(TextFunctions.tokens(col(textCol)), n)),
+      // stage the token array: shingles references it several times and
+      // an inlined tokens() would re-run per reference (graft.util.Explode
+      // postmortem family)
+      df.withColumn("__pjt", TextFunctions.tokens(col(textCol)))
+        .withColumn("__set", TextFunctions.shingles(col("__pjt"), n)),
       idCol, "__set", threshold, dfOrder)
 
   /** Hashed-shingle variant — the production shape: shingles reduce to
@@ -170,9 +179,10 @@ object PrefixJoin {
                              n: Int, threshold: Double,
                              dfOrder: Boolean = false): DataFrame =
     jaccardJoinSets(
-      df.withColumn("__set", transform(
-        TextFunctions.shingles(TextFunctions.tokens(col(textCol)), n),
-        s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))),
+      df.withColumn("__pjt", TextFunctions.tokens(col(textCol)))
+        .withColumn("__set", transform(
+          TextFunctions.shingles(col("__pjt"), n),
+          s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))),
       idCol, "__set", threshold, dfOrder)
 
   /** Fast-path twin of [[shingleHashJaccardJoin]]: xxhash64 shingle
@@ -185,9 +195,10 @@ object PrefixJoin {
                              n: Int, threshold: Double,
                              dfOrder: Boolean = false): DataFrame =
     jaccardJoinSets(
-      df.withColumn("__set", transform(
-        TextFunctions.shingles(TextFunctions.tokens(col(textCol)), n),
-        s => xxhash64(s))),
+      df.withColumn("__pjt", TextFunctions.tokens(col(textCol)))
+        .withColumn("__set", transform(
+          TextFunctions.shingles(col("__pjt"), n),
+          s => xxhash64(s))),
       idCol, "__set", threshold, dfOrder)
 
   /** Exact ASYMMETRIC containment self-join: all ordered pairs with
@@ -245,9 +256,10 @@ object PrefixJoin {
   def shingleHashContainmentJoin(df: DataFrame, idCol: String, textCol: String,
                                  n: Int, threshold: Double): DataFrame =
     containmentJoinSets(
-      df.withColumn("__set", transform(
-        TextFunctions.shingles(TextFunctions.tokens(col(textCol)), n),
-        s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))),
+      df.withColumn("__pjt", TextFunctions.tokens(col(textCol)))
+        .withColumn("__set", transform(
+          TextFunctions.shingles(col("__pjt"), n),
+          s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))),
       idCol, "__set", threshold)
 
   /** Dedup on the exact join: drop every doc with a qualifying

@@ -281,7 +281,11 @@ object Similarity {
     }
     val qProbes = q
       .select(col(qId), posexplode(sigs(col("__qv"))).as(Seq("__tbl", "__s0")))
-      .select(col(qId), col("__tbl"), explode(probesOf(col("__s0"))).as("__sig"))
+      .select(col(qId), col("__tbl"),
+        // explode_outer: dodge InferFiltersFromGenerate's duplicate
+        // evaluation of the probe-array build (graft.util.Explode)
+        explode_outer(probesOf(col("__s0"))).as("__sig"))
+      .filter(col("__sig").isNotNull)
 
     val pairs = cSigs.join(broadcast(qProbes), Seq("__tbl", "__sig"))
       .filter(col(qId) =!= col(cId))
@@ -368,7 +372,10 @@ object Similarity {
       .withColumn("__cn", l2norm(col("v")))
     val q = queries.select(col(qId), asDouble(col(qVec)).as("__qv"))
       .withColumn("__qn", l2norm(col("__qv")))
-      .withColumn("cid", explode(probeCids(col("__qv"))))
+      // explode_outer: an inferred pre-Generate filter would recompute
+      // the all-centroid distance array per query row (graft.util.Explode)
+      .withColumn("cid", explode_outer(probeCids(col("__qv"))))
+      .filter(col("cid").isNotNull)
     topkOf(assigned.join(broadcast(q), Seq("cid"))
       .filter(col(qId) =!= col("id"))
       .select(col(qId), col("id").as("neighbor_id"),
@@ -447,7 +454,9 @@ object Similarity {
       .withColumn("__cn", l2norm(col("v")))
     val q = queries.select(col(qId), asDouble(col(qVec)).as("__qv"))
       .withColumn("__qn", l2norm(col("__qv")))
-      .withColumn("cid", explode(probeCids(toInt(col("__qv")))))
+      // explode_outer: same InferFiltersFromGenerate dodge as above
+      .withColumn("cid", explode_outer(probeCids(toInt(col("__qv")))))
+      .filter(col("cid").isNotNull)
     topkOf(assigned.join(broadcast(q), Seq("cid"))
       .filter(col(qId) =!= col("id"))
       .select(col(qId), col("id").as("neighbor_id"),

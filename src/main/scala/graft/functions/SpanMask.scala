@@ -32,9 +32,12 @@ object SpanMask {
       .select(id.cast("long").as("doc_id"),
         size(split(trim(textCol), "\\s+")).as("__n"))
       .select(col("doc_id"), col("__n"),
-        explode(filter(sequence(lit(0), col("__n") - 1), p =>
+        // explode_outer: an inferred pre-Generate filter would run the
+        // md5 position-filter lambda twice per row (graft.util.Explode)
+        explode_outer(filter(sequence(lit(0), col("__n") - 1), p =>
           conv(substring(md5(concat_ws(":", col("doc_id"), p)), 1, 15), 16, 10)
             .cast("long") % rateDiv === 0)).as("p"))
+      .filter(col("p").isNotNull)
       .select(col("doc_id"), col("p"),
         least(col("p") + spanLen, col("__n")).as("e"))
     // gaps-and-islands merge of overlapping/adjacent candidate spans

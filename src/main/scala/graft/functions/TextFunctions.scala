@@ -60,11 +60,31 @@ object TextFunctions {
   /** Word n-gram shingles of the token array; documents shorter than `n`
     * tokens yield one whole-document shingle.
     */
+  /** Sliding n-windows of `toks` joined with spaces, built by zipping n
+    * SHIFTED COPIES of the array. The copies are `zip_with` ARGUMENTS —
+    * evaluated once per row — where the previous index-transform form
+    * referenced `toks` inside the lambda BODY, which interpreted
+    * higher-order eval re-computes PER ELEMENT: with `tokens(text)`
+    * inlined at a call site that meant one full re-tokenization per
+    * shingle (~250×/doc, the dominant cost of the whole prefix-join
+    * family before this rewrite). Padding nulls from the shorter shifted
+    * copies null out their windows via `concat`, and the final slice
+    * trims them. Windows are identical strings to the old form for
+    * null-free token arrays (all of this library's).
+    */
+  private def slidingJoin(toks: Column, n: Int): Column = {
+    def win(j: Int): Column =
+      if (j == 0) toks
+      else slice(toks, lit(j + 1), greatest(size(toks) - j, lit(0)))
+    val joined = (1 until n).foldLeft(win(0)) { (acc, j) =>
+      zip_with(acc, win(j), (a, b) => concat(a, lit(" "), b))
+    }
+    slice(joined, lit(1), greatest(size(toks) - (n - 1), lit(0)))
+  }
+
   def shingles(toks: Column, n: Int): Column =
     when(size(toks) < n, array(concat_ws(" ", toks)))
-      .otherwise(transform(
-        sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+      .otherwise(slidingJoin(toks, n))
 
   /** Word n-grams joined with spaces; EMPTY for documents shorter than
     * `n` tokens (counting semantics — unlike `shingles`, which falls back
@@ -74,9 +94,7 @@ object TextFunctions {
     */
   def ngrams(toks: Column, n: Int): Column =
     when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j + 1))): _*)))
+      .otherwise(slidingJoin(toks, n)) // see slidingJoin: args, not lambda refs
 
   /** Duplicate-n-gram fraction of a materialized n-gram column — the
     * C4/Gopher-style repetition signal (boilerplate and looping text show
@@ -211,10 +229,15 @@ object TextFunctions {
     */
   def bigramLmScore(df: DataFrame, id: Column, text: Column): DataFrame = {
     val toksed = df.select(id.as("doc_id"), tokens(text).as("__t"))
-    val uni = toksed.select(explode(col("__t")).as("w"))
+    // explode_outer + null filter, NOT explode: InferFiltersFromGenerate
+    // would inline the tokenization into an inferred pre-Generate filter
+    // and re-run it per row (see graft.util.Explode)
+    val uni = toksed.select(explode_outer(col("__t")).as("w"))
+      .filter(col("w").isNotNull)
       .groupBy(col("w")).agg(count(lit(1)).as("__cu"))
     val big = toksed
-      .select(col("doc_id"), explode(ngrams(col("__t"), 2)).as("bg"))
+      .select(col("doc_id"), explode_outer(ngrams(col("__t"), 2)).as("bg"))
+      .filter(col("bg").isNotNull)
       .withColumn("w", split(col("bg"), " ")(0))
     val bgCounts = big.groupBy(col("bg")).agg(count(lit(1)).as("__cb"))
     val scored = big

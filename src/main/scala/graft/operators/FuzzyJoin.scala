@@ -35,10 +35,15 @@ object FuzzyJoin {
     */
   def bestMatch1(probe: DataFrame, probeId: Column, probeText: Column,
                  catalog: DataFrame, catId: Column, catText: Column): DataFrame = {
+    // explode_outer + null filter, NOT explode: InferFiltersFromGenerate
+    // would inline the deletion-key transform into an inferred filter and
+    // re-run it per row (see graft.util.Explode); keys are never null
     val p = probe.select(probeId.as("probe_id"), probeText.as("__pt"),
-      explode(deletionKeys(probeText)).as("__k"))
+      explode_outer(deletionKeys(probeText)).as("__k"))
+      .filter(col("__k").isNotNull)
     val c = catalog.select(catId.as("match_id"), catText.as("__ct"),
-      explode(deletionKeys(catText)).as("__k"))
+      explode_outer(deletionKeys(catText)).as("__k"))
+      .filter(col("__k").isNotNull)
     p.join(c, "__k")
       .select(col("probe_id"), col("match_id"), col("__pt"), col("__ct"))
       .distinct()
