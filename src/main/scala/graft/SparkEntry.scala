@@ -3705,6 +3705,72 @@ object SparkEntry {
           expr("(10000 * hapax) div vocab").as("hapax_bp"),
           expr("(10000 * vocab) div n_tokens").as("ttr_bp"))
     }),
+
+    // E — Johnson–Lindenstrauss sign projection (Achlioptas ±1): 64-d
+    // embeddings down to 16-d with a DETERMINISTIC ±1 matrix drawn
+    // from md5 nibble parity (both engines replay the identical draw —
+    // the q202 deterministic-randomness rule), inputs quantized to
+    // ×2²⁰ integers (the q192 rule) so every projected coordinate is
+    // an EXACT integer sum. Shape: one broadcast of the 64×16 sign
+    // grid, per-(vec, dim) partial aggregation — dim-reduction before
+    // ANN is a map-side pass, never a shuffle of the corpus.
+    "q215_jl_projection" -> ((s, dir) => {
+      val r = s.range(64).select(col("id").as("i"))
+        .crossJoin(s.range(16).select(col("id").as("j")))
+        .select(col("i"), col("j"),
+          when(expr("CAST(conv(substring(md5(concat('jl:', i, ':', j)), 1, 1), 16, 10) AS INT) % 2 = 1"),
+            1L).otherwise(-1L).as("r"))
+      val pd = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          posexplode_outer(transform(col("embedding").cast("array<double>"),
+            x => round(x * lit(1048576d)).cast("long"))).as(Seq("pos", "x")))
+        .filter(col("x").isNotNull) // outer: graft.util.Explode
+        .select(col("vec_id"), col("pos").cast("long").as("i"), col("x"))
+      pd.join(broadcast(r), Seq("i"))
+        .groupBy(col("vec_id"), col("j"))
+        .agg(sum(col("x") * col("r")).as("proj_sc"))
+    }),
+
+    // V — what did the 4× JL compression cost in neighbor quality?
+    // Exact-cosine top-10 in the PROJECTED 16-d space vs the full-64-d
+    // gold, recall@10 per query — the eval that justifies (or rejects)
+    // running ANN on projected vectors. Both rankings deterministic
+    // (cos desc, id asc); everything integer until the final cosine.
+    "q216_jl_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val r = s.range(64).select(col("id").as("i"))
+        .crossJoin(s.range(16).select(col("id").as("j")))
+        .select(col("i"), col("j"),
+          when(expr("CAST(conv(substring(md5(concat('jl:', i, ':', j)), 1, 1), 16, 10) AS INT) % 2 = 1"),
+            1L).otherwise(-1L).as("r"))
+      val proj = emb
+        .select(col("vec_id"),
+          posexplode_outer(transform(col("embedding").cast("array<double>"),
+            x => round(x * lit(1048576d)).cast("long"))).as(Seq("pos", "x")))
+        .filter(col("x").isNotNull)
+        .select(col("vec_id"), col("pos").cast("long").as("i"), col("x"))
+        .join(broadcast(r), Seq("i"))
+        .groupBy(col("vec_id"), col("j"))
+        .agg(sum(col("x") * col("r")).as("p"))
+        .groupBy(col("vec_id"))
+        .agg(sort_array(collect_list(struct(col("j"), col("p")))).as("a"))
+        .select(col("vec_id"),
+          transform(col("a"), x => x.getField("p").cast("double")).as("pv"))
+      val pq = proj.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("query_id"), col("pv").as("query_vec"))
+      val sys = functions.Similarity
+        .bruteForceTopK(pq, proj.select(col("vec_id"), col("pv").as("embedding")), k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val qv = emb.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val gold = functions.Similarity.bruteForceTopK(qv, emb, k = 10)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("__g"))
+      sys.join(gold, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(sum(when(col("__g").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+        .select(col("query_id"), col("n_hits"),
+          expr("(10000 * n_hits) div 10").as("recall_bp"))
+    }),
   )
 
   // ----------------------------------------------------------- bench-only
@@ -7597,5 +7663,64 @@ object SparkEntry {
              AS BIGINT) AS hapax_bp,
            CAST((10000 * count(*)) // sum(cnt) AS BIGINT) AS ttr_bp
          FROM c GROUP BY 1""",
+    // the identical md5-nibble-parity ±1 grid and ×2^20 quantization
+    "q215_jl_projection" ->
+      """WITH r AS (
+           SELECT i, j,
+             CASE WHEN CAST('0x'||substring(md5('jl:'||i||':'||j), 1, 1) AS BIGINT) % 2 = 1
+                  THEN 1 ELSE -1 END AS r
+           FROM range(0, 64) a(i), range(0, 16) b(j)),
+         pd AS (
+           SELECT vec_id,
+             CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1048576) AS BIGINT) AS x
+           FROM embeddings)
+         SELECT vec_id, j, CAST(sum(x * r) AS BIGINT) AS proj_sc
+         FROM pd JOIN r USING (i) GROUP BY 1, 2""",
+    // same projection replay; both rankings by (cos DESC, id ASC) —
+    // integer-valued double dots stay exact (< 2^53), so ranks match
+    "q216_jl_recall" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         r AS (
+           SELECT i, j,
+             CASE WHEN CAST('0x'||substring(md5('jl:'||i||':'||j), 1, 1) AS BIGINT) % 2 = 1
+                  THEN 1 ELSE -1 END AS r
+           FROM range(0, 64) a(i), range(0, 16) b(j)),
+         pd AS (
+           SELECT vec_id,
+             CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1048576) AS BIGINT) AS x
+           FROM embeddings),
+         pr AS (SELECT vec_id, j, CAST(sum(x * r) AS BIGINT) AS p
+                FROM pd JOIN r USING (i) GROUP BY 1, 2),
+         pv AS (SELECT vec_id, CAST(list(p ORDER BY j) AS DOUBLE[]) AS pv
+                FROM pr GROUP BY 1),
+         sys AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_dot_product(q.pv, c.pv)
+                   / (sqrt(list_dot_product(q.pv, q.pv)) * sqrt(list_dot_product(c.pv, c.pv)))
+                 DESC, c.vec_id ASC) AS rn
+             FROM pv q JOIN pv c ON c.vec_id <> q.vec_id
+             WHERE q.vec_id % 25 = 0) WHERE rn <= 10),
+         gold AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_dot_product(q.v, c.v)
+                   / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+                 DESC, c.vec_id ASC) AS rn
+             FROM e q JOIN e c ON c.vec_id <> q.vec_id
+             WHERE q.vec_id % 25 = 0) WHERE rn <= 10)
+         SELECT s.query_id,
+           CAST(sum(CASE WHEN g.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hits,
+           CAST((10000 * sum(CASE WHEN g.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)) // 10
+             AS BIGINT) AS recall_bp
+         FROM sys s
+         LEFT JOIN gold g
+           ON g.query_id = s.query_id AND g.neighbor_id = s.neighbor_id
+         GROUP BY 1""",
   )
 }
