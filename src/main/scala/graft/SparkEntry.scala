@@ -3771,6 +3771,35 @@ object SparkEntry {
         .select(col("query_id"), col("n_hits"),
           expr("(10000 * n_hits) div 10").as("recall_bp"))
     }),
+
+    // D — SOFT dedup: per-doc loss/sampling weight = 10⁶ div
+    // cluster_size over q76's transitive clusters — keep every copy
+    // but down-weight so each duplicate FAMILY contributes one unit
+    // (the train-on-everything-but-debias alternative to dropping).
+    // One count join over the cluster assignment; weights exact.
+    "q217_cluster_weights" -> ((s, dir) => {
+      val cl = functions.Dedup.simhashClustersPortable(
+          t(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id"), col("cluster"))
+      val sz = cl.groupBy(col("cluster")).agg(count(lit(1)).as("csize"))
+      cl.join(sz, Seq("cluster"))
+        .select(col("doc_id"), col("cluster"), col("csize"),
+          expr("1000000 div csize").as("w_ppm"))
+    }),
+
+    // A — duplicate-cluster size spectrum: how much of the corpus sits
+    // in clusters of each size (the power-law audit that sizes dedup
+    // budgets — a fat tail of big clusters means banding thresholds,
+    // not exact dedup, set your effective epochs). Two tiny rollups
+    // past the cluster assignment.
+    "q218_cluster_size_hist" -> ((s, dir) => {
+      functions.Dedup.simhashClustersPortable(
+          t(s, dir, "documents"), "text", "doc_id")
+        .groupBy(col("cluster")).agg(count(lit(1)).as("csize"))
+        .groupBy(col("csize"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("csize")).as("n_docs"))
+    }),
   )
 
   // ----------------------------------------------------------- bench-only
@@ -7722,5 +7751,83 @@ object SparkEntry {
          LEFT JOIN gold g
            ON g.query_id = s.query_id AND g.neighbor_id = s.neighbor_id
          GROUP BY 1""",
+    // q76's recursive-CTE cluster replay + the per-cluster count
+    "q217_cluster_weights" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                      x -> x <> '') AS t
+           FROM documents),
+         th AS (
+           SELECT doc_id,
+                  list_transform(t, x -> CAST('0x'||substring(md5(x), 1, 15) AS BIGINT)) AS h,
+                  len(t) AS n
+           FROM toks),
+         bits AS (
+           SELECT doc_id, b,
+                  CASE WHEN 2 * len(list_filter(h, v -> (v >> b) & 1 = 1)) > n
+                       THEN (CAST(1 AS BIGINT) << b) ELSE 0 END AS bit
+           FROM th, range(0, 60) r(b)),
+         sims AS (
+           SELECT doc_id, CAST(sum(bit) AS BIGINT) AS sim FROM bits GROUP BY doc_id),
+         blocks AS (
+           SELECT doc_id, blk, (sim >> CAST(blk * 15 AS INTEGER)) & 32767 AS bucket, sim
+           FROM sims, range(0, 4) r(blk)),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS idA, b.doc_id AS idB, a.sim AS simA, b.sim AS simB
+           FROM blocks a JOIN blocks b
+             ON a.blk = b.blk AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         edges AS (
+           SELECT idA AS src, idB AS dst FROM pairs WHERE bit_count(xor(simA, simB)) <= 3
+           UNION ALL
+           SELECT idB, idA FROM pairs WHERE bit_count(xor(simA, simB)) <= 3),
+         reach(id, lab) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+           WHERE r.lab < e.dst),
+         cl AS (SELECT id AS doc_id, min(lab) AS cluster FROM reach GROUP BY id),
+         sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS csize FROM cl GROUP BY 1)
+         SELECT doc_id, cl.cluster, csize,
+           CAST(1000000 // csize AS BIGINT) AS w_ppm
+         FROM cl JOIN sz ON sz.cluster = cl.cluster""",
+    // same replay, rolled up to the size spectrum
+    "q218_cluster_size_hist" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                      x -> x <> '') AS t
+           FROM documents),
+         th AS (
+           SELECT doc_id,
+                  list_transform(t, x -> CAST('0x'||substring(md5(x), 1, 15) AS BIGINT)) AS h,
+                  len(t) AS n
+           FROM toks),
+         bits AS (
+           SELECT doc_id, b,
+                  CASE WHEN 2 * len(list_filter(h, v -> (v >> b) & 1 = 1)) > n
+                       THEN (CAST(1 AS BIGINT) << b) ELSE 0 END AS bit
+           FROM th, range(0, 60) r(b)),
+         sims AS (
+           SELECT doc_id, CAST(sum(bit) AS BIGINT) AS sim FROM bits GROUP BY doc_id),
+         blocks AS (
+           SELECT doc_id, blk, (sim >> CAST(blk * 15 AS INTEGER)) & 32767 AS bucket, sim
+           FROM sims, range(0, 4) r(blk)),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS idA, b.doc_id AS idB, a.sim AS simA, b.sim AS simB
+           FROM blocks a JOIN blocks b
+             ON a.blk = b.blk AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         edges AS (
+           SELECT idA AS src, idB AS dst FROM pairs WHERE bit_count(xor(simA, simB)) <= 3
+           UNION ALL
+           SELECT idB, idA FROM pairs WHERE bit_count(xor(simA, simB)) <= 3),
+         reach(id, lab) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+           WHERE r.lab < e.dst),
+         cl AS (SELECT id AS doc_id, min(lab) AS cluster FROM reach GROUP BY id),
+         sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS csize FROM cl GROUP BY 1)
+         SELECT csize, CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(csize) AS BIGINT) AS n_docs
+         FROM sz GROUP BY 1""",
   )
 }
