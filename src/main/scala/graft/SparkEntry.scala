@@ -3800,6 +3800,28 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_clusters"),
           sum(col("csize")).as("n_docs"))
     }),
+
+    // T — did dedup debiasing MOVE the quality profile? Per source:
+    // the plain sum of quality z vs the q217-weighted sum (Σ z·w_ppm,
+    // exact scaled integers) and the duplicated-doc count — if wz/w
+    // diverges from sum_z/n, duplicate families were systematically
+    // better or worse than the rest and a naive mean was biased. One
+    // join of two already-pinned per-doc signals + one rollup.
+    "q219_weighted_quality" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val scored = functions.TextFunctions.withLinearQuality(d, col("text"), "__q")
+        .select(col("doc_id"), col("source"), col("__q.z").as("z"))
+      val w = functions.Dedup.simhashClustersPortable(d, "text", "doc_id")
+        .select(col("doc_id"), col("cluster"))
+      val sz = w.groupBy(col("cluster")).agg(count(lit(1)).as("csize"))
+      scored.join(w.join(sz, Seq("cluster")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("csize") > 1L, 1L).otherwise(0L)).as("dup_docs"),
+          sum(col("z")).as("sum_z"),
+          sum(col("z") * expr("1000000 div csize")).as("wz_sc"),
+          sum(expr("1000000 div csize")).as("w_sc"))
+    }),
   )
 
   // ----------------------------------------------------------- bench-only
@@ -7829,5 +7851,69 @@ object SparkEntry {
          SELECT csize, CAST(count(*) AS BIGINT) AS n_clusters,
            CAST(sum(csize) AS BIGINT) AS n_docs
          FROM sz GROUP BY 1""",
+    // q76 cluster replay x q205 z replay, one rollup
+    "q219_weighted_quality" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                      x -> x <> '') AS t
+           FROM documents),
+         th AS (
+           SELECT doc_id,
+                  list_transform(t, x -> CAST('0x'||substring(md5(x), 1, 15) AS BIGINT)) AS h,
+                  len(t) AS n
+           FROM toks),
+         bits AS (
+           SELECT doc_id, b,
+                  CASE WHEN 2 * len(list_filter(h, v -> (v >> b) & 1 = 1)) > n
+                       THEN (CAST(1 AS BIGINT) << b) ELSE 0 END AS bit
+           FROM th, range(0, 60) r(b)),
+         sims AS (
+           SELECT doc_id, CAST(sum(bit) AS BIGINT) AS sim FROM bits GROUP BY doc_id),
+         blocks AS (
+           SELECT doc_id, blk, (sim >> CAST(blk * 15 AS INTEGER)) & 32767 AS bucket, sim
+           FROM sims, range(0, 4) r(blk)),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS idA, b.doc_id AS idB, a.sim AS simA, b.sim AS simB
+           FROM blocks a JOIN blocks b
+             ON a.blk = b.blk AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         edges AS (
+           SELECT idA AS src, idB AS dst FROM pairs WHERE bit_count(xor(simA, simB)) <= 3
+           UNION ALL
+           SELECT idB, idA FROM pairs WHERE bit_count(xor(simA, simB)) <= 3),
+         reach(id, lab) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+           WHERE r.lab < e.dst),
+         cl AS (SELECT id AS doc_id, min(lab) AS cluster FROM reach GROUP BY id),
+         sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS csize FROM cl GROUP BY 1),
+         f AS (
+           SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS wc,
+             CAST(COALESCE(list_sum(list_transform(t, x -> length(x))), 0) AS BIGINT) AS chars,
+             CAST(len(list_intersect(t,
+               ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_d,
+             CAST(CASE WHEN len(t) < 3 THEN 0 ELSE len(t) - 2 END AS BIGINT) AS n3,
+             CAST(CASE WHEN len(t) < 3 THEN 0
+                  ELSE len(list_distinct(list_transform(range(1, len(t)-1),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) END AS BIGINT) AS n3d
+           FROM toks),
+         z AS (
+           SELECT doc_id,
+             CAST(-600 + 30 * least(wc, 100) + 400 * stop_d
+                  - 2 * (CASE WHEN wc = 0 THEN 0 ELSE (chars * 100) // wc END)
+                  - 1 * (CASE WHEN n3 = 0 THEN 0
+                         ELSE ((n3 - n3d) * 10000) // n3 END) AS BIGINT) AS z
+           FROM f)
+         SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN csize > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+           CAST(sum(z.z) AS BIGINT) AS sum_z,
+           CAST(sum(z.z * (1000000 // csize)) AS BIGINT) AS wz_sc,
+           CAST(sum(1000000 // csize) AS BIGINT) AS w_sc
+         FROM documents d
+         JOIN cl ON cl.doc_id = d.doc_id
+         JOIN sz ON sz.cluster = cl.cluster
+         JOIN z ON z.doc_id = d.doc_id
+         GROUP BY 1""",
   )
 }
