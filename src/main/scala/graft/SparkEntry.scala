@@ -585,9 +585,14 @@ object SparkEntry {
     // md5-prefix variant (DuckDB recomputes both values exactly); the
     // xxhash64 fingerprints remain the fast path, pinned by spec.
     "q30_fingerprints" -> ((s, dir) => {
-      t(s, dir, "documents").select(col("doc_id"),
-        TextFunctions.docFingerprintPortable(col("text")).as("fp_doc"),
-        TextFunctions.minShingleFingerprintPortable(col("text")).as("fp_shingle"))
+      // tokens staged once; both fingerprints read the projection column
+      // (shingles references its token arg ~n+2 times — inline tokens()
+      // would re-run the interpreted lambda per reference)
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__t"))
+        .select(col("doc_id"),
+          TextFunctions.docFingerprintPortableFromToks(col("__t")).as("fp_doc"),
+          TextFunctions.minShingleFingerprintPortableFromToks(col("__t")).as("fp_shingle"))
     }),
 
     // T5 — composite quality score (rows-only oracle; float heuristic).
@@ -3355,7 +3360,8 @@ object SparkEntry {
           (col("n_gold") - tp).as("fn"),
           when(tp + fp === 0L, lit(10000L))
             .otherwise(expr(s"(10000 * tp_$h) div (tp_$h + fp_$h)")).as("precision_bp"),
-          expr(s"(10000 * tp_$h) div n_gold").as("recall_bp"))
+          when(col("n_gold") === 0L, lit(10000L))
+            .otherwise(expr(s"(10000 * tp_$h) div n_gold")).as("recall_bp"))
       }
       row.select(explode(array(out: _*)).as("r")).select(col("r.*"))
     }),
@@ -3426,12 +3432,15 @@ object SparkEntry {
       val losers = functions.Dedup.simhashPairsPortable(d, "text", "doc_id")
         .select(col("idB").as("doc_id")).distinct().withColumn("__dup", lit(1L))
       // ntileByRange makes three passes over its input (min/max, bucket
-      // counts, final assignment); unpersisted, each pass would re-run
-      // the simhash banded join — persist the skinny (id, z, flag)
-      // labeling once (same pattern as Hits/PageRank iteration state)
+      // counts, final assignment); unmaterialized, each pass would re-run
+      // the simhash banded join — eager-localCheckpoint the skinny
+      // (id, z, flag) labeling once (same pattern as Hits/PageRank
+      // iteration state; unlike persist(), the blocks are released with
+      // the DataFrame, so consumers other than the clearCache()ing
+      // drivers don't leak the cached plan)
       val lab = scored.join(losers, Seq("doc_id"), "left")
         .select(col("doc_id"), col("z"), col("__dup").isNotNull.as("is_dup"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       operators.ScalableNtile.ntileByRange(lab, 10, -col("z"), Seq(col("doc_id")))
         .groupBy(col("__graft_ntile").cast("long").as("bucket"))
         .agg(count(lit(1)).as("n"), sum(col("z")).as("sum_z"),
@@ -7303,17 +7312,20 @@ object SparkEntry {
            n_gold - tp1 AS fn,
            CAST(CASE WHEN tp1 + fp1 = 0 THEN 10000
                 ELSE (10000 * tp1) // (tp1 + fp1) END AS BIGINT) AS precision_bp,
-           CAST((10000 * tp1) // n_gold AS BIGINT) AS recall_bp FROM agg
+           CAST(CASE WHEN n_gold = 0 THEN 10000
+                ELSE (10000 * tp1) // n_gold END AS BIGINT) AS recall_bp FROM agg
          UNION ALL
          SELECT CAST(2 AS BIGINT), tp2, fp2, n_gold - tp2,
            CAST(CASE WHEN tp2 + fp2 = 0 THEN 10000
                 ELSE (10000 * tp2) // (tp2 + fp2) END AS BIGINT),
-           CAST((10000 * tp2) // n_gold AS BIGINT) FROM agg
+           CAST(CASE WHEN n_gold = 0 THEN 10000
+                ELSE (10000 * tp2) // n_gold END AS BIGINT) FROM agg
          UNION ALL
          SELECT CAST(3 AS BIGINT), tp3, fp3, n_gold - tp3,
            CAST(CASE WHEN tp3 + fp3 = 0 THEN 10000
                 ELSE (10000 * tp3) // (tp3 + fp3) END AS BIGINT),
-           CAST((10000 * tp3) // n_gold AS BIGINT) FROM agg""",
+           CAST(CASE WHEN n_gold = 0 THEN 10000
+                ELSE (10000 * tp3) // n_gold END AS BIGINT) FROM agg""",
     // identical 52-bit md5 uniforms against the same exact
     // floor(cdf·2^52) Poisson(1) thresholds
     "q202_poisson_bootstrap" ->

@@ -83,16 +83,22 @@ object PrefixJoin {
     // staging table instead if caching pressure matters.
     val sorted = (
       if (dfOrder) {
+        // ONE heavy map pass: the exploded (id, n, el) relation is
+        // persisted so the caller's set-building pipeline (tokenize →
+        // shingle → hash, the dominant map cost) runs once, feeding BOTH
+        // the frequency aggregate and the rank join — unpersisted, each
+        // consumer re-derives it from scratch. ~24 B × corpus elements,
+        // the same magnitude as the `sorted` persist below.
         // explode_outer + null filter: an inferred pre-Generate filter
-        // would inline the caller's set-building pipeline and re-run it
-        // per row (see graft.util.Explode)
-        val dfreq = docs.select(explode_outer(col("els")).as("el"))
-          .filter(col("el").isNotNull)
-          .groupBy(col("el")).agg(count(lit(1)).as("df"))
-        docs
+        // would inline the set-building pipeline and re-run it per row
+        // (see graft.util.Explode)
+        val exploded = docs
           .select(col("id"), size(col("els")).as("n"),
             explode_outer(col("els")).as("el"))
           .filter(col("el").isNotNull)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val dfreq = exploded.groupBy(col("el")).agg(count(lit(1)).as("df"))
+        exploded
           .join(dfreq, Seq("el"))
           .groupBy(col("id"), col("n"))
           .agg(array_sort(collect_list(struct(col("df"), col("el")))).as("st"))
@@ -217,7 +223,7 @@ object PrefixJoin {
     * two consumer branches.
     */
   def containmentJoinSets(df: DataFrame, idCol: String, setCol: String,
-                          threshold: Double): DataFrame = {
+                          threshold: Double, dfOrder: Boolean = false): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val tBp = math.round(threshold * 10000).toInt
@@ -225,9 +231,35 @@ object PrefixJoin {
       .select(col(idCol).cast("long").as("id"),
         array_distinct(col(setCol)).as("els"))
       .filter(size(col("els")) > 0)
-    val sorted = docs.select(col("id"), size(col("els")).as("n"),
-        array_sort(col("els")).as("els"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Containment completeness needs even less than Jaccard's: if
+    // C(A→B) ≥ t then A misses ≤ |A| − ceil(t·|A|) of its own elements,
+    // so ANY fixed subset of size |A| − ceil(t·|A|) + 1 hits B — the
+    // prefix may be taken under ANY per-document order without a shared
+    // global one. Order choice only tunes candidate-bucket sizes:
+    // `dfOrder = true` probes with each document's RAREST elements
+    // (minimal buckets, one extra shuffle pair for the frequency rank),
+    // `false` keeps value order (zero extra shuffles).
+    val sorted = (
+      if (dfOrder) {
+        // one heavy map pass feeding both the frequency aggregate and
+        // the rank join (same shape as jaccardJoinSets's dfOrder branch)
+        val exploded = docs
+          .select(col("id"), size(col("els")).as("n"),
+            explode_outer(col("els")).as("el"))
+          .filter(col("el").isNotNull)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val dfreq = exploded.groupBy(col("el")).agg(count(lit(1)).as("df"))
+        exploded
+          .join(dfreq, Seq("el"))
+          .groupBy(col("id"), col("n"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("df"), col("el")))),
+            x => x.getField("el")).as("els"))
+      } else {
+        docs.select(col("id"), size(col("els")).as("n"),
+          array_sort(col("els")).as("els"))
+      }
+    ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prefixLen =
       expr(s"cast(n - (($tBp * cast(n as bigint) + 9999) div 10000) + 1 as int)")
     val probe = sorted
@@ -254,13 +286,14 @@ object PrefixJoin {
     * 60-bit md5 shingle hashes, the [[shingleHashJaccardJoin]] idiom).
     */
   def shingleHashContainmentJoin(df: DataFrame, idCol: String, textCol: String,
-                                 n: Int, threshold: Double): DataFrame =
+                                 n: Int, threshold: Double,
+                                 dfOrder: Boolean = false): DataFrame =
     containmentJoinSets(
       df.withColumn("__pjt", TextFunctions.tokens(col(textCol)))
         .withColumn("__set", transform(
           TextFunctions.shingles(col("__pjt"), n),
           s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))),
-      idCol, "__set", threshold)
+      idCol, "__set", threshold, dfOrder)
 
   /** Dedup on the exact join: drop every doc with a qualifying
     * smaller-id partner (the batch rule shared with [[Dedup]]).

@@ -57,9 +57,6 @@ object TextFunctions {
   def bpeTokenCount(text: Column): Column =
     when(text.isNull, lit(null)).otherwise(size(bpeTokens(text)))
 
-  /** Word n-gram shingles of the token array; documents shorter than `n`
-    * tokens yield one whole-document shingle.
-    */
   /** Sliding n-windows of `toks` joined with spaces, built by zipping n
     * SHIFTED COPIES of the array. The copies are `zip_with` ARGUMENTS —
     * evaluated once per row — where the previous index-transform form
@@ -82,6 +79,12 @@ object TextFunctions {
     slice(joined, lit(1), greatest(size(toks) - (n - 1), lit(0)))
   }
 
+  /** Word n-gram shingles of the token array; documents shorter than `n`
+    * tokens yield one whole-document shingle. `toks` is referenced
+    * several times in the expression tree — pass a materialized column
+    * reference, never an inline `tokens(text)` (see [[graft.util.Explode]]
+    * and the `FromToks` fingerprint variants below).
+    */
   def shingles(toks: Column, n: Int): Column =
     when(size(toks) < n, array(concat_ws(" ", toks)))
       .otherwise(slidingJoin(toks, n))
@@ -262,9 +265,22 @@ object TextFunctions {
   /** Winnowed shingle fingerprint: min xxhash64 over word n-gram shingles
     * — a 1-permutation MinHash, stable under local edits far from the
     * minimum shingle (rolling-hash document sketching).
+    *
+    * Convenience form inlining `tokens(text)` — `shingles` references its
+    * token argument ~n+2 times, so the interpreted tokens() lambda re-runs
+    * per reference. Fine for tests/cold paths; hot paths must stage the
+    * token array as a projection column and use
+    * [[minShingleFingerprintFromToks]] (graft.util.Explode discipline).
     */
   def minShingleFingerprint(text: Column, n: Int = 5): Column =
-    array_min(transform(shingles(tokens(text), n), s => xxhash64(s)))
+    minShingleFingerprintFromToks(tokens(text), n)
+
+  /** [[minShingleFingerprint]] over a PRE-STAGED token column — the hot
+    * path: `toks` must be a materialized projection column (one tokens()
+    * evaluation per row), not an inline lambda expression.
+    */
+  def minShingleFingerprintFromToks(toks: Column, n: Int = 5): Column =
+    array_min(transform(shingles(toks, n), s => xxhash64(s)))
 
   /** Engine-portable 60-bit fingerprint: md5-prefix arithmetic any SQL
     * dialect can recompute (15 hex chars → always-positive BIGINT). The
@@ -283,14 +299,26 @@ object TextFunctions {
   def docFingerprintPortable(text: Column): Column =
     when(text.isNotNull, md5Fingerprint(concat_ws(" ", tokens(text))))
 
+  /** [[docFingerprintPortable]] over a PRE-STAGED token column (tokens()
+    * of null text is null, so the null guard transfers to `toks`).
+    */
+  def docFingerprintPortableFromToks(toks: Column): Column =
+    when(toks.isNotNull, md5Fingerprint(concat_ws(" ", toks)))
+
   /** Portable winnowed shingle fingerprint (min md5-prefix over word
     * n-gram shingles). NULL text → NULL (the short-doc shingle fallback
     * would otherwise fold a null token array into [""] and fingerprint
     * the empty string).
     */
   def minShingleFingerprintPortable(text: Column, n: Int = 5): Column =
-    when(text.isNotNull,
-      array_min(transform(shingles(tokens(text), n), s => md5Fingerprint(s))))
+    minShingleFingerprintPortableFromToks(tokens(text), n)
+
+  /** [[minShingleFingerprintPortable]] over a PRE-STAGED token column —
+    * the hot path (see [[minShingleFingerprintFromToks]]).
+    */
+  def minShingleFingerprintPortableFromToks(toks: Column, n: Int = 5): Column =
+    when(toks.isNotNull,
+      array_min(transform(shingles(toks, n), s => md5Fingerprint(s))))
 
   // ------------------------------------------- Gopher quality-rule flags
 

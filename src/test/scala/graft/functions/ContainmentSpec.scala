@@ -47,5 +47,12 @@ class ContainmentSpec extends SparkSpec {
     } yield ((ia, ib), i.toLong * 10000 / sa.size)).toMap
     assert(got == ref)
     assert(ref.nonEmpty, "fixture must exercise the operator")
+    // rarest-first probe prefixes: identical result set (for containment
+    // the prefix may be ANY fixed-size subset of A, so order choice only
+    // tunes candidate-bucket sizes)
+    val dford = PrefixJoin.shingleHashContainmentJoin(docs, "doc_id", "text",
+        n = 3, threshold = 0.8, dfOrder = true)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(dford == ref)
   }
 }

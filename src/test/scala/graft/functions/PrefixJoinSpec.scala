@@ -73,6 +73,20 @@ class PrefixJoinSpec extends SparkSpec {
     assert(xxfast === slow)
   }
 
+  test("dfOrder=true returns the identical pair set and jaccard values") {
+    // the completeness lemma holds for ANY agreed element order; the
+    // rarest-first (document-frequency) order must change only candidate
+    // volume, never the result
+    val docs = graft.sources.Tables.load(spark, SfDir, "documents")
+    val value = PrefixJoin.shingleHashJaccardJoin(docs, "doc_id", "text", 3, 0.6)
+      .select("idA", "idB", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val dford = PrefixJoin.shingleHashJaccardJoin(docs, "doc_id", "text", 3, 0.6,
+        dfOrder = true)
+      .select("idA", "idB", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(dford === value)
+    assert(value.nonEmpty, "fixture must exercise the operator")
+  }
+
   test("threshold 1.0 degenerates to exact-set equality, prefix length 1") {
     val docs = Seq(
       (1L, "a b c"), (2L, "c b a"), (3L, "a b")
