@@ -4,7 +4,11 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: every SparkEntry query, n repeated passes (default 3),
   * per-query MEDIANS — single-run times at this scale carry ±2 s of
   * suite-order/GC noise (BENCH_r02's "regressions" were exactly that), so
-  * one pass is not evidence. Prints ONE JSON line for the driver.
+  * one pass is not evidence. Prints ONE JSON line for the driver:
+  * `"queries"` = total median per query, `"setup"` = the slice of that
+  * spent eagerly inside the query-constructor lambda (fixture builds for
+  * the TxTable lifecycle family; the micro-batch run for streaming) so
+  * fixture drift is separable from query drift.
   *
   * Failures are NOT silently swallowed into a fast time: a throwing query
   * records no sample for that pass and is listed in `"errors"` — a query
@@ -53,13 +57,26 @@ object Bench {
       }
     val names = timed.keys.toSeq.sorted
     val samples = scala.collection.mutable.Map[String, List[Double]]().withDefaultValue(Nil)
+    // setup seconds = eager work inside the query-constructor LAMBDA,
+    // before the returned plan executes. For the TxTable/lifecycle family
+    // this is pure fixture build (multi-commit churn — the part whose
+    // round-over-round drift is NOT query drift, VERDICT r5 #7/r6 #2);
+    // for streaming queries it is the micro-batch run itself (their
+    // returned plan is a trivial memory-table read). Emitted per query so
+    // a reader can subtract: query-only cost ≈ total − setup for the
+    // lifecycle family; ≈ setup for streaming. "queries" stays the TOTAL
+    // median, comparable with r6.
+    val setups = scala.collection.mutable.Map[String, List[Double]]().withDefaultValue(Nil)
     val errors = scala.collection.mutable.Map[String, String]()
     for (_ <- 1 to nRuns; name <- names) {
       val fn = timed(name)
       val t0 = System.nanoTime()
       try {
-        run(fn, sfDir)
+        val df = fn(spark, sfDir)
+        val t1 = System.nanoTime()
+        df.write.mode("overwrite").format("noop").save()
         samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples(name)
+        setups(name) = ((t1 - t0) / 1e9) :: setups(name)
       } catch { case e: Throwable =>
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(120)
       }
@@ -85,6 +102,13 @@ object Bench {
       s"bench accounting hole: ${unaccounted.mkString(", ")}")
     val med = names.map(n => n -> median(samples(n)))
     val qs = med.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // setup medians only for queries where setup is non-trivial (>1% of
+    // total and >10 ms) — a flat map of ~0 values would be noise
+    val setupMed = names.map(n => n -> median(setups(n)))
+      .filter { case (n, v) =>
+        v > 0.01 && median(samples(n)) > 0 && v / median(samples(n)) > 0.01 }
+    val setupJson = setupMed.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val total = med.collect { case (_, v) if v >= 0 => v }.sum
     // full JSON string escape: exception text routinely carries
     // backslashes (regexes, paths) and control chars — one bad escape
@@ -98,7 +122,7 @@ object Bench {
     val errJson = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$nRuns,"errors":$errJson}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"setup":$setupJson,"sf":"$sfDir","runs":$nRuns,"errors":$errJson}"""
     println(line)
     // also persist the line whole: the driver's log-tail capture truncates
     // (BENCH_r03 lost q01–q15's medians to it) — a file survives intact

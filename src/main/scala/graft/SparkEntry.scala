@@ -525,9 +525,12 @@ object SparkEntry {
     // value. LSH candidate generation itself stays gated by q23's
     // bit-parity spec + the recall spec.
     "q25_ngram_jaccard_profile" -> ((s, dir) => {
-      val sets = t(s, dir, "documents").select(col("doc_id"),
-        array_distinct(functions.TextFunctions.shingles(
-          functions.TextFunctions.tokens(col("text")), 5)).as("sh"))
+      // tokens staged before shingles (which references its token arg
+      // ~n+2 times — inline, the interpreted lambda re-runs per ref)
+      val sets = t(s, dir, "documents")
+        .select(col("doc_id"), functions.TextFunctions.tokens(col("text")).as("__t"))
+        .select(col("doc_id"),
+          array_distinct(functions.TextFunctions.shingles(col("__t"), 5)).as("sh"))
       val a = sets.select(col("doc_id").as("idA"), col("sh").as("shA"))
       val b = sets.select((col("doc_id") - 1).as("idA"),
         col("doc_id").as("idB"), col("sh").as("shB"))
@@ -597,8 +600,14 @@ object SparkEntry {
 
     // T5 — composite quality score (rows-only oracle; float heuristic).
     "q31_quality_scores" -> ((s, dir) => {
-      t(s, dir, "documents").select(col("doc_id"),
-        round(TextFunctions.qualityScore(col("text")), 4).as("quality"))
+      // tokens staged once (the score's sub-scores read the array from
+      // several places — inline tokens() evaluated 6x per row before)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          TextFunctions.tokens(col("text")).as("__t"))
+        .select(col("doc_id"),
+          round(TextFunctions.qualityScoreFromToks(col("__t"), col("text")), 4)
+            .as("quality"))
     }),
 
     // ST1 — event-time tumbling window agg (the batch form of the
@@ -1218,8 +1227,12 @@ object SparkEntry {
     "q107_gopher_flags" -> ((s, dir) => {
       val injected = when(col("doc_id") % 7 === 0,
         concat(col("text"), lit(" ### ... ### ... #"))).otherwise(col("text"))
-      t(s, dir, "documents").select(col("doc_id"),
-          functions.TextFunctions.gopherFlags(injected).as("g"))
+      // staged form: extracting alpha_ok AND pass from the plain struct
+      // re-inlines (extract-only collapse) and runs the alpha-word
+      // filter lambda twice per row — withGopherFlags stages the two
+      // lambda counts as columns so every flag is cheap attr arithmetic
+      functions.TextFunctions.withGopherFlags(
+          t(s, dir, "documents"), injected, "g")
         .select(col("doc_id"), col("g.wc_ok").as("wc_ok"), col("g.mwl_ok").as("mwl_ok"),
           col("g.sym_ok").as("sym_ok"), col("g.alpha_ok").as("alpha_ok"),
           col("g.stop_ok").as("stop_ok"), col("g.pass").as("pass"))
@@ -1625,7 +1638,10 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") <= 20)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-      functions.Similarity.ivfTopKPortable(queries, emb, k = 10)
+      // (16, 8) pinned: the DuckDB oracle replays exactly this training;
+      // the API default derives ceil(√n) lists from the corpus
+      functions.Similarity.ivfTopKPortable(queries, emb, k = 10,
+          nCentroids = 16, nProbe = 8)
         .select(col("query_id"), col("neighbor_id"),
           round(col("cos"), 4).as("cos_r"))
     }),
@@ -2708,11 +2724,18 @@ object SparkEntry {
     // NAIVE NOT-EXISTS domination query — a hash match proves the sweep
     // kept exactly the non-dominated set.
     "q172_pareto_skyline" -> ((s, dir) => {
+      // the rlike pre-filter drops exactly the rows whose y was NULL
+      // (empty token array) so the coalesce is a value no-op — but it
+      // makes y NON-nullable, which stops the semi-join's inferred
+      // isnotnull(y) from being pushed down as a Filter that re-states
+      // (and re-runs, twice per row) the tokenize lambda
       val m = t(s, dir, "documents")
+        .filter(col("text").isNotNull && col("text").rlike("[\\p{L}\\p{N}]"))
         .withColumn("__tk", functions.TextFunctions.tokens(col("text")))
         .select(col("doc_id"), col("n_chars").cast("long").as("x"),
-          expr("cast(size(array_distinct(__tk)) as bigint) * 10000 div size(__tk)")
-            .as("y"))
+          coalesce(
+            expr("cast(size(array_distinct(__tk)) as bigint) * 10000 div size(__tk)"),
+            lit(0L)).as("y"))
       graft.operators.Skyline.pareto2D(m, col("doc_id"), col("x"), col("y"))
         .select(col("id").as("doc_id"), col("x").as("n_chars"),
           col("y").as("diversity_bp"))
@@ -3138,8 +3161,12 @@ object SparkEntry {
         .select(col("source"), col("vec_id"),
           transform(col("embedding").cast("array<double>"),
             x => round(x * 1048576d).cast("long")).as("vi"))
+      // posexplode_outer + null filter: plain posexplode infers a
+      // pre-Generate size/isnotnull filter that re-states the vi
+      // quantization lambda twice per row (graft.util.Explode)
       val perDim = ev.select(col("source"), col("vec_id"),
-          posexplode(col("vi")).as(Seq("pos", "x")))
+          posexplode_outer(col("vi")).as(Seq("pos", "x")))
+        .filter(col("pos").isNotNull)
       val srcSums = perDim.groupBy(col("source"), col("pos"))
         .agg(sum(col("x")).as("s"))
       val corpus = srcSums.groupBy(col("pos")).agg(sum(col("s")).as("t"))
@@ -3220,10 +3247,13 @@ object SparkEntry {
       val kept = filter(col("__tk"), (x, i) =>
         conv(substring(md5(concat(col("doc_id"), lit(":"), i + 1)), 1, 4),
           16, 10).cast("long") % 10 =!= 0)
-      docs.select(col("doc_id"),
-          concat_ws(" ", kept).as("aug_text"),
+      // kept STAGED: the select reads it twice (aug_text + n_dropped);
+      // inline, the dropout filter lambda would run 2x per row
+      docs.withColumn("__kept", kept)
+        .select(col("doc_id"),
+          concat_ws(" ", col("__kept")).as("aug_text"),
           size(col("__tk")).cast("long").as("n_tok"),
-          (size(col("__tk")) - size(kept)).cast("long").as("n_dropped"))
+          (size(col("__tk")) - size(col("__kept"))).cast("long").as("n_dropped"))
     }),
 
     // V — binary (1-bit) quantization + Hamming top-k: sign-bit
@@ -3388,11 +3418,10 @@ object SparkEntry {
         .withColumn("w",
           cdf.zipWithIndex.foldRight(lit(6L): Column) { case ((c, k), el) =>
             when(col("u") < c, k.toLong).otherwise(el) })
-      d.groupBy(col("replica"))
-        .agg(sum(col("w")).as("n_eff"),
-          sum(col("w") * col("n_chars")).as("wsum"))
-        .select(col("replica").cast("long").as("replica"), col("n_eff"),
-          expr("(1000000 * wsum) div n_eff").as("mean_chars_sc"))
+      // widen=true swaps the Σw·x accumulators to decimal(38,0) once
+      // Σw·x nears 2^63 — same API, same plan shape (ExactEvals)
+      functions.ExactEvals.weightedMeanSc(d, col("replica").cast("long"),
+        col("w"), col("n_chars"), "replica", "mean_chars_sc")
     }),
 
     // ST — stream-stream LEFT OUTER interval join under the full
@@ -3535,12 +3564,9 @@ object SparkEntry {
         .filter(col("nxt").isNotNull)
         .select(col("user_id"), col("cents"),
           expr("(nxt - us) div 1000000").as("dur_s"))
-        .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_seg"), sum(col("dur_s")).as("dur_s"),
-          sum(col("cents") * col("dur_s")).as("wsum"))
-        .select(col("user_id"), col("n_seg"), col("dur_s"), col("wsum"),
-          when(col("dur_s") === 0L, 0L)
-            .otherwise(expr("(1000000 * wsum) div dur_s")).as("twap_sc"))
+        // widen=true carries Σ cents·dur in decimal(38,0) past the
+        // ~9·10⁹ cents·s/key int64 bound — same API (ExactEvals)
+        .transform(s2 => functions.ExactEvals.twapFromSegments(s2))
     }),
 
     // V — EXACT tied ROC-AUC of the quality score as a near-dup
@@ -3561,14 +3587,9 @@ object SparkEntry {
         .groupBy(col("score"))
         .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("p"),
           sum(when(col("pos"), 0L).otherwise(1L)).as("n"))
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col("score"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      grp.withColumn("cum_n", coalesce(sum(col("n")).over(w), lit(0L)))
-        .agg(sum(col("p")).as("n_pos"), sum(col("n")).as("n_neg"),
-          sum(col("p") * (lit(2L) * col("cum_n") + col("n"))).as("u2"))
-        .select(col("n_pos"), col("n_neg"), col("u2"),
-          expr("""CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0
-                  ELSE (10000 * u2) div (2 * n_pos * n_neg) END""").as("auc_bp"))
+      // widen=true runs u2 in decimal(38,0) past ~2·10⁹ docs/class —
+      // same API, same distinct-score-grid window (ExactEvals)
+      functions.ExactEvals.aucBpFromGroups(grp)
     }),
 
     // V — Cohen's kappa between two INDEPENDENT quality raters (the
@@ -3612,15 +3633,14 @@ object SparkEntry {
         .groupBy(col("x.event_type").as("type_a"),
           col("y.event_type").as("type_b"))
         .agg(count(lit(1)).as("co"))
-      co.join(broadcast(totals.select(col("event_type").as("type_a"),
+      val counts = co.join(broadcast(totals.select(col("event_type").as("type_a"),
           col("cnt").as("cnt_a"))), Seq("type_a"))
         .join(broadcast(totals.select(col("event_type").as("type_b"),
           col("cnt").as("cnt_b"))), Seq("type_b"))
         .crossJoin(broadcast(nUsers))
-        .select(col("type_a"), col("type_b"), col("co"), col("cnt_a"),
-          col("cnt_b"),
-          expr("(10000 * co) div n_users").as("support_bp"),
-          expr("(1000000 * co * n_users) div (cnt_a * cnt_b)").as("lift_ppm"))
+      // widen=true runs the 10⁶·co·n_users triple product in
+      // decimal(38,0) past ~3·10⁶ users/shard — same API (ExactEvals)
+      functions.ExactEvals.pairLiftFromCounts(counts)
     }),
 
     // A — cross-source trigram overlap matrix (corpus-diversity audit:
@@ -3966,7 +3986,9 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") <= 20)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-      functions.Similarity.ivfTopK(queries, emb, k = 10)
+      // (16, 8) pinned to stay comparable with q61's oracled twin
+      functions.Similarity.ivfTopK(queries, emb, k = 10,
+          nCentroids = 16, nProbe = 8)
         .select(col("query_id"), col("neighbor_id"),
           round(col("cos"), 4).as("cos_r"))
     }),

@@ -16,6 +16,23 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Cap for DERIVED IVF list counts: bounds the driver's centroid
+    * collect (cap×dim doubles) and — the binding constraint — the
+    * per-row argmin, which is a literal expression tree of nCentroids
+    * dot products. Past ~65k vectors the √n rule saturates here; beyond
+    * that an index wants centroid TABLES (broadcast join) rather than
+    * literal trees, plus sampled training — the documented production
+    * path, not a default.
+    */
+  val MaxAutoCentroids = 256
+
+  /** ceil(√n) capped — the standard IVF list-count sizing, applied when
+    * the caller leaves `nCentroids` unset.
+    */
+  private[graft] def autoCentroids(n: Long): Int =
+    math.min(MaxAutoCentroids.toLong,
+      math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+
   /** Dot product over two array<double> columns — the custom codegen'd
     * DotProduct expression (the higher-order-function composition is
     * CodegenFallback and ~10× slower on all-pairs scans; same IEEE fold
@@ -317,20 +334,29 @@ object Similarity {
     * can reorder equal-distance probes — scores of RETURNED candidates
     * are exact cosine regardless.)
     *
-    * Defaults are the tools.IvfSweep knee on the 500-vector gate fixture:
-    * (16, 8, 3) measures recall@10 = 0.9238 (sf0.001) / 0.9190 (sf0.01),
-    * floor-pinned at 0.85 by AnnRecallSpec. The fixture's probed
-    * fraction (8/16) is an artifact of 31-vector lists — at corpus scale
-    * nCentroids grows ~√n with nProbe held, so the probed fraction
-    * collapses while per-list statistics only improve.
+    * `nCentroids ≤ 0` (the DEFAULT) derives the list count from the
+    * corpus: ceil(√n) capped at [[MaxAutoCentroids]] — the standard IVF
+    * sizing rule, applied in code so a caller who keeps the default at a
+    * billion vectors gets ~√n lists (up to the cap), not a fixture
+    * constant. The cap bounds BOTH the driver's centroid collect and the
+    * per-row argmin expression (which is a literal tree of nCentroids
+    * dot products). Explicit counts override — the gate queries pin
+    * (16, 8, 3), the tools.IvfSweep knee on the 500-vector fixture:
+    * recall@10 = 0.9238 (sf0.001) / 0.9190 (sf0.01), floor-pinned at
+    * 0.85 by AnnRecallSpec (which also pins the DERIVED sizing at 1×
+    * and 10× the fixture). The fixture's probed fraction (8/16) is an
+    * artifact of 31-vector lists — at corpus scale nCentroids grows ~√n
+    * with nProbe held, so the probed fraction collapses while per-list
+    * statistics only improve.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              nCentroids: Int = 16, nProbe: Int = 8, iters: Int = 3,
+              nCentroids: Int = 0, nProbe: Int = 8, iters: Int = 3,
               qId: String = "query_id", qVec: String = "query_vec",
               cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
     val c0 = corpus.select(col(cId).as("id"), asDouble(col(cVec)).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var centroids: Array[Array[Double]] = c0.orderBy(col("id")).limit(nCentroids)
+    val nC = if (nCentroids > 0) nCentroids else autoCentroids(c0.count())
+    var centroids: Array[Array[Double]] = c0.orderBy(col("id")).limit(nC)
       .select(col("v")).collect()
       .map(_.getAs[scala.collection.Seq[Double]](0).toArray)
 
@@ -399,9 +425,11 @@ object Similarity {
     *
     * Iterations unroll (no driver loop state beyond the centroid table,
     * same as ivfTopK); all distributed work is DataFrame jobs.
+    * `nCentroids ≤ 0` (the default) derives ceil(√n) capped — see
+    * [[ivfTopK]]; the q61 gate pins (16, 8) explicitly for its oracle.
     */
   def ivfTopKPortable(queries: DataFrame, corpus: DataFrame, k: Int,
-                      nCentroids: Int = 16, nProbe: Int = 8, iters: Int = 3,
+                      nCentroids: Int = 0, nProbe: Int = 8, iters: Int = 3,
                       qId: String = "query_id", qVec: String = "query_vec",
                       cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
     val Scale = 1L << 20
@@ -410,8 +438,9 @@ object Similarity {
     val c0 = corpus.select(col(cId).as("id"), asDouble(col(cVec)).as("v"))
       .withColumn("vi", toInt(col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nC = if (nCentroids > 0) nCentroids else autoCentroids(c0.count())
 
-    var centroids: Array[Array[Long]] = c0.orderBy(col("id")).limit(nCentroids)
+    var centroids: Array[Array[Long]] = c0.orderBy(col("id")).limit(nC)
       .select(col("vi")).collect()
       .map(_.getAs[scala.collection.Seq[Long]](0).toArray)
 
@@ -508,9 +537,19 @@ object Similarity {
       }
       if (cand.length < 2) cand.head else least(cand: _*)
     }
-    enc.select(col("id").as("vec_id"),
-      concat_ws(",", perSub.map(_.getField("cid").cast("string")): _*).as("code"),
-      perSub.map(_.getField("d")).reduce(_ + _).as("err_q"))
+    // each subspace argmin STAGED as its own column: the final select
+    // reads both fields (cid for the code, d for the error), and an
+    // inline perSub expression would be duplicated per field — 2× every
+    // per-centroid distance lambda per row (repeated-lambda audit).
+    // greatest/least is opaque to extract-only project collapsing, so
+    // the stage survives and each distance evaluates once.
+    val staged = enc.select(
+      col("id") +: (0 until m).map(s => perSub(s).as(s"__ps$s")): _*)
+    staged.select(col("id").as("vec_id"),
+      concat_ws(",",
+        (0 until m).map(s => col(s"__ps$s").getField("cid").cast("string")): _*)
+        .as("code"),
+      (0 until m).map(s => col(s"__ps$s").getField("d")).reduce(_ + _).as("err_q"))
   }
 
   /** PQ top-k search by ASYMMETRIC DISTANCE COMPUTATION (the ADC of

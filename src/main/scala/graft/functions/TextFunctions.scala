@@ -166,13 +166,19 @@ object TextFunctions {
     * discipline). `langId(text)` is the convenience form.
     */
   def langIdWith(toks: Column, text: Column): Column = {
+    // the ("und", score 0) SENTINEL folds the old `best.score > 0` gate
+    // into the argmax itself, so `best` is referenced exactly once — a
+    // second getField would duplicate every per-profile stopword filter
+    // lambda per row (the repeated-lambda audit class). Correct because
+    // scores are ≥ 0 and every profile key sorts below "und", so an
+    // all-zero row ties to the sentinel on the struct's lang field.
+    assert(StopwordProfiles.keys.forall(_ < "und"),
+      "profile keys must sort below the und sentinel")
     val scored = StopwordProfiles.toSeq.map { case (lang, words) =>
       struct(stopwordRatio(toks, words).as("score"), lit(lang).as("lang"))
-    }
-    val best = greatest(scored: _*)
+    } :+ struct(lit(0.0).as("score"), lit("und").as("lang"))
     when(cjkRatio(text) > 0.3, lit("zh"))
-      .when(best.getField("score") > 0.0, best.getField("lang"))
-      .otherwise(lit("und"))
+      .otherwise(greatest(scored: _*).getField("lang"))
   }
 
   def langId(text: Column): Column = langIdWith(tokens(text), text)
@@ -186,26 +192,41 @@ object TextFunctions {
         (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double")
           / length(text))
 
-  /** Mean token length in characters. */
-  def meanTokenLen(text: Column): Column = {
-    val toks = tokens(text)
+  /** Mean token length in characters. Total token chars come from
+    * `length(concat_ws("", toks))` — value-identical to summing each
+    * token's length but with NO higher-order aggregate, so a consumer
+    * that references the mean twice (a `between` band check) duplicates
+    * a codegen'd concat instead of re-running an interpreted lambda per
+    * row (the withLinearQuality idiom).
+    */
+  def meanTokenLenFromToks(toks: Column): Column =
     when(size(toks) === 0, lit(0.0))
-      .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
-  }
+      .otherwise(length(concat_ws("", toks)).cast("double") / size(toks))
+
+  def meanTokenLen(text: Column): Column = meanTokenLenFromToks(tokens(text))
 
   /** Composite quality score in [0,1] — the classic pre-training filters
     * (length band, word shape, punctuation sanity, stopword signal), each
     * clamped to a sub-score and averaged. Thresholds are heuristic, the
     * shape (pure column expression, tune-by-config) is the point.
+    *
+    * Convenience form inlining `tokens(text)`; hot paths must stage the
+    * token array and use [[qualityScoreFromToks]] (the score reads the
+    * token array from several sub-scores — inlined, the interpreted
+    * tokens() lambda re-runs per reference).
     */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column =
+    qualityScoreFromToks(tokens(text), text)
+
+  /** [[qualityScore]] over a PRE-STAGED token column — the hot path. */
+  def qualityScoreFromToks(toks: Column, text: Column): Column = {
     val nTok = wsTokenCount(text).cast("double")
     val lenScore = least(nTok / lit(20.0), lit(1.0)) // ≥20 tokens → full marks
-    val mtl = meanTokenLen(text)
+    val mtl = meanTokenLenFromToks(toks)
     val shapeScore = when(mtl.between(3.0, 12.0), lit(1.0)).otherwise(lit(0.0))
     val punctScore = when(punctRatio(text) < 0.2, lit(1.0)).otherwise(lit(0.0))
     val stopScore = least(
-      stopwordRatio(tokens(text), StopwordProfiles("en")) * lit(5.0), lit(1.0))
+      stopwordRatio(toks, StopwordProfiles("en")) * lit(5.0), lit(1.0))
     (lenScore + shapeScore + punctScore + stopScore) / lit(4.0)
   }
 
@@ -360,6 +381,52 @@ object TextFunctions {
       wcOk.as("wc_ok"), mwlOk.as("mwl_ok"), symOk.as("sym_ok"),
       alphaOk.as("alpha_ok"), stopOk.as("stop_ok"),
       (wcOk && mwlOk && symOk && alphaOk && stopOk).as("pass"))
+  }
+
+  /** [[gopherFlags]] with the heavy inputs STAGED as projection columns
+    * — the hot path when a consumer reads more than one field of the
+    * struct. `gopherFlags(text)` holds each rule's lambda inside the
+    * struct twice (the rule's own field AND the `pass` conjunction), and
+    * Catalyst's extract-only project collapsing re-inlines struct fields
+    * through staging aliases — so a query extracting `alpha_ok` and
+    * `pass` re-runs the alpha-word filter per row. Here the two
+    * lambda-bearing counts (alpha words, stopword hits) and the three
+    * regexp counts are their own columns; every flag is then cheap
+    * integer arithmetic over attributes, duplicable for free.
+    *
+    * Returns `df` plus a struct column `outCol` with [[gopherFlags]]'s
+    * exact fields and values.
+    */
+  def withGopherFlags(df: DataFrame, text: Column, outCol: String): DataFrame = {
+    val staged = df
+      .withColumn("__gf_t", trim(text))
+      .withColumn("__gf_ws", split(col("__gf_t"), "\\s+"))
+      .withColumn("__gf_n", wsTokenCount(text).cast("long"))
+      .withColumn("__gf_chars",
+        length(regexp_replace(col("__gf_t"), "\\s+", "")).cast("long"))
+      .withColumn("__gf_sym",
+        (length(col("__gf_t")) - length(regexp_replace(col("__gf_t"), "#", "")))
+          .cast("long") +
+        ((length(col("__gf_t")) -
+          length(regexp_replace(col("__gf_t"), "\\.\\.\\.", ""))) / 3).cast("long"))
+      .withColumn("__gf_aw",
+        size(filter(col("__gf_ws"), w => w.rlike("[A-Za-z]"))).cast("long"))
+      .withColumn("__gf_sh",
+        size(array_intersect(transform(col("__gf_ws"), w => lower(w)),
+          array(GopherStopwords.map(lit): _*))).cast("long"))
+    val n = col("__gf_n"); val chars = col("__gf_chars")
+    val wcOk = n >= 50 && n <= 100000
+    val mwlOk = chars >= n * 3 && chars <= n * 10
+    val symOk = col("__gf_sym") * 10 <= n
+    val alphaOk = col("__gf_aw") * 5 >= n * 4
+    val stopOk = col("__gf_sh") >= 2
+    staged
+      .withColumn(outCol, struct(
+        wcOk.as("wc_ok"), mwlOk.as("mwl_ok"), symOk.as("sym_ok"),
+        alphaOk.as("alpha_ok"), stopOk.as("stop_ok"),
+        (wcOk && mwlOk && symOk && alphaOk && stopOk).as("pass")))
+      .drop("__gf_t", "__gf_ws", "__gf_n", "__gf_chars", "__gf_sym",
+        "__gf_aw", "__gf_sh")
   }
 
   /** Fixed-weight linear quality classifier — the fastText-style "one

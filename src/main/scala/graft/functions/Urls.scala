@@ -39,7 +39,10 @@ object Urls {
     val params = filter(split(query, "&"),
       p => p =!= "" && !p.rlike(TrackingParam))
     val q2 = array_join(array_sort(params), "&")
+    // q2 referenced ONCE: "?"+q2, then a lone "?" (empty survivor set)
+    // collapses to "" — a second q2 reference would re-run the
+    // interpreted param-filter lambda per row (repeated-lambda audit)
     concat(schemeHost, path,
-      when(q2 =!= "", concat(lit("?"), q2)).otherwise(lit("")))
+      regexp_replace(concat(lit("?"), q2), "^\\?$", ""))
   }
 }

@@ -52,4 +52,44 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), s"probe side must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"ANN must never go all-pairs:\n$p")
   }
+
+  test("no gate query evaluates a repeated higher-order lambda (round-6 postmortem class)") {
+    // walks EVERY gate query's optimized plan; a new query that inlines
+    // tokens()/shingles() twice — the q204/q153/q185 pathology — fails
+    // the build here instead of burning CPU quietly at 100 TB
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val findings =
+          try graft.plans.PlanAudit.repeatedLambdas(fn(spark, SfDir))
+          catch { case e: Throwable =>
+            Seq(s"query construction failed: ${e.getMessage}".take(200)) }
+        spark.catalog.clearCache()
+        findings.map(f => s"$name: $f")
+    }
+    assert(offenders.isEmpty,
+      s"repeated-lambda plans:\n${offenders.mkString("\n")}")
+  }
+
+  test("the lambda audit flags a deliberately regressed plan") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.load(spark, SfDir, "documents")
+    // the exact anti-pattern the library bans: one Project referencing
+    // the un-staged tokens() lambda twice
+    val bad = docs.select(
+      array_min(graft.functions.TextFunctions.tokens(col("text"))).as("a"),
+      array_max(graft.functions.TextFunctions.tokens(col("text"))).as("b"))
+    assert(graft.plans.PlanAudit.repeatedLambdas(bad).nonEmpty,
+      "audit must flag a twice-inlined lambda column")
+    // and the InferFiltersFromGenerate damage plain explode invites on a
+    // STAGED lambda column (Spark 4.1 skips inference on direct lambda
+    // inputs, but an attribute input infers `size>0 AND isnotnull` and
+    // pushdown substitutes the stage back in — tokens() twice in one
+    // Filter)
+    val badGen = docs
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("__tk"))
+      .select(col("doc_id"), explode(col("__tk")).as("tok"))
+    assert(graft.plans.PlanAudit.repeatedLambdas(badGen).nonEmpty,
+      "audit must flag the inferred-filter lambda re-evaluation")
+  }
 }

@@ -51,18 +51,44 @@ class AnnRecallSpec extends SparkSpec {
   }
 
   test("IVF ivfTopK recall@10 against exact top-k stays above its pinned floor") {
-    // measured 0.9238 at the swept (16, 8, 3) defaults (sf0.001, fixed
+    // measured 0.9238 at the swept (16, 8, 3) gate pin (sf0.001, fixed
     // seeds; 0.9190 at sf0.01 — tools.IvfSweep); was 0.8095 at nProbe=4
-    val r = recallAt10(topSets(Similarity.ivfTopK(queries, emb, k = 10)))
+    val r = recallAt10(topSets(Similarity.ivfTopK(queries, emb, k = 10,
+      nCentroids = 16, nProbe = 8)))
     info(f"IVF recall@10 = $r%.4f")
     assert(r >= 0.85, f"IVF recall@10 degraded to $r%.4f")
   }
 
   test("fixed-point portable IVF — q61's oracled path — holds the same recall floor") {
     // 2^20 quantization moves centroids by sub-ppm; recall must not move
-    val r = recallAt10(topSets(Similarity.ivfTopKPortable(queries, emb, k = 10)))
+    val r = recallAt10(topSets(Similarity.ivfTopKPortable(queries, emb, k = 10,
+      nCentroids = 16, nProbe = 8)))
     info(f"portable IVF recall@10 = $r%.4f")
     assert(r >= 0.85, f"portable IVF recall@10 degraded to $r%.4f")
+  }
+
+  test("DERIVED √n list sizing (the nCentroids<=0 default) holds the floor at 1x and 10x") {
+    // the default now applies the ceil(√n)-capped rule in code — this
+    // pins that a caller who keeps it gets sane recall as the corpus
+    // grows (nCentroids 23 at the 500-vector fixture, 71 at the
+    // 5000-vector sf0.01 corpus; nProbe stays 8, so the probed fraction
+    // falls 50% → 11% while per-list statistics improve)
+    assert(Similarity.autoCentroids(500L) === 23)
+    assert(Similarity.autoCentroids(5000L) === 71)
+    assert(Similarity.autoCentroids(100000000L) === Similarity.MaxAutoCentroids)
+    val r1 = recallAt10(topSets(Similarity.ivfTopK(queries, emb, k = 10)))
+    info(f"derived-sizing IVF recall@10 at 1x = $r1%.4f")
+    assert(r1 >= 0.85, f"derived-sizing recall@10 degraded to $r1%.4f")
+    val emb10 = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val q10 = emb10.filter($"vec_id" <= 20)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val exact10 = topSets(Similarity.bruteForceTopK(q10, emb10, 10))
+    val approx10 = topSets(Similarity.ivfTopK(q10, emb10, k = 10))
+    val r10 = exact10.map { case (q, ex) =>
+      approx10.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
+    }.sum / exact10.size
+    info(f"derived-sizing IVF recall@10 at 10x = $r10%.4f")
+    assert(r10 >= 0.80, f"derived-sizing 10x recall@10 degraded to $r10%.4f")
   }
 
   private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =

@@ -1,0 +1,122 @@
+package graft.sink
+
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+import org.apache.hadoop.fs.Path
+
+import graft.SparkSpec
+
+/** The reference's whole sink is an object store; every other spec runs
+  * on local FS where rename happens to be atomic-enough. This suite
+  * re-proves the TxTable commit protocol on [[HostileFileSystem]] — a
+  * store whose rename REPLACES (returning true) and whose exclusive
+  * create is check-then-act — so the exactly-once guarantees
+  * demonstrably come from the coordinator's protocol (per-target
+  * serialization + log replay), not from smuggled-in FS atomicity. The
+  * last test pins the inverse: a coordinator that TRUSTS the store's
+  * exclusive-create double-wins here, which is exactly why
+  * conditional-PUT (or the locked rename coordinator) is required on
+  * S3-class stores.
+  */
+class HostileFsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fsFor(p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("the hostile FS really lies: rename clobbers an existing destination") {
+    val dir = HostileFileSystem.root(spark)
+    val fs = fsFor(dir)
+    def put(p: Path, s: String): Unit = {
+      val o = fs.create(p, true); o.write(s.getBytes("UTF-8")); o.close()
+    }
+    put(new Path(s"$dir/a"), "first")
+    put(new Path(s"$dir/b"), "second")
+    assert(fs.rename(new Path(s"$dir/b"), new Path(s"$dir/a")),
+      "posix-shaped rename must 'succeed' onto an existing destination")
+    val in = fs.open(new Path(s"$dir/a"))
+    val buf = new Array[Byte](16); val len = in.read(buf); in.close()
+    assert(new String(buf, 0, len, "UTF-8") == "second", "destination clobbered")
+  }
+
+  private def race(c: CommitCoordinator, dir: String, n: Int): Seq[(Int, Boolean)] = {
+    val fs = fsFor(dir)
+    val target = new Path(s"$dir/00000001.json")
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(n)
+    try {
+      val fut = (1 to n).map { i =>
+        pool.submit(new java.util.concurrent.Callable[(Int, Boolean)] {
+          def call(): (Int, Boolean) = {
+            start.await()
+            (i, c.putIfAbsent(fs, target, s"writer-$i".getBytes("UTF-8")))
+          }
+        })
+      }
+      start.countDown()
+      fut.map(_.get(120, TimeUnit.SECONDS))
+    } finally pool.shutdown()
+  }
+
+  test("RenameCommitCoordinator: exactly one of 8 writers wins although rename lies") {
+    val dir = HostileFileSystem.root(spark)
+    val res = race(RenameCommitCoordinator, dir, 8)
+    assert(res.count(_._2) == 1, s"exactly one winner expected, got $res")
+    val fs = fsFor(dir)
+    val in = fs.open(new Path(s"$dir/00000001.json"))
+    val buf = new Array[Byte](64); val len = in.read(buf); in.close()
+    assert(new String(buf, 0, len, "UTF-8") == s"writer-${res.filter(_._2).head._1}",
+      "published bytes must be exactly the winning writer's")
+  }
+
+  test("a store-trusting exclusive-create coordinator double-wins on the hostile store") {
+    // the documented hazard, demonstrated: AtomicCreateCommitCoordinator's
+    // non-file branch delegates exclusivity to fs.create(overwrite=false);
+    // on a check-then-act store the 8 simultaneous claimants all pass the
+    // pre-check inside the widened window — multiple "winners", silent
+    // last-writer-wins. THIS is why RenameCommitCoordinator (per-target
+    // serialization) or a real conditional PUT is mandatory on S3-class
+    // stores, and why the protocol never trusts the store's rename/create.
+    val dir = HostileFileSystem.root(spark)
+    val res = race(AtomicCreateCommitCoordinator, dir, 8)
+    assert(res.count(_._2) >= 2,
+      s"the hostile store must admit multiple exclusive-create winners, got $res")
+  }
+
+  test("TxTable lifecycle lands correct state end-to-end on the hostile store") {
+    val t = HostileFileSystem.root(spark) + "/tbl"
+    val files1 = TxTable.stageBatch(spark, Seq(1L, 2L).toDF("id"), t)
+    assert(TxTable.commit(spark, t, files1, Nil) == 1L)
+    val files2 = TxTable.stageBatch(spark, Seq(3L).toDF("id"), t)
+    assert(TxTable.commit(spark, t, files2, Nil) == 2L)
+    assert(TxTable.read(spark, t).select($"id").as[Long].collect().toSet
+      == Set(1L, 2L, 3L))
+    assert(TxTable.readAt(spark, t, 1L).select($"id").as[Long].collect().toSet
+      == Set(1L, 2L))
+  }
+
+  test("a lost race at v2 retries to v3 on the hostile store") {
+    val t = HostileFileSystem.root(spark) + "/tbl"
+    val files1 = TxTable.stageBatch(spark, Seq(1L).toDF("id"), t)
+    assert(TxTable.commit(spark, t, files1, Nil) == 1L)
+    val interloper = TxTable.stageBatch(spark, Seq(99L).toDF("id"), t)
+    var firstAttempt = true
+    val racedOnce = new CommitCoordinator {
+      def putIfAbsent(fs: org.apache.hadoop.fs.FileSystem, target: Path,
+                      bytes: Array[Byte]): Boolean = {
+        if (firstAttempt) {
+          firstAttempt = false
+          val c = TxTable.Commit(2L, interloper, Nil, Nil)
+          assert(RenameCommitCoordinator.putIfAbsent(fs, target,
+            TxTable.render(c).getBytes("UTF-8")))
+          false
+        } else RenameCommitCoordinator.putIfAbsent(fs, target, bytes)
+      }
+    }
+    val files2 = TxTable.stageBatch(spark, Seq(2L).toDF("id"), t)
+    val v = TxTable.commit(spark, t, files2, Nil, coordinator = racedOnce)
+    assert(v == 3L, s"lost race at v2 must land at v3, got v$v")
+    assert(TxTable.read(spark, t).select($"id").as[Long].collect().toSet
+      == Set(1L, 2L, 99L))
+  }
+}
