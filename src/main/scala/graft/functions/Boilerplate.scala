@@ -33,8 +33,19 @@ object Boilerplate {
     * gate fixture); real crawl text would split on '\n' instead. Pure
     * per-row expression: whitespace split, then slice per line index.
     */
-  def tokenLines(text: Column, lineTokens: Int): Column = {
-    val toks = filter(split(text, "\\s+"), t => length(t) > 0)
+  def tokenLines(text: Column, lineTokens: Int): Column =
+    tokenLinesFromToks(filter(split(text, "\\s+"), t => length(t) > 0),
+      lineTokens)
+
+  /** [[tokenLines]] over a PRE-STAGED whitespace-token column — the hot
+    * path: `toks` appears inside the per-line lambda BODY, and an
+    * inline `filter(split(text))` there re-tokenizes the whole document
+    * PER LINE (interpreted higher-order eval re-computes body subtrees
+    * per element — O(tokens²/lineTokens) per row; PlanAudit's
+    * body-position rule caught exactly this). With a staged attribute
+    * the body's slice is an O(lineTokens) read.
+    */
+  def tokenLinesFromToks(toks: Column, lineTokens: Int): Column = {
     val nLines = floor((size(toks) + lit(lineTokens - 1)) / lit(lineTokens)).cast("int")
     transform(
       sequence(lit(0), greatest(nLines - 1, lit(0))),
@@ -52,8 +63,14 @@ object Boilerplate {
     require(lineTokens >= 1, s"lineTokens must be >= 1, got $lineTokens")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val lines = df
-      .select(col(idCol), posexplode(tokenLines(col(textCol), lineTokens))
-        .as(Seq("line_no", "line")))
+      // token array staged: the line generator reads it from the lambda
+      // body (size + per-line slice), so an inline tokenization would
+      // re-split the document once per LINE (see tokenLinesFromToks)
+      .select(col(idCol),
+        filter(split(col(textCol), "\\s+"), t => length(t) > 0).as("__bl_toks"))
+      .select(col(idCol),
+        posexplode(tokenLinesFromToks(col("__bl_toks"), lineTokens))
+          .as(Seq("line_no", "line")))
       .filter(length(col("line")) > 0)
       .withColumn("__lh", TextFunctions.md5Fingerprint(col("line")))
     // doc frequency per fingerprint: only (fingerprint, doc) pairs shuffle

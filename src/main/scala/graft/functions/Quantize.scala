@@ -22,12 +22,18 @@ object Quantize {
     * values are all in [-127, 127]).
     */
   def int8(vec: Column): Column = {
-    val v = transform(vec, _.cast("double"))
-    val vmax = array_max(transform(v, x => abs(x)))
-    transform(v, x =>
-      when(vmax === 0.0, lit(0L)).otherwise(
-        greatest(lit(-127L), least(lit(127L),
-          floor(x * 127.0 / vmax + 0.5).cast("long")))))
+    // vmax rides in ARGUMENT position (array_repeat), never in the
+    // lambda body: interpreted higher-order eval re-computes a body
+    // subtree PER ELEMENT, so the old `x => ... / vmax` form re-ran the
+    // array_max(transform(abs)) scan dim times per row — O(dim²)/row
+    // (the round-6 lambda-body rule, found by PlanAudit's body check)
+    val vmax = array_max(transform(vec, x => abs(x.cast("double"))))
+    zip_with(transform(vec, _.cast("double")),
+      array_repeat(vmax, size(vec)),
+      (x, m) =>
+        when(m === 0.0, lit(0L)).otherwise(
+          greatest(lit(-127L), least(lit(127L),
+            floor(x * 127.0 / m + 0.5).cast("long")))))
   }
 
   /** Reconstruction scale for [[int8]] (`v ≈ q · scale`). */

@@ -483,8 +483,12 @@ object Similarity {
       .withColumn("__cn", l2norm(col("v")))
     val q = queries.select(col(qId), asDouble(col(qVec)).as("__qv"))
       .withColumn("__qn", l2norm(col("__qv")))
+      // quantized query vector STAGED: probeCids references it once per
+      // CENTROID, so an inline toInt re-quantizes nCentroids times per
+      // query row (PlanAudit nested-subtree rule)
+      .withColumn("__qvi", toInt(col("__qv")))
       // explode_outer: same InferFiltersFromGenerate dodge as above
-      .withColumn("cid", explode_outer(probeCids(toInt(col("__qv")))))
+      .withColumn("cid", explode_outer(probeCids(col("__qvi"))))
       .filter(col("cid").isNotNull)
     topkOf(assigned.join(broadcast(q), Seq("cid"))
       .filter(col(qId) =!= col("id"))

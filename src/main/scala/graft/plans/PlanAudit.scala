@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression, HigherOrderFunction}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression, HigherOrderFunction, NamedLambdaVariable}
 
 /** Static audit for the interpreted-lambda re-evaluation class (the
   * round-6 postmortem family, SCALE.md): higher-order functions
@@ -32,28 +32,69 @@ import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression
   */
 object PlanAudit {
 
-  /** Maximal higher-order subtrees of `e` that read at least one
-    * attribute — nested HOFs inside a flagged subtree count as part of
-    * it (the outermost evaluation is the unit of per-row cost).
+  /** ALL higher-order subtrees of `e` that read at least one attribute
+    * — nested occurrences count too: two DIFFERENT maximal lambdas each
+    * wrapping the same inner lambda subtree (q87's `int8(v)` under both
+    * a stringify-transform and a sum-aggregate) still evaluate that
+    * inner subtree once EACH per row.
     */
-  private def maximalHofs(e: Expression): Seq[Expression] = e match {
+  private def allHofs(e: Expression): Seq[Expression] = e match {
     case h: HigherOrderFunction
-        if h.exists(_.isInstanceOf[AttributeReference]) => Seq(h)
-    case other => other.children.flatMap(maximalHofs)
+        if h.exists(_.isInstanceOf[AttributeReference]) =>
+      h +: h.children.flatMap(allHofs)
+    case other => other.children.flatMap(allHofs)
+  }
+
+  /** True when every lambda variable inside `e` is bound by one of
+    * `e`'s OWN (possibly nested) lambdas — i.e. the subtree's value is
+    * fixed per row and hoistable to argument position. A reference to
+    * an ENCLOSING lambda's variable (q123's per-token `exists(spans,
+    * pos ∈ span)`) makes the subtree genuinely per-element — inherent
+    * semantics, not a pathology.
+    */
+  private def rowConstant(e: Expression): Boolean = {
+    val bound = e.collect {
+      case l: org.apache.spark.sql.catalyst.expressions.LambdaFunction =>
+        l.arguments.map(_.exprId)
+    }.flatten.toSet
+    !e.exists {
+      case v: NamedLambdaVariable => !bound(v.exprId)
+      case _ => false
+    }
   }
 
   /** Human-readable findings for every repeated-lambda occurrence in the
-    * DataFrame's optimized logical plan; empty = clean.
+    * DataFrame's optimized logical plan; empty = clean. Two patterns:
+    * the same canonicalized lambda subtree appearing more than once
+    * inside one operator (per-ROW re-evaluation), and a row-constant
+    * lambda subtree sitting inside another lambda's BODY (per-ELEMENT
+    * re-evaluation — interpreted higher-order eval re-computes body
+    * subtrees for every element, so `x => ... / array_max(f(v))` scans
+    * `v` dim times per row; row-constant operands belong in ARGUMENT
+    * position, e.g. via array_repeat/zip_with).
     */
   def repeatedLambdas(df: DataFrame): Seq[String] = {
     val plan = df.queryExecution.optimizedPlan
     val findings = scala.collection.mutable.ArrayBuffer[String]()
     plan.foreach { node =>
-      val hofs = node.expressions.flatMap(maximalHofs)
+      val hofs = node.expressions.flatMap(allHofs)
       hofs.groupBy(_.canonicalized).valuesIterator.foreach { occ =>
         if (occ.size > 1)
           findings += s"${node.nodeName}: `${occ.head.sql.take(160)}` " +
             s"evaluated ${occ.size}x per row in one operator"
+      }
+      hofs.collect { case h: HigherOrderFunction => h }.foreach { h =>
+        h.functions.foreach { f =>
+          f.foreach {
+            case inner: HigherOrderFunction
+                if inner.exists(_.isInstanceOf[AttributeReference]) &&
+                  rowConstant(inner) =>
+              findings += s"${node.nodeName}: row-constant lambda subtree " +
+                s"`${inner.sql.take(160)}` inside a lambda BODY — " +
+                "re-evaluated per element; hoist to argument position"
+            case _ => ()
+          }
+        }
       }
     }
     findings.toSeq
