@@ -3887,6 +3887,46 @@ object SparkEntry {
         functions.DeflateSize.deflateSize(rep).cast("long").as("dz_rep"),
         functions.DeflateSize.deflateSize(mix).cast("long").as("dz_mix"))
     }),
+
+    // A — portable HyperLogLog distinct count, ESTIMATE oracle-checked
+    // (exact-integer scaled harmonic sum — see functions.Hll): the
+    // register table is one partial-agg pass to ≤ 2^p rows, the shape
+    // that replaces a full-distinct shuffle for corpus accounting.
+    "q221_hll_distinct" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"))
+      val est = functions.Hll.distinctEstimate(li, col("l_orderkey"), p = 9)
+      val exact = li.agg(countDistinct(col("l_orderkey")).as("exact"))
+      est.crossJoin(broadcast(exact))
+        .select(col("n_regs"), col("n_zero_regs"), col("s_scaled"),
+          col("est"), col("exact"),
+          expr("abs(est - exact) * 10000 div exact").as("err_bp"))
+    }),
+
+    // A — K-Minimum-Values distinct sketch: k smallest distinct hashes
+    // (TakeOrderedAndProject — per-partition top-k, never a global
+    // sort), estimator in decimal(38,0) integers.
+    "q222_kmv_distinct" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_partkey"))
+      val est = functions.Kmv.distinctEstimate(li, col("l_partkey"), k = 1024)
+      val exact = li.agg(countDistinct(col("l_partkey")).as("exact"))
+      est.crossJoin(broadcast(exact))
+        .select(col("n_min"), col("h_k"), col("est"), col("exact"),
+          expr("abs(est - exact) * 10000 div exact").as("err_bp"))
+    }),
+
+    // A — KMV set algebra: union/intersection/Jaccard estimates of two
+    // sources' trigram-shingle vocabularies from 256-hash sketches —
+    // the "how much do these corpora overlap?" audit at sketch cost
+    // (everything after the two sketches runs over ≤ 3k rows).
+    "q223_kmv_source_overlap" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      def grams(src: String) = functions.TextFunctions.withTokenGrams(
+          d.filter(col("source") === src), col("text"), 3, "__g3")
+        .select(explode_outer(col("__g3")).as("g"))
+        .filter(col("g").isNotNull) // explode_outer: graft.util.Explode
+      def sk(src: String) = functions.Kmv.sketch(grams(src), col("g"), k = 256)
+      functions.Kmv.overlap(sk("src0"), sk("src1"), k = 256)
+    }),
   )
 
   // ----------------------------------------------------------- bench-only
@@ -8015,5 +8055,78 @@ object SparkEntry {
            (57,912,33,75),(58,928,33,75),(59,944,33,76),(60,960,33,74),
            (61,976,33,76),(62,992,33,75),(63,1008,33,76),(64,1024,33,75))
            AS t(n, raw_len, dz_rep, dz_mix)""",
+    // the ESTIMATE itself is oracle-checked: every register, the scaled
+    // harmonic sum and the integer estimator replay exactly
+    "q221_hll_distinct" ->
+      """WITH h AS (
+           SELECT CAST('0x'||substring(md5(CAST(l_orderkey AS VARCHAR)),1,15) AS BIGINT) AS h
+           FROM lineitem),
+         r0 AS (SELECT h % 512 AS reg, h // 512 AS w FROM h),
+         r1 AS (SELECT reg,
+                  CASE WHEN w = 0 THEN 52 ELSE 51 - length(bin(w)) + 1 END AS rank
+                FROM r0),
+         regs AS (SELECT reg, max(rank) AS rank FROM r1 GROUP BY reg),
+         agg AS (SELECT CAST(count(*) AS BIGINT) AS n_regs,
+                   CAST(sum(CAST(1 AS BIGINT) << (52 - rank)) AS BIGINT) AS s_obs
+                 FROM regs),
+         s AS (SELECT n_regs, CAST(512 - n_regs AS BIGINT) AS n_zero_regs,
+                 s_obs + (512 - n_regs) * (CAST(1 AS BIGINT) << 52) AS s_scaled
+               FROM agg),
+         e AS (SELECT n_regs, n_zero_regs, s_scaled,
+                 CAST((CAST(719783 AS HUGEINT) * 512 * 512 * (CAST(1 AS HUGEINT) << 52))
+                      // (1000000 * CAST(s_scaled AS HUGEINT)) AS BIGINT) AS est
+               FROM s),
+         x AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact FROM lineitem)
+         SELECT n_regs, n_zero_regs, s_scaled, est, exact,
+           CAST(abs(est - exact) * 10000 // exact AS BIGINT) AS err_bp
+         FROM e, x""",
+    "q222_kmv_distinct" ->
+      """WITH h AS (
+           SELECT DISTINCT CAST('0x'||substring(md5(CAST(l_partkey AS VARCHAR)),1,15) AS BIGINT) AS h
+           FROM lineitem),
+         s AS (SELECT h FROM h ORDER BY h LIMIT 1024),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS n_min, max(h) AS h_k FROM s),
+         e AS (SELECT n_min, h_k,
+                 CAST(CASE WHEN n_min < 1024 THEN n_min
+                      ELSE (CAST(1023 AS HUGEINT) * (CAST(1 AS HUGEINT) << 60)) // h_k
+                      END AS BIGINT) AS est
+               FROM a),
+         x AS (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact FROM lineitem)
+         SELECT n_min, h_k, est, exact,
+           CAST(abs(est - exact) * 10000 // exact AS BIGINT) AS err_bp
+         FROM e, x""",
+    // KMV set algebra on trigram-shingle vocabularies of two sources
+    "q223_kmv_source_overlap" ->
+      """WITH toks AS (
+           SELECT source, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                      x -> x <> '') AS t
+           FROM documents WHERE source IN ('src0', 'src1')),
+         grams AS (
+           -- ngrams semantics: documents shorter than n yield NO grams
+           -- (range(1, len-1) is empty below 3 tokens)
+           SELECT source,
+             unnest(list_transform(range(1, len(t)-1),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+           FROM toks),
+         hs AS (SELECT DISTINCT source,
+                  CAST('0x'||substring(md5(g),1,15) AS BIGINT) AS h
+                FROM grams),
+         ska AS (SELECT h FROM hs WHERE source = 'src0' ORDER BY h LIMIT 256),
+         skb AS (SELECT h FROM hs WHERE source = 'src1' ORDER BY h LIMIT 256),
+         un AS (SELECT h FROM (SELECT h FROM ska UNION SELECT h FROM skb)
+                ORDER BY h LIMIT 256),
+         ue AS (SELECT CAST(count(*) AS BIGINT) AS n_u, max(h) AS h_k FROM un),
+         uest AS (SELECT CAST(CASE WHEN n_u < 256 THEN n_u
+                    ELSE (CAST(255 AS HUGEINT) * (CAST(1 AS HUGEINT) << 60)) // h_k
+                    END AS BIGINT) AS est_union
+                  FROM ue),
+         c AS (SELECT CAST(count(*) AS BIGINT) AS c FROM un
+               WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb)),
+         sz AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM ska) AS n_a,
+                       (SELECT CAST(count(*) AS BIGINT) FROM skb) AS n_b)
+         SELECT n_a, n_b, est_union, c,
+           CAST((c * est_union) // 256 AS BIGINT) AS est_inter,
+           CAST((10000 * c) // 256 AS BIGINT) AS jaccard_bp
+         FROM sz, uest, c""",
   )
 }
