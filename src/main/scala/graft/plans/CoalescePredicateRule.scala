@@ -47,14 +47,16 @@ object CoalescePredicateRule extends Rule[LogicalPlan] {
   }
 }
 
-/** Session extensions: inject the coalesce-predicate rewrite and register
-  * the engine's SQL functions (`simhash64`). Activate with
+/** Session extensions: inject the coalesce-predicate rewrite, the
+  * repeated-lambda auto-staging rule ([[StageRepeatedLambdas]]) and
+  * register the engine's SQL functions (`simhash64`). Activate with
   * `.withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.plans.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => CoalescePredicateRule)
+    ext.injectOptimizerRule(_ => StageRepeatedLambdas)
     ext.injectFunction(
       (new org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"),
         new ExpressionInfo(classOf[graft.functions.SimHash64].getName, "simhash64"),
