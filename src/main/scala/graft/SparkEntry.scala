@@ -3914,6 +3914,36 @@ object SparkEntry {
           expr("abs(est - exact) * 10000 div exact").as("err_bp"))
     }),
 
+    // ST+A — STREAMING HLL unique-event audit: the register table is a
+    // complete-mode stateful aggregate with CONSTANT state (≤ 2^p rows
+    // regardless of stream length), and registers are idempotent under
+    // redelivery — the stream re-receives every event_id%5==0 event (an
+    // at-least-once source) yet the estimate counts UNIQUES, which is
+    // exactly the duplicate-delivery monitor a pipeline wants at sketch
+    // cost: dup_bp = (raw_deliveries − est_uniques)/raw. The oracle
+    // replays registers, estimator, exact distinct and the raw count.
+    "q224_stream_hll_uniques" -> ((s, dir) => {
+      val tmp = stageEvents(dir)
+      val name = "graft_q224_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      graft.streaming.EventsStream.runToMemory(s, tmp.toString, name,
+        ev => functions.Hll.registers(
+          ev.unionByName(ev.filter(col("event_id") % 5 === 0)),
+          col("event_id"), p = 9),
+        outputMode = "complete")
+      dropStaged(tmp)
+      val est = functions.Hll.estimate(s.table(name), p = 9)
+      val ex = t(s, dir, "events").agg(
+        countDistinct(col("event_id")).as("exact"),
+        (count(lit(1)) +
+          sum(when(col("event_id") % 5 === 0, 1L).otherwise(0L))).as("n_raw"))
+      est.crossJoin(broadcast(ex))
+        .select(col("n_regs"), col("n_zero_regs"), col("s_scaled"),
+          col("est"), col("exact"),
+          expr("abs(est - exact) * 10000 div exact").as("err_bp"),
+          col("n_raw"),
+          expr("(10000 * (n_raw - est)) div n_raw").as("dup_bp"))
+    }),
+
     // A — KMV set algebra: union/intersection/Jaccard estimates of two
     // sources' trigram-shingle vocabularies from 256-hash sketches —
     // the "how much do these corpora overlap?" audit at sketch cost
@@ -8128,5 +8158,34 @@ object SparkEntry {
            CAST((c * est_union) // 256 AS BIGINT) AS est_inter,
            CAST((10000 * c) // 256 AS BIGINT) AS jaccard_bp
          FROM sz, uest, c""",
+    // registers are redelivery-idempotent, so the oracle replays them
+    // over the base table; n_raw re-derives the at-least-once volume
+    "q224_stream_hll_uniques" ->
+      """WITH h AS (
+           SELECT CAST('0x'||substring(md5(CAST(event_id AS VARCHAR)),1,15) AS BIGINT) AS h
+           FROM events),
+         r0 AS (SELECT h % 512 AS reg, h // 512 AS w FROM h),
+         r1 AS (SELECT reg,
+                  CASE WHEN w = 0 THEN 52 ELSE 51 - length(bin(w)) + 1 END AS rank
+                FROM r0),
+         regs AS (SELECT reg, max(rank) AS rank FROM r1 GROUP BY reg),
+         agg AS (SELECT CAST(count(*) AS BIGINT) AS n_regs,
+                   CAST(sum(CAST(1 AS BIGINT) << (52 - rank)) AS BIGINT) AS s_obs
+                 FROM regs),
+         s AS (SELECT n_regs, CAST(512 - n_regs AS BIGINT) AS n_zero_regs,
+                 s_obs + (512 - n_regs) * (CAST(1 AS BIGINT) << 52) AS s_scaled
+               FROM agg),
+         e AS (SELECT n_regs, n_zero_regs, s_scaled,
+                 CAST((CAST(719783 AS HUGEINT) * 512 * 512 * (CAST(1 AS HUGEINT) << 52))
+                      // (1000000 * CAST(s_scaled AS HUGEINT)) AS BIGINT) AS est
+               FROM s),
+         x AS (SELECT CAST(count(DISTINCT event_id) AS BIGINT) AS exact,
+                 CAST(count(*) + sum(CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_raw
+               FROM events)
+         SELECT n_regs, n_zero_regs, s_scaled, est, exact,
+           CAST(abs(est - exact) * 10000 // exact AS BIGINT) AS err_bp,
+           n_raw, CAST((10000 * (n_raw - est)) // n_raw AS BIGINT) AS dup_bp
+         FROM e, x""",
   )
 }
