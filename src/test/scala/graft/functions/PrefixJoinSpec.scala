@@ -73,6 +73,37 @@ class PrefixJoinSpec extends SparkSpec {
     assert(xxfast === slow)
   }
 
+  test("completeness holds on adversarial random set families (property sweep)") {
+    // random universes with the degenerate shapes a crafted fixture
+    // misses: singletons, identical sets, near-threshold pairs, skewed
+    // element frequencies — prefix join (BOTH orders) vs exact brute
+    // force over the same hashed sets. Deterministic seed: failures
+    // reproduce.
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 4; t <- Seq(0.5, 0.8, 1.0)) {
+      val uni = 1 + rnd.nextInt(30) // small universe → forced collisions
+      val sets = (1L to 40L).map { id =>
+        val sz = 1 + rnd.nextInt(12)
+        (id, Seq.fill(sz)(rnd.nextInt(uni).toLong + 1000L).distinct)
+      } ++ Seq((98L, Seq(2000L)), (99L, Seq(2000L))) // identical singletons
+      val df = sets.toDF("id", "els")
+      def pairs(dfOrder: Boolean) =
+        PrefixJoin.jaccardJoinSets(df, "id", "els", t, dfOrder)
+          .select("idA", "idB").as[(Long, Long)].collect().toSet
+      val byId = sets.toMap
+      val slow = (for {
+        (a, sa) <- sets; (b, sb) <- sets if a < b
+        i = sa.toSet.intersect(sb.toSet).size
+        if i * 10000L >= math.round(t * 10000) * (sa.toSet.size + sb.toSet.size - i).toLong
+      } yield (a, b)).toSet
+      assert(pairs(dfOrder = false) === slow,
+        s"value-order incomplete at t=$t trial=$trial uni=$uni")
+      assert(pairs(dfOrder = true) === slow,
+        s"df-order incomplete at t=$t trial=$trial uni=$uni")
+      assert(byId.nonEmpty)
+    }
+  }
+
   test("dfOrder=true returns the identical pair set and jaccard values") {
     // the completeness lemma holds for ANY agreed element order; the
     // rarest-first (document-frequency) order must change only candidate
