@@ -712,8 +712,13 @@ object SparkEntry {
       val terms = docs.select(col("doc_id"),
           explode_outer(TextFunctions.tokens(col("text"))).as("term"))
         .filter(col("term").isNotNull)
+      // tf feeds the document-frequency rollup AND the final join —
+      // unpersisted, the tokenize+explode+count pipeline runs twice
+      // (cross-branch audit); (doc, term, tf) is the standard inverted-
+      // index relation, cached once here, a staging table at corpus scale
       val tf = terms.groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df_docs"))
       val tot = docs.agg(count(lit(1)).as("n_docs"))
       val w = org.apache.spark.sql.expressions.Window
@@ -746,10 +751,14 @@ object SparkEntry {
     // for bit.
     "q111_perplexity_buckets" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // ntile makes multiple passes over its input — checkpoint the
+      // skinny score table once (the q204 labeling pattern) so the
+      // bigram-LM corpus pipeline doesn't re-run per pass
       val scored = TextFunctions.bigramLmScore(docs, col("doc_id"), col("text"))
         .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
         .withColumn("mean_ppm",
           when(col("n_bi") === 0, lit(0L)).otherwise(expr("sum_p div n_bi")))
+        .localCheckpoint(true)
       operators.ScalableNtile
         .ntileByRangeGrouped(scored, 3, -col("mean_ppm"), col("lang"), Seq(col("doc_id")))
         .select(col("doc_id"), col("lang"), col("mean_ppm"),
@@ -2722,6 +2731,9 @@ object SparkEntry {
         .filter(col("term").isNotNull)
       val tf = terms.groupBy(col("cluster_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
+        // two consumers (cluster-df rollup + final join): cache the
+        // (cluster, term, tf) relation, not the tokenize pipeline twice
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df_cl"))
       val ncl = assigned.agg(countDistinct(col("cluster_id")).as("n_cl"))
       val w = org.apache.spark.sql.expressions.Window
@@ -3690,6 +3702,10 @@ object SparkEntry {
       val masks = g.groupBy(col("gram"))
         .agg(sum(expr("CAST(1 AS BIGINT) << sid")).as("mask")) // sid distinct per gram ⇒ sum == bit_or
         .groupBy(col("mask")).agg(count(lit(1)).as("cnt"))
+        // the histogram is corpus-size-INDEPENDENT (≤ |distinct masks|
+        // rows) but its lineage is the full gram pass — eager-checkpoint
+        // so the pair expansion and the size rollup don't re-run it
+        .localCheckpoint(true)
       val a = srcIds.select(col("source").as("src_a"), col("sid").as("sid_a"))
       val b = srcIds.select(col("source").as("src_b"), col("sid").as("sid_b"))
       val inter = masks.join(broadcast(a), expr("((mask >> sid_a) & 1) = 1"))

@@ -176,8 +176,13 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3): DataFrame = {
+    // the 16-byte (id, sim) signature relation feeds BOTH sides of the
+    // banded self-join — unpersisted, the tokenize+simhash pipeline runs
+    // once per side (the minhashCandidatePairs discipline; at corpus
+    // scale write signatures to a table once instead)
     val withSig = df.select(col(idCol).as("id"),
       SimHash64.simhash64(tokens(col(textCol))).as("sim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one pass: posexplode the 4 block buckets (a per-block union would
     // rescan the source and recompute the simhash once per block)
     val blocks = withSig
@@ -262,7 +267,10 @@ object Dedup {
     */
   def simhashPairsPortable(df: DataFrame, textCol: String, idCol: String,
                            maxHamming: Int = 3): DataFrame = {
+    // persisted for the same both-sides reason as [[simhashPairs]] —
+    // the md5 token hashing + 60 bit votes are the dominant map cost
     val withSig = simhash60Agg(df, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blocks = withSig
       .select(col("id"), col("sim"), posexplode(array((0 until 4).map(blk =>
         shiftright(col("sim"), blk * 15).bitwiseAND(lit(0x7FFFL))): _*)))

@@ -32,8 +32,12 @@ object MixPlanner {
   def waterfill(df: DataFrame, source: Column, tokensPerRow: Column,
                 budgetNum: Long = 1L, budgetDen: Long = 2L): DataFrame = {
     require(budgetNum >= 0 && budgetDen > 0, "budget must be a nonneg rational")
+    // |sources|-row table, but its LINEAGE is a full-corpus token-count
+    // pass consumed by the ranking AND the totals broadcast — eager-
+    // checkpoint so the corpus aggregates once (cross-branch audit)
     val per = df.groupBy(source.as("source"))
       .agg(sum(tokensPerRow.cast("long")).as("tokens"))
+      .localCheckpoint(true)
     val wOrd = Window.orderBy(col("tokens").asc, col("source").asc)
     val ranked = per
       .withColumn("__i", row_number().over(wOrd).cast("long"))

@@ -99,4 +99,38 @@ object PlanAudit {
     }
     findings.toSeq
   }
+
+  /** Cross-BRANCH recompute detector — the class [[repeatedLambdas]]
+    * cannot see (it is a per-operator property): the same canonicalized
+    * SUBPLAN containing lambda work appearing more than once in one
+    * query's optimized plan means every consumer re-executes it
+    * (q103's exact+simhash dedup ran three times — 5.40 → 3.87 s from
+    * one checkpoint). Persisted/checkpointed stages do NOT trip this:
+    * they resolve to InMemoryRelation/LogicalRDD leaves before the
+    * optimizer runs, so anything still duplicated here is genuinely
+    * recomputed. ADVISORY, not enforced: recompute-over-cache is
+    * sometimes the right call (a cheap map re-run beats caching a wide
+    * relation), so [[graft.tools.LambdaAudit]] reports these for
+    * review instead of PlanShapeSpec failing the build.
+    */
+  def recomputedLambdaSubplans(df: DataFrame): Seq[String] = {
+    val plan = df.queryExecution.optimizedPlan
+    val counts = scala.collection.mutable.Map[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, (Int, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)]()
+    plan.foreach { node =>
+      val heavy = node.expressions.exists(_.exists {
+        case h: HigherOrderFunction => h.exists(_.isInstanceOf[AttributeReference])
+        case _ => false
+      })
+      if (heavy) {
+        val key = node.canonicalized
+        val (n, _) = counts.getOrElse(key, (0, node))
+        counts(key) = (n + 1, node)
+      }
+    }
+    counts.collect { case (_, (n, node)) if n > 1 =>
+      s"subplan with lambda work executes ${n}x (no materialization " +
+        s"between consumers): ${node.nodeName} `" +
+        node.expressions.headOption.map(_.sql.take(120)).getOrElse("") + "`"
+    }.toSeq
+  }
 }

@@ -23,8 +23,12 @@ object LambdaAudit {
       .filter { case (name, _) => pat.findFirstIn(name).isDefined }
       .foreach { case (name, fn) =>
         val findings =
-          try graft.plans.PlanAudit.repeatedLambdas(fn(spark, dir))
-          catch { case e: Throwable =>
+          try {
+            val df = fn(spark, dir)
+            graft.plans.PlanAudit.repeatedLambdas(df) ++
+              graft.plans.PlanAudit.recomputedLambdaSubplans(df)
+                .map("[advisory] " + _)
+          } catch { case e: Throwable =>
             Seq(s"construction failed: ${e.getMessage}".take(160)) }
         spark.catalog.clearCache()
         findings.foreach { f => n += 1; println(s"[audit] $name: ${f.take(260)}") }
