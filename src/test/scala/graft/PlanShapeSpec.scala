@@ -91,5 +91,23 @@ class PlanShapeSpec extends SparkSpec {
       .select(col("doc_id"), explode(col("__tk")).as("tok"))
     assert(graft.plans.PlanAudit.repeatedLambdas(badGen).nonEmpty,
       "audit must flag the inferred-filter lambda re-evaluation")
+    // and the BODY-position class (old Quantize.int8's O(dim²)/row bug):
+    // a row-constant lambda subtree inside another lambda's body is
+    // re-evaluated per element
+    val emb = graft.sources.Tables.load(spark, SfDir, "embeddings")
+    val badBody = emb.select(col("vec_id"),
+      transform(col("embedding"),
+        x => x / array_max(transform(col("embedding"), y => abs(y)))).as("norm"))
+    assert(graft.plans.PlanAudit.repeatedLambdas(badBody)
+        .exists(_.contains("lambda BODY")),
+      "audit must flag a row-constant subtree in a lambda body")
+    // while a body subtree READING the enclosing lambda variable — the
+    // genuinely per-element case — stays unflagged
+    val okBody = emb.select(col("vec_id"),
+      transform(col("embedding"),
+        x => x + aggregate(array(x), lit(0d), (a, b) => a + b)).as("t"))
+    assert(!graft.plans.PlanAudit.repeatedLambdas(okBody)
+        .exists(_.contains("lambda BODY")),
+      "per-element body subtrees must not false-positive")
   }
 }
