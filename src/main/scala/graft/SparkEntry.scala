@@ -3979,6 +3979,30 @@ object SparkEntry {
       def sk(src: String) = functions.Kmv.sketch(grams(src), col("g"), k = 256)
       functions.Kmv.overlap(sk("src0"), sk("src1"), k = 256)
     }),
+
+    // V — the ANN margin path hash-gated END TO END (the q216 pattern):
+    // recall@5 of the engine-portable IVF-candidate margin
+    // (marginTopKAnnPortable — integer Lloyd, shuffled self-kNN leg, no
+    // corpus broadcast) against the brute-force margin gold (q169's
+    // oracle form). This is the scale path for the one operator whose
+    // brute default could not run at 100× — proven here as code under
+    // the DuckDB oracle, not as a doc sentence. (16, 8) pinned like q61
+    // so the oracle replays the same lists.
+    "q225_margin_ann_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") <= 9)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val sys = functions.Similarity.marginTopKAnnPortable(queries, emb, k = 5,
+          nCentroids = 16, nProbe = 8)
+        .select(col("query_id"), col("match_id"))
+      val gold = functions.Similarity.marginTopKBrute(queries, emb, k = 5)
+        .select(col("query_id"), col("match_id"), lit(1L).as("__g"))
+      sys.join(gold, Seq("query_id", "match_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(sum(when(col("__g").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+        .select(col("query_id"), col("n_hits"),
+          expr("(10000 * n_hits) div 5").as("recall_bp"))
+    }),
   )
 
   // ----------------------------------------------------------- bench-only
@@ -4111,6 +4135,17 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         functions.DeflateSize.compressionBp(col("text")).as("bp"))
     }),
+    // q169's production path: float-IVF candidate legs for the margin
+    // scoring — the scale shape that replaces the brute O(n²) gate form
+    // past MaxBruteMarginCorpus. Derived √n centroids (the production
+    // default); recall vs brute is gated by q225 (portable twin) and
+    // floor-pinned by MarginAnnSpec.
+    "b169_margin_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") <= 9)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      functions.Similarity.marginTopKAnn(queries, emb, k = 5)
+    }),
     // q61's production path: float Lloyd IVF (codegen DotProduct argmin
     // vs the portable variant's CodegenFallback integer distance). The
     // gate times the engine-portable twin; recall parity is spec-pinned.
@@ -4184,19 +4219,19 @@ object SparkEntry {
          FROM documents d LEFT JOIN bagg b USING (doc_id))"""
   }
 
-  /** Full relational replay of [[functions.Similarity.ivfTopKPortable]]:
-    * fixed-point quantization, three UNROLLED Lloyd iterations (argmin by
-    * lexicographic [dist, cid] list-min, floor-division means with
-    * empty-cluster carry), probe ranking and exact-cosine re-rank — every
-    * integer op the Spark side computes, re-derived in DuckDB.
+  /** Integer squared distance between two 64-dim BIGINT lists — the
+    * [[functions.Similarity]] integer-IVF argmin, as DuckDB SQL.
     */
-  private val q61OracleSql: String = {
-    def dist(vi: String, c: String): String =
-      s"CAST(list_sum(list_transform(range(1, 65), j -> ($vi[j] - $c[j]) * ($vi[j] - $c[j]))) AS BIGINT)"
-    def iteration(i: Int): String = {
-      val prev = s"c${i - 1}"
-      s"""a$i AS (
-           SELECT ei.vec_id, (min([${dist("ei.vi", "c.c")}, c.cid]))[2] AS cid
+  private def ivfDist(vi: String, c: String): String =
+    s"CAST(list_sum(list_transform(range(1, 65), j -> ($vi[j] - $c[j]) * ($vi[j] - $c[j]))) AS BIGINT)"
+
+  /** One unrolled integer Lloyd iteration (argmin by lexicographic
+    * [dist, cid] list-min, floor-division means, empty-cluster carry).
+    */
+  private def ivfIteration(i: Int): String = {
+    val prev = s"c${i - 1}"
+    s"""a$i AS (
+           SELECT ei.vec_id, (min([${ivfDist("ei.vi", "c.c")}, c.cid]))[2] AS cid
            FROM ei CROSS JOIN $prev c GROUP BY ei.vec_id),
          s$i AS (
            SELECT a.cid, r.j AS pos, CAST(sum(ei.vi[r.j]) AS BIGINT) AS s,
@@ -4210,22 +4245,38 @@ object SparkEntry {
            FROM $prev p CROSS JOIN range(1, 65) r(j)
            LEFT JOIN m$i m ON m.cid = p.cid AND m.pos = r.j
            GROUP BY p.cid)"""
-    }
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  }
+
+  /** Shared integer-IVF CTE block ([[functions.Similarity.ivfTopKPortable]]
+    * replay): quantized vectors, 16 lowest-id seeds, three Lloyd
+    * iterations, final assignment `a4(vec_id, cid)`. Used by q61 and
+    * q225's oracles.
+    */
+  private val ivfOracleCtes: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        ei AS (SELECT vec_id,
                 list_transform(v, x -> CAST(round(x * 1048576) AS BIGINT)) AS vi
               FROM e),
        c0 AS (
          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, vi AS c
          FROM (SELECT vec_id, vi FROM ei ORDER BY vec_id LIMIT 16)),
-       ${iteration(1)},
-       ${iteration(2)},
-       ${iteration(3)},
+       ${ivfIteration(1)},
+       ${ivfIteration(2)},
+       ${ivfIteration(3)},
        a4 AS (
-         SELECT ei.vec_id, (min([${dist("ei.vi", "c.c")}, c.cid]))[2] AS cid
-         FROM ei CROSS JOIN c3 c GROUP BY ei.vec_id),
+         SELECT ei.vec_id, (min([${ivfDist("ei.vi", "c.c")}, c.cid]))[2] AS cid
+         FROM ei CROSS JOIN c3 c GROUP BY ei.vec_id)"""
+
+  /** Full relational replay of [[functions.Similarity.ivfTopKPortable]]:
+    * fixed-point quantization, three UNROLLED Lloyd iterations (argmin by
+    * lexicographic [dist, cid] list-min, floor-division means with
+    * empty-cluster carry), probe ranking and exact-cosine re-rank — every
+    * integer op the Spark side computes, re-derived in DuckDB.
+    */
+  private val q61OracleSql: String =
+    s"""WITH $ivfOracleCtes,
        qp AS (
-         SELECT ei.vec_id AS query_id, c.cid, ${dist("ei.vi", "c.c")} AS d
+         SELECT ei.vec_id AS query_id, c.cid, ${ivfDist("ei.vi", "c.c")} AS d
          FROM ei CROSS JOIN c3 c WHERE ei.vec_id <= 20),
        probe AS (
          SELECT query_id, cid FROM (
@@ -4247,10 +4298,102 @@ object SparkEntry {
          SELECT *, row_number() OVER (PARTITION BY query_id
                      ORDER BY cos DESC, neighbor_id ASC) AS rn
          FROM scored) WHERE rn <= 10"""
+
+  /** q225's oracle: the PORTABLE ANN margin replayed end to end — the
+    * shared integer-IVF CTEs, the self-kNN leg (every vector probes its
+    * 8 nearest lists; top-4 exact cosines fold ascending), the
+    * query-candidate leg, the `cos·8/(s_x+s_y)` margin tree — then
+    * recall@5 of that ranking against the brute-force margin gold
+    * (q169's oracle form). A hash match proves the ANN path's every
+    * step, not just its recall number.
+    */
+  private val q225OracleSql: String = {
+    val cosOf = (a: String, b: String) =>
+      s"""list_dot_product($a, $b)
+             / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"""
+    s"""WITH $ivfOracleCtes,
+       selfqp AS (
+         SELECT ei.vec_id AS sid, c.cid, ${ivfDist("ei.vi", "c.c")} AS d
+         FROM ei CROSS JOIN c3 c),
+       selfprobe AS (
+         SELECT sid, cid FROM (
+           SELECT sid, cid,
+             row_number() OVER (PARTITION BY sid ORDER BY d, cid) AS rn
+           FROM selfqp) WHERE rn <= 8),
+       selfcand AS (
+         SELECT p.sid, a.vec_id AS nid
+         FROM selfprobe p JOIN a4 a ON a.cid = p.cid
+         WHERE a.vec_id <> p.sid),
+       selfsc AS (
+         SELECT sc.sid, sc.nid, ${cosOf("qe.v", "ce.v")} AS cos
+         FROM selfcand sc
+         JOIN e qe ON qe.vec_id = sc.sid
+         JOIN e ce ON ce.vec_id = sc.nid),
+       atop4 AS (SELECT sid, cos FROM (
+                   SELECT sid, cos, row_number() OVER (
+                     PARTITION BY sid ORDER BY cos DESC, nid ASC) AS rn
+                   FROM selfsc) WHERE rn <= 4),
+       asm AS (SELECT sid AS id, l[1] + l[2] + l[3] + l[4] AS s FROM (
+                 SELECT sid, list_sort(list(cos)) AS l FROM atop4 GROUP BY sid)),
+       qp AS (
+         SELECT ei.vec_id AS query_id, c.cid, ${ivfDist("ei.vi", "c.c")} AS d
+         FROM ei CROSS JOIN c3 c WHERE ei.vec_id <= 9),
+       probe AS (
+         SELECT query_id, cid FROM (
+           SELECT query_id, cid,
+             row_number() OVER (PARTITION BY query_id ORDER BY d, cid) AS rn
+           FROM qp) WHERE rn <= 8),
+       cand AS (
+         SELECT p.query_id, a.vec_id AS nid
+         FROM probe p JOIN a4 a ON a.cid = p.cid
+         WHERE a.vec_id <> p.query_id),
+       candsc AS (
+         SELECT c.query_id, c.nid, ${cosOf("qe.v", "ce.v")} AS cos
+         FROM cand c
+         JOIN e qe ON qe.vec_id = c.query_id
+         JOIN e ce ON ce.vec_id = c.nid),
+       mga AS (
+         SELECT cs.query_id, cs.nid AS match_id,
+           cs.cos * 8.0 / (sa.s + sb.s) AS margin
+         FROM candsc cs
+         JOIN asm sa ON sa.id = cs.query_id
+         JOIN asm sb ON sb.id = cs.nid),
+       sysm AS (SELECT query_id, match_id FROM (
+                  SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY margin DESC, match_id ASC) AS rn
+                  FROM mga) WHERE rn <= 5),
+       pr AS (
+         SELECT a.vec_id AS id, b.vec_id AS nid, ${cosOf("a.v", "b.v")} AS cos
+         FROM e a JOIN e b ON b.vec_id <> a.vec_id),
+       btop4 AS (SELECT id, cos FROM (
+                   SELECT id, cos, row_number() OVER (
+                     PARTITION BY id ORDER BY cos DESC, nid ASC) AS rn FROM pr)
+                 WHERE rn <= 4),
+       bsm AS (SELECT id, l[1] + l[2] + l[3] + l[4] AS s FROM (
+                 SELECT id, list_sort(list(cos)) AS l FROM btop4 GROUP BY id)),
+       bmg AS (
+         SELECT p.id AS query_id, p.nid AS match_id,
+           p.cos * 8.0 / (sa.s + sb.s) AS margin
+         FROM pr p JOIN bsm sa ON sa.id = p.id JOIN bsm sb ON sb.id = p.nid
+         WHERE p.id <= 9),
+       gold AS (SELECT query_id, match_id FROM (
+                  SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY margin DESC, match_id ASC) AS rn
+                  FROM bmg) WHERE rn <= 5)
+       SELECT s.query_id,
+         CAST(sum(CASE WHEN g.match_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hits,
+         CAST((10000 * sum(CASE WHEN g.match_id IS NOT NULL THEN 1 ELSE 0 END)) // 5
+           AS BIGINT) AS recall_bp
+       FROM sysm s
+       LEFT JOIN gold g
+         ON g.query_id = s.query_id AND g.match_id = s.match_id
+       GROUP BY 1"""
   }
 
   def oracleSql: Map[String, String] = Map(
     "q61_ann_ivf_topk" -> q61OracleSql,
+    "q225_margin_ann_recall" -> q225OracleSql,
     "q92_bpe_merged" ->
       s"""WITH RECURSIVE $bpeCtes
          SELECT doc_id, n_pre, n_tok, toks FROM bpe""",
@@ -6759,7 +6902,11 @@ object SparkEntry {
     "q172_pareto_skyline" ->
       """WITH t AS (SELECT doc_id, n_chars, list_filter(
                       string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS tk
-                    FROM documents),
+                    FROM documents
+                    -- mirror the Spark side's rlike pre-filter: token-less
+                    -- (null/punctuation-only) docs are out by construction,
+                    -- not by fixture luck
+                    WHERE text IS NOT NULL AND regexp_matches(text, '[\p{L}\p{N}]')),
          m AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS x,
                  CAST((len(list_distinct(tk)) * 10000) // len(tk) AS BIGINT) AS y
                FROM t)
@@ -8168,7 +8315,7 @@ object SparkEntry {
          un AS (SELECT h FROM (SELECT h FROM ska UNION SELECT h FROM skb)
                 ORDER BY h LIMIT 256),
          ue AS (SELECT CAST(count(*) AS BIGINT) AS n_u, max(h) AS h_k FROM un),
-         uest AS (SELECT CAST(CASE WHEN n_u < 256 THEN n_u
+         uest AS (SELECT n_u, CAST(CASE WHEN n_u < 256 THEN n_u
                     ELSE (CAST(255 AS HUGEINT) * (CAST(1 AS HUGEINT) << 60)) // h_k
                     END AS BIGINT) AS est_union
                   FROM ue),
@@ -8176,9 +8323,11 @@ object SparkEntry {
                WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb)),
          sz AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM ska) AS n_a,
                        (SELECT CAST(count(*) AS BIGINT) FROM skb) AS n_b)
+         -- sub-k union => the sketch IS the exact union: divide by its
+         -- actual size, not the fixed k (mirrors Kmv.overlap)
          SELECT n_a, n_b, est_union, c,
-           CAST((c * est_union) // 256 AS BIGINT) AS est_inter,
-           CAST((10000 * c) // 256 AS BIGINT) AS jaccard_bp
+           CAST((c * est_union) // greatest(least(n_u, 256), 1) AS BIGINT) AS est_inter,
+           CAST((10000 * c) // greatest(least(n_u, 256), 1) AS BIGINT) AS jaccard_bp
          FROM sz, uest, c""",
     // registers are redelivery-idempotent, so the oracle replays them
     // over the base table; n_raw re-derives the at-least-once volume

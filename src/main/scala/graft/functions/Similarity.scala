@@ -349,36 +349,44 @@ object Similarity {
     * with nProbe held, so the probed fraction collapses while per-list
     * statistics only improve.
     */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              nCentroids: Int = 0, nProbe: Int = 8, iters: Int = 3,
-              qId: String = "query_id", qVec: String = "query_vec",
-              cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
-    val c0 = corpus.select(col(cId).as("id"), asDouble(col(cVec)).as("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nC = if (nCentroids > 0) nCentroids else autoCentroids(c0.count())
-    var centroids: Array[Array[Double]] = c0.orderBy(col("id")).limit(nC)
-      .select(col("v")).collect()
-      .map(_.getAs[scala.collection.Seq[Double]](0).toArray)
+  // ---- float-IVF internals, parameterized by the trained centroid
+  // array so one training can serve several probe legs (marginTopKAnn
+  // trains ONCE and probes twice). Expression shapes identical to the
+  // pre-refactor inline defs — q61/b61 plans and outputs unchanged.
 
-    // (2<v,c> − |c|², −cid) structs: greatest == nearest centroid with
-    // lowest-cid tie-break; |v|² is constant per row so argmax over this
-    // score is argmin of squared distance
-    def scoredStructs(v: Column) = centroids.zipWithIndex.map { case (cArr, i) =>
+  /** (2<v,c> − |c|², −cid) structs: greatest == nearest centroid with
+    * lowest-cid tie-break; |v|² is constant per row so argmax over this
+    * score is argmin of squared distance.
+    */
+  private def floatScoredStructs(centroids: Array[Array[Double]], v: Column) =
+    centroids.zipWithIndex.map { case (cArr, i) =>
       struct((dot(v, lit(cArr)) * 2 - lit(cArr.map(x => x * x).sum)).as("score"),
         lit(-i).as("negcid"))
     }
-    // greatest() needs ≥2 args — one centroid (tiny corpus / nCentroids=1)
-    // means everything lives in list 0
-    def nearestCid(v: Column): Column =
-      if (centroids.length < 2) lit(0)
-      else -greatest(scoredStructs(v): _*).getField("negcid")
-    def probeCids(v: Column): Column =
-      if (centroids.length < 2) array(lit(0))
-      else transform(slice(reverse(array_sort(array(scoredStructs(v): _*))), 1, nProbe),
-        s => -s.getField("negcid"))
 
+  /** greatest() needs ≥2 args — one centroid (tiny corpus /
+    * nCentroids=1) means everything lives in list 0.
+    */
+  private def floatNearestCid(centroids: Array[Array[Double]], v: Column): Column =
+    if (centroids.length < 2) lit(0)
+    else -greatest(floatScoredStructs(centroids, v): _*).getField("negcid")
+
+  private def floatProbeCids(centroids: Array[Array[Double]], v: Column,
+                             nProbe: Int): Column =
+    if (centroids.length < 2) array(lit(0))
+    else transform(
+      slice(reverse(array_sort(array(floatScoredStructs(centroids, v): _*))), 1, nProbe),
+      s => -s.getField("negcid"))
+
+  /** `iters` Lloyd rounds over `c0` (columns id, v): assignment argmin
+    * as DataFrame jobs, float means; only the nC×dim centroid table
+    * reaches the driver. Empty clusters keep their previous centroid.
+    */
+  private def lloydFloat(c0: DataFrame, init: Array[Array[Double]],
+                         iters: Int): Array[Array[Double]] = {
+    var centroids = init
     (1 to iters).foreach { _ =>
-      val means = c0.withColumn("cid", nearestCid(col("v")))
+      val means = c0.withColumn("cid", floatNearestCid(centroids, col("v")))
         .select(col("cid"), posexplode(col("v")))
         .toDF("cid", "pos", "x")
         .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
@@ -387,6 +395,20 @@ object Similarity {
       means.foreach(r => next(r.getAs[Int]("cid"))(r.getAs[Int]("pos")) = r.getAs[Double]("m"))
       centroids = next
     }
+    centroids
+  }
+
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nCentroids: Int = 0, nProbe: Int = 8, iters: Int = 3,
+              qId: String = "query_id", qVec: String = "query_vec",
+              cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val c0 = corpus.select(col(cId).as("id"), asDouble(col(cVec)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nC = if (nCentroids > 0) nCentroids else autoCentroids(c0.count())
+    val init: Array[Array[Double]] = c0.orderBy(col("id")).limit(nC)
+      .select(col("v")).collect()
+      .map(_.getAs[scala.collection.Seq[Double]](0).toArray)
+    val centroids = lloydFloat(c0, init, iters)
     // the cache only serves the Lloyd jobs; the final query re-reads the
     // source in ONE pass (assign → probe-join → top-k), which is exactly
     // the production shape where assignment lands in a cid-partitioned
@@ -394,13 +416,13 @@ object Similarity {
     c0.unpersist()
 
     val assigned = c0
-      .withColumn("cid", nearestCid(col("v")))
+      .withColumn("cid", floatNearestCid(centroids, col("v")))
       .withColumn("__cn", l2norm(col("v")))
     val q = queries.select(col(qId), asDouble(col(qVec)).as("__qv"))
       .withColumn("__qn", l2norm(col("__qv")))
       // explode_outer: an inferred pre-Generate filter would recompute
       // the all-centroid distance array per query row (graft.util.Explode)
-      .withColumn("cid", explode_outer(probeCids(col("__qv"))))
+      .withColumn("cid", explode_outer(floatProbeCids(centroids, col("__qv"), nProbe)))
       .filter(col("cid").isNotNull)
     topkOf(assigned.join(broadcast(q), Seq("cid"))
       .filter(col(qId) =!= col("id"))
@@ -428,42 +450,50 @@ object Similarity {
     * `nCentroids ≤ 0` (the default) derives ceil(√n) capped — see
     * [[ivfTopK]]; the q61 gate pins (16, 8) explicitly for its oracle.
     */
-  def ivfTopKPortable(queries: DataFrame, corpus: DataFrame, k: Int,
-                      nCentroids: Int = 0, nProbe: Int = 8, iters: Int = 3,
-                      qId: String = "query_id", qVec: String = "query_vec",
-                      cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
-    val Scale = 1L << 20
-    def toInt(v: Column): Column =
-      transform(asDouble(v), x => round(x * Scale.toDouble).cast("long"))
-    val c0 = corpus.select(col(cId).as("id"), asDouble(col(cVec)).as("v"))
-      .withColumn("vi", toInt(col("v")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nC = if (nCentroids > 0) nCentroids else autoCentroids(c0.count())
+  // ---- integer-IVF internals (the engine-portable twin's building
+  // blocks), parameterized by the trained centroid table for the same
+  // train-once reuse as the float set.
 
-    var centroids: Array[Array[Long]] = c0.orderBy(col("id")).limit(nC)
-      .select(col("vi")).collect()
-      .map(_.getAs[scala.collection.Seq[Long]](0).toArray)
+  private val IntScale = 1L << 20
 
-    // (−dist, −cid) structs: greatest == nearest with lowest-cid tie-break.
-    // zip_with/aggregate are CodegenFallback (SCALE.md) — acceptable here:
-    // the argmin runs once per corpus row per iteration, not per pair.
-    def sqDist(vi: Column, cArr: Array[Long]): Column =
-      aggregate(
-        zip_with(vi, lit(cArr), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x)
-    def distStructs(vi: Column) = centroids.zipWithIndex.map { case (cArr, i) =>
-      struct((-sqDist(vi, cArr)).as("negd"), lit(-i).as("negcid"))
+  private def toIntVec(v: Column): Column =
+    transform(asDouble(v), x => round(x * IntScale.toDouble).cast("long"))
+
+  /** (−dist, −cid) structs: greatest == nearest with lowest-cid
+    * tie-break. zip_with/aggregate are CodegenFallback (SCALE.md) —
+    * acceptable here: the argmin runs once per corpus row per
+    * iteration, not per pair.
+    */
+  private def intSqDist(vi: Column, cArr: Array[Long]): Column =
+    aggregate(
+      zip_with(vi, lit(cArr), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+
+  private def intDistStructs(centroids: Array[Array[Long]], vi: Column) =
+    centroids.zipWithIndex.map { case (cArr, i) =>
+      struct((-intSqDist(vi, cArr)).as("negd"), lit(-i).as("negcid"))
     }
-    def nearestCid(vi: Column): Column =
-      if (centroids.length < 2) lit(0)
-      else -greatest(distStructs(vi): _*).getField("negcid")
-    def probeCids(vi: Column): Column =
-      if (centroids.length < 2) array(lit(0))
-      else transform(slice(reverse(array_sort(array(distStructs(vi): _*))), 1, nProbe),
-        s => -s.getField("negcid"))
 
+  private def intNearestCid(centroids: Array[Array[Long]], vi: Column): Column =
+    if (centroids.length < 2) lit(0)
+    else -greatest(intDistStructs(centroids, vi): _*).getField("negcid")
+
+  private def intProbeCids(centroids: Array[Array[Long]], vi: Column,
+                           nProbe: Int): Column =
+    if (centroids.length < 2) array(lit(0))
+    else transform(
+      slice(reverse(array_sort(array(intDistStructs(centroids, vi): _*))), 1, nProbe),
+      s => -s.getField("negcid"))
+
+  /** `iters` exact-integer Lloyd rounds over `c0` (columns id, v, vi):
+    * floor-division means (engine-portable pmod form), empty clusters
+    * keep their previous centroid.
+    */
+  private def lloydInt(c0: DataFrame, init: Array[Array[Long]],
+                       iters: Int): Array[Array[Long]] = {
+    var centroids = init
     (1 to iters).foreach { _ =>
-      val sums = c0.withColumn("cid", nearestCid(col("vi")))
+      val sums = c0.withColumn("cid", intNearestCid(centroids, col("vi")))
         .select(col("cid"), posexplode(col("vi")))
         .toDF("cid", "pos", "x")
         .groupBy(col("cid"), col("pos"))
@@ -476,19 +506,35 @@ object Similarity {
       sums.foreach(r => next(r.getAs[Int]("cid"))(r.getAs[Int]("pos")) = r.getAs[Long]("m"))
       centroids = next
     }
+    centroids
+  }
+
+  def ivfTopKPortable(queries: DataFrame, corpus: DataFrame, k: Int,
+                      nCentroids: Int = 0, nProbe: Int = 8, iters: Int = 3,
+                      qId: String = "query_id", qVec: String = "query_vec",
+                      cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val c0 = corpus.select(col(cId).as("id"), asDouble(col(cVec)).as("v"))
+      .withColumn("vi", toIntVec(col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nC = if (nCentroids > 0) nCentroids else autoCentroids(c0.count())
+
+    val init: Array[Array[Long]] = c0.orderBy(col("id")).limit(nC)
+      .select(col("vi")).collect()
+      .map(_.getAs[scala.collection.Seq[Long]](0).toArray)
+    val centroids = lloydInt(c0, init, iters)
     c0.unpersist()
 
     val assigned = c0
-      .withColumn("cid", nearestCid(col("vi")))
+      .withColumn("cid", intNearestCid(centroids, col("vi")))
       .withColumn("__cn", l2norm(col("v")))
     val q = queries.select(col(qId), asDouble(col(qVec)).as("__qv"))
       .withColumn("__qn", l2norm(col("__qv")))
       // quantized query vector STAGED: probeCids references it once per
       // CENTROID, so an inline toInt re-quantizes nCentroids times per
       // query row (PlanAudit nested-subtree rule)
-      .withColumn("__qvi", toInt(col("__qv")))
+      .withColumn("__qvi", toIntVec(col("__qv")))
       // explode_outer: same InferFiltersFromGenerate dodge as above
-      .withColumn("cid", explode_outer(probeCids(col("__qvi"))))
+      .withColumn("cid", explode_outer(intProbeCids(centroids, col("__qvi"), nProbe)))
       .filter(col("cid").isNotNull)
     topkOf(assigned.join(broadcast(q), Seq("cid"))
       .filter(col(qId) =!= col("id"))
@@ -809,15 +855,17 @@ object Similarity {
     * so /8 absorbs both the /k and the /2) that any IEEE engine replays
     * bit for bit.
     *
-    * Shape: the per-vector kNN sums come from the bounded
-    * [[bruteForceTopK]] aggregator (O(k·N) out); the pair scoring is
-    * the exact broadcast-query corpus scan joined to the sum table on
-    * the candidate key. At corpus scale swap both legs for [[annTopK]]
-    * candidates; the margin arithmetic is unchanged.
+    * Scale: [[marginTopK]] is the entry point — it dispatches to this
+    * exact brute form below [[MaxBruteMarginCorpus]] vectors and to the
+    * IVF-candidate form ([[marginTopKAnn]]) above it, the same
+    * derive-don't-default rule as [[autoCentroids]]. The brute legs are
+    * the ORACLE BASELINE: the kNN-sum leg broadcasts the whole corpus as
+    * the query side and scores O(n²) pairs — exact, replayable, and
+    * deliberately not the default past the threshold.
     */
-  def marginTopK(queries: DataFrame, corpus: DataFrame, k: Int, knn: Int = 4,
-                 qId: String = "query_id", qVec: String = "query_vec",
-                 cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+  def marginTopKBrute(queries: DataFrame, corpus: DataFrame, k: Int, knn: Int = 4,
+                      qId: String = "query_id", qVec: String = "query_vec",
+                      cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
     require(knn == 4, s"margin fold is unrolled for knn = 4, got $knn")
     val self = corpus.select(col(cId).as(qId), col(cVec).as(qVec))
     val nnSum = bruteForceTopK(self, corpus, knn, qId, qVec, cId, cVec)
@@ -841,6 +889,190 @@ object Similarity {
       .select(col(qId), col(cId).as("neighbor_id"),
         (cosineWithNorms(col("__qv"), col("__cv"), col("__qn"), col("__cn")) * lit(8.0)
           / (col("__sq") + col("__sc"))).as("cos"))
+    topkOf(scored, k, qId)
+      .select(col(qId), col("neighbor_id").as("match_id"),
+        round(col("cos"), 4).as("margin_r"))
+  }
+
+  /** Corpus-count threshold above which [[marginTopK]] switches from the
+    * exact brute legs to IVF candidates: at 2^14 vectors the two brute
+    * legs score ~5·10⁸ cosine pairs and the kNN-sum leg's corpus-side
+    * broadcast crosses the GB scale for high-dim embeddings — past
+    * here the quadratic default cannot run, so the default stops being
+    * quadratic (the [[autoCentroids]] discipline: derive in code, don't
+    * document a swap the caller must remember).
+    */
+  val MaxBruteMarginCorpus: Long = 16384L
+
+  /** Margin-based top-k ([[marginTopKBrute]] semantics) with the leg
+    * implementation AUTO-SELECTED by corpus size: exact brute force up
+    * to `maxBrute` vectors (the oracle-gated form, q169), IVF-candidate
+    * legs ([[marginTopKAnn]]) beyond — recall-floor-pinned by
+    * MarginAnnSpec, timed as b169_margin_ann.
+    */
+  def marginTopK(queries: DataFrame, corpus: DataFrame, k: Int, knn: Int = 4,
+                 qId: String = "query_id", qVec: String = "query_vec",
+                 cId: String = "vec_id", cVec: String = "embedding",
+                 maxBrute: Long = MaxBruteMarginCorpus): DataFrame =
+    if (corpus.count() <= maxBrute)
+      marginTopKBrute(queries, corpus, k, knn, qId, qVec, cId, cVec)
+    else
+      marginTopKAnn(queries, corpus, k, knn, qId = qId, qVec = qVec,
+        cId = cId, cVec = cVec)
+
+  /** The corpus-scale margin path: BOTH brute legs replaced by IVF
+    * candidates from ONE k-means training —
+    *
+    *  - the per-vector kNN-sum leg probes each corpus vector's `nProbe`
+    *    nearest lists through a SHUFFLED equi-join on the list id (never
+    *    the brute form's full-corpus broadcast): pair volume is
+    *    n·nProbe·(n/nCentroids) ≈ n^1.5·nProbe/√n-lists vs the brute n²,
+    *    and it partitions across executors instead of materializing the
+    *    corpus on each;
+    *  - the pair-scoring leg is the standard broadcast-query IVF probe
+    *    ([[ivfTopK]]'s shape) over the same assignment;
+    *  - margin arithmetic is unchanged except the a-sum becomes a MEAN
+    *    over however many (≤ knn) neighbors the probed lists held, so an
+    *    isolated vector degrades gracefully instead of erroring.
+    *
+    * The assignment is localCheckpoint'd (eager) — two probe legs
+    * consume it, and the blocks release with the DataFrame (the
+    * Hits/q212 discipline, no persist leak). Approximation is
+    * candidate-recall only: scores of returned candidates are exact
+    * cosine over exact a-means of the ANN kNN sets.
+    */
+  def marginTopKAnn(queries: DataFrame, corpus: DataFrame, k: Int, knn: Int = 4,
+                    nCentroids: Int = 0, nProbe: Int = 8, iters: Int = 3,
+                    qId: String = "query_id", qVec: String = "query_vec",
+                    cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val c0 = corpus.select(col(cId).cast("long").as("id"), asDouble(col(cVec)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nC = if (nCentroids > 0) nCentroids else autoCentroids(c0.count())
+    val init: Array[Array[Double]] = c0.orderBy(col("id")).limit(nC)
+      .select(col("v")).collect()
+      .map(_.getAs[scala.collection.Seq[Double]](0).toArray)
+    val centroids = lloydFloat(c0, init, iters)
+    val assigned = c0.withColumn("cid", floatNearestCid(centroids, col("v")))
+      .withColumn("__cn", l2norm(col("v")))
+      .localCheckpoint(true)
+    c0.unpersist()
+
+    // self-kNN leg: skinny (prober, list) rows into a shuffled equi-join
+    // on cid; vectors re-attach to the pair list only (annTopK shape)
+    val probes = assigned
+      .select(col("id").as("__qid"),
+        explode_outer(floatProbeCids(centroids, col("v"), nProbe)).as("cid"))
+      .filter(col("cid").isNotNull)
+    val selfPairs = assigned.select(col("cid"), col("id"))
+      .join(probes, Seq("cid"))
+      .filter(col("__qid") =!= col("id"))
+      .select(col("__qid"), col("id"))
+    val selfScored = selfPairs
+      .join(assigned.select(col("id").as("__qid"), col("v").as("__qv"),
+        col("__cn").as("__qn")), Seq("__qid"))
+      .join(assigned.select(col("id"), col("v").as("__cv"),
+        col("__cn").as("__cn2")), Seq("id"))
+      .select(col("__qid").as(qId), col("id").as("neighbor_id"),
+        cosineWithNorms(col("__qv"), col("__cv"), col("__qn"), col("__cn2")).as("cos"))
+    // a = mean of the ascending-folded top-knn cosines (deterministic:
+    // sorted array, left fold); tolerant to < knn probed neighbors
+    val nnMean = topkOf(selfScored, knn, qId)
+      .groupBy(col(qId).as("id"))
+      .agg(sort_array(collect_list(col("cos"))).as("cs"))
+      .select(col("id"),
+        (aggregate(col("cs"), lit(0.0d), (acc, x) => acc + x)
+          / size(col("cs"))).as("a"))
+
+    // pair-scoring leg: broadcast-query IVF probe over the same assignment
+    val q = queries.select(col(qId).cast("long").as(qId), asDouble(col(qVec)).as("__qv"))
+      .withColumn("__qn", l2norm(col("__qv")))
+      .withColumn("cid", explode_outer(floatProbeCids(centroids, col("__qv"), nProbe)))
+      .filter(col("cid").isNotNull)
+    val candScored = assigned.join(broadcast(q), Seq("cid"))
+      .filter(col(qId) =!= col("id"))
+      .select(col(qId), col("id").as("neighbor_id"),
+        cosineWithNorms(col("__qv"), col("v"), col("__qn"), col("__cn")).as("cos"))
+    val scored = candScored
+      .join(nnMean.select(col("id").as(qId), col("a").as("__aq")), Seq(qId))
+      .join(nnMean.select(col("id").as("neighbor_id"), col("a").as("__ac")),
+        Seq("neighbor_id"))
+      .select(col(qId), col("neighbor_id"),
+        (col("cos") * lit(2.0d) / (col("__aq") + col("__ac"))).as("cos"))
+    topkOf(scored, k, qId)
+      .select(col(qId), col("neighbor_id").as("match_id"),
+        round(col("cos"), 4).as("margin_r"))
+  }
+
+  /** ENGINE-PORTABLE ANN margin: [[marginTopKAnn]]'s two-leg shape with
+    * the IVF pieces in exact integer arithmetic ([[ivfTopKPortable]]'s
+    * discipline) and the brute form's unrolled knn=4 ascending fold +
+    * `cos·8/(s_x+s_y)` literal margin tree — every step replayable by a
+    * SQL oracle, which is how q225 hash-gates the ANN path end to end
+    * (recall vs the brute gold, the q216 pattern).
+    */
+  def marginTopKAnnPortable(queries: DataFrame, corpus: DataFrame, k: Int,
+                            knn: Int = 4, nCentroids: Int = 0, nProbe: Int = 8,
+                            iters: Int = 3,
+                            qId: String = "query_id", qVec: String = "query_vec",
+                            cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    require(knn == 4, s"margin fold is unrolled for knn = 4, got $knn")
+    val c0 = corpus.select(col(cId).cast("long").as("id"), asDouble(col(cVec)).as("v"))
+      .withColumn("vi", toIntVec(col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nC = if (nCentroids > 0) nCentroids else autoCentroids(c0.count())
+    val init: Array[Array[Long]] = c0.orderBy(col("id")).limit(nC)
+      .select(col("vi")).collect()
+      .map(_.getAs[scala.collection.Seq[Long]](0).toArray)
+    val centroids = lloydInt(c0, init, iters)
+    // vi is a MATERIALIZED checkpoint column, so the probe leg reads it
+    // instead of re-quantizing per centroid (the q61 staging rule)
+    val assigned = c0.withColumn("cid", intNearestCid(centroids, col("vi")))
+      .withColumn("__cn", l2norm(col("v")))
+      .localCheckpoint(true)
+    c0.unpersist()
+
+    val probes = assigned
+      .select(col("id").as("__qid"),
+        explode_outer(intProbeCids(centroids, col("vi"), nProbe)).as("cid"))
+      .filter(col("cid").isNotNull)
+    val selfPairs = assigned.select(col("cid"), col("id"))
+      .join(probes, Seq("cid"))
+      .filter(col("__qid") =!= col("id"))
+      .select(col("__qid"), col("id"))
+    val selfScored = selfPairs
+      .join(assigned.select(col("id").as("__qid"), col("v").as("__qv"),
+        col("__cn").as("__qn")), Seq("__qid"))
+      .join(assigned.select(col("id"), col("v").as("__cv"),
+        col("__cn").as("__cn2")), Seq("id"))
+      .select(col("__qid").as(qId), col("id").as("neighbor_id"),
+        cosineWithNorms(col("__qv"), col("__cv"), col("__qn"), col("__cn2")).as("cos"))
+    val nnSum = topkOf(selfScored, knn, qId)
+      .groupBy(col(qId).as("id"))
+      .agg(sort_array(collect_list(col("cos"))).as("cs"))
+      .select(col("id"),
+        when(size(col("cs")) === knn,
+          element_at(col("cs"), 1) + element_at(col("cs"), 2) +
+            element_at(col("cs"), 3) + element_at(col("cs"), 4))
+          .otherwise(raise_error(
+            lit(s"marginTopKAnnPortable: every corpus vector must probe " +
+              s"> $knn neighbors — raise nProbe")))
+          .as("s"))
+
+    val q = queries.select(col(qId).cast("long").as(qId), asDouble(col(qVec)).as("__qv"))
+      .withColumn("__qn", l2norm(col("__qv")))
+      .withColumn("__qvi", toIntVec(col("__qv")))
+      .withColumn("cid", explode_outer(intProbeCids(centroids, col("__qvi"), nProbe)))
+      .filter(col("cid").isNotNull)
+    val candScored = assigned.join(broadcast(q), Seq("cid"))
+      .filter(col(qId) =!= col("id"))
+      .select(col(qId), col("id").as("neighbor_id"),
+        cosineWithNorms(col("__qv"), col("v"), col("__qn"), col("__cn")).as("cos"))
+    val scored = candScored
+      .join(nnSum.select(col("id").as(qId), col("s").as("__sq")), Seq(qId))
+      .join(nnSum.select(col("id").as("neighbor_id"), col("s").as("__sc")),
+        Seq("neighbor_id"))
+      .select(col(qId), col("neighbor_id"),
+        (col("cos") * lit(8.0) / (col("__sq") + col("__sc"))).as("cos"))
     topkOf(scored, k, qId)
       .select(col(qId), col("neighbor_id").as("match_id"),
         round(col("cos"), 4).as("margin_r"))

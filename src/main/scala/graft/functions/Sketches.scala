@@ -43,6 +43,10 @@ object Hll {
     val m = 1 << p
     val wBits = 60 - p
     df.select(hash60(value).as("__h"))
+      // a NULL value hashes to NULL: without this filter it would emit a
+      // null register row that inflates n_regs (deflating n_zero_regs and
+      // s_scaled) — nulls carry no distinct value, so they're dropped
+      .filter(col("__h").isNotNull)
       .select((col("__h") % m).cast("int").as("reg"),
         expr(s"__h div $m").as("__w"))
       .select(col("reg"),
@@ -83,6 +87,19 @@ object Hll {
   /** registers + estimate in one call. */
   def distinctEstimate(df: DataFrame, value: Column, p: Int = 9): DataFrame =
     estimate(registers(df, value, p), p)
+
+  /** The small-range (linear-counting) correction [[estimate]]
+    * deliberately leaves to the CALLER (it needs a float `ln`, which
+    * would break the exact-integer oracle): when the raw estimate sits
+    * in the biased zone (est ≤ 2.5·m) and zero registers remain, the
+    * linear-counting estimator m·ln(m / n_zero_regs) is the standard
+    * replacement (Flajolet et al. 2007 §4). Driver-side scalar over the
+    * one-row estimator output — no distributed work.
+    */
+  def correctedEstimate(nZeroRegs: Long, m: Int, rawEst: Long): Long =
+    if (rawEst <= (5L * m) / 2 && nZeroRegs > 0)
+      math.round(m.toDouble * math.log(m.toDouble / nZeroRegs))
+    else rawEst
 }
 
 /** K-Minimum-Values distinct sketch: keep the k smallest distinct
@@ -102,7 +119,10 @@ object Kmv {
     */
   def sketch(df: DataFrame, value: Column, k: Int = 1024): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
-    df.select(hash60(value).as("h")).distinct().orderBy(col("h")).limit(k)
+    // NULL hashes sort FIRST under asc order — an unfiltered null value
+    // would occupy (and corrupt) a sketch slot; nulls are not values
+    df.select(hash60(value).as("h")).filter(col("h").isNotNull)
+      .distinct().orderBy(col("h")).limit(k)
   }
 
   /** (n_min, h_k, est): est = (k−1)·2⁶⁰ div h_k in decimal(38,0)
@@ -123,8 +143,13 @@ object Kmv {
   /** Sketch-based set overlap of two value sets (Beyer et al. 2007):
     * the UNION sketch is the k smallest of the two sketches' union;
     * `c` = how many of its hashes appear in BOTH input sketches;
-    * est_inter = (c · est_union) div k; jaccard_bp = (10⁴·c) div k.
-    * Everything after the two input sketches runs over ≤ 3k rows.
+    * est_inter = (c · est_union) div n, jaccard_bp = (10⁴·c) div n where
+    * n = min(|union sketch|, k) — when the union holds FEWER than k
+    * hashes the sketch IS the exact union (estimate()'s sub-k path), so
+    * dividing by the fixed k would systematically deflate both numbers
+    * (two 100-element sets sharing 50 at k=256 would read ≈0.195 Jaccard
+    * instead of the exact 1/3). Everything after the two input sketches
+    * runs over ≤ 3k rows.
     * Output: (n_a, n_b, est_union, c, est_inter, jaccard_bp).
     */
   def overlap(a0: DataFrame, b0: DataFrame, k: Int): DataFrame = {
@@ -146,8 +171,13 @@ object Kmv {
     val sizes = a.agg(count(lit(1)).as("n_a"))
       .crossJoin(b.agg(count(lit(1)).as("n_b")))
     sizes.crossJoin(uEst).crossJoin(c)
+      // denominator: the union sketch's ACTUAL size when sub-k (exact
+      // regime), k otherwise; greatest(…,1) keeps the two-empty-sketches
+      // edge at 0 rather than a 0-div NULL
       .select(col("n_a"), col("n_b"), col("est_union"), col("c"),
-        expr(s"(c * est_union) div $k").as("est_inter"),
-        expr(s"(10000 * c) div $k").as("jaccard_bp"))
+        expr(s"(c * est_union) div greatest(least(n_u, cast($k as bigint)), 1)")
+          .as("est_inter"),
+        expr(s"(10000 * c) div greatest(least(n_u, cast($k as bigint)), 1)")
+          .as("jaccard_bp"))
   }
 }

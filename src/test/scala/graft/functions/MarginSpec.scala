@@ -66,4 +66,55 @@ class MarginSpec extends SparkSpec {
       Similarity.marginTopK(queries, tiny, k = 2).collect()
     }
   }
+
+  private def realQueries = {
+    val emb = graft.sources.Tables.load(spark, SfDir, "embeddings")
+    (emb, emb.filter(col("vec_id") <= 9)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec")))
+  }
+
+  private def recallVsBrute(sys: org.apache.spark.sql.DataFrame,
+                            emb: org.apache.spark.sql.DataFrame,
+                            queries: org.apache.spark.sql.DataFrame): Double = {
+    val gold = Similarity.marginTopKBrute(queries, emb, k = 5)
+      .select(col("query_id"), col("match_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = sys.select(col("query_id"), col("match_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == gold.size, "ANN margin must return k rows per query")
+    got.count(gold.contains).toDouble / gold.size
+  }
+
+  test("ANN margin (float, derived centroids) recalls >= 0.8 of the brute top-5") {
+    val (emb, queries) = realQueries
+    val r = recallVsBrute(Similarity.marginTopKAnn(queries, emb, k = 5),
+      emb, queries)
+    assert(r >= 0.8, s"float ANN margin recall@5 $r below floor 0.8")
+  }
+
+  test("ANN margin (portable, q225's pinned lists) recalls >= 0.8 of the brute top-5") {
+    val (emb, queries) = realQueries
+    val r = recallVsBrute(
+      Similarity.marginTopKAnnPortable(queries, emb, k = 5,
+        nCentroids = 16, nProbe = 8),
+      emb, queries)
+    assert(r >= 0.8, s"portable ANN margin recall@5 $r below floor 0.8")
+  }
+
+  test("marginTopK auto-switches to the ANN legs past the corpus threshold") {
+    val (emb, queries) = realQueries
+    // force the switch with a tiny threshold: the result must be the ANN
+    // form's (same schema, k rows per query), not an error or brute rerun
+    val ann = Similarity.marginTopK(queries, emb, k = 5, maxBrute = 10L)
+    assert(ann.columns.toSeq == Seq("query_id", "match_id", "margin_r"))
+    val counts = ann.groupBy(col("query_id")).count().collect()
+    assert(counts.length == 10 && counts.forall(_.getLong(1) == 5L))
+    // and the default threshold keeps the 500-vector fixture on the
+    // exact brute path (bitwise-identical to marginTopKBrute)
+    val viaDefault = Similarity.marginTopK(queries, emb, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = Similarity.marginTopKBrute(queries, emb, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaDefault == brute)
+  }
 }
