@@ -74,8 +74,9 @@ object Boilerplate {
       .filter(length(col("line")) > 0)
       .withColumn("__lh", TextFunctions.md5Fingerprint(col("line")))
       // three consumers (frequency pass, anti-join, per-doc counts) —
-      // unpersisted, the split+line-generate+md5 pipeline re-runs each
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // unmaterialized, the split+line-generate+md5 pipeline re-runs
+      // each; eager checkpoint blocks release with the result (GC)
+      .localCheckpoint(true)
     // doc frequency per fingerprint: only (fingerprint, doc) pairs shuffle
     val common = lines.select(col("__lh"), col(idCol)).distinct()
       .groupBy(col("__lh")).agg(count(lit(1)).as("__df"))

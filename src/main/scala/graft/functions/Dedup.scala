@@ -116,8 +116,11 @@ object Dedup {
     // scale write the signatures to parquet once and read them back
     // instead (same shape, durable).
     val sigsPlan = signatures(df, textCol, idCol, k, shingleLen)
+    // eager localCheckpoint, not persist: blocks release when the result
+    // is GC'd, so repeated library calls in one session don't accumulate
+    // cache pressure (round-8 persist-contract sweep)
     val sigs = if (cacheSignatures)
-      sigsPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sigsPlan.localCheckpoint(true)
     else sigsPlan
     val bandKeys = sigs
       .select(col("id"), posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
@@ -182,7 +185,7 @@ object Dedup {
     // scale write signatures to a table once instead)
     val withSig = df.select(col(idCol).as("id"),
       SimHash64.simhash64(tokens(col(textCol))).as("sim"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true) // blocks release with the result (GC)
     // one pass: posexplode the 4 block buckets (a per-block union would
     // rescan the source and recompute the simhash once per block)
     val blocks = withSig
@@ -270,7 +273,7 @@ object Dedup {
     // persisted for the same both-sides reason as [[simhashPairs]] —
     // the md5 token hashing + 60 bit votes are the dominant map cost
     val withSig = simhash60Agg(df, textCol, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true) // blocks release with the result (GC)
     val blocks = withSig
       .select(col("id"), col("sim"), posexplode(array((0 until 4).map(blk =>
         shiftright(col("sim"), blk * 15).bitwiseAND(lit(0x7FFFL))): _*)))

@@ -75,20 +75,23 @@ object PrefixJoin {
 
     // per-doc elements sorted in the agreed global order, as structs of
     // (order-key…, element); the struct's natural ordering IS the order.
-    // Persisted: FOUR plan branches consume it (both candidate sides +
-    // both verify set joins), and without materialization each branch
-    // re-evaluates the full tokenize/shingle/hash pipeline (measured 4×
-    // the hash cost at sf0.1). ~(8 B × corpus distinct elements) in
-    // MEMORY_AND_DISK; on a shared long-lived cluster, write to a
-    // staging table instead if caching pressure matters.
-    val sorted = (
+    // EAGER localCheckpoint: FOUR plan branches consume it (both
+    // candidate sides + both verify set joins), and without
+    // materialization each branch re-evaluates the full tokenize/
+    // shingle/hash pipeline (measured 4× the hash cost at sf0.1).
+    // Checkpoint instead of persist (the Hits/q212 discipline): blocks
+    // release when the returned DataFrame is GC'd, so back-to-back
+    // calls in a long session don't accumulate cache pressure (round-7
+    // measured ~1.5 s of GC drag on the NEXT query from the old
+    // persists). On a shared cluster, write to a staging table instead.
+    val (sorted0, exploded0) =
       if (dfOrder) {
         // ONE heavy map pass: the exploded (id, n, el) relation is
         // persisted so the caller's set-building pipeline (tokenize →
         // shingle → hash, the dominant map cost) runs once, feeding BOTH
         // the frequency aggregate and the rank join — unpersisted, each
-        // consumer re-derives it from scratch. ~24 B × corpus elements,
-        // the same magnitude as the `sorted` persist below.
+        // consumer re-derives it from scratch. Freed EXPLICITLY right
+        // after the eager checkpoint below consumes it.
         // explode_outer + null filter: an inferred pre-Generate filter
         // would inline the set-building pipeline and re-run it per row
         // (see graft.util.Explode)
@@ -98,15 +101,18 @@ object PrefixJoin {
           .filter(col("el").isNotNull)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val dfreq = exploded.groupBy(col("el")).agg(count(lit(1)).as("df"))
-        exploded
+        (exploded
           .join(dfreq, Seq("el"))
           .groupBy(col("id"), col("n"))
-          .agg(array_sort(collect_list(struct(col("df"), col("el")))).as("st"))
+          .agg(array_sort(collect_list(struct(col("df"), col("el")))).as("st")),
+          Some(exploded))
       } else {
-        docs.select(col("id"), size(col("els")).as("n"),
-          array_sort(transform(col("els"), e => struct(e.as("el")))).as("st"))
+        (docs.select(col("id"), size(col("els")).as("n"),
+          array_sort(transform(col("els"), e => struct(e.as("el")))).as("st")),
+          None)
       }
-    ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sorted = sorted0.localCheckpoint(true)
+    exploded0.foreach(_.unpersist())
 
     // prefix length p = n − ceil(t·n) + 1 (integer ceil in basis points;
     // `div`, not `/` — Spark's / is double division)
@@ -239,7 +245,9 @@ object PrefixJoin {
     // `dfOrder = true` probes with each document's RAREST elements
     // (minimal buckets, one extra shuffle pair for the frequency rank),
     // `false` keeps value order (zero extra shuffles).
-    val sorted = (
+    // eager checkpoint + explicit intermediate unpersist — same
+    // discipline (and rationale) as jaccardJoinSets above
+    val (sorted0, exploded0) =
       if (dfOrder) {
         // one heavy map pass feeding both the frequency aggregate and
         // the rank join (same shape as jaccardJoinSets's dfOrder branch)
@@ -249,17 +257,19 @@ object PrefixJoin {
           .filter(col("el").isNotNull)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val dfreq = exploded.groupBy(col("el")).agg(count(lit(1)).as("df"))
-        exploded
+        (exploded
           .join(dfreq, Seq("el"))
           .groupBy(col("id"), col("n"))
           .agg(transform(
             array_sort(collect_list(struct(col("df"), col("el")))),
-            x => x.getField("el")).as("els"))
+            x => x.getField("el")).as("els")),
+          Some(exploded))
       } else {
-        docs.select(col("id"), size(col("els")).as("n"),
-          array_sort(col("els")).as("els"))
+        (docs.select(col("id"), size(col("els")).as("n"),
+          array_sort(col("els")).as("els")), None)
       }
-    ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sorted = sorted0.localCheckpoint(true)
+    exploded0.foreach(_.unpersist())
     val prefixLen =
       expr(s"cast(n - (($tBp * cast(n as bigint) + 9999) div 10000) + 1 as int)")
     val probe = sorted

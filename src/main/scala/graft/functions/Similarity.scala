@@ -975,13 +975,16 @@ object Similarity {
       .select(col("__qid").as(qId), col("id").as("neighbor_id"),
         cosineWithNorms(col("__qv"), col("__cv"), col("__qn"), col("__cn2")).as("cos"))
     // a = mean of the ascending-folded top-knn cosines (deterministic:
-    // sorted array, left fold); tolerant to < knn probed neighbors
+    // sorted array, left fold); tolerant to < knn probed neighbors.
+    // Checkpointed: BOTH margin join sides consume it, and its lineage
+    // is the whole self-kNN leg (the recomputed-subplan audit's find)
     val nnMean = topkOf(selfScored, knn, qId)
       .groupBy(col(qId).as("id"))
       .agg(sort_array(collect_list(col("cos"))).as("cs"))
       .select(col("id"),
         (aggregate(col("cs"), lit(0.0d), (acc, x) => acc + x)
           / size(col("cs"))).as("a"))
+      .localCheckpoint(true)
 
     // pair-scoring leg: broadcast-query IVF probe over the same assignment
     val q = queries.select(col(qId).cast("long").as(qId), asDouble(col(qVec)).as("__qv"))
@@ -1046,6 +1049,8 @@ object Similarity {
         col("__cn").as("__cn2")), Seq("id"))
       .select(col("__qid").as(qId), col("id").as("neighbor_id"),
         cosineWithNorms(col("__qv"), col("__cv"), col("__qn"), col("__cn2")).as("cos"))
+    // checkpointed: both margin join sides consume it, and its lineage
+    // is the whole self-kNN leg (the recomputed-subplan audit's find)
     val nnSum = topkOf(selfScored, knn, qId)
       .groupBy(col(qId).as("id"))
       .agg(sort_array(collect_list(col("cos"))).as("cs"))
@@ -1057,6 +1062,7 @@ object Similarity {
             lit(s"marginTopKAnnPortable: every corpus vector must probe " +
               s"> $knn neighbors — raise nProbe")))
           .as("s"))
+      .localCheckpoint(true)
 
     val q = queries.select(col(qId).cast("long").as(qId), asDouble(col(qVec)).as("__qv"))
       .withColumn("__qn", l2norm(col("__qv")))

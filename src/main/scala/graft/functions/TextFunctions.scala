@@ -258,7 +258,7 @@ object TextFunctions {
     // (2× here, ×4 more when a caller like q111 fans the score table
     // into a multi-pass ntile — the cross-branch audit's 8× finding)
     val toksed = df.select(id.as("doc_id"), tokens(text).as("__t"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true) // blocks release with the result (GC)
     // explode_outer + null filter, NOT explode: InferFiltersFromGenerate
     // would inline the tokenization into an inferred pre-Generate filter
     // and re-run it per row (see graft.util.Explode)
@@ -269,9 +269,9 @@ object TextFunctions {
       .select(col("doc_id"), explode_outer(ngrams(col("__t"), 2)).as("bg"))
       .filter(col("bg").isNotNull)
       .withColumn("w", split(col("bg"), " ")(0))
-      // two consumers (bigram counts + the scored join): cache the
-      // exploded stream once instead of re-running the ngram lambda
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // two consumers (bigram counts + the scored join): materialize
+      // the exploded stream once instead of re-running the ngram lambda
+      .localCheckpoint(true)
     val bgCounts = big.groupBy(col("bg")).agg(count(lit(1)).as("__cb"))
     val scored = big
       .join(bgCounts, Seq("bg"))

@@ -70,6 +70,56 @@ class PlanShapeSpec extends SparkSpec {
       s"repeated-lambda plans:\n${offenders.mkString("\n")}")
   }
 
+  test("no gate query recomputes a shared lambda-bearing subplan (cross-branch class)") {
+    // the round-7 sweep's detector, promoted from advisory to GATED: a
+    // heavy relation consumed by >= 2 plan branches without
+    // materialization re-executes per consumer (q103 ran its dedup 3x —
+    // 5.40 -> 3.87 s from one checkpoint). Three findings stay
+    // whitelisted as BY-DESIGN recompute-over-materialization — cheap
+    // reads OVER an already-checkpointed relation, where caching the
+    // derived form would double the block footprint for a map-only win:
+    //  - q153/q201: PrefixJoin's verify sides re-derive element arrays
+    //    from the checkpointed sorted relation (field extraction only)
+    //  - q23: minhash band keys recompute from the checkpointed
+    //    signature relation on both sides of the band self-join
+    val whitelist = Set("q153_prefix_jaccard", "q201_dedup_pr_sweep",
+      "q23_minhash_dedup")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => whitelist(name) }
+      .flatMap { case (name, fn) =>
+        val findings =
+          try graft.plans.PlanAudit.recomputedLambdaSubplans(fn(spark, SfDir))
+          catch { case e: Throwable =>
+            Seq(s"query construction failed: ${e.getMessage}".take(200)) }
+        spark.catalog.clearCache()
+        findings.map(f => s"$name: $f")
+      }
+    assert(offenders.isEmpty,
+      s"recomputed lambda subplans (materialize the shared relation, or " +
+        s"whitelist with a by-design justification):\n${offenders.mkString("\n")}")
+  }
+
+  test("the recompute detector flags a deliberately unmaterialized two-consumer plan") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.load(spark, SfDir, "documents")
+    // one heavy tokenize relation feeding two join branches with NO
+    // persist/checkpoint — the canary the gated test above must catch
+    val toks = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.tokens(col("text")).as("__t"))
+    val a = toks.select(col("doc_id").as("ida"), size(col("__t")).as("na"))
+    val b = toks.select(col("doc_id").as("idb"), size(col("__t")).as("nb"))
+    val bad = a.join(b, col("ida") === col("idb"))
+    assert(graft.plans.PlanAudit.recomputedLambdaSubplans(bad).nonEmpty,
+      "detector must flag the unmaterialized shared lambda subplan")
+    // and the materialized form passes (checkpoint resolves to a leaf)
+    val toksM = toks.localCheckpoint(true)
+    val aM = toksM.select(col("doc_id").as("ida"), size(col("__t")).as("na"))
+    val bM = toksM.select(col("doc_id").as("idb"), size(col("__t")).as("nb"))
+    val good = aM.join(bM, col("ida") === col("idb"))
+    assert(graft.plans.PlanAudit.recomputedLambdaSubplans(good).isEmpty,
+      "a checkpointed shared relation must not be flagged")
+  }
+
   test("the lambda audit flags a deliberately regressed plan") {
     import org.apache.spark.sql.functions._
     val docs = graft.sources.Tables.load(spark, SfDir, "documents")

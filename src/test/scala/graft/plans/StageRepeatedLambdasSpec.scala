@@ -83,6 +83,78 @@ class StageRepeatedLambdasSpec extends AnyFunSuite {
     }
   }
 
+  test("badGen: the inferred isnotnull conjunct is ELIMINATED — plan rewritten clean") {
+    // the InferFiltersFromGenerate damage (PlanShapeSpec's canary): a
+    // staged lambda column exploded plainly infers
+    // `size(e) > 0 AND isnotnull(e)`, and pushdown substitutes the
+    // stage back in — tokens() twice in one Filter. The rule must drop
+    // the redundant isnotnull (size(null) is null, so the other
+    // conjunct already rejects null rows) — REWRITTEN clean, not
+    // merely flagged.
+    val badGen = docs
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__tk"))
+      .select(col("doc_id"), explode(col("__tk")).as("tok"))
+    assert(PlanAudit.repeatedLambdas(badGen).isEmpty,
+      s"inferred-filter duplicate must be eliminated:\n${badGen.queryExecution.optimizedPlan}")
+    // values: identical to the explode_outer + null-filter dodge
+    val got = badGen.orderBy("doc_id", "tok").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val ref = docs
+      .select(col("doc_id"), explode_outer(TextFunctions.tokens(col("text"))).as("tok"))
+      .filter(col("tok").isNotNull)
+      .orderBy("doc_id", "tok").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === ref)
+    assert(got.nonEmpty)
+  }
+
+  test("duplicated lambda in Aggregate expressions stages below the aggregate") {
+    val bad = docs.groupBy(col("lang"))
+      .agg(sum(size(TextFunctions.tokens(col("text")))).as("n"),
+        max(size(array_distinct(TextFunctions.tokens(col("text"))))).as("d"))
+    assert(PlanAudit.repeatedLambdas(bad).isEmpty,
+      s"aggregate-shape duplicate must be staged:\n${bad.queryExecution.optimizedPlan}")
+    val plan = bad.queryExecution.optimizedPlan.toString
+    assert(plan.contains("__staged_lambda"), "expected a staged alias below the Aggregate")
+    assert("lambdafunction\\(\\(length".r.findAllIn(plan).size == 1,
+      s"expected exactly one staged tokenize:\n$plan")
+    // values identical to the hand-staged form
+    val got = bad.orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    val ref = docs
+      .select(col("lang"), TextFunctions.tokens(col("text")).as("__t"))
+      .groupBy(col("lang"))
+      .agg(sum(size(col("__t"))).as("n"), max(size(array_distinct(col("__t")))).as("d"))
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got === ref && got.nonEmpty)
+  }
+
+  test("duplicated lambda inside one generator stages below the Generate") {
+    val bad = docs.select(col("doc_id"),
+      explode(concat(TextFunctions.tokens(col("text")),
+        TextFunctions.tokens(col("text")))).as("tok"))
+    assert(PlanAudit.repeatedLambdas(bad).isEmpty,
+      s"generator-shape duplicate must be staged:\n${bad.queryExecution.optimizedPlan}")
+    // each token appears exactly twice (concat of the list with itself)
+    val ref = docs
+      .select(col("doc_id"), explode_outer(TextFunctions.tokens(col("text"))).as("tok"))
+      .filter(col("tok").isNotNull).count()
+    assert(bad.count() == 2 * ref)
+  }
+
+  test("the documented gap: a genuine user-authored Filter duplicate stays flagged") {
+    // pushdown substitutes Project aliases into filter conditions with
+    // no cost guard (scaladoc KNOWN GAP) — the rule cannot stage this
+    // shape; the audit must still surface it for source-level fixing
+    val bad = docs
+      .filter(size(TextFunctions.tokens(col("text"))) > 2 &&
+        array_contains(TextFunctions.tokens(col("text")), "the"))
+      .select(col("doc_id"))
+    assert(PlanAudit.repeatedLambdas(bad).nonEmpty,
+      "the un-stageable Filter class must remain visible to the audit")
+  }
+
   test("an already-staged plan is left unchanged (stable fixpoint with CollapseProject)") {
     val good = docs
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__t"))

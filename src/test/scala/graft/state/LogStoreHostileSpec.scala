@@ -1,0 +1,119 @@
+package graft.state
+
+import java.sql.Timestamp
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+import org.apache.hadoop.fs.Path
+
+import graft.SparkSpec
+import graft.model.{RunLog, RunStatus}
+import graft.sink.HostileFileSystem
+
+/** The reference keeps its run state (execution log + watermark) as CSV
+  * on S3 (common_utils.py:93-126); every LogStoreSpec test runs on local
+  * FS where rename happens to be atomic-enough. This suite re-proves the
+  * log-store semantics on [[HostileFileSystem]] — rename replaces,
+  * exclusive create is check-then-act — because the WATERMARK decides
+  * whether a re-run double-ingests: a log store that lost or doubled a
+  * success row under store races would silently re-read (or skip) a
+  * window.
+  *
+  * What holds, and why, on a lying store:
+  *  - appends never contend on a destination name (each Spark write
+  *    commits distinct `part-<uuid>` files), so clobber-on-rename has no
+  *    same-name victim to clobber;
+  *  - SAME-PROCESS concurrent appends are serialized by LogStore's
+  *    per-path JVM lock (the FileOutputCommitter `_temporary/0` staging
+  *    area is shared across jobs — unserialized, files are lost);
+  *  - CROSS-PROCESS writers remain a documented single-writer contract
+  *    (LogStore.append scaladoc): two JVMs sharing one log prefix need a
+  *    transactional table ([[graft.sink.TxTable]]) — the hostile store
+  *    proves exclusive-create cannot arbitrate this (HostileFsSpec's
+  *    double-win test), so the contract cannot be enforced from inside
+  *    a plain directory store, only replaced by a real commit protocol.
+  *  - a TORN part file (killed writer made partially-visible bytes on a
+  *    copy+delete store) fails the read LOUDLY — watermark recovery
+  *    never silently proceeds on partial state, so the re-run aborts
+  *    instead of double-ingesting.
+  */
+class LogStoreHostileSpec extends SparkSpec {
+
+  private def log(status: String, end: String, at: Long = 0L): RunLog =
+    RunLog(1L, status, "x", end, 10L, 10L, "r", new Timestamp(at))
+
+  private def fsFor(p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("append + read + watermark recovery round-trip on the hostile store") {
+    val dir = HostileFileSystem.root(spark)
+    val store = new LogStore(spark, s"$dir/logs")
+    assert(store.read().isEmpty)
+    store.append(Seq(log(RunStatus.Success, "2023-05-01 10:00:00", 1L)))
+    store.append(Seq(log(RunStatus.Failed, "2024-01-01 00:00:00", 2L)))
+    store.append(Seq(log(RunStatus.Success, "2023-06-01 10:00:59", 3L)))
+    val prior = store.forIngestion(1L).collect().toSeq
+    assert(prior.length == 3, s"all three appended rows must survive, got $prior")
+    // recovery ignores the failed run and bumps the max success end
+    val (start, _) = LogStore.nextStartValue(prior, dateNotAvailable = false)
+    assert(start == "2023-06-01 10:01:00",
+      s"watermark must recover from success rows only, got $start")
+  }
+
+  test("8 same-process concurrent appends all survive (per-path lock serializes)") {
+    val dir = HostileFileSystem.root(spark)
+    val path = s"$dir/logs"
+    val n = 8
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(n)
+    try {
+      val futs = (1 to n).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            start.await()
+            new LogStore(spark, path).append(Seq(log(RunStatus.Success, i.toString, i.toLong)))
+          }
+        })
+      }
+      start.countDown()
+      futs.foreach(_.get(120, TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    val rows = new LogStore(spark, path).read().collect()
+    assert(rows.length == n,
+      s"every concurrent append must be durable, got ${rows.length} of $n")
+    assert(rows.map(_.endValue).toSet == (1 to n).map(_.toString).toSet)
+  }
+
+  test("a torn part file fails the read loudly — recovery never sees partial state") {
+    val dir = HostileFileSystem.root(spark)
+    val path = s"$dir/logs"
+    val store = new LogStore(spark, path)
+    store.append(Seq(log(RunStatus.Success, "41", 1L)))
+    // a killed writer on a copy+delete store can leave partially-copied
+    // bytes under the final name: forge one next to the good file
+    val fs = fsFor(path)
+    val torn = new Path(s"$path/part-00000-torn-c000.snappy.parquet")
+    val o = fs.create(torn, true)
+    o.write("PAR1garbage-without-a-footer".getBytes("UTF-8")); o.close()
+    val thrown = intercept[Throwable] {
+      new LogStore(spark, path).read().collect()
+    }
+    assert(thrown != null, "a torn log file must abort the run, not pass silently")
+    // cleanup restores readability — the abort is recoverable
+    fs.delete(torn, false)
+    val rows = new LogStore(spark, path).read().collect()
+    assert(rows.length == 1 && rows.head.endValue == "41")
+  }
+
+  test("re-run after a failure resumes from the last success watermark (no re-read)") {
+    val dir = HostileFileSystem.root(spark)
+    val store = new LogStore(spark, s"$dir/logs")
+    // run 1 succeeded through id 100; run 2 failed mid-flight
+    store.append(Seq(log(RunStatus.Success, "100", 1L)))
+    store.append(Seq(log(RunStatus.Failed, "", 2L)))
+    val prior = store.forIngestion(1L).collect().toSeq
+    val (start, reason) = LogStore.nextStartValue(prior, dateNotAvailable = true)
+    // 101, not 1 (no first-time reset => no double-ingest of 1..100) and
+    // not a value from the failed row
+    assert(start == "101" && reason == graft.model.ReasonCode.Subsequent)
+  }
+}
