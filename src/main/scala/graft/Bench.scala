@@ -58,17 +58,25 @@ object Bench {
     val names = timed.keys.toSeq.sorted
     val samples = scala.collection.mutable.Map[String, List[Double]]().withDefaultValue(Nil)
     // setup seconds = eager work inside the query-constructor LAMBDA,
-    // before the returned plan executes. For the TxTable/lifecycle family
-    // this is pure fixture build (multi-commit churn — the part whose
-    // round-over-round drift is NOT query drift, VERDICT r5 #7/r6 #2);
-    // for streaming queries it is the micro-batch run itself (their
-    // returned plan is a trivial memory-table read). Emitted per query so
-    // a reader can subtract: query-only cost ≈ total − setup for the
-    // lifecycle family; ≈ setup for streaming. "queries" stays the TOTAL
-    // median, comparable with r6.
+    // before the returned plan executes. READER RULE — setup is
+    // subtractable ONLY for two families:
+    //  - TxTable/lifecycle fixtures (q40/q73/q119/q120/q121/q125/q126/
+    //    q154/q161/q193…): multi-commit churn whose round-over-round
+    //    drift is NOT query drift (VERDICT r5 #7/r6 #2);
+    //  - streaming micro-batch runs (q41/q63/q84/q93/q135/q173/q203/
+    //    q224…): the returned plan is a trivial memory-table read, so
+    //    query-only cost ≈ setup itself.
+    // For ANALYTICS queries, setup IS query work: eager localCheckpoints
+    // inside constructors (q111's score table, q103/q137's dedup, q204,
+    // q223's KMV sketches, MixPlanner.waterfill, and — round 8 — the
+    // whole persist-contract sweep: prefix-join sorted relations,
+    // minhash/simhash signatures, bigram-LM streams, the ANN-margin
+    // assignment/kNN legs) execute the dominant pipeline during fn();
+    // subtracting it there UNDERSTATES the query. "queries" stays the
+    // TOTAL median, comparable across rounds.
     val setups = scala.collection.mutable.Map[String, List[Double]]().withDefaultValue(Nil)
     val errors = scala.collection.mutable.Map[String, String]()
-    for (_ <- 1 to nRuns; name <- names) {
+    def samplePass(pass: Seq[String]): Unit = for (name <- pass) {
       val fn = timed(name)
       val t0 = System.nanoTime()
       try {
@@ -87,12 +95,20 @@ object Bench {
       // plans don't accumulate across the 200+-query suite
       spark.catalog.clearCache()
     }
+    for (_ <- 1 to nRuns) samplePass(names)
     def median(xs: List[Double]): Double = {
       val s = xs.sorted
       if (s.isEmpty) -1.0
       else if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    // the top-cost entries drift more than real rewrites at n=3 (same
+    // build measured 227.7 vs 239.6 s hours apart — VERDICT r7 #7): give
+    // every entry whose median exceeds 1 s two extra passes (n=5) and
+    // report min/max spread so a reader can tell delta from noise
+    val extraRuns = math.max(0, 5 - nRuns)
+    val heavy = names.filter(n => samples(n).nonEmpty && median(samples(n)) > 1.0)
+    for (_ <- 1 to extraRuns) samplePass(heavy)
     // accounting invariant: every timed query ends the run with either a
     // recorded sample or an explicit error — a query can NEVER vanish from
     // the output (round 5's broken family surfaced only as -1.0 medians;
@@ -109,6 +125,14 @@ object Bench {
         v > 0.01 && median(samples(n)) > 0 && v / median(samples(n)) > 0.01 }
     val setupJson = setupMed.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // [min, max, n] for the n=5 entries — the noise band around each
+    // median; a round-over-round delta inside the band is not a result
+    val spreadJson = heavy
+      .map { n =>
+        val s = samples(n).sorted
+        "\"" + n + "\":[" + s.head + "," + s.last + "," + s.size + "]"
+      }
+      .mkString("{", ",", "}")
     val total = med.collect { case (_, v) if v >= 0 => v }.sum
     // full JSON string escape: exception text routinely carries
     // backslashes (regexes, paths) and control chars — one bad escape
@@ -122,7 +146,7 @@ object Bench {
     val errJson = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"setup":$setupJson,"sf":"$sfDir","runs":$nRuns,"errors":$errJson}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"setup":$setupJson,"spread":$spreadJson,"sf":"$sfDir","runs":$nRuns,"errors":$errJson}"""
     println(line)
     // also persist the line whole: the driver's log-tail capture truncates
     // (BENCH_r03 lost q01–q15's medians to it) — a file survives intact

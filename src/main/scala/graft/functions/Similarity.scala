@@ -16,13 +16,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cap for DERIVED IVF list counts: bounds the driver's centroid
-    * collect (cap×dim doubles) and — the binding constraint — the
-    * per-row argmin, which is a literal expression tree of nCentroids
-    * dot products. Past ~65k vectors the √n rule saturates here; beyond
-    * that an index wants centroid TABLES (broadcast join) rather than
-    * literal trees, plus sampled training — the documented production
-    * path, not a default.
+  /** Cap for DERIVED IVF list counts on the LITERAL-TREE path: bounds
+    * the driver's centroid collect (cap×dim doubles) and — the binding
+    * constraint — the per-row argmin, which is a literal expression
+    * tree of nCentroids dot products. Past ~65k vectors the √n rule
+    * saturates here; beyond that an index wants centroid TABLES
+    * (broadcast join + partial-agg argmin) rather than literal trees —
+    * IMPLEMENTED as the `tableNearestCids`/`tableProbeCids`/
+    * `lloydFloatTable` path, which [[marginTopKAnn]] auto-selects past
+    * [[MaxLiteralCentroids]] (its √n sizing then runs uncapped to
+    * [[MaxTableCentroids]]).
     */
   val MaxAutoCentroids = 256
 
@@ -387,6 +390,98 @@ object Similarity {
     var centroids = init
     (1 to iters).foreach { _ =>
       val means = c0.withColumn("cid", floatNearestCid(centroids, col("v")))
+        .select(col("cid"), posexplode(col("v")))
+        .toDF("cid", "pos", "x")
+        .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      means.foreach(r => next(r.getAs[Int]("cid"))(r.getAs[Int]("pos")) = r.getAs[Double]("m"))
+      centroids = next
+    }
+    centroids
+  }
+
+  // ---- centroid-TABLE float-IVF internals: assignment and probe lists
+  // via a broadcast join + partial/bounded aggregation instead of a
+  // literal expression tree. The literal tree costs O(nCentroids)
+  // expression nodes per ROW and stops fitting whole-stage codegen past
+  // ~10² centroids; the table path expands n×nCentroids SKINNY rows
+  // map-side (id, cid, distance), partial-aggregates the argmin, and
+  // shuffles only n rows — the shape that carries IVF to thousands of
+  // lists, i.e. the √n sizing rule PAST the literal cap. This is the
+  // "centroid TABLES (broadcast join)" production path the
+  // MaxAutoCentroids scaladoc used to only document — now code, used by
+  // [[marginTopKAnn]] whenever the derived list count exceeds
+  // [[MaxLiteralCentroids]].
+
+  /** Largest centroid count evaluated as a literal argmin tree; beyond
+    * this the expression outgrows codegen and the table path wins.
+    */
+  val MaxLiteralCentroids = 128
+
+  /** Driver-collect bound for table-path centroids (cap×dim doubles). */
+  val MaxTableCentroids = 4096
+
+  /** ceil(√n) capped at [[MaxTableCentroids]] — the list-count rule for
+    * the table path, where the literal-tree cap no longer binds.
+    */
+  private[graft] def autoCentroidsTable(n: Long): Int =
+    math.min(MaxTableCentroids.toLong,
+      math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+
+  /** (cid, cv, cn2=|c|²) — tiny, broadcast into every distance join. */
+  private def centroidTable(spark: org.apache.spark.sql.SparkSession,
+                            centroids: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq, c.map(x => x * x).sum) }
+      .toSeq.toDF("cid", "cv", "cn2")
+  }
+
+  /** Nearest-centroid id per corpus row, table form: skinny
+    * (id, min(struct(|c|²−2⟨v,c⟩, cid))) hash aggregate — |v|² is
+    * row-constant so this argmin matches the literal tree's, ties to
+    * the lowest cid. Output (id, cid); join it back for vectors.
+    */
+  private def tableNearestCids(c0: DataFrame, cents: DataFrame): DataFrame =
+    c0.crossJoin(broadcast(cents))
+      .select(col("id"),
+        struct((col("cn2") - dot(col("v"), col("cv")) * 2).as("d"),
+          col("cid")).as("__s"))
+      .groupBy(col("id")).agg(min(col("__s")).as("__m"))
+      .select(col("id"), col("__m.cid").as("cid"))
+
+  /** The `nProbe` nearest list ids per row, table form: the same skinny
+    * distance stream through the bounded TopKByScore aggregator
+    * (highest score = lowest distance; ties to the lowest cid), exploded
+    * to (id, cid) probe rows — never a window sort.
+    */
+  private def tableProbeCids(c0: DataFrame, cents: DataFrame,
+                             nProbe: Int): DataFrame = {
+    val spark = c0.sparkSession
+    import spark.implicits._
+    val agg = new TopKByScore(nProbe).toColumn
+    c0.crossJoin(broadcast(cents))
+      .select(col("id").cast("long"), col("cid").cast("long"),
+        (dot(col("v"), col("cv")) * 2 - col("cn2")).as("score"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(agg)
+      .flatMap { case (id, top) => top.map(t => (id, t._1.toInt)) }
+      .toDF("id", "cid")
+  }
+
+  /** Lloyd rounds with table-form assignment — same means job as
+    * [[lloydFloat]], argmin via the broadcast join instead of the
+    * literal tree.
+    */
+  private def lloydFloatTable(c0: DataFrame, init: Array[Array[Double]],
+                              iters: Int): Array[Array[Double]] = {
+    var centroids = init
+    (1 to iters).foreach { _ =>
+      val cents = centroidTable(c0.sparkSession, centroids)
+      val means = c0.join(tableNearestCids(c0, cents), Seq("id"))
         .select(col("cid"), posexplode(col("v")))
         .toDF("cid", "pos", "x")
         .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
@@ -824,8 +919,15 @@ object Similarity {
     * same stage, one distinct + left_anti. Nothing global is quadratic.
     */
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
-               nClusters: Int, threshold: Double = 0.95): DataFrame = {
-    val assigned = assignToLowestIdCentroids(df, idCol, vecCol, nClusters)
+               nClusters: Int = 0, threshold: Double = 0.95): DataFrame = {
+    // nClusters <= 0 derives ceil(sqrt n) capped (the autoCentroids
+    // rule): cluster size — and with it the per-cluster quadratic
+    // cosine block — stays ~constant as the corpus grows, which is the
+    // published SemDeDup scale story applied in code rather than left
+    // as a parameter the caller must remember (the organic 10x probe's
+    // 3.56x wall at fixed k=16 is exactly the fixed-k failure mode)
+    val nC = if (nClusters > 0) nClusters else autoCentroids(df.count())
+    val assigned = assignToLowestIdCentroids(df, idCol, vecCol, nC)
     val vecs = df.select(col(idCol).cast("long").as("vec_id"),
         asDouble(col(vecCol)).as("__v"))
       .join(assigned, Seq("vec_id"))
@@ -925,10 +1027,15 @@ object Similarity {
     *
     *  - the per-vector kNN-sum leg probes each corpus vector's `nProbe`
     *    nearest lists through a SHUFFLED equi-join on the list id (never
-    *    the brute form's full-corpus broadcast): pair volume is
-    *    n·nProbe·(n/nCentroids) ≈ n^1.5·nProbe/√n-lists vs the brute n²,
-    *    and it partitions across executors instead of materializing the
-    *    corpus on each;
+    *    the brute form's full-corpus broadcast): the scored pair volume
+    *    n·nProbe·(n/nCentroids) ≈ n^1.5-ish vs the brute n² is consumed
+    *    IN-STAGE by the cosine + bounded top-k partial aggregation —
+    *    shuffle volume is ~(1+nProbe)× the corpus, the pair stream
+    *    itself never materializes;
+    *  - past [[MaxLiteralCentroids]] derived lists, every argmin/probe
+    *    step switches from the literal expression tree to the centroid
+    *    TABLE machinery (broadcast join + partial/bounded aggregation),
+    *    so the √n sizing runs uncapped to [[MaxTableCentroids]];
     *  - the pair-scoring leg is the standard broadcast-query IVF probe
     *    ([[ivfTopK]]'s shape) over the same assignment;
     *  - margin arithmetic is unchanged except the a-sum becomes a MEAN
@@ -947,33 +1054,50 @@ object Similarity {
                     cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
     val c0 = corpus.select(col(cId).cast("long").as("id"), asDouble(col(cVec)).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nC = if (nCentroids > 0) nCentroids else autoCentroids(c0.count())
+    // √n UNCAPPED-by-the-literal-tree (table path takes over past
+    // MaxLiteralCentroids): list size — and the self-join's pair volume
+    // n·nProbe·(n/nC) — keeps shrinking per the √n rule instead of
+    // saturating at the literal cap (200k vectors: 448 lists, not 256)
+    val nC = if (nCentroids > 0) nCentroids else autoCentroidsTable(c0.count())
+    val useTables = nC > MaxLiteralCentroids
     val init: Array[Array[Double]] = c0.orderBy(col("id")).limit(nC)
       .select(col("v")).collect()
       .map(_.getAs[scala.collection.Seq[Double]](0).toArray)
-    val centroids = lloydFloat(c0, init, iters)
-    val assigned = c0.withColumn("cid", floatNearestCid(centroids, col("v")))
-      .withColumn("__cn", l2norm(col("v")))
-      .localCheckpoint(true)
+    val centroids =
+      if (useTables) lloydFloatTable(c0, init, iters)
+      else lloydFloat(c0, init, iters)
+    lazy val cents = centroidTable(corpus.sparkSession, centroids)
+    val assigned =
+      (if (useTables) c0.join(tableNearestCids(c0, cents), Seq("id"))
+       else c0.withColumn("cid", floatNearestCid(centroids, col("v"))))
+        .withColumn("__cn", l2norm(col("v")))
+        .localCheckpoint(true)
     c0.unpersist()
 
-    // self-kNN leg: skinny (prober, list) rows into a shuffled equi-join
-    // on cid; vectors re-attach to the pair list only (annTopK shape)
-    val probes = assigned
-      .select(col("id").as("__qid"),
-        explode_outer(floatProbeCids(centroids, col("v"), nProbe)).as("cid"))
-      .filter(col("cid").isNotNull)
-    val selfPairs = assigned.select(col("cid"), col("id"))
-      .join(probes, Seq("cid"))
+    // self-kNN leg: each vector's nProbe probe rows CARRY its vector
+    // (nProbe×520B per vector — bounded) into the shuffled equi-join on
+    // the list id, and the cosine + bounded top-k partial aggregation
+    // consume the join output IN-STAGE. IVF probe pairs are already
+    // unique (every corpus vector lives in exactly ONE list), so there
+    // is no dedup step and — unlike a pairs-then-reattach shape — the
+    // n·nProbe·(n/nC) pair stream never materializes or shuffles (the
+    // reattach form sorted pair+vector rows: ~380 GB of spill at 200k
+    // vectors; this shape shuffles ~nProbe× the corpus, full stop)
+    val probesV =
+      (if (useTables)
+        tableProbeCids(assigned.select(col("id"), col("v")), cents, nProbe)
+          .join(assigned.select(col("id"), col("v").as("__qv"),
+            col("__cn").as("__qn")), Seq("id"))
+          .select(col("cid"), col("id").as("__qid"), col("__qv"), col("__qn"))
+      else assigned
+        .select(col("id").as("__qid"), col("v").as("__qv"),
+          col("__cn").as("__qn"),
+          explode_outer(floatProbeCids(centroids, col("v"), nProbe)).as("cid"))
+        .filter(col("cid").isNotNull))
+    val selfScored = assigned.join(probesV, Seq("cid"))
       .filter(col("__qid") =!= col("id"))
-      .select(col("__qid"), col("id"))
-    val selfScored = selfPairs
-      .join(assigned.select(col("id").as("__qid"), col("v").as("__qv"),
-        col("__cn").as("__qn")), Seq("__qid"))
-      .join(assigned.select(col("id"), col("v").as("__cv"),
-        col("__cn").as("__cn2")), Seq("id"))
       .select(col("__qid").as(qId), col("id").as("neighbor_id"),
-        cosineWithNorms(col("__qv"), col("__cv"), col("__qn"), col("__cn2")).as("cos"))
+        cosineWithNorms(col("__qv"), col("v"), col("__qn"), col("__cn")).as("cos"))
     // a = mean of the ascending-folded top-knn cosines (deterministic:
     // sorted array, left fold); tolerant to < knn probed neighbors.
     // Checkpointed: BOTH margin join sides consume it, and its lineage
@@ -987,10 +1111,17 @@ object Similarity {
       .localCheckpoint(true)
 
     // pair-scoring leg: broadcast-query IVF probe over the same assignment
-    val q = queries.select(col(qId).cast("long").as(qId), asDouble(col(qVec)).as("__qv"))
+    val qBase = queries.select(col(qId).cast("long").as(qId), asDouble(col(qVec)).as("__qv"))
       .withColumn("__qn", l2norm(col("__qv")))
-      .withColumn("cid", explode_outer(floatProbeCids(centroids, col("__qv"), nProbe)))
-      .filter(col("cid").isNotNull)
+    val q =
+      if (useTables)
+        qBase.join(
+          tableProbeCids(qBase.select(col(qId).as("id"), col("__qv").as("v")),
+            cents, nProbe).withColumnRenamed("id", qId),
+          Seq(qId))
+      else qBase
+        .withColumn("cid", explode_outer(floatProbeCids(centroids, col("__qv"), nProbe)))
+        .filter(col("cid").isNotNull)
     val candScored = assigned.join(broadcast(q), Seq("cid"))
       .filter(col(qId) =!= col("id"))
       .select(col(qId), col("id").as("neighbor_id"),
@@ -1034,21 +1165,18 @@ object Similarity {
       .localCheckpoint(true)
     c0.unpersist()
 
-    val probes = assigned
-      .select(col("id").as("__qid"),
+    // probe rows carry the prober's vector; scoring fuses into the cid
+    // join and the pair stream flows straight into the bounded top-k
+    // partial agg (see marginTopKAnn — the reattach shape spilled)
+    val probesV = assigned
+      .select(col("id").as("__qid"), col("v").as("__qv"),
+        col("__cn").as("__qn"),
         explode_outer(intProbeCids(centroids, col("vi"), nProbe)).as("cid"))
       .filter(col("cid").isNotNull)
-    val selfPairs = assigned.select(col("cid"), col("id"))
-      .join(probes, Seq("cid"))
+    val selfScored = assigned.join(probesV, Seq("cid"))
       .filter(col("__qid") =!= col("id"))
-      .select(col("__qid"), col("id"))
-    val selfScored = selfPairs
-      .join(assigned.select(col("id").as("__qid"), col("v").as("__qv"),
-        col("__cn").as("__qn")), Seq("__qid"))
-      .join(assigned.select(col("id"), col("v").as("__cv"),
-        col("__cn").as("__cn2")), Seq("id"))
       .select(col("__qid").as(qId), col("id").as("neighbor_id"),
-        cosineWithNorms(col("__qv"), col("__cv"), col("__qn"), col("__cn2")).as("cos"))
+        cosineWithNorms(col("__qv"), col("v"), col("__qn"), col("__cn")).as("cos"))
     // checkpointed: both margin join sides consume it, and its lineage
     // is the whole self-kNN leg (the recomputed-subplan audit's find)
     val nnSum = topkOf(selfScored, knn, qId)

@@ -101,6 +101,19 @@ class MarginSpec extends SparkSpec {
     assert(r >= 0.8, s"portable ANN margin recall@5 $r below floor 0.8")
   }
 
+  test("ANN margin centroid-TABLE path (nC > MaxLiteralCentroids) recalls >= 0.8") {
+    // force the broadcast-join argmin machinery (no literal tree):
+    // 150 centroids on the 500-vector fixture exceeds
+    // MaxLiteralCentroids=128, so training, assignment and both probe
+    // legs run through centroidTable/tableNearestCids/tableProbeCids
+    val (emb, queries) = realQueries
+    val r = recallVsBrute(
+      Similarity.marginTopKAnn(queries, emb, k = 5, nCentroids = 150,
+        nProbe = 24),
+      emb, queries)
+    assert(r >= 0.8, s"table-path ANN margin recall@5 $r below floor 0.8")
+  }
+
   test("marginTopK auto-switches to the ANN legs past the corpus threshold") {
     val (emb, queries) = realQueries
     // force the switch with a tiny threshold: the result must be the ANN

@@ -57,4 +57,18 @@ class SemDedupSpec extends SparkSpec {
     assert(kept === rows.map(_._1).toSet -- expectedDropped)
     assert(byId.keySet.nonEmpty && kept.nonEmpty)
   }
+
+  test("default cluster count derives ceil(sqrt n) — same result as the explicit value") {
+    // 500-vector fixture: ceil(sqrt 500) = 23; a caller who keeps the
+    // default at a billion vectors gets ~sqrt n clusters (capped), so
+    // the per-cluster quadratic cosine block stays bounded — the
+    // autoCentroids rule applied to SemDeDup
+    val emb = graft.sources.Tables.load(spark, SfDir, "embeddings")
+    val derived = Similarity.semDedup(emb, "vec_id", "embedding")
+      .select("vec_id").as[Long].collect().toSet
+    val explicit23 = Similarity.semDedup(emb, "vec_id", "embedding",
+        nClusters = 23)
+      .select("vec_id").as[Long].collect().toSet
+    assert(derived === explicit23)
+  }
 }
