@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 import graft.functions.TextFunctions
 import graft.operators.{LatestRowView, Transforms}
@@ -4002,6 +4003,209 @@ object SparkEntry {
         .agg(sum(when(col("__g").isNotNull, 1L).otherwise(0L)).as("n_hits"))
         .select(col("query_id"), col("n_hits"),
           expr("(10000 * n_hits) div 5").as("recall_bp"))
+    }),
+
+    // E2E — config autogeneration + native-xlsx roundtrip, oracle-checked
+    // (the reference's update_config.py → start_ingestion.py control
+    // loop): schema facts fabricated deterministically from nation,
+    // ConfigGen.newSpecRows (anti-join J1, max-id assignment A5, the
+    // delta-field preference CASE of update_config.py:143-151), merged
+    // into the existing config (U1+O1), written as an xlsx control
+    // sheet (K3, aws_utils.py:265-299 parity), read back through
+    // SpecStore.loadXlsx (S4) with the active + dag-group filter
+    // (F4) and blank→NULL→"" normalization (F7). The oracle replays the
+    // derivation straight from nation — a hash match proves the whole
+    // generate→write→parse→filter loop is lossless.
+    "q226_config_autogen_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val n = t(s, dir, "nation")
+      val facts = n.select(
+        concat(lit("db"), (col("n_nationkey") % 3).cast("string")).as("databasename"),
+        lower(col("n_name")).as("tablename"),
+        (col("n_nationkey") % 2 === 0).as("has_created"),
+        (col("n_nationkey") % 3 === 0).as("has_modified"),
+        when(col("n_nationkey") % 5 === 0, lit("seq_id"))
+          .otherwise(lit(null).cast("string")).as("auto_inc_col"),
+        lit("pk_id").as("pkey"),
+        when(col("n_nationkey") % 2 === 0, lit("created_datetime"))
+          .otherwise(lit(null).cast("string")).as("datetime_col"))
+      val existing = n.filter(col("n_nationkey") < 5).select(
+        (col("n_nationkey") + 101L).as("lake_ingestion_id"),
+        concat(lit("db"), (col("n_nationkey") % 3).cast("string")).as("databasename"),
+        lower(col("n_name")).as("tablename"))
+      val fresh = graft.driver.ConfigGen.newSpecRows(facts, existing, "/lake/raw")
+      val merged = graft.driver.ConfigGen.mergeConfig(existing, fresh)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q226")
+      val sheet = s"$tmp/config.xlsx"
+      graft.driver.ConfigGen.writeConfigXlsx(merged, sheet)
+      val specs = graft.config.SpecStore.loadXlsx(s, sheet,
+        dagGroups = Seq("dag_db0", "dag_db2"))
+      val out = specs.map(sp => (sp.lakeIngestionId, sp.databasename,
+          sp.tablename, sp.deltaField, sp.deltaFieldExpr,
+          sp.dateNotAvailable.toLong, sp.primaryKey, sp.viewDb, sp.viewName,
+          sp.partitions.headOption.map(_.column).getOrElse(""),
+          sp.partitions.headOption.map(_.format).getOrElse(""),
+          sp.dagGroup))
+        .toDF("lake_ingestion_id", "databasename", "tablename", "delta_field",
+          "delta_field_expr", "date_not_available", "primary_key", "view_db",
+          "view_name", "part_col", "part_fmt", "dag_group")
+        .collect() // the sheet is done once the specs are materialized
+      dropStaged(tmp)
+      s.createDataFrame(java.util.Arrays.asList(out: _*),
+        StructType(Seq(
+          StructField("lake_ingestion_id", LongType),
+          StructField("databasename", StringType),
+          StructField("tablename", StringType),
+          StructField("delta_field", StringType),
+          StructField("delta_field_expr", StringType),
+          StructField("date_not_available", LongType),
+          StructField("primary_key", StringType),
+          StructField("view_db", StringType),
+          StructField("view_name", StringType),
+          StructField("part_col", StringType),
+          StructField("part_fmt", StringType),
+          StructField("dag_group", StringType))))
+    }),
+
+    // E2E — execution-log state store, oracle-checked (K2 log sink + S5
+    // log source + F5 status filters + F6 equality lookup + A4 watermark
+    // recovery over REAL appended files): six monthly runs for three
+    // ingestion ids are derived from orders' 1995 H1 months (counts and
+    // max order dates), appended through LogStore in two batches (odd
+    // then even months — multi-file append), read back, and rolled up
+    // to per-id success/failure counts + the last-success watermark. The
+    // oracle recomputes the same roll-up straight from orders, so a
+    // hash match proves the log roundtrip loses nothing.
+    "q227_log_state_rollup" -> ((s, dir) => {
+      import s.implicits._
+      val months = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01")
+          && col("o_orderdate") < lit("1995-07-01"))
+        .groupBy(month(col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("cnt"),
+          max(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("maxd"))
+        .collect() // 6 control rows — log construction is driver-side
+        .map(r => (r.getInt(0), r.getLong(1), r.getString(2)))
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val rows = for {
+        id <- Seq(1L, 2L, 3L)
+        (m, cnt, maxd) <- months
+      } yield {
+        val failed = (id + m) % 3 == 0
+        graft.model.RunLog(id,
+          if (failed) "failed" else "success",
+          f"1995-$m%02d-01", maxd, cnt, if (failed) 0L else cnt,
+          if (failed) "E_VALIDATION" else "", t0)
+      }
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q227")
+      val store = new graft.state.LogStore(s, s"$tmp/logs")
+      val (odd, even) = rows.partition(r => r.startValue.substring(5, 7).toInt % 2 == 1)
+      store.append(odd)
+      store.append(even)
+      // F6: equality lookup for one ingestion (the reference's
+      // "this table's history" probe) — folded in as a checked column
+      val id2Runs = store.forIngestion(2L).count()
+      val agg = store.read().toDF()
+        .groupBy(col("lakeIngestionId").as("lake_ingestion_id"))
+        .agg(
+          sum(when(col("executionStatus") === "success", 1L).otherwise(0L)).as("n_success"),
+          sum(when(col("executionStatus") === "failed", 1L).otherwise(0L)).as("n_failed"),
+          max(when(col("executionStatus") === "success", col("endValue"))).as("watermark"),
+          sum(col("sourceCount")).as("total_source"),
+          sum(col("targetCount")).as("total_target"))
+        .withColumn("id2_runs", lit(id2Runs))
+        .collect() // 3 roll-up rows — materialized before the log dir dies
+      dropStaged(tmp)
+      s.createDataFrame(java.util.Arrays.asList(agg: _*),
+        StructType(Seq(
+          StructField("lake_ingestion_id", LongType),
+          StructField("n_success", LongType),
+          StructField("n_failed", LongType),
+          StructField("watermark", StringType),
+          StructField("total_source", LongType),
+          StructField("total_target", LongType),
+          StructField("id2_runs", LongType))))
+    }),
+
+    // E2E — schema-catalog scan, oracle-checked (S3 information_schema +
+    // K6 catalog refresh): the sf tables registered through CatalogSync
+    // (the Glue-crawler replacement), refreshed, and their column
+    // metadata read back from the Spark catalog with type names
+    // normalized to a canonical engine-neutral set. The oracle DESCRIBEs
+    // the same tables in DuckDB and maps its type names to the same
+    // canon — a hash match proves both engines derive the same schema
+    // facts from the same parquet, the reference's crawler contract
+    // (aws_utils.py:42-109).
+    "q228_schema_catalog" -> ((s, dir) => {
+      import s.implicits._
+      val tables = Seq("region", "nation", "customer", "orders", "lineitem",
+        "part", "supplier", "events", "documents", "embeddings")
+      val rows = tables.flatMap { tn =>
+        val view = s"g228_$tn"
+        graft.catalog.CatalogSync.registerTable(s, view, s"$dir/$tn.parquet")
+        graft.catalog.CatalogSync.refresh(s, view) // K6: crawler re-scan
+        val cols = s.catalog.listColumns(view).collect()
+        s.catalog.dropTempView(view)
+        cols.map { c =>
+          val canon = c.dataType.toLowerCase match {
+            case "timestamp_ntz" => "timestamp" // driver parquet is NTZ
+            case other           => other
+          }
+          (tn, c.name, canon)
+        }
+      }
+      rows.toDF("table_name", "column_name", "data_type")
+    }),
+
+    // E2E — object listing over a freshly staged lake write (S6, the
+    // around-the-write listing that powers rollback): events written
+    // partitioned by day (one task per day via hash repartition on the
+    // partition column → exactly one file per partition), the staging
+    // dir listed through Rollback.listFiles, partition values parsed
+    // back out of the Hive-style paths. The oracle derives the same
+    // day set from events directly — a hash match proves the listing
+    // sees exactly the partitions the write produced.
+    "q229_object_listing" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q229")
+      val stage = s"$tmp/stage"
+      t(s, dir, "events").filter(col("ts").isNotNull)
+        .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+        .repartition(col("dt"))
+        .write.partitionBy("dt").parquet(stage)
+      val files = graft.sink.Rollback.listFiles(s, stage)
+      dropStaged(tmp) // listing already materialized driver-side
+      val parts = files.toSeq
+        .filter(f => f.contains("dt=") && f.endsWith(".parquet"))
+        .map(f => f.substring(f.indexOf("dt=") + 3).takeWhile(_ != '/'))
+      parts.groupBy(identity).toSeq
+        .map { case (d, fs) => (d, fs.size.toLong) }
+        .toDF("dt", "n_files")
+    }),
+
+    // T — DSIR data selection (Xie et al. 2023): hashed-bigram
+    // importance scores against the English subcorpus as the target
+    // distribution, exact-integer likelihood ratios, top-50 selection.
+    // The scale path is the operator itself (one checkpointed
+    // per-(doc,bucket) relation, m-row broadcast ratio table) — see
+    // functions/Dsir.scala.
+    "q230_dsir_select" -> ((s, dir) => {
+      val scores = functions.Dsir.importanceScores(
+        t(s, dir, "documents"), col("doc_id"), col("text"),
+        col("lang") === "en", m = 256, scale = 1000000L)
+      functions.Dsir.selectTopK(scores, 50)
+        .select(col("id").as("doc_id"), col("score"),
+          col("rank").cast("long").as("sel_rank"))
+    }),
+
+    // T — interpolated Kneser–Ney bigram LM (D = 3/4) in exact rational
+    // arithmetic: the kenlm-style smoothed probability every perplexity
+    // quality filter builds on, as a corpus-level bigram table. Top-100
+    // bigrams by raw count carry their exact fixed-point KN probability.
+    "q231_kneser_ney" -> ((s, dir) => {
+      functions.KneserNey.bigramProbs(t(s, dir, "documents"), col("text"))
+        .orderBy(col("c12").desc, col("w1").asc, col("w2").asc)
+        .limit(100)
     }),
   )
 
@@ -8358,5 +8562,174 @@ object SparkEntry {
            CAST(abs(est - exact) * 10000 // exact AS BIGINT) AS err_bp,
            n_raw, CAST((10000 * (n_raw - est)) // n_raw AS BIGINT) AS dup_bp
          FROM e, x""",
+
+    // q226: the config-autogen derivation replayed straight from nation —
+    // anti-join against the existing config, delta-field preference CASE,
+    // row_number id assignment above the existing max, partition-spec
+    // choice, then the loadXlsx active + dag-group filter. Matching the
+    // Spark side proves the generate→xlsx→parse loop round-trips.
+    "q226_config_autogen_roundtrip" ->
+      """WITH facts AS (
+           SELECT 'db' || CAST(n_nationkey % 3 AS VARCHAR) AS databasename,
+                  lower(n_name) AS tablename,
+                  n_nationkey % 2 = 0 AS has_created,
+                  n_nationkey % 3 = 0 AS has_modified,
+                  CASE WHEN n_nationkey % 5 = 0 THEN 'seq_id' END AS auto_inc_col,
+                  CASE WHEN n_nationkey % 2 = 0 THEN 'created_datetime' END AS datetime_col
+           FROM nation),
+         existing AS (
+           SELECT CAST(n_nationkey + 101 AS BIGINT) AS lake_ingestion_id,
+                  'db' || CAST(n_nationkey % 3 AS VARCHAR) AS databasename,
+                  lower(n_name) AS tablename
+           FROM nation WHERE n_nationkey < 5),
+         fresh AS (
+           SELECT CAST(row_number() OVER (ORDER BY f.databasename, f.tablename)
+                    + (SELECT max(lake_ingestion_id) FROM existing) AS BIGINT)
+                    AS lake_ingestion_id,
+                  f.databasename, f.tablename,
+                  CASE WHEN has_modified THEN 'modified_datetime'
+                       WHEN has_created THEN 'created_datetime'
+                       ELSE coalesce(auto_inc_col, '') END AS delta_field,
+                  CASE WHEN has_modified AND has_created
+                       THEN 'coalesce(modified_datetime, created_datetime)'
+                       ELSE '' END AS delta_field_expr,
+                  CAST(CASE WHEN has_modified OR has_created THEN 0 ELSE 1 END
+                    AS BIGINT) AS date_not_available,
+                  CASE WHEN has_modified OR has_created OR auto_inc_col IS NOT NULL
+                       THEN 1 ELSE 0 END AS active_indicator,
+                  'pk_id' AS primary_key,
+                  'dl_' || f.databasename || '_lv' AS view_db,
+                  f.tablename || '_lv' AS view_name,
+                  CASE WHEN datetime_col IS NOT NULL THEN datetime_col
+                       WHEN auto_inc_col IS NOT NULL THEN auto_inc_col
+                       ELSE '' END AS part_col,
+                  CASE WHEN datetime_col IS NOT NULL THEN 'YYYYMMDD'
+                       WHEN auto_inc_col IS NOT NULL THEN '1M'
+                       ELSE '' END AS part_fmt,
+                  'dag_' || f.databasename AS airflow_dag_group
+           FROM facts f
+           WHERE NOT EXISTS (SELECT 1 FROM existing e
+                             WHERE e.databasename = f.databasename
+                               AND e.tablename = f.tablename))
+         SELECT lake_ingestion_id, databasename, tablename, delta_field,
+                delta_field_expr, date_not_available, primary_key, view_db,
+                view_name, part_col, part_fmt,
+                airflow_dag_group AS dag_group
+         FROM fresh
+         WHERE active_indicator = 1
+           AND airflow_dag_group IN ('dag_db0', 'dag_db2')""",
+
+    // q227: the log-store roll-up recomputed straight from orders — the
+    // same three ingestion ids × six 1995-H1 monthly runs with the same
+    // failure rule, success-only watermark, and source/target sums.
+    "q227_log_state_rollup" ->
+      """WITH m AS (
+           SELECT month(o_orderdate) AS m, CAST(count(*) AS BIGINT) AS cnt,
+                  max(strftime(o_orderdate, '%Y-%m-%d')) AS maxd
+           FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+             AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+           GROUP BY 1),
+         runs AS (
+           SELECT CAST(id AS BIGINT) AS id, m.m,
+                  CASE WHEN (id + m.m) % 3 = 0 THEN 'failed' ELSE 'success' END AS st,
+                  m.maxd, m.cnt
+           FROM m CROSS JOIN (SELECT unnest([1, 2, 3]) AS id))
+         SELECT id AS lake_ingestion_id,
+                CAST(sum(CASE WHEN st = 'success' THEN 1 ELSE 0 END) AS BIGINT) AS n_success,
+                CAST(sum(CASE WHEN st = 'failed' THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
+                max(CASE WHEN st = 'success' THEN maxd END) AS watermark,
+                CAST(sum(cnt) AS BIGINT) AS total_source,
+                CAST(sum(CASE WHEN st = 'success' THEN cnt ELSE 0 END) AS BIGINT) AS total_target,
+                CAST(6 AS BIGINT) AS id2_runs
+         FROM runs GROUP BY 1""",
+
+    // q228: DuckDB DESCRIBEs the same tables and maps its type names to
+    // the same canonical set the Spark side normalizes to — both engines
+    // must derive identical schema facts from the shared parquet.
+    "q228_schema_catalog" -> {
+      val tables = Seq("region", "nation", "customer", "orders", "lineitem",
+        "part", "supplier", "events", "documents", "embeddings")
+      tables.map { tn =>
+        s"""SELECT '$tn' AS table_name, column_name,
+              CASE column_type
+                WHEN 'INTEGER' THEN 'int'
+                WHEN 'BIGINT' THEN 'bigint'
+                WHEN 'VARCHAR' THEN 'string'
+                WHEN 'DOUBLE' THEN 'double'
+                WHEN 'FLOAT' THEN 'float'
+                WHEN 'DATE' THEN 'date'
+                WHEN 'TIMESTAMP' THEN 'timestamp'
+                WHEN 'TIMESTAMP_NS' THEN 'timestamp'
+                WHEN 'BLOB' THEN 'binary'
+                WHEN 'FLOAT[]' THEN 'array<float>'
+                ELSE lower(column_type) END AS data_type
+            FROM (DESCRIBE SELECT * FROM $tn)"""
+      }.mkString("", "\nUNION ALL\n", "")
+    },
+
+    // q229: the partition set the staged write must have produced — one
+    // Hive-style dt= directory per distinct event day, one file each
+    // (hash repartition on the partition column puts each day in exactly
+    // one task).
+    "q229_object_listing" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS dt, CAST(1 AS BIGINT) AS n_files
+         FROM events WHERE ts IS NOT NULL
+         GROUP BY 1""",
+
+    // q230: the DSIR pipeline replayed exactly — portable md5 bucket
+    // hash, add-one-smoothed integer likelihood ratios, per-doc score
+    // sum, deterministic top-50 cut.
+    "q230_dsir_select" ->
+      """WITH toks AS (
+           SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt,
+                  list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                              x -> x <> '') AS t
+           FROM documents),
+         bg AS (SELECT doc_id, tgt,
+                  unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+                FROM toks WHERE len(t) >= 2),
+         f AS (SELECT doc_id, tgt,
+                 CAST('0x' || substring(md5(bg), 1, 15) AS BIGINT) % 256 AS b
+               FROM bg),
+         db AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS cnt,
+                  min(tgt) AS is_tgt
+                FROM f GROUP BY 1, 2),
+         bk AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS raw,
+                  CAST(sum(cnt * is_tgt) AS BIGINT) AS tgtc
+                FROM db GROUP BY 1),
+         tot AS (SELECT CAST(sum(raw) AS BIGINT) AS R,
+                   CAST(sum(tgtc) AS BIGINT) AS T FROM bk),
+         r AS (SELECT b, (1000000 * (tgtc + 1) * (R + 256))
+                      // ((raw + 1) * (T + 256)) AS r
+               FROM bk, tot),
+         sc AS (SELECT doc_id, CAST(sum(cnt * r.r) AS BIGINT) AS score
+                FROM db JOIN r USING (b) GROUP BY 1)
+         SELECT doc_id, score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
+             AS sel_rank
+         FROM sc ORDER BY score DESC, doc_id LIMIT 50""",
+
+    // q231: the interpolated Kneser–Ney rational replayed in HUGEINT —
+    // same bigram types, continuation counts, and fixed-point divide.
+    "q231_kneser_ney" ->
+      """WITH toks AS (
+           SELECT list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                              x -> x <> '') AS t
+           FROM documents),
+         bg AS (SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+                FROM toks WHERE len(t) >= 2),
+         sp AS (SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2 FROM bg),
+         ty AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM sp GROUP BY 1, 2),
+         p1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+                  CAST(count(*) AS BIGINT) AS n1_fwd FROM ty GROUP BY 1),
+         p2 AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1_bwd FROM ty GROUP BY 1),
+         bb AS (SELECT CAST(count(*) AS BIGINT) AS B FROM ty)
+         SELECT ty.w1, ty.w2, c12, c1, n1_fwd, n1_bwd,
+           CAST((1000000000 * ((4 * CAST(c12 AS HUGEINT) - 3) * B
+                               + 3 * CAST(n1_fwd AS HUGEINT) * n1_bwd))
+                // (4 * CAST(c1 AS HUGEINT) * B) AS BIGINT) AS kn_e9
+         FROM ty JOIN p1 USING (w1) JOIN p2 USING (w2) CROSS JOIN bb
+         ORDER BY c12 DESC, w1, w2 LIMIT 100""",
   )
 }
