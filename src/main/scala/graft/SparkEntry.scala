@@ -4207,6 +4207,46 @@ object SparkEntry {
         .orderBy(col("c12").desc, col("w1").asc, col("w2").asc)
         .limit(100)
     }),
+
+    // V — IVFADC (Jégou et al. 2011 §IV), the combined-quantizer index
+    // shape behind billion-scale ANN: coarse IVF probe restriction +
+    // PQ-on-residuals asymmetric distances, every integer replayed by
+    // the oracle (coarse Lloyd, exact residuals, residual codebooks,
+    // codes, ADC sums, ranking). (16, 8)-pinned like q61/q225 so the
+    // oracle replays the same lists.
+    "q232_ivfpq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") <= 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      functions.Similarity.ivfPqTopKPortable(queries, emb, k = 10, dim = 64,
+        nCentroids = 16)
+    }),
+
+    // V — IVFADC+R (Jégou et al. 2011 §V): the ADC pass keeps a
+    // 50-candidate shortlist per query, exact integer-L2 re-ranks it
+    // (vectors reconstructed losslessly from the index's own residuals
+    // — no second corpus pass), and the gate measures recall@10 against
+    // the brute-force integer-L2 gold (the q216 recall pattern). The
+    // oracle replays BOTH sides — the whole IVFADC chain, the re-rank,
+    // and the gold — so the recall row is hash-exact, not a floor.
+    "q233_ivfpq_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      // three consumers (ADC probe side, re-rank qint, the gold leg) —
+      // materialize the 21-row query relation once
+      val queries = emb.filter(col("vec_id") <= 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+        .localCheckpoint(true)
+      val sys = functions.Similarity.ivfPqRerankTopK(queries, emb, k = 10,
+          rerank = 50, dim = 64, nCentroids = 16)
+        .select(col("query_id"), col("neighbor_id"))
+      val gold = functions.Similarity.bruteForceTopKIntL2(queries, emb, k = 10)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("__g"))
+      sys.join(gold, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(sum(when(col("__g").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+        .select(col("query_id"), col("n_hits"),
+          expr("(10000 * n_hits) div 10").as("recall_bp"))
+    }),
   )
 
   // ----------------------------------------------------------- bench-only
@@ -4595,9 +4635,130 @@ object SparkEntry {
        GROUP BY 1"""
   }
 
+  /** The IVFADC chain replayed end to end, shared by q232/q233's
+    * oracles: the coarse-IVF CTEs (16 centroids, 3 Lloyd rounds,
+    * assignment a4), EXACT integer residuals against c3, per-subspace
+    * residual codebooks by the q188 PQ training chain (2 rounds,
+    * lowest-id seeds), candidate codes, and the asymmetric distance as
+    * a direct join against the codebook entry each code names
+    * (arithmetically identical to the Spark side's table lookup).
+    * Ends at `adc(query_id, neighbor_id, adc_q)`.
+    */
+  private val ivfPqOracleCtes: String = {
+    def pqDist(vi: String, c: String): String =
+      s"CAST(list_sum(list_transform(range(1, 17), j -> ($vi[j] - $c[j]) * ($vi[j] - $c[j]))) AS BIGINT)"
+    def pqIteration(i: Int): String = {
+      val prev = s"p${i - 1}"
+      s"""pa$i AS MATERIALIZED (
+             SELECT r.vec_id, r.s, (min([${pqDist("r.vi", "c.c")}, c.cid]))[2] AS cid
+             FROM ris r JOIN $prev c ON c.s = r.s GROUP BY r.vec_id, r.s),
+           ps$i AS MATERIALIZED (
+             SELECT a.s, a.cid, rj.j AS pos, CAST(sum(r.vi[rj.j]) AS BIGINT) AS sm,
+                    CAST(count(*) AS BIGINT) AS n
+             FROM pa$i a JOIN ris r ON r.vec_id = a.vec_id AND r.s = a.s
+             CROSS JOIN range(1, 17) rj(j)
+             GROUP BY a.s, a.cid, rj.j),
+           pm$i AS MATERIALIZED (
+             SELECT s, cid, pos, (sm - ((sm % n) + n) % n) // n AS mn FROM ps$i),
+           p$i AS MATERIALIZED (
+             SELECT p.s, p.cid, list(COALESCE(m.mn, p.c[rj.j]) ORDER BY rj.j) AS c
+             FROM $prev p CROSS JOIN range(1, 17) rj(j)
+             LEFT JOIN pm$i m ON m.s = p.s AND m.cid = p.cid AND m.pos = rj.j
+             GROUP BY p.s, p.cid)"""
+    }
+    s"""$ivfOracleCtes,
+       res AS MATERIALIZED (
+         SELECT a.vec_id, a.cid,
+           list_transform(range(1, 65), j -> ei.vi[j] - c.c[j]) AS ri
+         FROM a4 a JOIN ei ON ei.vec_id = a.vec_id
+         JOIN c3 c ON c.cid = a.cid),
+       ris AS MATERIALIZED (
+         SELECT vec_id, s.s AS s, ri[(s.s*16+1):(s.s*16+16)] AS vi
+         FROM res CROSS JOIN range(0, 4) s(s)),
+       p0 AS MATERIALIZED (
+         SELECT s, CAST(rn - 1 AS BIGINT) AS cid, vi AS c FROM (
+           SELECT vec_id, s, vi,
+             row_number() OVER (PARTITION BY s ORDER BY vec_id) AS rn
+           FROM ris) WHERE rn <= 8),
+       ${pqIteration(1)},
+       ${pqIteration(2)},
+       codes AS MATERIALIZED (
+         SELECT r.vec_id, r.s, (min([${pqDist("r.vi", "c.c")}, c.cid]))[2] AS code
+         FROM ris r JOIN p2 c ON c.s = r.s GROUP BY r.vec_id, r.s),
+       qp AS (
+         SELECT ei.vec_id AS query_id, c.cid, ${ivfDist("ei.vi", "c.c")} AS d
+         FROM ei CROSS JOIN c3 c WHERE ei.vec_id <= 20),
+       probe AS (
+         SELECT query_id, cid FROM (
+           SELECT query_id, cid,
+             row_number() OVER (PARTITION BY query_id ORDER BY d, cid) AS rn
+           FROM qp) WHERE rn <= 8),
+       qsub AS MATERIALIZED (
+         SELECT p.query_id, p.cid AS pcid, s.s AS s,
+           list_transform(range(1, 65), j -> ei.vi[j] - c.c[j])
+             [(s.s*16+1):(s.s*16+16)] AS qvi
+         FROM probe p
+         JOIN ei ON ei.vec_id = p.query_id
+         JOIN c3 c ON c.cid = p.cid
+         CROSS JOIN range(0, 4) s(s)),
+       adc AS (
+         SELECT qs.query_id, r.vec_id AS neighbor_id,
+           CAST(sum(${pqDist("qs.qvi", "pc.c")}) AS BIGINT) AS adc_q
+         FROM qsub qs
+         JOIN res r ON r.cid = qs.pcid AND r.vec_id <> qs.query_id
+         JOIN codes k ON k.vec_id = r.vec_id AND k.s = qs.s
+         JOIN p2 pc ON pc.s = qs.s AND pc.cid = k.code
+         GROUP BY 1, 2)"""
+  }
+
+  /** q232: plain ADC ranking — (adc asc, id asc), top-10. */
+  private val q232OracleSql: String =
+    s"""WITH $ivfPqOracleCtes
+       SELECT query_id, neighbor_id, adc_q FROM (
+         SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY adc_q, neighbor_id) AS rn
+         FROM adc) WHERE rn <= 10"""
+
+  /** q233: IVFADC+R — ADC top-50 shortlist, exact integer-L2 re-rank
+    * (vectors straight from ei; identical to the Spark side's lossless
+    * ri + centroid reconstruction), top-10, then recall@10 against the
+    * brute-force integer-L2 gold. Hash-exact on both legs.
+    */
+  private val q233OracleSql: String =
+    s"""WITH $ivfPqOracleCtes,
+       cand AS MATERIALIZED (
+         SELECT query_id, neighbor_id FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY adc_q, neighbor_id) AS rn
+           FROM adc) WHERE rn <= 50),
+       rr AS (
+         SELECT c.query_id, c.neighbor_id, ${ivfDist("eq.vi", "en.vi")} AS l2
+         FROM cand c
+         JOIN ei eq ON eq.vec_id = c.query_id
+         JOIN ei en ON en.vec_id = c.neighbor_id),
+       sys AS (
+         SELECT query_id, neighbor_id FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY l2, neighbor_id) AS rn
+           FROM rr) WHERE rn <= 10),
+       gold AS (
+         SELECT query_id, neighbor_id FROM (
+           SELECT eq.vec_id AS query_id, en.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY eq.vec_id
+               ORDER BY ${ivfDist("eq.vi", "en.vi")}, en.vec_id) AS rn
+           FROM ei eq JOIN ei en ON en.vec_id <> eq.vec_id
+           WHERE eq.vec_id <= 20) WHERE rn <= 10)
+       SELECT s.query_id, CAST(count(g.neighbor_id) AS BIGINT) AS n_hits,
+         (10000 * CAST(count(g.neighbor_id) AS BIGINT)) // 10 AS recall_bp
+       FROM sys s LEFT JOIN gold g
+         ON g.query_id = s.query_id AND g.neighbor_id = s.neighbor_id
+       GROUP BY 1"""
+
   def oracleSql: Map[String, String] = Map(
     "q61_ann_ivf_topk" -> q61OracleSql,
     "q225_margin_ann_recall" -> q225OracleSql,
+    "q232_ivfpq_topk" -> q232OracleSql,
+    "q233_ivfpq_rerank" -> q233OracleSql,
     "q92_bpe_merged" ->
       s"""WITH RECURSIVE $bpeCtes
          SELECT doc_id, n_pre, n_tok, toks FROM bpe""",

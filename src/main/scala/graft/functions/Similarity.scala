@@ -1211,4 +1211,230 @@ object Similarity {
       .select(col(qId), col("neighbor_id").as("match_id"),
         round(col("cos"), 4).as("margin_r"))
   }
+
+  /** IVFADC (Jégou, Douze & Schmid, TPAMI 2011 §IV) — the billion-scale
+    * index shape that combines both quantizers: a coarse IVF restricts
+    * each query to `nProbe` inverted lists, and candidates inside a list
+    * are scored from their `m`-byte PQ codes trained on RESIDUALS
+    * (v − coarse centroid), where residual codebooks are far tighter
+    * than whole-vector ones. The asymmetric distance is
+    * Σ_s dist(query_residual_s, codebook_s[code_s]) — m table lookups
+    * per candidate, never a d-dimensional computation.
+    *
+    * ENGINE-PORTABLE form, the [[ivfTopKPortable]] discipline end to
+    * end: 2²⁰ fixed-point vectors, integer Lloyd for BOTH quantizers
+    * (lexicographic (dist, cid) argmin, floor-division means,
+    * empty-cluster carry), integer residuals (exact — no rounding
+    * enters between the two quantizers), integer ADC. Every value
+    * replays bit for bit in SQL (gate q232).
+    *
+    * Shape: both trainings are bounded aggregate loops (centroid/
+    * codebook literals on the driver); the corpus is touched by ONE
+    * assign+encode pass whose output is |corpus| rows of (cid, m
+    * small ids); the probe join shuffles each query to `nProbe` lists
+    * and scores |list| candidates by code lookups — the corpus
+    * vectors themselves never reach the scoring join. At 100 TB:
+    * train both quantizers on a sample, encode in one map pass, and
+    * the index (8-ish bytes/vector) is what shuffles.
+    */
+  /** Literal lookup cid → centroid array (chained when — nCentroids is
+    * small by construction, the autoCentroids cap bounds the tree).
+    */
+  private def intCentroidOf(coarse: Array[Array[Long]], cid: Column): Column = {
+    val cases = coarse.zipWithIndex.map { case (cA, i) =>
+      (lit(i), lit(cA))
+    }
+    cases.tail.foldLeft(when(cid === cases.head._1, cases.head._2)) {
+      case (acc, (i, cA)) => acc.when(cid === i, cA)
+    }
+  }
+
+  /** (qId, neighbor_id, valCol) → bounded per-query top-k by LOWEST
+    * value (ties → lowest id): negate for the aggregator's highest-wins
+    * rule; values < 2^53 so the double carrier is exact.
+    */
+  private def topkByLowest(scored: DataFrame, k: Int, qId: String,
+                           valCol: String): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val agg = new TopKByScore(k).toColumn
+    scored.select(col(qId).cast("long"), col("neighbor_id").cast("long"),
+        col(valCol).cast("double"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, -r._3))
+      .agg(agg)
+      .flatMap { case (qid, top) => top.map(t => (qid, t._1, (-t._2).toLong)) }
+      .toDF(qId, "neighbor_id", valCol)
+  }
+
+  /** (qId, qVec float/double array) → (qId long, __qvi int vector). */
+  private def toQInt(queries: DataFrame, qId: String, qVec: String): DataFrame =
+    queries.select(col(qId).cast("long").as(qId),
+      toIntVec(asDouble(col(qVec))).as("__qvi"))
+
+  def ivfPqTopKPortable(queries: DataFrame, corpus: DataFrame, k: Int,
+                        dim: Int, m: Int = 4, kCentroids: Int = 8,
+                        nCentroids: Int = 0, nProbe: Int = 8,
+                        coarseIters: Int = 3, pqIters: Int = 2,
+                        qId: String = "query_id", qVec: String = "query_vec",
+                        cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val (scored, _, _) = ivfPqAdcCore(toQInt(queries, qId, qVec), corpus,
+      dim, m, kCentroids, nCentroids, nProbe, coarseIters, pqIters, qId,
+      cId, cVec)
+    topkByLowest(scored, k, qId, "adc_q")
+  }
+
+  /** The IVFADC machinery shared by [[ivfPqTopKPortable]] (plain ADC
+    * ranking) and [[ivfPqRerankTopK]] (ADC shortlist → exact re-rank).
+    * Returns (scored ADC candidates (qId, neighbor_id, adc_q), the
+    * checkpointed residual relation (id, cid, ri), the coarse
+    * centroids) — the residual relation IS the index's storage, and
+    * `vi = ri + coarse(cid)` reconstructs the exact integer vector
+    * from it (residuals are exact integers, so reconstruction is
+    * lossless — no second corpus scan is ever needed downstream).
+    */
+  private def ivfPqAdcCore(qint: DataFrame, corpus: DataFrame,
+                           dim: Int, m: Int, kCentroids: Int,
+                           nCentroids: Int, nProbe: Int,
+                           coarseIters: Int, pqIters: Int,
+                           qId: String,
+                           cId: String, cVec: String): (DataFrame, DataFrame, Array[Array[Long]]) = {
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val subDim = dim / m
+    val c0 = corpus.select(col(cId).cast("long").as("id"),
+        asDouble(col(cVec)).as("v"))
+      .withColumn("vi", toIntVec(col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // √n list sizing when unset (the autoCentroids default discipline);
+    // the literal centroid tree caps at MaxAutoCentroids — past that,
+    // port the coarse leg to the centroidTable machinery before raising
+    val nC = if (nCentroids > 0) nCentroids else autoCentroids(c0.count())
+    val init: Array[Array[Long]] = c0.orderBy(col("id")).limit(nC)
+      .select(col("vi")).collect()
+      .map(_.getAs[scala.collection.Seq[Long]](0).toArray)
+    val coarse = lloydInt(c0, init, coarseIters)
+
+    // residual relation: integer vi − assigned coarse centroid. The
+    // relation feeds m·pqIters training aggregates plus the encode
+    // pass → checkpointed once.
+    def centroidOf(cid: Column): Column = intCentroidOf(coarse, cid)
+    val res = c0
+      .withColumn("cid", intNearestCid(coarse, col("vi")))
+      .select(col("id"), col("cid"),
+        zip_with(col("vi"), centroidOf(col("cid")), (a, b) => a - b).as("ri"))
+      .localCheckpoint(true)
+    c0.unpersist()
+
+    // per-subspace residual codebooks (same seeding rule as pqTrain:
+    // first kCentroids ids, index = rank − 1)
+    val codebooks: Array[Array[Array[Long]]] = (0 until m).map { s =>
+      val sub = res.select(col("id"),
+        slice(col("ri"), s * subDim + 1, subDim).as("vi"))
+      val initS: Array[Array[Long]] = sub.orderBy(col("id")).limit(kCentroids)
+        .select(col("vi")).collect()
+        .map(_.getAs[scala.collection.Seq[Long]](0).toArray)
+      lloydInt(sub, initS, pqIters)
+    }.toArray
+
+    // encode: per-subspace argmin STAGED (the pqEncodePortable
+    // discipline — greatest/least is opaque to project collapsing)
+    val perSub = (0 until m).map { s =>
+      val sl = slice(col("ri"), s * subDim + 1, subDim)
+      val cand = codebooks(s).zipWithIndex.map { case (cA, i) =>
+        struct(intSqDist(sl, cA).as("d"), lit(i).as("cid"))
+      }
+      if (cand.length < 2) cand.head else least(cand: _*)
+    }
+    val coded = res.select(
+      col("id") +: col("cid") +:
+        (0 until m).map(s => perSub(s).getField("cid").as(s"__c$s")): _*)
+
+    // queries: probe nProbe coarse lists; per probed list the query
+    // RESIDUAL yields the m ADC tables (distance to every codebook
+    // entry — k·m integers per (query, list) row, all broadcast)
+    val q = qint
+      .withColumn("pcid", explode_outer(intProbeCids(coarse, col("__qvi"), nProbe)))
+      .filter(col("pcid").isNotNull)
+      .withColumn("qri",
+        zip_with(col("__qvi"), centroidOf(col("pcid")), (a, b) => a - b))
+      .select(col(qId) +: col("pcid") +: (0 until m).map { s =>
+        val sl = slice(col("qri"), s * subDim + 1, subDim)
+        array(codebooks(s).map(cA => intSqDist(sl, cA)): _*).as(s"__t$s")
+      }: _*)
+
+    val scored = coded.join(broadcast(q), col("cid") === col("pcid"))
+      .filter(col(qId) =!= col("id"))
+      .select(col(qId), col("id").as("neighbor_id"),
+        (0 until m).map(s => element_at(col(s"__t$s"), col(s"__c$s") + 1))
+          .reduce(_ + _).as("adc_q"))
+    (scored, res, coarse)
+  }
+
+  /** IVFADC with re-ranking (Jégou, Douze & Schmid, TPAMI 2011 §V —
+    * "IVFADC+R"): the ADC pass keeps a SHORTLIST of `rerank` candidates
+    * per query, whose exact integer vectors are then reconstructed from
+    * the index itself (`vi = ri + coarse(cid)` — residuals are exact
+    * integers, so this is lossless and touches NO corpus data beyond
+    * the |queries|·rerank shortlist rows) and re-scored by exact
+    * integer L2. Recovers most of the recall the 12-bit codes lose
+    * while the corpus-sized work stays the ADC pass (gate q233 pins
+    * recall@10 vs the exact gold; spec pins rerank ≥ plain ADC).
+    *
+    * Shape at 100 TB: the shortlist is broadcast into the residual
+    * relation (a semi-join-sized probe of the index), so re-ranking
+    * adds one bounded O(|queries|·rerank·dim) scoring step — the paper's
+    * point: ADC does the corpus-scale filtering, exact math only ever
+    * sees a constant number of rows per query.
+    */
+  def ivfPqRerankTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                      rerank: Int, dim: Int, m: Int = 4, kCentroids: Int = 8,
+                      nCentroids: Int = 0, nProbe: Int = 8,
+                      coarseIters: Int = 3, pqIters: Int = 2,
+                      qId: String = "query_id", qVec: String = "query_vec",
+                      cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    // convert ONCE, eagerly — the query side is broadcast-small by
+    // contract and feeds two branches (ADC probes + re-rank scoring)
+    val qint = toQInt(queries, qId, qVec).localCheckpoint(true)
+    val (scored, res, coarse) = ivfPqAdcCore(qint, corpus, dim, m,
+      kCentroids, nCentroids, nProbe, coarseIters, pqIters, qId, cId, cVec)
+    val cand = topkByLowest(scored, rerank, qId, "adc_q")
+      .select(col(qId), col("neighbor_id"))
+    // reconstruct ONLY the shortlist rows' exact vectors, post-join
+    val rr = res.join(broadcast(cand), res("id") === cand("neighbor_id"))
+      .select(col(qId), col("neighbor_id"), col("cid"), col("ri"))
+      .join(broadcast(qint), Seq(qId))
+      .select(col(qId), col("neighbor_id"),
+        aggregate(
+          zip_with(
+            zip_with(col("ri"), intCentroidOf(coarse, col("cid")),
+              (r, c) => r + c),
+            col("__qvi"), (x, q) => (x - q) * (x - q)),
+          lit(0L), (acc, e) => acc + e).as("l2_q"))
+    topkByLowest(rr, k, qId, "l2_q")
+  }
+
+  /** Exact integer-L2 brute-force top-k — the GOLD BASELINE for the
+    * fixed-point ANN family (q233's recall denominator): same 2²⁰
+    * quantization as [[ivfPqTopKPortable]], so the metric the system
+    * approximates is exactly the metric the gold ranks by, and every
+    * value replays in SQL. Broadcast query set, one corpus pass,
+    * bounded per-query top-k — O(|q|·n) scoring, so a labeled oracle/
+    * eval path, not a production default (that's the IVF family).
+    */
+  def bruteForceTopKIntL2(queries: DataFrame, corpus: DataFrame, k: Int,
+                          qId: String = "query_id", qVec: String = "query_vec",
+                          cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val q = queries.select(col(qId).cast("long").as(qId),
+      toIntVec(asDouble(col(qVec))).as("__qvi"))
+    val c = corpus.select(col(cId).cast("long").as(cId),
+      toIntVec(asDouble(col(cVec))).as("__cvi"))
+    topkByLowest(
+      c.crossJoin(broadcast(q)).filter(col(qId) =!= col(cId))
+        .select(col(qId), col(cId).as("neighbor_id"),
+          aggregate(zip_with(col("__cvi"), col("__qvi"), (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, e) => acc + e).as("l2_q")),
+      k, qId, "l2_q")
+  }
 }
