@@ -4247,6 +4247,39 @@ object SparkEntry {
         .select(col("query_id"), col("n_hits"),
           expr("(10000 * n_hits) div 10").as("recall_bp"))
     }),
+
+    // V — the IVFADC production coarse shapes under the oracle: at
+    // nCentroids = 130 (> MaxLiteralCentroids = 128) the default path
+    // takes the one-Literal MATRIX argmin/probe form (O(1) plan size,
+    // zero shuffle — the fastest measured shape, SCALE.md round 8) and
+    // Some(true) forces the centroid-TABLE machinery; the gate runs
+    // BOTH at the same geometry and returns the size of their symmetric
+    // difference over (query_id, neighbor_id, adc_q) — pinned to the
+    // oracle's constant 0. With IvfPqSpec's table ≡ chained pin at
+    // nC=16, every coarse shape is proven equal to the chained form the
+    // q232/q233 oracles replay bit for bit.
+    "q234_ivfpq_table_parity" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      // both shapes consume the query relation — materialize once
+      val queries = emb.filter(col("vec_id") <= 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+        .localCheckpoint(true)
+      // single training round per quantizer: parity is a per-shape
+      // claim about the SAME trained geometry, so extra Lloyd rounds
+      // add gate cost without strengthening it
+      def run(tablesOpt: Option[Boolean]) =
+        functions.Similarity.ivfPqTopKPortable(queries, emb, k = 10,
+          dim = 64, nCentroids = 130, coarseIters = 1, pqIters = 1,
+          useTablesOpt = tablesOpt)
+      // each leg feeds BOTH sides of the symmetric difference —
+      // materialize the (≤ |queries|·k)-row results once (the
+      // recompute-detector gate flags the unmaterialized form: the
+      // whole IVFADC pipeline would execute twice per leg)
+      val matrix = run(None).localCheckpoint(true)        // nC > cap → matrix form
+      val table = run(Some(true)).localCheckpoint(true)   // forced table machinery
+      matrix.exceptAll(table).union(table.exceptAll(matrix))
+        .agg(count(lit(1)).cast("long").as("n_diff"))
+    }),
   )
 
   // ----------------------------------------------------------- bench-only
@@ -4389,6 +4422,22 @@ object SparkEntry {
       val queries = emb.filter(col("vec_id") <= 9)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       functions.Similarity.marginTopKAnn(queries, emb, k = 5)
+    }),
+    // q232's production geometry: √n-derived coarse lists UNCAPPED by
+    // the chained literal tree — past MaxLiteralCentroids the coarse
+    // helpers (training argmin, assignment, residual lookup, probes)
+    // take the one-Literal MATRIX form (O(1) plan size, zero shuffle;
+    // fastest measured shape — SCALE.md round 8). At sf0.1 (2k
+    // vectors) this derives 45 chained lists; at the organic 10×
+    // corpus (20k) it derives 142 lists and exercises the matrix path
+    // end to end. Parity across all three coarse shapes is pinned by
+    // IvfPqSpec + the q234 oracle gate; q232 times the (16, 8)-pinned
+    // oracle twin.
+    "b232_ivfpq_auto" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") <= 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      functions.Similarity.ivfPqTopKPortable(queries, emb, k = 10, dim = 64)
     }),
     // q61's production path: float Lloyd IVF (codegen DotProduct argmin
     // vs the portable variant's CodegenFallback integer distance). The
@@ -4759,6 +4808,10 @@ object SparkEntry {
     "q225_margin_ann_recall" -> q225OracleSql,
     "q232_ivfpq_topk" -> q232OracleSql,
     "q233_ivfpq_rerank" -> q233OracleSql,
+    // the parity gate's contract IS the constant: both plan shapes of
+    // the same exact-integer ranking must agree row for row
+    "q234_ivfpq_table_parity" ->
+      "SELECT CAST(0 AS BIGINT) AS n_diff",
     "q92_bpe_merged" ->
       s"""WITH RECURSIVE $bpeCtes
          SELECT doc_id, n_pre, n_tok, toks FROM bpe""",

@@ -569,16 +569,127 @@ object Similarity {
       struct((-intSqDist(vi, cArr)).as("negd"), lit(-i).as("negcid"))
     }
 
+  // ---- MATRIX-literal form: the whole centroid set as ONE typedLit
+  // 2-D array, argmin/probe as a lambda loop over it. Same exact
+  // integer arithmetic and (dist, cid) tie rule as the chained form,
+  // but the plan carries a single Literal node instead of O(nCentroids)
+  // expression subtrees — so it scales to any driver-held centroid
+  // count with zero shuffle and constant plan size. Measured (ArgminAb,
+  // SCALE.md round 8): fastest of the three assignment shapes at both
+  // 20k×142 and 200k×448 — it beats the chained tree (interpreter
+  // dispatch per subtree) AND the broadcast-join table path (which
+  // materializes n·nC skinny rows through a hash aggregate). The
+  // chained form stays the default below [[MaxLiteralCentroids]]
+  // because the oracle-replayed gates pin it and at tiny nC the two
+  // are equivalent.
+
+  private def intCentroidMatrix(centroids: Array[Array[Long]]): Column =
+    typedLit(centroids.map(_.toSeq).toSeq)
+
+  private def intDistStructsMatrix(centroids: Array[Array[Long]], vi: Column): Column =
+    transform(intCentroidMatrix(centroids), (c, i) =>
+      struct(
+        aggregate(zip_with(vi, c, (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("d"),
+        i.as("cid")))
+
   private def intNearestCid(centroids: Array[Array[Long]], vi: Column): Column =
     if (centroids.length < 2) lit(0)
+    else if (centroids.length > MaxLiteralCentroids)
+      array_min(intDistStructsMatrix(centroids, vi)).getField("cid")
     else -greatest(intDistStructs(centroids, vi): _*).getField("negcid")
 
   private def intProbeCids(centroids: Array[Array[Long]], vi: Column,
                            nProbe: Int): Column =
     if (centroids.length < 2) array(lit(0))
+    else if (centroids.length > MaxLiteralCentroids)
+      transform(
+        slice(array_sort(intDistStructsMatrix(centroids, vi)), 1, nProbe),
+        s => s.getField("cid"))
     else transform(
       slice(reverse(array_sort(array(intDistStructs(centroids, vi): _*))), 1, nProbe),
       s => -s.getField("negcid"))
+
+  // ---- centroid-TABLE integer-IVF internals: the exact-arithmetic
+  // twins of centroidTable/tableNearestCids/tableProbeCids, used by the
+  // IVFADC coarse leg past [[MaxLiteralCentroids]] derived lists. Same
+  // shape argument as the float set (skinny broadcast-join rows +
+  // partial/bounded aggregation instead of an O(nCentroids)-node
+  // expression tree per row), and BIT-IDENTICAL semantics to the
+  // literal path: integer distances, lexicographic (dist, cid) argmin
+  // (min(struct) / TopKByScore both tie to the lowest cid), distances
+  // ≤ dim·(2·2²⁰)² < 2^49 so the aggregator's double carrier is exact.
+
+  /** (cid, civ) — the integer centroid table, tiny and broadcast. */
+  private def intCentroidTable(spark: org.apache.spark.sql.SparkSession,
+                               centroids: Array[Array[Long]]): DataFrame = {
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }
+      .toSeq.toDF("cid", "civ")
+  }
+
+  /** Exact integer squared distance, column-column form (the table
+    * path's twin of [[intSqDist]]'s literal-array form).
+    */
+  private def intSqDistCols(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Nearest-centroid id per row, table form: (id, vi) × broadcast
+    * centroids → min(struct(d, cid)) hash aggregate. Output (id, cid).
+    */
+  private def tableNearestCidsInt(cv: DataFrame, cents: DataFrame): DataFrame =
+    cv.crossJoin(broadcast(cents))
+      .select(col("id"),
+        struct(intSqDistCols(col("vi"), col("civ")).as("d"),
+          col("cid")).as("__s"))
+      .groupBy(col("id")).agg(min(col("__s")).as("__m"))
+      .select(col("id"), col("__m.cid").as("cid"))
+
+  /** The `nProbe` nearest list ids per row, table form, through the
+    * bounded [[TopKByScore]] aggregator (score = −dist; exact — see the
+    * 2^49 bound above). Output (id, cid) probe rows, never a window sort.
+    */
+  private def tableProbeCidsInt(cv: DataFrame, cents: DataFrame,
+                                nProbe: Int): DataFrame = {
+    val spark = cv.sparkSession
+    import spark.implicits._
+    val agg = new TopKByScore(nProbe).toColumn
+    cv.crossJoin(broadcast(cents))
+      .select(col("id").cast("long"), col("cid"),
+        -intSqDistCols(col("vi"), col("civ")).cast("double"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(agg)
+      .flatMap { case (id, top) => top.map(t => (id, t._1)) }
+      .toDF("id", "cid")
+  }
+
+  /** Lloyd rounds with table-form assignment — the same exact
+    * floor-division means job as [[lloydInt]], argmin via the broadcast
+    * centroid join instead of the literal tree.
+    */
+  private def lloydIntTable(c0: DataFrame, init: Array[Array[Long]],
+                            iters: Int): Array[Array[Long]] = {
+    var centroids = init
+    (1 to iters).foreach { _ =>
+      val cents = intCentroidTable(c0.sparkSession, centroids)
+      val sums = c0.join(tableNearestCidsInt(c0, cents), Seq("id"))
+        .select(col("cid"), posexplode(col("vi")))
+        .toDF("cid", "pos", "x")
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .select(col("cid"), col("pos"),
+          expr("(s - pmod(s, n)) div n").as("m"))
+        .collect()
+      val next = centroids.map(_.clone()) // empty clusters keep previous
+      sums.foreach(r =>
+        next(r.getAs[Long]("cid").toInt)(r.getAs[Int]("pos")) = r.getAs[Long]("m"))
+      centroids = next
+    }
+    centroids
+  }
 
   /** `iters` exact-integer Lloyd rounds over `c0` (columns id, v, vi):
     * floor-division means (engine-portable pmod form), empty clusters
@@ -1233,21 +1344,31 @@ object Similarity {
     * assign+encode pass whose output is |corpus| rows of (cid, m
     * small ids); the probe join shuffles each query to `nProbe` lists
     * and scores |list| candidates by code lookups — the corpus
-    * vectors themselves never reach the scoring join. At 100 TB:
+    * vectors themselves never reach the scoring join. The COARSE leg
+    * auto-switches to the integer centroid-TABLE machinery past
+    * [[MaxLiteralCentroids]] derived lists (broadcast join + partial/
+    * bounded aggregation — [[marginTopKAnn]]'s discipline), so the √n
+    * list sizing runs uncapped to [[MaxTableCentroids]]; the PQ side
+    * stays literal by construction (kCentroids ≤ 2^code_bits, a
+    * constant — its trees never grow with the corpus). At 100 TB:
     * train both quantizers on a sample, encode in one map pass, and
     * the index (8-ish bytes/vector) is what shuffles.
     */
-  /** Literal lookup cid → centroid array (chained when — nCentroids is
-    * small by construction, the autoCentroids cap bounds the tree).
+  /** Literal lookup cid → centroid array: chained when below
+    * [[MaxLiteralCentroids]] (the oracle-replayed gate form), one
+    * element_at into the matrix literal past it (O(1) plan size).
     */
-  private def intCentroidOf(coarse: Array[Array[Long]], cid: Column): Column = {
-    val cases = coarse.zipWithIndex.map { case (cA, i) =>
-      (lit(i), lit(cA))
+  private def intCentroidOf(coarse: Array[Array[Long]], cid: Column): Column =
+    if (coarse.length > MaxLiteralCentroids)
+      element_at(intCentroidMatrix(coarse), cid.cast("int") + 1)
+    else {
+      val cases = coarse.zipWithIndex.map { case (cA, i) =>
+        (lit(i), lit(cA))
+      }
+      cases.tail.foldLeft(when(cid === cases.head._1, cases.head._2)) {
+        case (acc, (i, cA)) => acc.when(cid === i, cA)
+      }
     }
-    cases.tail.foldLeft(when(cid === cases.head._1, cases.head._2)) {
-      case (acc, (i, cA)) => acc.when(cid === i, cA)
-    }
-  }
 
   /** (qId, neighbor_id, valCol) → bounded per-query top-k by LOWEST
     * value (ties → lowest id): negate for the aggregator's highest-wins
@@ -1273,15 +1394,26 @@ object Similarity {
     queries.select(col(qId).cast("long").as(qId),
       toIntVec(asDouble(col(qVec))).as("__qvi"))
 
+  /** `useTablesOpt`: None/Some(false) (default) — the literal family,
+    * whose argmin/probe/lookup helpers switch from chained expression
+    * trees to the one-Literal MATRIX form past [[MaxLiteralCentroids]]
+    * derived lists (fastest measured shape at every probed geometry,
+    * O(1) plan size). Some(true) forces the centroid-TABLE machinery
+    * (broadcast join + partial/bounded aggregation). All shapes are the
+    * same exact integer argmin with lowest-cid ties — a plan change,
+    * never a semantics change: the spec pins table ≡ chained at nC=16
+    * and the q234 gate pins matrix ≡ table at nC=130 under the oracle.
+    */
   def ivfPqTopKPortable(queries: DataFrame, corpus: DataFrame, k: Int,
                         dim: Int, m: Int = 4, kCentroids: Int = 8,
                         nCentroids: Int = 0, nProbe: Int = 8,
                         coarseIters: Int = 3, pqIters: Int = 2,
                         qId: String = "query_id", qVec: String = "query_vec",
-                        cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+                        cId: String = "vec_id", cVec: String = "embedding",
+                        useTablesOpt: Option[Boolean] = None): DataFrame = {
     val (scored, _, _) = ivfPqAdcCore(toQInt(queries, qId, qVec), corpus,
       dim, m, kCentroids, nCentroids, nProbe, coarseIters, pqIters, qId,
-      cId, cVec)
+      cId, cVec, useTablesOpt)
     topkByLowest(scored, k, qId, "adc_q")
   }
 
@@ -1299,31 +1431,50 @@ object Similarity {
                            nCentroids: Int, nProbe: Int,
                            coarseIters: Int, pqIters: Int,
                            qId: String,
-                           cId: String, cVec: String): (DataFrame, DataFrame, Array[Array[Long]]) = {
+                           cId: String, cVec: String,
+                           useTablesOpt: Option[Boolean] = None): (DataFrame, DataFrame, Array[Array[Long]]) = {
     require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
     val subDim = dim / m
     val c0 = corpus.select(col(cId).cast("long").as("id"),
         asDouble(col(cVec)).as("v"))
       .withColumn("vi", toIntVec(col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // √n list sizing when unset (the autoCentroids default discipline);
-    // the literal centroid tree caps at MaxAutoCentroids — past that,
-    // port the coarse leg to the centroidTable machinery before raising
-    val nC = if (nCentroids > 0) nCentroids else autoCentroids(c0.count())
+    // √n list sizing when unset, UNCAPPED by the chained literal tree:
+    // past [[MaxLiteralCentroids]] derived lists the literal helpers
+    // (intNearestCid/intProbeCids/intCentroidOf) switch to the MATRIX
+    // form — one typedLit centroid array, O(1) plan size, zero shuffle
+    // — so the √n rule runs to [[MaxTableCentroids]]. The matrix form
+    // measured FASTER than both the chained tree and the broadcast-join
+    // table machinery at 20k×142 and 200k×448 (ArgminAb, SCALE.md), so
+    // it is the production default; `useTablesOpt = Some(true)` forces
+    // the table machinery (kept, spec-pinned bit-identical — the shape
+    // to reach for if centroids ever outgrow a plan literal), and the
+    // q234 gate pins matrix ≡ table under the oracle at nC = 130.
+    val nC = if (nCentroids > 0) nCentroids else autoCentroidsTable(c0.count())
+    val useTables = useTablesOpt.getOrElse(false)
     val init: Array[Array[Long]] = c0.orderBy(col("id")).limit(nC)
       .select(col("vi")).collect()
       .map(_.getAs[scala.collection.Seq[Long]](0).toArray)
-    val coarse = lloydInt(c0, init, coarseIters)
+    val coarse =
+      if (useTables) lloydIntTable(c0, init, coarseIters)
+      else lloydInt(c0, init, coarseIters)
+    lazy val cents = intCentroidTable(corpus.sparkSession, coarse)
 
     // residual relation: integer vi − assigned coarse centroid. The
     // relation feeds m·pqIters training aggregates plus the encode
     // pass → checkpointed once.
     def centroidOf(cid: Column): Column = intCentroidOf(coarse, cid)
-    val res = c0
-      .withColumn("cid", intNearestCid(coarse, col("vi")))
-      .select(col("id"), col("cid"),
-        zip_with(col("vi"), centroidOf(col("cid")), (a, b) => a - b).as("ri"))
-      .localCheckpoint(true)
+    val res = (
+      if (useTables)
+        c0.join(tableNearestCidsInt(c0, cents), Seq("id"))
+          .join(broadcast(cents), Seq("cid"))
+          .select(col("id"), col("cid"),
+            zip_with(col("vi"), col("civ"), (a, b) => a - b).as("ri"))
+      else c0
+        .withColumn("cid", intNearestCid(coarse, col("vi")))
+        .select(col("id"), col("cid"),
+          zip_with(col("vi"), centroidOf(col("cid")), (a, b) => a - b).as("ri"))
+    ).localCheckpoint(true)
     c0.unpersist()
 
     // per-subspace residual codebooks (same seeding rule as pqTrain:
@@ -1353,11 +1504,20 @@ object Similarity {
     // queries: probe nProbe coarse lists; per probed list the query
     // RESIDUAL yields the m ADC tables (distance to every codebook
     // entry — k·m integers per (query, list) row, all broadcast)
-    val q = qint
-      .withColumn("pcid", explode_outer(intProbeCids(coarse, col("__qvi"), nProbe)))
-      .filter(col("pcid").isNotNull)
-      .withColumn("qri",
-        zip_with(col("__qvi"), centroidOf(col("pcid")), (a, b) => a - b))
+    val qResid =
+      if (useTables)
+        tableProbeCidsInt(
+            qint.select(col(qId).as("id"), col("__qvi").as("vi")), cents, nProbe)
+          .join(qint.withColumnRenamed(qId, "id"), Seq("id"))
+          .join(broadcast(cents), Seq("cid"))
+          .select(col("id").as(qId), col("cid").as("pcid"),
+            zip_with(col("__qvi"), col("civ"), (a, b) => a - b).as("qri"))
+      else qint
+        .withColumn("pcid", explode_outer(intProbeCids(coarse, col("__qvi"), nProbe)))
+        .filter(col("pcid").isNotNull)
+        .select(col(qId), col("pcid"),
+          zip_with(col("__qvi"), centroidOf(col("pcid")), (a, b) => a - b).as("qri"))
+    val q = qResid
       .select(col(qId) +: col("pcid") +: (0 until m).map { s =>
         val sl = slice(col("qri"), s * subDim + 1, subDim)
         array(codebooks(s).map(cA => intSqDist(sl, cA)): _*).as(s"__t$s")
@@ -1392,24 +1552,36 @@ object Similarity {
                       nCentroids: Int = 0, nProbe: Int = 8,
                       coarseIters: Int = 3, pqIters: Int = 2,
                       qId: String = "query_id", qVec: String = "query_vec",
-                      cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+                      cId: String = "vec_id", cVec: String = "embedding",
+                      useTablesOpt: Option[Boolean] = None): DataFrame = {
     require(rerank >= k, s"rerank=$rerank must be >= k=$k")
     // convert ONCE, eagerly — the query side is broadcast-small by
     // contract and feeds two branches (ADC probes + re-rank scoring)
     val qint = toQInt(queries, qId, qVec).localCheckpoint(true)
     val (scored, res, coarse) = ivfPqAdcCore(qint, corpus, dim, m,
-      kCentroids, nCentroids, nProbe, coarseIters, pqIters, qId, cId, cVec)
+      kCentroids, nCentroids, nProbe, coarseIters, pqIters, qId, cId, cVec,
+      useTablesOpt)
     val cand = topkByLowest(scored, rerank, qId, "adc_q")
       .select(col(qId), col("neighbor_id"))
-    // reconstruct ONLY the shortlist rows' exact vectors, post-join
-    val rr = res.join(broadcast(cand), res("id") === cand("neighbor_id"))
+    // reconstruct ONLY the shortlist rows' exact vectors, post-join;
+    // the default lookup is intCentroidOf (which is the one-Literal
+    // matrix element_at past the cap); Some(true) mirrors the core's
+    // forced table machinery with a shortlist-sized broadcast join
+    val useTables = useTablesOpt.getOrElse(false)
+    val recon = res.join(broadcast(cand), res("id") === cand("neighbor_id"))
       .select(col(qId), col("neighbor_id"), col("cid"), col("ri"))
+    val withCv =
+      if (useTables)
+        recon.join(broadcast(intCentroidTable(res.sparkSession, coarse)), Seq("cid"))
+          .select(col(qId), col("neighbor_id"), col("ri"), col("civ"))
+      else recon.select(col(qId), col("neighbor_id"), col("ri"),
+        intCentroidOf(coarse, col("cid")).as("civ"))
+    val rr = withCv
       .join(broadcast(qint), Seq(qId))
       .select(col(qId), col("neighbor_id"),
         aggregate(
           zip_with(
-            zip_with(col("ri"), intCentroidOf(coarse, col("cid")),
-              (r, c) => r + c),
+            zip_with(col("ri"), col("civ"), (r, c) => r + c),
             col("__qvi"), (x, q) => (x - q) * (x - q)),
           lit(0L), (acc, e) => acc + e).as("l2_q"))
     topkByLowest(rr, k, qId, "l2_q")

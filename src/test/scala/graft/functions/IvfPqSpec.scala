@@ -34,8 +34,8 @@ class IvfPqSpec extends SparkSpec {
       ivfpq.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
     }.sum / exact.size
     info(f"IVFADC recall@10 = $r%.4f")
-    // measured 0.3619 at sf0.001 (500 vectors, 12-bit codes): the codes
-    // keep ~36% of the exact neighbours while storing 0.6% of the bytes;
+    // measured 0.4333 at sf0.001 (500 vectors, 12-bit codes): the codes
+    // keep ~43% of the exact neighbours while storing 0.6% of the bytes;
     // the floor catches a silent collapse (e.g. codes all-zero → ~0.06)
     assert(r >= 0.30, f"IVFADC recall@10 degraded to $r%.4f")
   }
@@ -86,6 +86,26 @@ class IvfPqSpec extends SparkSpec {
     val s = 1L << 20 // the fixed-point scale: l2 = (d·2^20)²
     assert(got === Seq((0L, 1L, s * s), (0L, 2L, 4L * s * s),
       (0L, 3L, 9L * s * s)))
+  }
+
+  test("centroid-TABLE coarse leg is bit-identical to the literal tree (ADC)") {
+    // the table path (used automatically past MaxLiteralCentroids
+    // derived lists) is a PLAN change only: same exact integer argmin,
+    // same lowest-cid ties — forced onto the same small geometry it
+    // must reproduce the literal path's every id and distance
+    def run(tables: Boolean) =
+      Similarity.ivfPqTopKPortable(queries, emb, k = 10, dim = 64,
+          nCentroids = 16, useTablesOpt = Some(tables))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run(tables = true) === run(tables = false))
+  }
+
+  test("centroid-TABLE coarse leg is bit-identical to the literal tree (re-rank)") {
+    def run(tables: Boolean) =
+      Similarity.ivfPqRerankTopK(queries, emb, k = 10, rerank = 50,
+          dim = 64, nCentroids = 16, useTablesOpt = Some(tables))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run(tables = true) === run(tables = false))
   }
 
   test("ADC distances are deterministic across runs") {

@@ -77,10 +77,18 @@ class HostileFsSpec extends SparkSpec {
     // last-writer-wins. THIS is why RenameCommitCoordinator (per-target
     // serialization) or a real conditional PUT is mandatory on S3-class
     // stores, and why the protocol never trusts the store's rename/create.
-    val dir = HostileFileSystem.root(spark)
-    val res = race(AtomicCreateCommitCoordinator, dir, 8)
-    assert(res.count(_._2) >= 2,
-      s"the hostile store must admit multiple exclusive-create winners, got $res")
+    // the double-win needs ≥2 threads inside the widened (25 ms)
+    // check-then-act window TOGETHER; under a fully loaded suite the
+    // pool's thread starts can stagger past it and the race serializes
+    // (observed: one winner, seven losers). The hazard claim is
+    // EXISTENCE, not per-run determinism — retry on fresh roots.
+    val attempts = (1 to 5).iterator.map { _ =>
+      race(AtomicCreateCommitCoordinator, HostileFileSystem.root(spark), 8)
+    }
+    val res = attempts.find(_.count(_._2) >= 2)
+    assert(res.isDefined,
+      "the hostile store must admit multiple exclusive-create winners " +
+        "in at least one of 5 races")
   }
 
   test("TxTable lifecycle lands correct state end-to-end on the hostile store") {
