@@ -555,14 +555,14 @@ object Similarity {
     transform(asDouble(v), x => round(x * IntScale.toDouble).cast("long"))
 
   /** (−dist, −cid) structs: greatest == nearest with lowest-cid
-    * tie-break. zip_with/aggregate are CodegenFallback (SCALE.md) —
-    * acceptable here: the argmin runs once per corpus row per
-    * iteration, not per pair.
+    * tie-break. The distance kernel is the codegen'd [[IntSqDist]]
+    * expression (round 8 — the lambda composition it replaces was
+    * CodegenFallback and interpreter cost dominated every integer
+    * ANN shape in the ArgminAb bake-off); exact integer arithmetic,
+    * so oracle-replayed values are unchanged.
     */
   private def intSqDist(vi: Column, cArr: Array[Long]): Column =
-    aggregate(
-      zip_with(vi, lit(cArr), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
+    IntSqDist.intSqDist(vi, lit(cArr))
 
   private def intDistStructs(centroids: Array[Array[Long]], vi: Column) =
     centroids.zipWithIndex.map { case (cArr, i) =>
@@ -588,10 +588,7 @@ object Similarity {
 
   private def intDistStructsMatrix(centroids: Array[Array[Long]], vi: Column): Column =
     transform(intCentroidMatrix(centroids), (c, i) =>
-      struct(
-        aggregate(zip_with(vi, c, (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x).as("d"),
-        i.as("cid")))
+      struct(IntSqDist.intSqDist(vi, c).as("d"), i.as("cid")))
 
   private def intNearestCid(centroids: Array[Array[Long]], vi: Column): Column =
     if (centroids.length < 2) lit(0)
@@ -629,11 +626,11 @@ object Similarity {
   }
 
   /** Exact integer squared distance, column-column form (the table
-    * path's twin of [[intSqDist]]'s literal-array form).
+    * path's twin of [[intSqDist]]'s literal-array form) — the codegen
+    * [[IntSqDist]] kernel.
     */
   private def intSqDistCols(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, x) => acc + x)
+    IntSqDist.intSqDist(a, b)
 
   /** Nearest-centroid id per row, table form: (id, vi) × broadcast
     * centroids → min(struct(d, cid)) hash aggregate. Output (id, cid).
@@ -776,8 +773,7 @@ object Similarity {
     val subDim = dim / m
     val Scale = 1L << 20
     def sqDistTo(viCol: Column, cArr: Array[Long]): Column =
-      aggregate(zip_with(viCol, lit(cArr), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x)
+      IntSqDist.intSqDist(viCol, lit(cArr)) // codegen kernel, exact
 
     val codebooks = pqTrain(df, idCol, vecCol, dim, m, kCentroids, iters)
 
@@ -832,8 +828,7 @@ object Similarity {
     def toInt(v: Column): Column =
       transform(asDouble(v), x => round(x * Scale.toDouble).cast("long"))
     def sqDistTo(viCol: Column, cArr: Array[Long]): Column =
-      aggregate(zip_with(viCol, lit(cArr), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x)
+      IntSqDist.intSqDist(viCol, lit(cArr)) // codegen kernel, exact
     val codebooks = pqTrain(corpus, cId, cVec, dim, m, kCentroids, iters)
     // corpus codes: per-subspace nearest centroid ids (one map pass)
     val coded = corpus.select(col(cId).cast("long").as("id"),
@@ -889,8 +884,7 @@ object Similarity {
         x => round(x * Scale.toDouble).cast("long")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def sqDistTo(viCol: Column, cArr: Array[Long]): Column =
-      aggregate(zip_with(viCol, lit(cArr), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x)
+      IntSqDist.intSqDist(viCol, lit(cArr)) // codegen kernel, exact
     val out = (0 until m).map { s =>
       val sl = slice(col("vi"), s * subDim + 1, subDim)
       var cents: Array[Array[Long]] = c0.orderBy(col("id")).limit(kCentroids)
@@ -1579,11 +1573,9 @@ object Similarity {
     val rr = withCv
       .join(broadcast(qint), Seq(qId))
       .select(col(qId), col("neighbor_id"),
-        aggregate(
-          zip_with(
-            zip_with(col("ri"), col("civ"), (r, c) => r + c),
-            col("__qvi"), (x, q) => (x - q) * (x - q)),
-          lit(0L), (acc, e) => acc + e).as("l2_q"))
+        IntSqDist.intSqDist(
+          zip_with(col("ri"), col("civ"), (r, c) => r + c),
+          col("__qvi")).as("l2_q"))
     topkByLowest(rr, k, qId, "l2_q")
   }
 
@@ -1605,8 +1597,7 @@ object Similarity {
     topkByLowest(
       c.crossJoin(broadcast(q)).filter(col(qId) =!= col(cId))
         .select(col(qId), col(cId).as("neighbor_id"),
-          aggregate(zip_with(col("__cvi"), col("__qvi"), (a, b) => (a - b) * (a - b)),
-            lit(0L), (acc, e) => acc + e).as("l2_q")),
+          IntSqDist.intSqDist(col("__cvi"), col("__qvi")).as("l2_q")),
       k, qId, "l2_q")
   }
 }

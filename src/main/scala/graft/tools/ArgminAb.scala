@@ -30,10 +30,17 @@ object ArgminAb {
       .select(col("vi")).collect().map(_.getAs[scala.collection.Seq[Long]](0).toArray)
     println(s"[argmin] corpus=$n nC=${cents.length}")
 
+    // the production kernel (codegen IntSqDist); pass lambda=true as
+    // arg 3 to measure the pre-round-8 lambda composition instead
+    val useLambda = args.lift(2).contains("lambda")
     def sqd(vi: Column, cA: Array[Long]): Column =
-      aggregate(zip_with(vi, lit(cA), (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+      if (useLambda)
+        aggregate(zip_with(vi, lit(cA), (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+      else graft.functions.IntSqDist.intSqDist(vi, lit(cA))
     def sqdc(vi: Column, cv: Column): Column =
-      aggregate(zip_with(vi, cv, (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+      if (useLambda)
+        aggregate(zip_with(vi, cv, (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+      else graft.functions.IntSqDist.intSqDist(vi, cv)
 
     def chained(vi: Column): Column =
       -greatest(cents.zipWithIndex.map { case (cA, i) =>
@@ -61,6 +68,46 @@ object ArgminAb {
     time("matrix ")(emb.select(col("id"), matrix(col("vi")).as("cid")))
     time("chained")(emb.select(col("id"), chained(col("vi")).as("cid")))
     time("table  ")(tablePath(emb))
+
+    // ---- FLOAT shapes (the marginTopKAnn/ivfTopK side): the chained
+    // tree scores with the codegen'd DotProduct expression, the matrix
+    // form pays interpreted lambda evaluation, the table join scores
+    // with codegen DotProduct but materializes n·nC rows
+    val femb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .persist()
+    femb.count()
+    val fcents: Array[Array[Double]] = femb.orderBy(col("id")).limit(nC)
+      .select(col("v")).collect().map(_.getAs[scala.collection.Seq[Double]](0).toArray)
+    def fchained(v: Column): Column =
+      -greatest(fcents.zipWithIndex.map { case (cA, i) =>
+        struct((graft.functions.DotProduct.dotProduct(v, lit(cA)) * 2
+          - lit(cA.map(x => x * x).sum)).as("score"), lit(-i).as("negcid")) }: _*)
+        .getField("negcid")
+    val fmlit = typedLit(fcents.map(_.toSeq).toSeq)
+    val fn2 = typedLit(fcents.map(c => c.map(x => x * x).sum).toSeq)
+    def fmatrix(v: Column): Column =
+      array_min(transform(fmlit, (c, i) =>
+        struct((element_at(fn2, i + 1)
+          - aggregate(zip_with(v, c, (a, b) => a * b), lit(0.0d), (acc, x) => acc + x) * 2).as("d"),
+          i.as("cid")))).getField("cid")
+    val fctab = fcents.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toSeq, c.map(x => x * x).sum) }
+      .toSeq.toDF("cid", "cv", "cn2")
+    def ftable(df: DataFrame): DataFrame =
+      df.crossJoin(broadcast(fctab))
+        .select(col("id"),
+          struct((col("cn2") - graft.functions.DotProduct.dotProduct(col("v"), col("cv")) * 2).as("d"),
+            col("cid")).as("__s"))
+        .groupBy(col("id")).agg(min(col("__s")).as("__m"))
+        .select(col("id"), col("__m.cid").as("cid"))
+    time("f-matrix ")(femb.select(col("id"), fmatrix(col("v")).as("cid")))
+    time("f-chained")(femb.select(col("id"), fchained(col("v")).as("cid")))
+    time("f-table  ")(ftable(femb))
+    val f1 = femb.select(col("id"), fmatrix(col("v")).as("cid"))
+      .exceptAll(femb.select(col("id"), fchained(col("v")).as("cid"))).count()
+    println(s"[argmin] f-diffs matrix-vs-chained=$f1")
     // parity: all three must agree
     val a = emb.select(col("id"), matrix(col("vi")).as("cid"))
     val b = emb.select(col("id"), chained(col("vi")).as("cid"))
