@@ -11,6 +11,17 @@ class PlanShapeSpec extends SparkSpec {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, SfDir).queryExecution.executedPlan.toString
 
+  /** Bench-only twins under the plan audits — the analytics production
+    * paths (b153/b24/b61/b169/b232…). The three TxTable-fixture READER
+    * twins (b119/b120/b126) are excluded: their constructors need the
+    * multi-version bench fixture that only Bench's lifecycle run
+    * builds, and their plans are trivial change-feed reads.
+    */
+  private def auditableBenchOnly =
+    SparkEntry.benchOnly.filterNot { case (name, _) =>
+      Set("b119_cdf_read", "b120_ivm_refresh", "b126_join_ivm_refresh")(name)
+    }
+
   test("q02 filter+projection reach the scan: PushedFilters populated, ReadSchema pruned") {
     val p = plan("q02_filter_project")
     assert(p.contains("PushedFilters: ["), s"no pushdown:\n$p")
@@ -54,10 +65,12 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("no gate query evaluates a repeated higher-order lambda (round-6 postmortem class)") {
-    // walks EVERY gate query's optimized plan; a new query that inlines
-    // tokens()/shingles() twice — the q204/q153/q185 pathology — fails
-    // the build here instead of burning CPU quietly at 100 TB
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+    // walks EVERY gate query's optimized plan — and the bench-only
+    // twins, which ARE the shipped production paths (b153/b169/b232) —
+    // a new query that inlines tokens()/shingles() twice (the
+    // q204/q153/q185 pathology) fails the build here instead of
+    // burning CPU quietly at 100 TB
+    val offenders = (SparkEntry.queries ++ auditableBenchOnly).toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val findings =
           try graft.plans.PlanAudit.repeatedLambdas(fn(spark, SfDir))
@@ -83,8 +96,11 @@ class PlanShapeSpec extends SparkSpec {
     //  - q23: minhash band keys recompute from the checkpointed
     //    signature relation on both sides of the band self-join
     val whitelist = Set("q153_prefix_jaccard", "q201_dedup_pr_sweep",
-      "q23_minhash_dedup")
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      "q23_minhash_dedup",
+      // same PrefixJoin verify-side by-design recompute as q153, on the
+      // xxhash production twin
+      "b153_prefix_fast")
+    val offenders = (SparkEntry.queries ++ auditableBenchOnly).toSeq.sortBy(_._1)
       .filterNot { case (name, _) => whitelist(name) }
       .flatMap { case (name, fn) =>
         val findings =
