@@ -1,0 +1,273 @@
+package graft.functions
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sink.TxTable
+
+/** The IVFADC index AT REST — [[Similarity.ivfPqBuildIndex]]'s relation
+  * (id, cid, ri, __c0..__c{m-1}) materialized as a transactional
+  * [[TxTable]] Hive-partitioned by coarse list id, with both quantizers
+  * persisted as a JSON sidecar. This is the second half of the 100 TB
+  * index story (the first is bounded-sample training): a probe that
+  * reshuffles the code relation per query batch re-pays the corpus scan
+  * every session, while an index written ONCE with `cid=` partition
+  * directories lets every search open only the `nProbe` probed lists'
+  * files — at √n lists and fixed nProbe, the opened fraction
+  * nProbe/√n COLLAPSES as the corpus grows (8/448 ≈ 1.8% at 200k
+  * vectors, 8/10⁴ at 10¹⁰). Pruning happens at FILE-LISTING time
+  * (driver-side, from the commit log's per-file cid stats — min = max =
+  * the dir value under Hive layout), so the FileScan the executors see
+  * contains only probed-list files; reference behavior: the
+  * partitioned-lake layout of datalakeingestion
+  * utils/incremental_data_load.py:60-96, applied to an ANN index.
+  *
+  * Everything downstream of the pruned read is byte-shared with the
+  * in-session path ([[Similarity.adcProbeScore]] / the re-rank
+  * reconstruction), so at-rest answers are BIT-IDENTICAL to
+  * [[Similarity.ivfPqTopKPortable]] / [[Similarity.ivfPqRerankTopK]] at
+  * the same geometry — pinned by AnnIndexSpec and gate q235.
+  *
+  * Maintenance rides the TxTable layer: [[append]] encodes NEW vectors
+  * with the FROZEN quantizers (one map pass, no retraining — the
+  * standard IVF maintenance contract; re-[[build]] when drift warrants
+  * it), commits are atomic and conflict-checked, and
+  * `TxTable.compact(clusterBy = "id", partitionBy = Seq("cid"))`
+  * re-tightens file sizes without losing the partition layout.
+  */
+object AnnIndex {
+
+  /** The frozen quantizer pair + geometry, as persisted in the sidecar. */
+  final case class Meta(dim: Int, m: Int, kCentroids: Int,
+                        coarse: Array[Array[Long]],
+                        codebooks: Array[Array[Array[Long]]])
+
+  private def metaPath(table: String) = new Path(s"$table/_graft_ann_meta.json")
+
+  private def fsFor(spark: SparkSession, table: String) =
+    new Path(table).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def renderLongs(a: Array[Long]): String = a.mkString("[", ",", "]")
+  private def render2(a: Array[Array[Long]]): String =
+    a.map(renderLongs).mkString("[", ",", "]")
+  private def render3(a: Array[Array[Array[Long]]]): String =
+    a.map(render2).mkString("[", ",", "]")
+
+  private[functions] def renderMeta(m: Meta): String =
+    s"""{"dim":${m.dim},"m":${m.m},"kCentroids":${m.kCentroids},""" +
+      s""""coarse":${render2(m.coarse)},"codebooks":${render3(m.codebooks)}}"""
+
+  /** Minimal recursive parser for the sidecar's fixed shape — nested
+    * arrays of longs only (the commit-log JSON discipline: no
+    * dependency, no reflection). Returns (value, next index).
+    */
+  private def parseNested(s: String, i0: Int): (Any, Int) = {
+    var i = i0
+    require(s.charAt(i) == '[', s"expected [ at $i")
+    i += 1
+    val items = scala.collection.mutable.ListBuffer[Any]()
+    while (s.charAt(i) != ']') {
+      if (s.charAt(i) == ',') i += 1
+      else if (s.charAt(i) == '[') {
+        val (v, ni) = parseNested(s, i); items += v; i = ni
+      } else {
+        val j0 = i
+        while ("-0123456789".indexOf(s.charAt(i)) >= 0) i += 1
+        items += s.substring(j0, i).toLong
+      }
+    }
+    (items.toList, i + 1)
+  }
+
+  private def toA1(v: Any): Array[Long] =
+    v.asInstanceOf[List[Any]].map(_.asInstanceOf[Long]).toArray
+  private def toA2(v: Any): Array[Array[Long]] =
+    v.asInstanceOf[List[Any]].map(toA1).toArray
+  private def toA3(v: Any): Array[Array[Array[Long]]] =
+    v.asInstanceOf[List[Any]].map(toA2).toArray
+
+  private[functions] def parseMeta(txt: String): Meta = {
+    def intField(k: String): Int = {
+      val m = ("\"" + k + "\":(-?\\d+)").r.findFirstMatchIn(txt)
+        .getOrElse(sys.error(s"ann meta: missing $k"))
+      m.group(1).toInt
+    }
+    def arrField(k: String): Any = {
+      val at = txt.indexOf("\"" + k + "\":")
+      require(at >= 0, s"ann meta: missing $k")
+      parseNested(txt, at + k.length + 3)._1
+    }
+    Meta(intField("dim"), intField("m"), intField("kCentroids"),
+      toA2(arrField("coarse")), toA3(arrField("codebooks")))
+  }
+
+  /** Read the quantizer sidecar of an existing index. */
+  def readMeta(spark: SparkSession, table: String): Meta = {
+    val fs = fsFor(spark, table)
+    val in = fs.open(metaPath(table))
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      parseMeta(bytes.toString("UTF-8"))
+    } finally in.close()
+  }
+
+  private def writeMeta(spark: SparkSession, table: String, meta: Meta): Unit = {
+    val fs = fsFor(spark, table)
+    // temp-write + rename, the commit-file discipline: a reader never
+    // observes a torn sidecar
+    val tmp = new Path(s"$table/._graft_ann_meta.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(renderMeta(meta).getBytes("UTF-8")) finally out.close()
+    fs.delete(metaPath(table), false)
+    require(fs.rename(tmp, metaPath(table)), s"ann meta rename failed for $table")
+  }
+
+  /** Train (bounded sample), encode (one corpus pass), and land the
+    * index as ONE TxTable commit: `cid=` Hive partition dirs (the
+    * repartition on cid gives one task — and so ~one file — per list;
+    * `maxRecordsPerFile` re-splits oversized lists), per-file cid stats
+    * in the commit for listing-time pruning, quantizers in the sidecar.
+    * Returns the committed version.
+    *
+    * 100 TB shape: training touches ≤ [[Similarity.MaxTrainRows]]
+    * rows; the encode pass is map-only over the corpus; the shuffle is
+    * |corpus| skinny (id, cid, ri, codes) rows into the partitioned
+    * write — after which every search is bounded by its probed lists.
+    */
+  def build(spark: SparkSession, corpus: DataFrame, table: String,
+            dim: Int, m: Int = 4, kCentroids: Int = 8, nCentroids: Int = 0,
+            coarseIters: Int = 3, pqIters: Int = 2,
+            cId: String = "vec_id", cVec: String = "embedding",
+            maxTrainRows: Long = Similarity.MaxTrainRows,
+            maxRecordsPerFile: Long = 5000000L): Long = {
+    val (index, coarse, codebooks) = Similarity.ivfPqBuildIndex(corpus, dim,
+      m, kCentroids, nCentroids, coarseIters, pqIters, cId, cVec, maxTrainRows)
+    writeMeta(spark, table, Meta(dim, m, kCentroids, coarse, codebooks))
+    commitIndexRows(spark, index, table, maxRecordsPerFile)
+  }
+
+  /** Stage `index` rows under `cid=` dirs and publish one stats-bearing
+    * commit (shared by [[build]] and [[append]]).
+    */
+  private def commitIndexRows(spark: SparkSession, index: DataFrame,
+                              table: String, maxRecordsPerFile: Long): Long = {
+    val files = TxTable.stageBatch(spark,
+      index.repartition(col("cid")), table,
+      partitionBy = Seq("cid"), maxRecordsPerFile = maxRecordsPerFile)
+    val stats = TxTable.fileStats(spark, table, files, Seq("cid"))
+    TxTable.commit(spark, table, added = files, removed = Nil, stats = stats)
+  }
+
+  /** Incremental maintenance: encode NEW vectors with the index's
+    * FROZEN quantizers (meta sidecar) — one map-only pass, no Lloyd —
+    * and append them as one commit. The standard IVF contract: list
+    * geometry is fixed at build time; rebuild when the data drifts.
+    */
+  def append(spark: SparkSession, newRows: DataFrame, table: String,
+             cId: String = "vec_id", cVec: String = "embedding",
+             maxRecordsPerFile: Long = 5000000L): Long = {
+    val meta = readMeta(spark, table)
+    val subDim = meta.dim / meta.m
+    val vi = Similarity.toIntVec(col("v"))
+    val base = newRows
+      .select(col(cId).cast("long").as("id"), col(cVec).cast("array<double>").as("v"))
+      .withColumn("vi", vi)
+      .withColumn("cid", Similarity.intNearestCid(meta.coarse, col("vi")))
+      .select(col("id"), col("cid"),
+        zip_with(col("vi"), Similarity.intCentroidOf(meta.coarse, col("cid")),
+          (a, b) => a - b).as("ri"))
+    val perSub = (0 until meta.m).map { s =>
+      val sl = slice(col("ri"), s * subDim + 1, subDim)
+      val cand = meta.codebooks(s).zipWithIndex.map { case (cA, i) =>
+        struct(IntSqDist.intSqDist(sl, lit(cA)).as("d"), lit(i).as("cid"))
+      }
+      if (cand.length < 2) cand.head else least(cand: _*)
+    }
+    val encoded = base.select(
+      col("id") +: col("cid") +: col("ri") +:
+        (0 until meta.m).map(s => perSub(s).getField("cid").as(s"__c$s")): _*)
+    commitIndexRows(spark, encoded, table, maxRecordsPerFile)
+  }
+
+  /** The driver-side probed-list set of a (broadcast-small) query
+    * relation — |queries|·nProbe ids, the pruning key. Exposed so specs
+    * and operators can audit what a search will open.
+    */
+  def probedCids(spark: SparkSession, queries: DataFrame, meta: Meta,
+                 nProbe: Int, qId: String = "query_id",
+                 qVec: String = "query_vec"): Set[Int] = {
+    val qint = Similarity.toQInt(queries, qId, qVec)
+    qint.select(explode_outer(
+        Similarity.intProbeCids(meta.coarse, col("__qvi"), nProbe)).as("cid"))
+      .filter(col("cid").isNotNull)
+      .distinct().collect().map(_.getInt(0)).toSet
+  }
+
+  /** Committed files whose cid stats may hold a probed list — under the
+    * Hive layout each file's stat is lo = hi = its dir's cid, so this
+    * is exact directory pruning from the commit log (no FS listing, no
+    * footer reads). Stat-less files are kept (the [[TxTable]] pruning
+    * default: missing stats cost opens, never rows).
+    */
+  def probedFiles(spark: SparkSession, table: String,
+                  probed: Set[Int]): Seq[String] =
+    TxTable.currentFilesWithStats(spark, table).collect {
+      case (f, stats) if stats.find(_.col == "cid").forall(st =>
+        probed.exists(c => st.lo.toLong <= c && c <= st.hi.toLong)) => f
+    }
+
+  /** ADC top-k against the at-rest index: prune files to the probed
+    * lists, then the exact [[Similarity.adcProbeScore]] +
+    * bounded-top-k path of the in-session search — results are
+    * bit-identical to [[Similarity.ivfPqTopKPortable]] at the same
+    * geometry (AnnIndexSpec / gate q235).
+    */
+  def search(spark: SparkSession, table: String, queries: DataFrame, k: Int,
+             nProbe: Int = 8, qId: String = "query_id",
+             qVec: String = "query_vec"): DataFrame = {
+    val meta = readMeta(spark, table)
+    val qint = Similarity.toQInt(queries, qId, qVec)
+    val index = TxTable.readFiles(spark, table,
+      probedFiles(spark, table, probedCids(spark, queries, meta, nProbe, qId, qVec)))
+    Similarity.topkByLowest(
+      Similarity.adcProbeScore(qint, index, meta.coarse, meta.codebooks,
+        meta.dim, meta.m, nProbe, qId), k, qId, "adc_q")
+  }
+
+  /** IVFADC+R against the at-rest index: ADC shortlist of `rerank`
+    * candidates, exact integer vectors reconstructed from the PRUNED
+    * read's own residuals (`vi = ri + coarse(cid)` — shortlist members
+    * are by construction inside probed lists, so no second read), exact
+    * integer-L2 re-rank. Bit-identical to
+    * [[Similarity.ivfPqRerankTopK]] at the same geometry.
+    */
+  def searchRerank(spark: SparkSession, table: String, queries: DataFrame,
+                   k: Int, rerank: Int, nProbe: Int = 8,
+                   qId: String = "query_id",
+                   qVec: String = "query_vec"): DataFrame = {
+    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    val meta = readMeta(spark, table)
+    val qint = Similarity.toQInt(queries, qId, qVec).localCheckpoint(true)
+    val index = TxTable.readFiles(spark, table,
+      probedFiles(spark, table, probedCids(spark, queries, meta, nProbe, qId, qVec)))
+    val scored = Similarity.adcProbeScore(qint, index, meta.coarse,
+      meta.codebooks, meta.dim, meta.m, nProbe, qId)
+    val cand = Similarity.topkByLowest(scored, rerank, qId, "adc_q")
+      .select(col(qId), col("neighbor_id"))
+    val recon = index.join(broadcast(cand), index("id") === cand("neighbor_id"))
+      .select(col(qId), col("neighbor_id"), col("cid"), col("ri"))
+      .select(col(qId), col("neighbor_id"), col("ri"),
+        Similarity.intCentroidOf(meta.coarse, col("cid")).as("civ"))
+    val rr = recon
+      .join(broadcast(qint), Seq(qId))
+      .select(col(qId), col("neighbor_id"),
+        IntSqDist.intSqDist(
+          zip_with(col("ri"), col("civ"), (r, c) => r + c),
+          col("__qvi")).as("l2_q"))
+    Similarity.topkByLowest(rr, k, qId, "l2_q")
+  }
+}

@@ -328,8 +328,10 @@ object Similarity {
     * assignment is an argmin over centroid literals (no shuffle), the
     * centroid update is one hash aggregate over (cluster, dim); only the
     * nCentroids×dim centroid table ever reaches the driver. At corpus
-    * scale: train on a sample, assign in one pass, and WRITE the corpus
-    * partitioned by cluster id so probes prune files at rest.
+    * scale both halves of the index story are CODE: training runs on the
+    * bounded [[MaxTrainRows]] hash sample (assignment is the one pass
+    * that touches every row), and [[AnnIndex]] writes the encoded corpus
+    * as a cid-partitioned TxTable whose probes prune files at rest.
     *
     * Deterministic: init = lowest-id vectors; argmin ties → lowest
     * cluster id; empty clusters keep their previous centroid. (Centroid
@@ -380,6 +382,40 @@ object Similarity {
     else transform(
       slice(reverse(array_sort(array(floatScoredStructs(centroids, v): _*))), 1, nProbe),
       s => -s.getField("negcid"))
+
+  /** Default training-corpus bound for every k-means build in this
+    * family (float/int IVF coarse lists, PQ and IVFADC codebooks): past
+    * this many vectors, Lloyd iterates over a deterministic
+    * ~`MaxTrainRows`-row hash sample instead of the full corpus, and
+    * only the one assign/encode pass still touches every row. Training
+    * cost is thereby bounded INDEPENDENT of corpus size —
+    * iters·min(n, MaxTrainRows)·nC distance evals — which is the
+    * standard IVF recipe (Jégou et al. 2011 train on learning sets
+    * orders of magnitude below the indexed corpus) and the only shape
+    * that survives 100 TB: a 3-round Lloyd over 10¹¹ vectors is three
+    * full-corpus scans per build otherwise. k-means quality depends on
+    * the DISTRIBUTION, not the count — recall parity of the sampled
+    * build is floor-pinned by AnnRecallSpec/IvfPqSpec at 10× organic
+    * scale. Callers pass `maxTrainRows <= 0` to force full-corpus
+    * training (the oracle-replayed gates never trigger the sample at
+    * their SF, so their hashes are unchanged either way).
+    */
+  val MaxTrainRows: Long = 65536L
+
+  /** Deterministic, engine-portable training sample: keep rows whose
+    * 32-bit md5 prefix of `cast(id as string)` falls under
+    * ceil(2³² · maxTrainRows / n) — expected sample size ≈
+    * `maxTrainRows` at ANY corpus size (same md5-prefix arithmetic as
+    * [[Sampling.hashBucketBp]], so an oracle replays the exact row
+    * set). No-op when the corpus is already within the bound.
+    */
+  private def trainSample(c0: DataFrame, n: Long, maxTrainRows: Long): DataFrame =
+    if (maxTrainRows <= 0 || n <= maxTrainRows) c0
+    else {
+      val thr = ((BigInt(maxTrainRows) * (BigInt(1) << 32) + n - 1) / n).toLong
+      c0.filter(conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
+        .cast("long") < lit(thr))
+    }
 
   /** `iters` Lloyd rounds over `c0` (columns id, v): assignment argmin
     * as DataFrame jobs, float means; only the nC×dim centroid table
@@ -496,14 +532,16 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nCentroids: Int = 0, nProbe: Int = 8, iters: Int = 3,
               qId: String = "query_id", qVec: String = "query_vec",
-              cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+              cId: String = "vec_id", cVec: String = "embedding",
+              maxTrainRows: Long = MaxTrainRows): DataFrame = {
     val c0 = corpus.select(col(cId).as("id"), asDouble(col(cVec)).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nC = if (nCentroids > 0) nCentroids else autoCentroids(c0.count())
+    val n = c0.count()
+    val nC = if (nCentroids > 0) nCentroids else autoCentroids(n)
     val init: Array[Array[Double]] = c0.orderBy(col("id")).limit(nC)
       .select(col("v")).collect()
       .map(_.getAs[scala.collection.Seq[Double]](0).toArray)
-    val centroids = lloydFloat(c0, init, iters)
+    val centroids = lloydFloat(trainSample(c0, n, maxTrainRows), init, iters)
     // the cache only serves the Lloyd jobs; the final query re-reads the
     // source in ONE pass (assign → probe-join → top-k), which is exactly
     // the production shape where assignment lands in a cid-partitioned
@@ -551,7 +589,7 @@ object Similarity {
 
   private val IntScale = 1L << 20
 
-  private def toIntVec(v: Column): Column =
+  private[functions] def toIntVec(v: Column): Column =
     transform(asDouble(v), x => round(x * IntScale.toDouble).cast("long"))
 
   /** (−dist, −cid) structs: greatest == nearest with lowest-cid
@@ -590,13 +628,13 @@ object Similarity {
     transform(intCentroidMatrix(centroids), (c, i) =>
       struct(IntSqDist.intSqDist(vi, c).as("d"), i.as("cid")))
 
-  private def intNearestCid(centroids: Array[Array[Long]], vi: Column): Column =
+  private[functions] def intNearestCid(centroids: Array[Array[Long]], vi: Column): Column =
     if (centroids.length < 2) lit(0)
     else if (centroids.length > MaxLiteralCentroids)
       array_min(intDistStructsMatrix(centroids, vi)).getField("cid")
     else -greatest(intDistStructs(centroids, vi): _*).getField("negcid")
 
-  private def intProbeCids(centroids: Array[Array[Long]], vi: Column,
+  private[functions] def intProbeCids(centroids: Array[Array[Long]], vi: Column,
                            nProbe: Int): Column =
     if (centroids.length < 2) array(lit(0))
     else if (centroids.length > MaxLiteralCentroids)
@@ -715,16 +753,18 @@ object Similarity {
   def ivfTopKPortable(queries: DataFrame, corpus: DataFrame, k: Int,
                       nCentroids: Int = 0, nProbe: Int = 8, iters: Int = 3,
                       qId: String = "query_id", qVec: String = "query_vec",
-                      cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+                      cId: String = "vec_id", cVec: String = "embedding",
+                      maxTrainRows: Long = MaxTrainRows): DataFrame = {
     val c0 = corpus.select(col(cId).as("id"), asDouble(col(cVec)).as("v"))
       .withColumn("vi", toIntVec(col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nC = if (nCentroids > 0) nCentroids else autoCentroids(c0.count())
+    val n = c0.count()
+    val nC = if (nCentroids > 0) nCentroids else autoCentroids(n)
 
     val init: Array[Array[Long]] = c0.orderBy(col("id")).limit(nC)
       .select(col("vi")).collect()
       .map(_.getAs[scala.collection.Seq[Long]](0).toArray)
-    val centroids = lloydInt(c0, init, iters)
+    val centroids = lloydInt(trainSample(c0, n, maxTrainRows), init, iters)
     c0.unpersist()
 
     val assigned = c0
@@ -761,13 +801,14 @@ object Similarity {
     * engine.
     *
     * Shape: training is `iters` aggregate jobs per subspace over the
-    * corpus (codebooks are driver-side literals — m·k tiny arrays);
-    * encoding is ONE map-side pass, zero shuffle. At 100 TB you train on
-    * a sample and only the encoding pass touches the full corpus.
+    * bounded [[MaxTrainRows]] hash sample (codebooks are driver-side
+    * literals — m·k tiny arrays); encoding is ONE map-side pass, zero
+    * shuffle — the only step that touches the full corpus.
     */
   def pqEncodePortable(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                        m: Int = 4, kCentroids: Int = 8,
-                       iters: Int = 2): DataFrame = {
+                       iters: Int = 2,
+                       maxTrainRows: Long = MaxTrainRows): DataFrame = {
     require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
     require(kCentroids >= 1 && iters >= 0, "bad kCentroids/iters")
     val subDim = dim / m
@@ -775,7 +816,7 @@ object Similarity {
     def sqDistTo(viCol: Column, cArr: Array[Long]): Column =
       IntSqDist.intSqDist(viCol, lit(cArr)) // codegen kernel, exact
 
-    val codebooks = pqTrain(df, idCol, vecCol, dim, m, kCentroids, iters)
+    val codebooks = pqTrain(df, idCol, vecCol, dim, m, kCentroids, iters, maxTrainRows)
 
     // encoding: one zero-shuffle pass over the (re-read) source
     val enc = df.select(col(idCol).cast("long").as("id"),
@@ -821,7 +862,8 @@ object Similarity {
   def pqAdcTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
                 m: Int = 4, kCentroids: Int = 8, iters: Int = 2,
                 qId: String = "query_id", qVec: String = "query_vec",
-                cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+                cId: String = "vec_id", cVec: String = "embedding",
+                maxTrainRows: Long = MaxTrainRows): DataFrame = {
     require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
     val subDim = dim / m
     val Scale = 1L << 20
@@ -829,7 +871,7 @@ object Similarity {
       transform(asDouble(v), x => round(x * Scale.toDouble).cast("long"))
     def sqDistTo(viCol: Column, cArr: Array[Long]): Column =
       IntSqDist.intSqDist(viCol, lit(cArr)) // codegen kernel, exact
-    val codebooks = pqTrain(corpus, cId, cVec, dim, m, kCentroids, iters)
+    val codebooks = pqTrain(corpus, cId, cVec, dim, m, kCentroids, iters, maxTrainRows)
     // corpus codes: per-subspace nearest centroid ids (one map pass)
     val coded = corpus.select(col(cId).cast("long").as("id"),
         toInt(col(cVec)).as("vi"))
@@ -873,21 +915,26 @@ object Similarity {
     * exposed for ADC search and index maintenance.
     */
   def pqTrain(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-              m: Int, kCentroids: Int, iters: Int): Array[Array[Array[Long]]] = {
+              m: Int, kCentroids: Int, iters: Int,
+              maxTrainRows: Long = MaxTrainRows): Array[Array[Array[Long]]] = {
     require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
     require(kCentroids >= 1 && iters >= 0, "bad kCentroids/iters")
     val subDim = dim / m
     val Scale = 1L << 20
-    val c0 = df.select(col(idCol).cast("long").as("id"),
+    val c0full = df.select(col(idCol).cast("long").as("id"),
         asDouble(col(vecCol)).as("v"))
       .withColumn("vi", transform(col("v"),
         x => round(x * Scale.toDouble).cast("long")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // every Lloyd aggregate below runs on the bounded hash sample; the
+    // init seeds stay the full relation's lowest ids (identical below
+    // the threshold, deterministic either way)
+    val c0 = trainSample(c0full, c0full.count(), maxTrainRows)
     def sqDistTo(viCol: Column, cArr: Array[Long]): Column =
       IntSqDist.intSqDist(viCol, lit(cArr)) // codegen kernel, exact
     val out = (0 until m).map { s =>
       val sl = slice(col("vi"), s * subDim + 1, subDim)
-      var cents: Array[Array[Long]] = c0.orderBy(col("id")).limit(kCentroids)
+      var cents: Array[Array[Long]] = c0full.orderBy(col("id")).limit(kCentroids)
         .select(sl.as("c")).collect()
         .map(_.getAs[scala.collection.Seq[Long]](0).toArray)
       def structs(viCol: Column) = cents.zipWithIndex.map { case (cA, i) =>
@@ -912,7 +959,7 @@ object Similarity {
       }
       cents
     }.toArray
-    c0.unpersist()
+    c0full.unpersist()
     out
   }
 
@@ -1156,21 +1203,24 @@ object Similarity {
   def marginTopKAnn(queries: DataFrame, corpus: DataFrame, k: Int, knn: Int = 4,
                     nCentroids: Int = 0, nProbe: Int = 8, iters: Int = 3,
                     qId: String = "query_id", qVec: String = "query_vec",
-                    cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+                    cId: String = "vec_id", cVec: String = "embedding",
+                    maxTrainRows: Long = MaxTrainRows): DataFrame = {
     val c0 = corpus.select(col(cId).cast("long").as("id"), asDouble(col(cVec)).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = c0.count()
     // √n UNCAPPED-by-the-literal-tree (table path takes over past
     // MaxLiteralCentroids): list size — and the self-join's pair volume
     // n·nProbe·(n/nC) — keeps shrinking per the √n rule instead of
     // saturating at the literal cap (200k vectors: 448 lists, not 256)
-    val nC = if (nCentroids > 0) nCentroids else autoCentroidsTable(c0.count())
+    val nC = if (nCentroids > 0) nCentroids else autoCentroidsTable(n)
     val useTables = nC > MaxLiteralCentroids
     val init: Array[Array[Double]] = c0.orderBy(col("id")).limit(nC)
       .select(col("v")).collect()
       .map(_.getAs[scala.collection.Seq[Double]](0).toArray)
+    val train = trainSample(c0, n, maxTrainRows)
     val centroids =
-      if (useTables) lloydFloatTable(c0, init, iters)
-      else lloydFloat(c0, init, iters)
+      if (useTables) lloydFloatTable(train, init, iters)
+      else lloydFloat(train, init, iters)
     lazy val cents = centroidTable(corpus.sparkSession, centroids)
     val assigned =
       (if (useTables) c0.join(tableNearestCids(c0, cents), Seq("id"))
@@ -1253,16 +1303,18 @@ object Similarity {
                             knn: Int = 4, nCentroids: Int = 0, nProbe: Int = 8,
                             iters: Int = 3,
                             qId: String = "query_id", qVec: String = "query_vec",
-                            cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+                            cId: String = "vec_id", cVec: String = "embedding",
+                            maxTrainRows: Long = MaxTrainRows): DataFrame = {
     require(knn == 4, s"margin fold is unrolled for knn = 4, got $knn")
     val c0 = corpus.select(col(cId).cast("long").as("id"), asDouble(col(cVec)).as("v"))
       .withColumn("vi", toIntVec(col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nC = if (nCentroids > 0) nCentroids else autoCentroids(c0.count())
+    val n = c0.count()
+    val nC = if (nCentroids > 0) nCentroids else autoCentroids(n)
     val init: Array[Array[Long]] = c0.orderBy(col("id")).limit(nC)
       .select(col("vi")).collect()
       .map(_.getAs[scala.collection.Seq[Long]](0).toArray)
-    val centroids = lloydInt(c0, init, iters)
+    val centroids = lloydInt(trainSample(c0, n, maxTrainRows), init, iters)
     // vi is a MATERIALIZED checkpoint column, so the probe leg reads it
     // instead of re-quantizing per centroid (the q61 staging rule)
     val assigned = c0.withColumn("cid", intNearestCid(centroids, col("vi")))
@@ -1344,15 +1396,18 @@ object Similarity {
     * bounded aggregation — [[marginTopKAnn]]'s discipline), so the √n
     * list sizing runs uncapped to [[MaxTableCentroids]]; the PQ side
     * stays literal by construction (kCentroids ≤ 2^code_bits, a
-    * constant — its trees never grow with the corpus). At 100 TB:
-    * train both quantizers on a sample, encode in one map pass, and
-    * the index (8-ish bytes/vector) is what shuffles.
+    * constant — its trees never grow with the corpus). At 100 TB both
+    * quantizers train on the bounded [[MaxTrainRows]] hash sample (in
+    * code, not by caller discipline), the one assign+encode pass is
+    * the only full-corpus work, and the index (8-ish bytes/vector) is
+    * what shuffles — or lands at rest as [[AnnIndex]]'s
+    * cid-partitioned TxTable.
     */
   /** Literal lookup cid → centroid array: chained when below
     * [[MaxLiteralCentroids]] (the oracle-replayed gate form), one
     * element_at into the matrix literal past it (O(1) plan size).
     */
-  private def intCentroidOf(coarse: Array[Array[Long]], cid: Column): Column =
+  private[functions] def intCentroidOf(coarse: Array[Array[Long]], cid: Column): Column =
     if (coarse.length > MaxLiteralCentroids)
       element_at(intCentroidMatrix(coarse), cid.cast("int") + 1)
     else {
@@ -1368,7 +1423,7 @@ object Similarity {
     * value (ties → lowest id): negate for the aggregator's highest-wins
     * rule; values < 2^53 so the double carrier is exact.
     */
-  private def topkByLowest(scored: DataFrame, k: Int, qId: String,
+  private[functions] def topkByLowest(scored: DataFrame, k: Int, qId: String,
                            valCol: String): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._
@@ -1384,7 +1439,7 @@ object Similarity {
   }
 
   /** (qId, qVec float/double array) → (qId long, __qvi int vector). */
-  private def toQInt(queries: DataFrame, qId: String, qVec: String): DataFrame =
+  private[functions] def toQInt(queries: DataFrame, qId: String, qVec: String): DataFrame =
     queries.select(col(qId).cast("long").as(qId),
       toIntVec(asDouble(col(qVec))).as("__qvi"))
 
@@ -1404,10 +1459,11 @@ object Similarity {
                         coarseIters: Int = 3, pqIters: Int = 2,
                         qId: String = "query_id", qVec: String = "query_vec",
                         cId: String = "vec_id", cVec: String = "embedding",
-                        useTablesOpt: Option[Boolean] = None): DataFrame = {
+                        useTablesOpt: Option[Boolean] = None,
+                        maxTrainRows: Long = MaxTrainRows): DataFrame = {
     val (scored, _, _) = ivfPqAdcCore(toQInt(queries, qId, qVec), corpus,
       dim, m, kCentroids, nCentroids, nProbe, coarseIters, pqIters, qId,
-      cId, cVec, useTablesOpt)
+      cId, cVec, useTablesOpt, maxTrainRows)
     topkByLowest(scored, k, qId, "adc_q")
   }
 
@@ -1420,13 +1476,21 @@ object Similarity {
     * from it (residuals are exact integers, so reconstruction is
     * lossless — no second corpus scan is ever needed downstream).
     */
-  private def ivfPqAdcCore(qint: DataFrame, corpus: DataFrame,
-                           dim: Int, m: Int, kCentroids: Int,
-                           nCentroids: Int, nProbe: Int,
-                           coarseIters: Int, pqIters: Int,
-                           qId: String,
-                           cId: String, cVec: String,
-                           useTablesOpt: Option[Boolean] = None): (DataFrame, DataFrame, Array[Array[Long]]) = {
+  /** INDEX CONSTRUCTION — the train+encode half of IVFADC in its
+    * default literal/matrix coarse form, shared by the in-session
+    * search paths and [[AnnIndex]]'s at-rest materialization. Returns
+    * `(index, coarse, codebooks)` where `index` is the relation
+    * (id, cid, ri, __c0..__c{m-1}): the checkpointed residual rows
+    * with their PQ codes projected on lazily — this relation IS the
+    * index's storage (`vi = ri + coarse(cid)` reconstructs every exact
+    * integer vector from it). Both quantizers train on the bounded
+    * [[MaxTrainRows]] hash sample; the one full-corpus pass is the
+    * assign+residual job that lands in the checkpoint.
+    */
+  private[functions] def ivfPqBuildIndex(corpus: DataFrame, dim: Int, m: Int,
+      kCentroids: Int, nCentroids: Int, coarseIters: Int, pqIters: Int,
+      cId: String, cVec: String,
+      maxTrainRows: Long): (DataFrame, Array[Array[Long]], Array[Array[Array[Long]]]) = {
     require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
     val subDim = dim / m
     val c0 = corpus.select(col(cId).cast("long").as("id"),
@@ -1439,47 +1503,139 @@ object Similarity {
     // form — one typedLit centroid array, O(1) plan size, zero shuffle
     // — so the √n rule runs to [[MaxTableCentroids]]. The matrix form
     // measured FASTER than both the chained tree and the broadcast-join
-    // table machinery at 20k×142 and 200k×448 (ArgminAb, SCALE.md), so
-    // it is the production default; `useTablesOpt = Some(true)` forces
-    // the table machinery (kept, spec-pinned bit-identical — the shape
-    // to reach for if centroids ever outgrow a plan literal), and the
-    // q234 gate pins matrix ≡ table under the oracle at nC = 130.
-    val nC = if (nCentroids > 0) nCentroids else autoCentroidsTable(c0.count())
-    val useTables = useTablesOpt.getOrElse(false)
+    // table machinery at 20k×142 and 200k×448 (ArgminAb, SCALE.md).
+    val n = c0.count()
+    val nC = if (nCentroids > 0) nCentroids else autoCentroidsTable(n)
     val init: Array[Array[Long]] = c0.orderBy(col("id")).limit(nC)
       .select(col("vi")).collect()
       .map(_.getAs[scala.collection.Seq[Long]](0).toArray)
-    val coarse =
-      if (useTables) lloydIntTable(c0, init, coarseIters)
-      else lloydInt(c0, init, coarseIters)
-    lazy val cents = intCentroidTable(corpus.sparkSession, coarse)
+    val coarse = lloydInt(trainSample(c0, n, maxTrainRows), init, coarseIters)
 
     // residual relation: integer vi − assigned coarse centroid. The
     // relation feeds m·pqIters training aggregates plus the encode
     // pass → checkpointed once.
-    def centroidOf(cid: Column): Column = intCentroidOf(coarse, cid)
-    val res = (
-      if (useTables)
-        c0.join(tableNearestCidsInt(c0, cents), Seq("id"))
-          .join(broadcast(cents), Seq("cid"))
-          .select(col("id"), col("cid"),
-            zip_with(col("vi"), col("civ"), (a, b) => a - b).as("ri"))
-      else c0
-        .withColumn("cid", intNearestCid(coarse, col("vi")))
-        .select(col("id"), col("cid"),
-          zip_with(col("vi"), centroidOf(col("cid")), (a, b) => a - b).as("ri"))
-    ).localCheckpoint(true)
+    val res = c0
+      .withColumn("cid", intNearestCid(coarse, col("vi")))
+      .select(col("id"), col("cid"),
+        zip_with(col("vi"), intCentroidOf(coarse, col("cid")), (a, b) => a - b).as("ri"))
+      .localCheckpoint(true)
     c0.unpersist()
 
     // per-subspace residual codebooks (same seeding rule as pqTrain:
-    // first kCentroids ids, index = rank − 1)
+    // first kCentroids ids, index = rank − 1); trained on the SAME
+    // hash sample as the coarse quantizer — codebook Lloyd is m more
+    // full-relation aggregate loops otherwise
     val codebooks: Array[Array[Array[Long]]] = (0 until m).map { s =>
       val sub = res.select(col("id"),
         slice(col("ri"), s * subDim + 1, subDim).as("vi"))
       val initS: Array[Array[Long]] = sub.orderBy(col("id")).limit(kCentroids)
         .select(col("vi")).collect()
         .map(_.getAs[scala.collection.Seq[Long]](0).toArray)
-      lloydInt(sub, initS, pqIters)
+      lloydInt(trainSample(sub, n, maxTrainRows), initS, pqIters)
+    }.toArray
+
+    // encode: per-subspace argmin STAGED (the pqEncodePortable
+    // discipline — greatest/least is opaque to project collapsing)
+    val perSub = (0 until m).map { s =>
+      val sl = slice(col("ri"), s * subDim + 1, subDim)
+      val cand = codebooks(s).zipWithIndex.map { case (cA, i) =>
+        struct(intSqDist(sl, cA).as("d"), lit(i).as("cid"))
+      }
+      if (cand.length < 2) cand.head else least(cand: _*)
+    }
+    val index = res.select(
+      col("id") +: col("cid") +: col("ri") +:
+        (0 until m).map(s => perSub(s).getField("cid").as(s"__c$s")): _*)
+    (index, coarse, codebooks)
+  }
+
+  /** The probe+score half of IVFADC, literal/matrix coarse form:
+    * queries probe their `nProbe` nearest coarse lists, each (query,
+    * list) row carries the m per-codebook ADC tables (distance of the
+    * query RESIDUAL to every codebook entry — k·m integers, all
+    * broadcast), and candidates score by m `element_at` lookups.
+    * `index` is any relation carrying (id, cid, __c0..__c{m-1}) —
+    * [[ivfPqBuildIndex]]'s in-session checkpoint or [[AnnIndex]]'s
+    * pruned at-rest read; columns beyond the code set (ri) are pruned
+    * by the projection.
+    */
+  private[functions] def adcProbeScore(qint: DataFrame, index: DataFrame,
+      coarse: Array[Array[Long]], codebooks: Array[Array[Array[Long]]],
+      dim: Int, m: Int, nProbe: Int, qId: String): DataFrame = {
+    val subDim = dim / m
+    val qResid = qint
+      .withColumn("pcid", explode_outer(intProbeCids(coarse, col("__qvi"), nProbe)))
+      .filter(col("pcid").isNotNull)
+      .select(col(qId), col("pcid"),
+        zip_with(col("__qvi"), intCentroidOf(coarse, col("pcid")), (a, b) => a - b).as("qri"))
+    val q = qResid
+      .select(col(qId) +: col("pcid") +: (0 until m).map { s =>
+        val sl = slice(col("qri"), s * subDim + 1, subDim)
+        array(codebooks(s).map(cA => intSqDist(sl, cA)): _*).as(s"__t$s")
+      }: _*)
+    index.join(broadcast(q), col("cid") === col("pcid"))
+      .filter(col(qId) =!= col("id"))
+      .select(col(qId), col("id").as("neighbor_id"),
+        (0 until m).map(s => element_at(col(s"__t$s"), col(s"__c$s") + 1))
+          .reduce(_ + _).as("adc_q"))
+  }
+
+  private def ivfPqAdcCore(qint: DataFrame, corpus: DataFrame,
+                           dim: Int, m: Int, kCentroids: Int,
+                           nCentroids: Int, nProbe: Int,
+                           coarseIters: Int, pqIters: Int,
+                           qId: String,
+                           cId: String, cVec: String,
+                           useTablesOpt: Option[Boolean] = None,
+                           maxTrainRows: Long = MaxTrainRows): (DataFrame, DataFrame, Array[Array[Long]]) = {
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val useTables = useTablesOpt.getOrElse(false)
+    // default: the literal/matrix index machinery ([[ivfPqBuildIndex]]
+    // + [[adcProbeScore]] — the fastest measured coarse shapes, shared
+    // verbatim with the at-rest [[AnnIndex]] path so in-session and
+    // at-rest search cannot drift); `useTablesOpt = Some(true)` forces
+    // the centroid-TABLE machinery below (broadcast join + partial/
+    // bounded aggregation — the shape to reach for if centroids ever
+    // outgrow a plan literal), and the q234 gate pins matrix ≡ table
+    // under the oracle at nC = 130.
+    if (!useTables) {
+      val (index, coarse, codebooks) = ivfPqBuildIndex(corpus, dim, m,
+        kCentroids, nCentroids, coarseIters, pqIters, cId, cVec, maxTrainRows)
+      val scored = adcProbeScore(qint, index, coarse, codebooks, dim, m, nProbe, qId)
+      return (scored, index.select(col("id"), col("cid"), col("ri")), coarse)
+    }
+    val subDim = dim / m
+    val c0 = corpus.select(col(cId).cast("long").as("id"),
+        asDouble(col(cVec)).as("v"))
+      .withColumn("vi", toIntVec(col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = c0.count()
+    val nC = if (nCentroids > 0) nCentroids else autoCentroidsTable(n)
+    val init: Array[Array[Long]] = c0.orderBy(col("id")).limit(nC)
+      .select(col("vi")).collect()
+      .map(_.getAs[scala.collection.Seq[Long]](0).toArray)
+    val coarse = lloydIntTable(trainSample(c0, n, maxTrainRows), init, coarseIters)
+    val cents = intCentroidTable(corpus.sparkSession, coarse)
+
+    // residual relation: integer vi − assigned coarse centroid. The
+    // relation feeds m·pqIters training aggregates plus the encode
+    // pass → checkpointed once.
+    val res = c0.join(tableNearestCidsInt(c0, cents), Seq("id"))
+      .join(broadcast(cents), Seq("cid"))
+      .select(col("id"), col("cid"),
+        zip_with(col("vi"), col("civ"), (a, b) => a - b).as("ri"))
+      .localCheckpoint(true)
+    c0.unpersist()
+
+    // per-subspace residual codebooks (same seeding + sampling rule as
+    // the literal path)
+    val codebooks: Array[Array[Array[Long]]] = (0 until m).map { s =>
+      val sub = res.select(col("id"),
+        slice(col("ri"), s * subDim + 1, subDim).as("vi"))
+      val initS: Array[Array[Long]] = sub.orderBy(col("id")).limit(kCentroids)
+        .select(col("vi")).collect()
+        .map(_.getAs[scala.collection.Seq[Long]](0).toArray)
+      lloydInt(trainSample(sub, n, maxTrainRows), initS, pqIters)
     }.toArray
 
     // encode: per-subspace argmin STAGED (the pqEncodePortable
@@ -1495,22 +1651,14 @@ object Similarity {
       col("id") +: col("cid") +:
         (0 until m).map(s => perSub(s).getField("cid").as(s"__c$s")): _*)
 
-    // queries: probe nProbe coarse lists; per probed list the query
-    // RESIDUAL yields the m ADC tables (distance to every codebook
-    // entry — k·m integers per (query, list) row, all broadcast)
-    val qResid =
-      if (useTables)
-        tableProbeCidsInt(
-            qint.select(col(qId).as("id"), col("__qvi").as("vi")), cents, nProbe)
-          .join(qint.withColumnRenamed(qId, "id"), Seq("id"))
-          .join(broadcast(cents), Seq("cid"))
-          .select(col("id").as(qId), col("cid").as("pcid"),
-            zip_with(col("__qvi"), col("civ"), (a, b) => a - b).as("qri"))
-      else qint
-        .withColumn("pcid", explode_outer(intProbeCids(coarse, col("__qvi"), nProbe)))
-        .filter(col("pcid").isNotNull)
-        .select(col(qId), col("pcid"),
-          zip_with(col("__qvi"), centroidOf(col("pcid")), (a, b) => a - b).as("qri"))
+    // queries: probe nProbe coarse lists via the table machinery; per
+    // probed list the query RESIDUAL yields the m ADC tables
+    val qResid = tableProbeCidsInt(
+        qint.select(col(qId).as("id"), col("__qvi").as("vi")), cents, nProbe)
+      .join(qint.withColumnRenamed(qId, "id"), Seq("id"))
+      .join(broadcast(cents), Seq("cid"))
+      .select(col("id").as(qId), col("cid").as("pcid"),
+        zip_with(col("__qvi"), col("civ"), (a, b) => a - b).as("qri"))
     val q = qResid
       .select(col(qId) +: col("pcid") +: (0 until m).map { s =>
         val sl = slice(col("qri"), s * subDim + 1, subDim)
@@ -1547,14 +1695,15 @@ object Similarity {
                       coarseIters: Int = 3, pqIters: Int = 2,
                       qId: String = "query_id", qVec: String = "query_vec",
                       cId: String = "vec_id", cVec: String = "embedding",
-                      useTablesOpt: Option[Boolean] = None): DataFrame = {
+                      useTablesOpt: Option[Boolean] = None,
+                      maxTrainRows: Long = MaxTrainRows): DataFrame = {
     require(rerank >= k, s"rerank=$rerank must be >= k=$k")
     // convert ONCE, eagerly — the query side is broadcast-small by
     // contract and feeds two branches (ADC probes + re-rank scoring)
     val qint = toQInt(queries, qId, qVec).localCheckpoint(true)
     val (scored, res, coarse) = ivfPqAdcCore(qint, corpus, dim, m,
       kCentroids, nCentroids, nProbe, coarseIters, pqIters, qId, cId, cVec,
-      useTablesOpt)
+      useTablesOpt, maxTrainRows)
     val cand = topkByLowest(scored, rerank, qId, "adc_q")
       .select(col(qId), col("neighbor_id"))
     // reconstruct ONLY the shortlist rows' exact vectors, post-join;

@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sink.TxTable
+
+/** The at-rest IVFADC index: bit-parity with the in-session paths at
+  * the same geometry (train/encode/probe/score are the SAME code —
+  * [[Similarity.ivfPqBuildIndex]]/[[Similarity.adcProbeScore]] — so any
+  * divergence is a storage bug), listing-time pruning that actually
+  * skips unprobed lists' files, and frozen-quantizer incremental
+  * append.
+  */
+class AnnIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = graft.sources.Tables.load(spark, SfDir, "embeddings")
+  private lazy val queries = emb.filter($"vec_id" <= 20)
+    .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+
+  private def tmp(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_ann_$tag").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath + "/idx"
+  }
+
+  private def resultSet(df: DataFrame): Set[(Long, Long, Long)] =
+    df.select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
+        df.columns.filter(c => c == "adc_q" || c == "l2_q")
+          .headOption.map(col(_).cast("long")).getOrElse(lit(0L)))
+      .as[(Long, Long, Long)].collect().toSet
+
+  test("meta sidecar round-trips both quantizers exactly") {
+    val meta = AnnIndex.Meta(8, 2, 3,
+      Array(Array(1L, -2L), Array(3L, 4L)),
+      Array(Array(Array(5L), Array(-6L)), Array(Array(7L), Array(8L))))
+    val back = AnnIndex.parseMeta(AnnIndex.renderMeta(meta))
+    assert(back.dim == 8 && back.m == 2 && back.kCentroids == 3)
+    assert(back.coarse.map(_.toSeq).toSeq == meta.coarse.map(_.toSeq).toSeq)
+    assert(back.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      meta.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
+  test("at-rest ADC search is bit-identical to the in-session path") {
+    val dir = tmp("adc")
+    AnnIndex.build(spark, emb, dir, dim = 64, nCentroids = 16)
+    val atRest = resultSet(AnnIndex.search(spark, dir, queries, k = 10))
+    val inMem = resultSet(Similarity.ivfPqTopKPortable(queries, emb, k = 10,
+      dim = 64, nCentroids = 16))
+    assert(atRest == inMem)
+  }
+
+  test("at-rest re-ranked search is bit-identical to ivfPqRerankTopK") {
+    val dir = tmp("rr")
+    AnnIndex.build(spark, emb, dir, dim = 64, nCentroids = 16)
+    val atRest = resultSet(AnnIndex.searchRerank(spark, dir, queries,
+      k = 10, rerank = 50))
+    val inMem = resultSet(Similarity.ivfPqRerankTopK(queries, emb, k = 10,
+      rerank = 50, dim = 64, nCentroids = 16))
+    assert(atRest == inMem)
+  }
+
+  test("probed-list pruning opens only the probed lists' files") {
+    val dir = tmp("prune")
+    AnnIndex.build(spark, emb, dir, dim = 64, nCentroids = 16)
+    val meta = AnnIndex.readMeta(spark, dir)
+    // two queries × two probes ≤ 4 of 16 lists
+    val q2 = emb.filter($"vec_id" <= 1)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val probed = AnnIndex.probedCids(spark, q2, meta, nProbe = 2)
+    assert(probed.size <= 4)
+    val opened = AnnIndex.probedFiles(spark, dir, probed)
+    val all = TxTable.currentFiles(spark, dir)
+    assert(all.size >= 16, s"expected one file per list, got ${all.size}")
+    assert(opened.size < all.size,
+      s"pruning opened ${opened.size}/${all.size} files")
+    // every opened file is a probed cid= dir; every probed list is covered
+    assert(opened.forall(f => probed.exists(c => f.contains(s"cid=$c/"))))
+    assert(probed.forall(c => opened.exists(_.contains(s"cid=$c/"))))
+    // and the pruned search STILL matches the in-session answer
+    val atRest = resultSet(AnnIndex.search(spark, dir, q2, k = 5, nProbe = 2))
+    val inMem = resultSet(Similarity.ivfPqTopKPortable(q2, emb, k = 5,
+      dim = 64, nCentroids = 16, nProbe = 2))
+    assert(atRest == inMem)
+  }
+
+  test("append encodes with the frozen quantizers and is immediately searchable") {
+    val dir = tmp("append")
+    AnnIndex.build(spark, emb, dir, dim = 64, nCentroids = 16)
+    val before = TxTable.read(spark, dir).count()
+    // exact copies under new ids: same vi -> same cid, same codes, and
+    // ADC distance to the original's query equals the original's own
+    // reconstruction distance, so the twin MUST surface in top-k
+    val twins = emb.filter($"vec_id" <= 5)
+      .select(($"vec_id" + 100000L).as("vec_id"), $"embedding")
+    AnnIndex.append(spark, twins, dir)
+    assert(TxTable.read(spark, dir).count() == before + twins.count())
+    val q = emb.filter($"vec_id" <= 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val hits = AnnIndex.search(spark, dir, q, k = 3)
+      .filter(col("neighbor_id") === col("query_id") + 100000L)
+    assert(hits.count() == q.count(),
+      "every appended exact twin must rank in its original's top-3")
+    // meta is untouched by append (frozen quantizers)
+    val meta = AnnIndex.readMeta(spark, dir)
+    assert(meta.coarse.length == 16)
+  }
+}

@@ -91,6 +91,24 @@ class AnnRecallSpec extends SparkSpec {
     assert(r10 >= 0.80, f"derived-sizing 10x recall@10 degraded to $r10%.4f")
   }
 
+  test("sample-trained IVF (MaxTrainRows forced) holds the recall floor at 10x") {
+    // the 100 TB training default: Lloyd over the bounded hash sample.
+    // Forced at the 5000-vector sf0.01 corpus with a 500-row bound
+    // (10% sample) — recall must stay in the full-trained band (the
+    // derived-sizing 10x pin above measures the full-trained 0.80+)
+    val emb10 = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val q10 = emb10.filter($"vec_id" <= 20)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val exact10 = topSets(Similarity.bruteForceTopK(q10, emb10, 10))
+    val sampled = topSets(Similarity.ivfTopK(q10, emb10, k = 10,
+      maxTrainRows = 500L))
+    val r = exact10.map { case (q, ex) =>
+      sampled.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
+    }.sum / exact10.size
+    info(f"sample-trained IVF recall@10 at 10x = $r%.4f")
+    assert(r >= 0.80, f"sample-trained recall@10 degraded to $r%.4f")
+  }
+
   private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.select($"idA".cast("long"), $"idB".cast("long"))
       .as[(Long, Long)].collect().toSet

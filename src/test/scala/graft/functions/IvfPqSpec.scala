@@ -41,17 +41,63 @@ class IvfPqSpec extends SparkSpec {
   }
 
   test("IVFADC candidates come from the coarse probe lists (same Lloyd as IVF)") {
+    // nCentroids PINNED on BOTH sides (r8 ADVICE): the auto-derived
+    // counts go through different caps (128 literal vs 4096 table), so
+    // a fixture past 128² vectors would silently train two different
+    // coarse geometries and void the containment premise — the explicit
+    // pin enforces shared geometry instead of assuming it
+    val ivfpq16 = topSets(
+      Similarity.ivfPqTopKPortable(queries, emb, k = 10, dim = 64,
+        nCentroids = 16))
     val ivf = topSets(Similarity.ivfTopKPortable(queries, emb, k = 500,
-      nProbe = 8))
-    // both sides on the √n auto default → identical integer Lloyd →
-    // identical lists; k = corpus size → ivf returns EVERY candidate in
-    // the probed lists, so missing containment means the residual/code
-    // leg diverged from the coarse probe geometry
-    ivfpq.foreach { case (q, ns) =>
+      nCentroids = 16, nProbe = 8))
+    // identical integer Lloyd → identical lists; k = corpus size → ivf
+    // returns EVERY candidate in the probed lists, so missing
+    // containment means the residual/code leg diverged from the coarse
+    // probe geometry
+    ivfpq16.foreach { case (q, ns) =>
       val reach = ivf.getOrElse(q, Set.empty)
       assert(ns.subsetOf(reach),
         s"query $q: ADC results ${ns -- reach} not in probed lists")
     }
+  }
+
+  test("the MaxTrainRows default is a no-op below the bound — training is bit-identical") {
+    // the gate corpora all sit under MaxTrainRows, so the sampled-
+    // training default must not move a single oracle-replayed value
+    def run(mtr: Long) =
+      Similarity.ivfPqTopKPortable(queries, emb, k = 10, dim = 64,
+          nCentroids = 16, maxTrainRows = mtr)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run(Similarity.MaxTrainRows) === run(0L)) // 0 = force full corpus
+  }
+
+  test("sample-trained quantizers (forced, 10x corpus) stay in the full-trained recall band") {
+    // force the hash sample at the 5000-vector sf0.01 corpus with a
+    // 500-row bound (10% — production-shaped: the default bound only
+    // triggers past 65k vectors, where the sampled fraction is smaller
+    // still and k-means quality depends on the sample's DISTRIBUTION,
+    // not its count). Pinned RELATIVE to the same-geometry full-trained
+    // run: sampling may move individual neighbours but must not cost a
+    // recall step. (At the 500-vector fixture a forced 128-row sample
+    // DOES cost one — 0.26 vs 0.43 — which is the tiny-corpus regime
+    // the n <= maxTrainRows guard exists for, not the production path.)
+    val emb10 = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val q10 = emb10.filter($"vec_id" <= 20)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val exact10 = topSets(Similarity.bruteForceTopK(q10, emb10, 10))
+    def recallOf(mtr: Long): Double = {
+      val sys = topSets(Similarity.ivfPqTopKPortable(q10, emb10, k = 10,
+        dim = 64, maxTrainRows = mtr))
+      exact10.map { case (q, ex) =>
+        sys.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
+      }.sum / exact10.size
+    }
+    val full = recallOf(0L) // force full-corpus training
+    val sampled = recallOf(500L)
+    info(f"IVFADC recall@10 at 10x: full-trained $full%.4f, sample-trained $sampled%.4f")
+    assert(sampled >= full - 0.10,
+      f"sample-trained recall $sampled%.4f fell out of the full-trained band $full%.4f")
   }
 
   private lazy val goldIntL2 = topSets(
