@@ -92,9 +92,16 @@ object Dedup {
     df.select(col(idCol).as("id"), tokenHashes(col(textCol)).as("__th"))
       .select(col("id"), MinHashSig.minhashSig(col("__th"), k, shingleLen).as("sig"))
 
-  /** Estimated Jaccard from two signatures: fraction of equal positions. */
+  /** Estimated Jaccard from two signatures: fraction of equal positions.
+    * The agreement count is the codegen [[EqCount]] kernel (round 9 —
+    * the `size(filter(zip_with(...)))` composition it replaces is two
+    * nested interpreted HOFs, and the optimizer pushes the threshold
+    * filter into the band self-join's condition, so it evaluated per
+    * candidate PAIR; exact integer count → identical values, q23's
+    * oracle unchanged).
+    */
   def estJaccard(sigA: Column, sigB: Column, k: Int): Column =
-    size(filter(zip_with(sigA, sigB, (a, b) => a === b), x => x)).cast("double") / lit(k)
+    EqCount.eqCount(sigA, sigB).cast("double") / lit(k)
 
   /** Candidate near-dup pairs via MinHash LSH, verified by estimated
     * Jaccard ≥ `threshold`. Output: (idA, idB, est_jaccard), idA < idB.

@@ -113,6 +113,82 @@ object PlanAudit {
     * relation), so [[graft.tools.LambdaAudit]] reports these for
     * review instead of PlanShapeSpec failing the build.
     */
+  /** Interpreted-kernel audit (the round-8 IntSqDist lesson,
+    * generalized): a CodegenFallback expression — every higher-order
+    * function, `from_json`, and any Expression without `doGenCode` —
+    * leaves whole-stage codegen and pays interpreter dispatch + boxing
+    * per evaluation. That is noise in a per-row map over a scan, and a
+    * 10–17× multiplier when the evaluation count is (candidate PAIRS)
+    * or (rows × centroids): the integer-ANN family shipped a full round
+    * of shape bake-offs around an interpreted kernel before anyone
+    * noticed the kernel WAS the bottleneck. Flags the three hot shapes:
+    *
+    *  1. a fallback subtree in a JOIN CONDITION — evaluated per
+    *     candidate pair, the worst multiplicity there is;
+    *  2. an attribute-reading fallback subtree in an operator sitting
+    *     ON A JOIN'S OUTPUT (unary chain down to a Join) — per
+    *     surviving pair (the IVFADC scoring-select site);
+    *  3. more than [[MaxFallbackPerOperator]] attribute-reading
+    *     fallback subtrees in ONE operator — the chained-literal
+    *     kernel shape (448 interpreted distance subtrees per row).
+    *
+    * PlanShapeSpec runs this over every gate + auditable bench twin
+    * with a per-query whitelist of justified sites (bounded shortlist
+    * streams, reconstruction zip_withs); a new query that re-introduces
+    * an interpreted kernel under a join fails the build.
+    */
+  val MaxFallbackPerOperator = 16
+
+  def codegenFallbacks(df: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Project, Filter => LFilter}
+    val plan = df.queryExecution.optimizedPlan
+    val findings = scala.collection.mutable.ArrayBuffer[String]()
+    // maximal fallback subtrees: count an interpreted region once, not
+    // once per nested fallback node
+    def maximal(e: Expression): Seq[Expression] = e match {
+      case f: CodegenFallback => Seq(f)
+      case other => other.children.flatMap(maximal)
+    }
+    def attrReading(e: Expression): Boolean =
+      e.exists(_.isInstanceOf[AttributeReference])
+    // a unary Project/Filter chain ending at a Join = expressions run
+    // on the pair stream
+    @scala.annotation.tailrec
+    def overJoin(p: LogicalPlan): Boolean = p match {
+      case _: Join => true
+      case pr: Project => overJoin(pr.child)
+      case f: LFilter => overJoin(f.child)
+      case _ => false
+    }
+    plan.foreach { node =>
+      node match {
+        case j: Join =>
+          j.condition.toSeq.flatMap(maximal).filter(attrReading).foreach { f =>
+            findings += s"Join condition: interpreted `${f.sql.take(140)}` " +
+              "evaluated per candidate pair"
+          }
+        case p: Project if overJoin(p.child) =>
+          p.projectList.flatMap(maximal).filter(attrReading).foreach { f =>
+            findings += s"Project over join output: interpreted " +
+              s"`${f.sql.take(140)}` evaluated per surviving pair"
+          }
+        case f: LFilter if overJoin(f.child) =>
+          maximal(f.condition).filter(attrReading).foreach { e =>
+            findings += s"Filter over join output: interpreted " +
+              s"`${e.sql.take(140)}` evaluated per surviving pair"
+          }
+        case _ => ()
+      }
+      val cnt = node.expressions.flatMap(maximal).count(attrReading)
+      if (cnt > MaxFallbackPerOperator)
+        findings += s"${node.nodeName}: $cnt interpreted (CodegenFallback) " +
+          "subtrees in one operator — the chained-kernel shape; use a " +
+          "codegen Expression (DotProduct/IntSqDist pattern) or the matrix form"
+    }
+    findings.toSeq
+  }
+
   def recomputedLambdaSubplans(df: DataFrame): Seq[String] = {
     val plan = df.queryExecution.optimizedPlan
     val counts = scala.collection.mutable.Map[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, (Int, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)]()

@@ -102,12 +102,23 @@ object ArgminAb {
             col("cid")).as("__s"))
         .groupBy(col("id")).agg(min(col("__s")).as("__m"))
         .select(col("id"), col("__m.cid").as("cid"))
+    // round-9: the SAME matrix shape with the codegen DotProduct kernel
+    // inside the lambda (the r8 finding predicted interpreted-lambda
+    // dot was f-matrix's whole 34.3 s problem — this isolates it)
+    def fmatrixK(v: Column): Column =
+      array_min(transform(fmlit, (c, i) =>
+        struct((element_at(fn2, i + 1)
+          - graft.functions.DotProduct.dotProduct(v, c) * 2).as("d"),
+          i.as("cid")))).getField("cid")
     time("f-matrix ")(femb.select(col("id"), fmatrix(col("v")).as("cid")))
+    time("f-matrixK")(femb.select(col("id"), fmatrixK(col("v")).as("cid")))
     time("f-chained")(femb.select(col("id"), fchained(col("v")).as("cid")))
     time("f-table  ")(ftable(femb))
     val f1 = femb.select(col("id"), fmatrix(col("v")).as("cid"))
       .exceptAll(femb.select(col("id"), fchained(col("v")).as("cid"))).count()
-    println(s"[argmin] f-diffs matrix-vs-chained=$f1")
+    val f2 = femb.select(col("id"), fmatrixK(col("v")).as("cid"))
+      .exceptAll(femb.select(col("id"), fchained(col("v")).as("cid"))).count()
+    println(s"[argmin] f-diffs matrix-vs-chained=$f1 matrixK-vs-chained=$f2")
     // parity: all three must agree
     val a = emb.select(col("id"), matrix(col("vi")).as("cid"))
     val b = emb.select(col("id"), chained(col("vi")).as("cid"))

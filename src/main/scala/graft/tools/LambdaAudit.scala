@@ -19,13 +19,15 @@ object LambdaAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     var n = 0
-    graft.SparkEntry.queries.toSeq.sortBy(_._1)
+    (graft.SparkEntry.queries ++ graft.SparkEntry.benchOnly).toSeq.sortBy(_._1)
       .filter { case (name, _) => pat.findFirstIn(name).isDefined }
       .foreach { case (name, fn) =>
         val findings =
           try {
             val df = fn(spark, dir)
             graft.plans.PlanAudit.repeatedLambdas(df) ++
+              graft.plans.PlanAudit.codegenFallbacks(df)
+                .map("[fallback] " + _) ++
               graft.plans.PlanAudit.recomputedLambdaSubplans(df)
                 .map("[advisory] " + _)
           } catch { case e: Throwable =>

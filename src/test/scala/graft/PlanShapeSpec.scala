@@ -115,6 +115,69 @@ class PlanShapeSpec extends SparkSpec {
         s"whitelist with a by-design justification):\n${offenders.mkString("\n")}")
   }
 
+  test("no gate query evaluates an interpreted kernel under a join (the IntSqDist class, gated)") {
+    // round-9 audit born from the round-8 find: the integer-ANN family
+    // shipped a full round of shape bake-offs around an interpreted
+    // CodegenFallback kernel before anyone noticed the KERNEL was the
+    // 10-17× problem. PlanAudit.codegenFallbacks flags fallback
+    // subtrees in join conditions, on join pair streams, and the
+    // >16-per-operator chained-kernel shape. Whitelist = justified,
+    // BOUNDED per-pair sites (each re-verified round 9):
+    //  - q123: the span-scrub filter is inherently per (doc × cut set)
+    //    — the lambda consults the doc's own cut spans, and the "join"
+    //    is the 1:1 re-attach of each doc's span list;
+    //  - q192: 2^20 quantization lands on a 1:1 vec_id equi-join's
+    //    output, so the pair stream IS the row stream (per-row map
+    //    work, not a multiplicity);
+    //  - q233: the zip_with reconstruction runs on the
+    //    |queries|·rerank shortlist only (the IVFADC+R contract — ADC
+    //    filters at corpus scale, exact math sees a constant number of
+    //    rows per query).
+    val whitelist = Set("q123_scrub_dup_spans", "q192_embedding_drift",
+      "q233_ivfpq_rerank")
+    val offenders = (SparkEntry.queries ++ auditableBenchOnly).toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => whitelist(name) }
+      .flatMap { case (name, fn) =>
+        val findings =
+          try graft.plans.PlanAudit.codegenFallbacks(fn(spark, SfDir))
+          catch { case e: Throwable =>
+            Seq(s"query construction failed: ${e.getMessage}".take(200)) }
+        spark.catalog.clearCache()
+        findings.map(f => s"$name: $f")
+      }
+    assert(offenders.isEmpty,
+      s"interpreted kernels in hot positions (swap in a codegen " +
+        s"Expression — DotProduct/IntSqDist/EqCount pattern — or " +
+        s"whitelist with a boundedness justification):\n${offenders.mkString("\n")}")
+  }
+
+  test("the fallback audit flags the pre-round-8 lambda kernel shapes (canary)") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.load(spark, SfDir, "embeddings")
+      .select(col("vec_id").as("id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    // canary 1: the old interpreted distance composition scoring a
+    // join's pair stream (the exact q232-before-IntSqDist shape)
+    val pairs = emb.select(col("id").as("idA"), col("v").as("va"))
+      .join(emb.select(col("id").as("idB"), col("v").as("vb")),
+        col("idA") === col("idB") - 1)
+      .select(col("idA"), col("idB"),
+        aggregate(zip_with(col("va"), col("vb"), (a, b) => (a - b) * (a - b)),
+          lit(0.0d), (acc, x) => acc + x).as("d2"))
+    val found1 = graft.plans.PlanAudit.codegenFallbacks(pairs)
+    assert(found1.exists(_.contains("pair")), s"canary 1 not flagged: $found1")
+    // canary 2: the chained-literal kernel shape — one operator holding
+    // > MaxFallbackPerOperator interpreted distance subtrees
+    val cents = (0 until 20).map(i => Array.fill(4)(i.toDouble))
+    val chained = emb.select(col("id"),
+      greatest(cents.zipWithIndex.map { case (c, i) =>
+        struct(aggregate(zip_with(col("v"), lit(c), (a, b) => (a - b) * (a - b)),
+          lit(0.0d), (acc, x) => acc + x).as("d"), lit(i).as("cid"))
+      }: _*).as("best"))
+    val found2 = graft.plans.PlanAudit.codegenFallbacks(chained)
+    assert(found2.exists(_.contains("chained-kernel")), s"canary 2 not flagged: $found2")
+  }
+
   test("the recompute detector flags a deliberately unmaterialized two-consumer plan") {
     import org.apache.spark.sql.functions._
     val docs = graft.sources.Tables.load(spark, SfDir, "documents")
