@@ -20,15 +20,39 @@ import graft.model.{ReasonCode, RunLog, RunStatus}
 final class LogStore(spark: SparkSession, path: String) {
   import spark.implicits._
 
-  /** Synchronized: concurrent append jobs into ONE directory collide in
-    * the FileOutputCommitter's shared `_temporary/0` staging area (all
-    * jobs use job-id 0), which loses files under the Orchestrator's
-    * parallel specs. Log rows are a handful per run, so a driver-side
-    * lock costs nothing; cross-process writers would need a
-    * transactional table format instead.
+  /** Append one batch of log rows, safe under CONCURRENT WRITERS — in
+    * this JVM or across processes (round 9; r8 left cross-process as a
+    * doc-only single-writer contract). A direct
+    * `write.mode(Append).parquet(path)` stages through the
+    * FileOutputCommitter's `_temporary/0` under the LOG dir — shared by
+    * every concurrent job targeting it, same-process or not, so one
+    * writer's commit/cleanup deletes another's staged files. Here each
+    * append gets its OWN hidden staging dir (`.stage-<uuid>` — dot
+    * prefix, invisible to readers) and publishes by renaming the one
+    * part file to a UNIQUE final name: no two appends ever share a
+    * staging area or contend on a destination, so even a
+    * clobber-on-rename object store has no same-name victim
+    * (LogStoreHostileSpec races unlocked writers to prove it). A killed
+    * writer leaves only hidden staging garbage; a TORN rename on a
+    * copy+delete store still fails the next read loudly (pinned by the
+    * hostile spec — recovery never proceeds on partial state). The
+    * JVM-wide per-path lock stays as a cheap same-process serializer.
     */
   def append(rows: Seq[RunLog]): Unit = LogStore.lockFor(path).synchronized {
-    spark.createDataset(rows).write.mode(SaveMode.Append).parquet(path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p)
+    val id = java.util.UUID.randomUUID().toString
+    val stage = new org.apache.hadoop.fs.Path(p, s".stage-$id")
+    try {
+      spark.createDataset(rows).coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(stage.toString)
+      val part = fs.listStatus(stage).map(_.getPath)
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"log append: no part file staged under $stage"))
+      val dst = new org.apache.hadoop.fs.Path(p, s"part-$id.snappy.parquet")
+      require(fs.rename(part, dst), s"log append: rename $part -> $dst failed")
+    } finally fs.delete(stage, true)
   }
 
   /** Missing log dir = no runs yet. Probed via Hadoop FS (`fs.exists`

@@ -19,18 +19,16 @@ import graft.sink.HostileFileSystem
   * window.
   *
   * What holds, and why, on a lying store:
-  *  - appends never contend on a destination name (each Spark write
-  *    commits distinct `part-<uuid>` files), so clobber-on-rename has no
-  *    same-name victim to clobber;
-  *  - SAME-PROCESS concurrent appends are serialized by LogStore's
-  *    per-path JVM lock (the FileOutputCommitter `_temporary/0` staging
-  *    area is shared across jobs — unserialized, files are lost);
-  *  - CROSS-PROCESS writers remain a documented single-writer contract
-  *    (LogStore.append scaladoc): two JVMs sharing one log prefix need a
-  *    transactional table ([[graft.sink.TxTable]]) — the hostile store
-  *    proves exclusive-create cannot arbitrate this (HostileFsSpec's
-  *    double-win test), so the contract cannot be enforced from inside
-  *    a plain directory store, only replaced by a real commit protocol.
+  *  - appends never contend on a destination name OR a staging area
+  *    (round 9: each append stages under its own hidden `.stage-<uuid>`
+  *    dir and publishes by renaming to a unique final name), so
+  *    clobber-on-rename has no same-name victim and the
+  *    FileOutputCommitter's shared-`_temporary/0` hazard — which made
+  *    cross-process writers a doc-only single-writer contract through
+  *    r8 — is gone by construction: the unlocked-writers race below is
+  *    the cross-process shape, proven on the hostile store;
+  *  - the per-path JVM lock remains as a cheap same-process serializer
+  *    (and keeps burst appends from queueing Spark jobs);
   *  - a TORN part file (killed writer made partially-visible bytes on a
   *    copy+delete store) fails the read LOUDLY — watermark recovery
   *    never silently proceeds on partial state, so the re-run aborts
@@ -80,6 +78,41 @@ class LogStoreHostileSpec extends SparkSpec {
     val rows = new LogStore(spark, path).read().collect()
     assert(rows.length == n,
       s"every concurrent append must be durable, got ${rows.length} of $n")
+    assert(rows.map(_.endValue).toSet == (1 to n).map(_.toString).toSet)
+  }
+
+  test("8 UNLOCKED concurrent appends all survive (the cross-process shape)") {
+    // r8 left cross-process writers as a doc-only single-writer
+    // contract; round 9 made appends structurally safe (per-append
+    // hidden staging dir + unique-name publish rename). Two real
+    // processes can't run inside a spec — instead each writer gets a
+    // DIFFERENT path string for the SAME directory (trailing slashes),
+    // so LogStore's per-path JVM lock does NOT serialize them: the
+    // writers race exactly as independent coordinators would, on the
+    // hostile store. Under the old shared-`_temporary/0` append this
+    // loses files; under unique staging it cannot.
+    val dir = HostileFileSystem.root(spark)
+    val base = s"$dir/logs"
+    val n = 8
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(n)
+    try {
+      val futs = (1 to n).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            start.await()
+            // i trailing slashes -> i distinct lock keys, one directory
+            new LogStore(spark, base + ("/" * i))
+              .append(Seq(log(RunStatus.Success, i.toString, i.toLong)))
+          }
+        })
+      }
+      start.countDown()
+      futs.foreach(_.get(120, TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    val rows = new LogStore(spark, base).read().collect()
+    assert(rows.length == n,
+      s"every unlocked concurrent append must be durable, got ${rows.length} of $n")
     assert(rows.map(_.endValue).toSet == (1 to n).map(_.toString).toSet)
   }
 
