@@ -125,6 +125,36 @@ object Bench {
         v > 0.01 && median(samples(n)) > 0 && v / median(samples(n)) > 0.01 }
     val setupJson = setupMed.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // per-entry setup SEMANTICS, machine-readable (the reader rule above
+    // as data, VERDICT r8 item 5): `queries − setup` is meaningful ONLY
+    // for "fixture" (TxTable/lifecycle churn — setup builds throwaway
+    // state) and "streaming" (micro-batch run in the constructor; the
+    // returned plan is a trivial memory/derived-table read). For
+    // "query-work" entries the eager constructor work IS the dominant
+    // pipeline — subtracting it understates the query. Classified from
+    // the entry IMPLEMENTATIONS (the prose list was imprecise: q135 and
+    // q173 are BATCH stateful operators, not streams).
+    val fixtureKind = Set("q40_ingestion_lifecycle", "q65_orchestrated_runs",
+      "q66_compaction", "q67_jdbc_roundtrip", "q68_file_drop", "q69_tx_table",
+      "q73_tx_ingestion", "q75_stats_pruned_read", "q78_time_travel",
+      "q104_jsonl_quarantine", "q115_tx_merge", "q116_tx_delete",
+      "q119_tx_changes", "q120_incremental_view", "q121_idempotent_append",
+      "q125_stream_ivm", "q126_join_ivm", "q152_jdbc_upsert",
+      "q154_snapshot_diff", "q161_table_checksum", "q177_incremental_index",
+      "q193_tx_restore", "q226_config_autogen_roundtrip",
+      "q227_log_state_rollup", "q228_schema_catalog", "q229_object_listing",
+      "q235_ann_index_at_rest", "b119_cdf_read", "b120_ivm_refresh",
+      "b126_join_ivm_refresh", "b235_ann_index_auto")
+    val streamingKind = Set("q41_stream_hourly", "q54_stream_distinct_pairs",
+      "q63_stream_static_join", "q84_stream_stream_join", "q93_stream_neardup",
+      "q155_stream_dedup", "q176_stream_trending", "q186_stream_jdbc_once",
+      "q203_stream_left_outer", "q224_stream_hll_uniques")
+    def setupKind(n: String): String =
+      if (fixtureKind(n)) "fixture"
+      else if (streamingKind(n)) "streaming"
+      else "query-work"
+    val setupKindJson = setupMed.map { case (k, _) =>
+      s"\"" + k + "\":\"" + setupKind(k) + "\"" }.mkString("{", ",", "}")
     // [min, max, n] for the n=5 entries — the noise band around each
     // median; a round-over-round delta inside the band is not a result
     val spreadJson = heavy
@@ -146,7 +176,7 @@ object Bench {
     val errJson = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"setup":$setupJson,"spread":$spreadJson,"sf":"$sfDir","runs":$nRuns,"errors":$errJson}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"setup":$setupJson,"setup_kind":$setupKindJson,"spread":$spreadJson,"sf":"$sfDir","runs":$nRuns,"errors":$errJson}"""
     println(line)
     // also persist the line whole: the driver's log-tail capture truncates
     // (BENCH_r03 lost q01–q15's medians to it) — a file survives intact
@@ -154,6 +184,34 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
+    // round-over-round history, APPEND-only (VERDICT r8 item 4: the
+    // BENCH_rN artifacts keep only a 2000-char tail, so per-query deltas
+    // were not machine-computable across rounds). One compact line per
+    // entry per run, keyed by a run id; graft.tools.BenchCompare reads
+    // the last two runs and flags deltas that exceed the recorded
+    // spread. Skipped for filtered/targeted runs — partial runs would
+    // pollute the series with differently-loaded JVMs.
+    if (filter.isEmpty) {
+      val runId = java.time.Instant.now().toString
+      val hist = new StringBuilder
+      for (n <- names) {
+        val s = samples(n).sorted
+        val (lo, hi, cnt) =
+          if (s.isEmpty) (-1.0, -1.0, 0) else (s.head, s.last, s.size)
+        hist.append(s"""{"run":"$runId","sf":"$sfDir","name":"$n",""" +
+          s""""median":${median(samples(n))},"min":$lo,"max":$hi,"n":$cnt,""" +
+          s""""setup":${median(setups(n))},"kind":"${setupKind(n)}"}""" + "\n")
+      }
+      val histPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY",
+        "bench_history.jsonl")
+      try java.nio.file.Files.write(java.nio.file.Paths.get(histPath),
+        hist.toString.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not append $histPath: ${e.getMessage}")
+      }
     }
     spark.stop()
   }

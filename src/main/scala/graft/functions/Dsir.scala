@@ -20,10 +20,14 @@ import org.apache.spark.sql.functions._
   * where T/R are total target/raw feature counts. Exact-integer
   * arithmetic makes the score engine-portable (hash-gated against a
   * DuckDB oracle, q230) at the cost of ranking by the arithmetic-mean
-  * ratio rather than the geometric-mean (log) one — the top-quantile
-  * selection both forms feed is the same monotone "more target-like
-  * mass" ordering per bucket, and the linear form needs no
-  * transcendental functions.
+  * ratio rather than the geometric-mean (log) one. PER BUCKET the
+  * linear ratio is monotone with the published log-ratio; the
+  * PER-DOCUMENT score (a cnt-weighted SUM of linear ratios vs a sum of
+  * log ratios) is NOT — two documents can swap ranks across the two
+  * forms, so the top-quantile cut is a deterministic, engine-portable
+  * VARIANT of Xie et al.'s selection, not an equivalent reordering of
+  * it (r8 ADVICE). The trade is deliberate: no transcendental
+  * functions, every value hash-replayable.
   *
   * 100 TB shape: the heavy bigram stream collapses to per-(doc, bucket)
   * counts in one map-side-combined shuffle; bucket totals re-aggregate
@@ -51,7 +55,13 @@ object Dsir {
     *                 standard sanity check that targets rank high)
     * @param m        hashed feature buckets (power of two conventional)
     * @param scale    fixed-point scale S of the per-bucket ratio
-    * @return (id, score) — score = Σ cnt_db · r_b, BIGINT
+    * @return (id, score) — score = Σ cnt_db · r_b, BIGINT. CONTRACT:
+    *         documents with fewer than 2 tokens produce no bigrams and
+    *         are ABSENT from the output (they have no feature mass to
+    *         score — the q230 oracle mirrors this), so [[selectTopK]]
+    *         can never select them; a caller who needs every document
+    *         ranked should left-join the corpus back and treat the null
+    *         score as "unscorable", distinct from a low score.
     */
   def importanceScores(docs: DataFrame, idCol: Column, textCol: Column,
                        isTarget: Column, m: Int = 256,

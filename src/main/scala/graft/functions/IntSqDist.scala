@@ -86,7 +86,13 @@ case class IntSqDist(left: Expression, right: Expression) extends BinaryExpressi
 }
 
 object IntSqDist {
-  /** The kernel — shared by interpreted eval and generated code. */
+  /** The kernel — shared by interpreted eval and generated code.
+    * PRECONDITION: equal-length arrays. The loop runs over
+    * min(|a|, |b|) so a direct call with mismatched lengths returns a
+    * PREFIX distance — the mismatch→NULL contract lives in
+    * nullSafeEval/doGenCode, which guard the lengths BEFORE calling
+    * here (r8 ADVICE; same convention as [[DotProduct]]'s kernel).
+    */
   def compute(a: ArrayData, b: ArrayData): Long = {
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0L
@@ -101,6 +107,7 @@ object IntSqDist {
 
   /** Null-checking kernel: any null element poisons the distance to
     * NULL (one boxed return per pair; the loop stays primitive).
+    * Same equal-length precondition as [[compute]].
     */
   def computeOrNull(a: ArrayData, b: ArrayData): java.lang.Long = {
     val n = math.min(a.numElements(), b.numElements())
