@@ -16,16 +16,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cap for DERIVED IVF list counts on the LITERAL-TREE path: bounds
-    * the driver's centroid collect (cap×dim doubles) and — the binding
-    * constraint — the per-row argmin, which is a literal expression
-    * tree of nCentroids dot products. Past ~65k vectors the √n rule
-    * saturates here; beyond that an index wants centroid TABLES
-    * (broadcast join + partial-agg argmin) rather than literal trees —
-    * IMPLEMENTED as the `tableNearestCids`/`tableProbeCids`/
-    * `lloydFloatTable` path, which [[marginTopKAnn]] auto-selects past
-    * [[MaxLiteralCentroids]] (its √n sizing then runs uncapped to
-    * [[MaxTableCentroids]]).
+  /** Cap for DERIVED IVF list counts on the CHAINED-LITERAL-TREE path:
+    * bounds the driver's centroid collect (cap×dim doubles) and — the
+    * binding constraint — the per-row argmin, which is a literal
+    * expression tree of nCentroids dot products. Past ~65k vectors the
+    * √n rule saturates here; beyond that [[marginTopKAnn]]'s helpers
+    * switch to the one-Literal MATRIX form with the codegen dot
+    * (round 9 — O(1) plan size, fastest measured float shape), so its
+    * √n sizing runs uncapped to [[MaxTableCentroids]]; the r7
+    * centroid-TABLE machinery (`tableNearestCids`/`tableProbeCids`/
+    * `lloydFloatTable`) stays behind `useTablesOpt = Some(true)`.
     */
   val MaxAutoCentroids = 256
 
@@ -369,16 +369,45 @@ object Similarity {
         lit(-i).as("negcid"))
     }
 
+  // ---- float MATRIX-literal form (round 9): the whole centroid set as
+  // ONE typedLit 2-D array with the codegen DotProduct INSIDE the
+  // transform lambda — the integer family's matrix shape, floated. The
+  // r8 bake-off rejected the float matrix purely because its dot was an
+  // interpreted aggregate(zip_with) lambda (36.3 s at 200k×448); with
+  // DotProduct in the lambda it is the fastest float shape at every
+  // probed geometry (f-matrixK 3.24 s vs chained 5.27 / table 3.67 at
+  // 200k×448; 0.28 vs 0.71 / 0.46 at 20k×142 — ArgminAb, SCALE.md
+  // round 9) AND O(1) plan size, so the √n list sizing runs past the
+  // chained-literal cap with no broadcast-join materialization.
+  // d = |c|² − 2⟨v,c⟩ is the exact IEEE negation of the chained form's
+  // score, with the identical driver-side norm constant, so (dist, cid)
+  // ordering matches the chained tree bit for bit (ArgminAb parity: 0
+  // diffs at 142 and 448).
+
+  private def floatDistStructsMatrix(centroids: Array[Array[Double]], v: Column): Column = {
+    val norms2 = typedLit(centroids.map(c => c.map(x => x * x).sum).toSeq)
+    transform(typedLit(centroids.map(_.toSeq).toSeq), (c, i) =>
+      struct((element_at(norms2, i + 1) - dot(v, c) * 2).as("d"), i.as("cid")))
+  }
+
   /** greatest() needs ≥2 args — one centroid (tiny corpus /
-    * nCentroids=1) means everything lives in list 0.
+    * nCentroids=1) means everything lives in list 0. Past
+    * [[MaxLiteralCentroids]] the matrix form takes over (O(1) plan
+    * size; fastest measured — see above).
     */
   private def floatNearestCid(centroids: Array[Array[Double]], v: Column): Column =
     if (centroids.length < 2) lit(0)
+    else if (centroids.length > MaxLiteralCentroids)
+      array_min(floatDistStructsMatrix(centroids, v)).getField("cid")
     else -greatest(floatScoredStructs(centroids, v): _*).getField("negcid")
 
   private def floatProbeCids(centroids: Array[Array[Double]], v: Column,
                              nProbe: Int): Column =
     if (centroids.length < 2) array(lit(0))
+    else if (centroids.length > MaxLiteralCentroids)
+      transform(
+        slice(array_sort(floatDistStructsMatrix(centroids, v)), 1, nProbe),
+        s => s.getField("cid"))
     else transform(
       slice(reverse(array_sort(array(floatScoredStructs(centroids, v): _*))), 1, nProbe),
       s => -s.getField("negcid"))
@@ -1185,9 +1214,13 @@ object Similarity {
     *    shuffle volume is ~(1+nProbe)× the corpus, the pair stream
     *    itself never materializes;
     *  - past [[MaxLiteralCentroids]] derived lists, every argmin/probe
-    *    step switches from the literal expression tree to the centroid
-    *    TABLE machinery (broadcast join + partial/bounded aggregation),
-    *    so the √n sizing runs uncapped to [[MaxTableCentroids]];
+    *    step switches from the chained literal tree to the MATRIX form
+    *    (one typedLit centroid array + codegen DotProduct in the
+    *    lambda — round 9's fastest measured float shape at every probed
+    *    geometry), so the √n sizing runs uncapped to
+    *    [[MaxTableCentroids]] at O(1) plan size; the r7 centroid-TABLE
+    *    machinery (broadcast join + partial/bounded aggregation) stays
+    *    behind `useTablesOpt = Some(true)`, spec-pinned bit-identical;
     *  - the pair-scoring leg is the standard broadcast-query IVF probe
     *    ([[ivfTopK]]'s shape) over the same assignment;
     *  - margin arithmetic is unchanged except the a-sum becomes a MEAN
@@ -1204,16 +1237,21 @@ object Similarity {
                     nCentroids: Int = 0, nProbe: Int = 8, iters: Int = 3,
                     qId: String = "query_id", qVec: String = "query_vec",
                     cId: String = "vec_id", cVec: String = "embedding",
-                    maxTrainRows: Long = MaxTrainRows): DataFrame = {
+                    maxTrainRows: Long = MaxTrainRows,
+                    useTablesOpt: Option[Boolean] = None): DataFrame = {
     val c0 = corpus.select(col(cId).cast("long").as("id"), asDouble(col(cVec)).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = c0.count()
-    // √n UNCAPPED-by-the-literal-tree (table path takes over past
-    // MaxLiteralCentroids): list size — and the self-join's pair volume
-    // n·nProbe·(n/nC) — keeps shrinking per the √n rule instead of
-    // saturating at the literal cap (200k vectors: 448 lists, not 256)
+    // √n UNCAPPED-by-the-literal-tree: list size — and the self-join's
+    // pair volume n·nProbe·(n/nC) — keeps shrinking per the √n rule
+    // instead of saturating at the literal cap (200k vectors: 448
+    // lists, not 256). Past [[MaxLiteralCentroids]] the literal helpers
+    // take the MATRIX form with the codegen dot (round 9 — fastest
+    // measured float shape, replacing the r7 broadcast-join table
+    // default, which stays behind `useTablesOpt = Some(true)` and is
+    // spec-pinned bit-identical at nC=150).
     val nC = if (nCentroids > 0) nCentroids else autoCentroidsTable(n)
-    val useTables = nC > MaxLiteralCentroids
+    val useTables = useTablesOpt.getOrElse(false)
     val init: Array[Array[Double]] = c0.orderBy(col("id")).limit(nC)
       .select(col("v")).collect()
       .map(_.getAs[scala.collection.Seq[Double]](0).toArray)

@@ -38,19 +38,41 @@ object IvfPqAb {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val queries = emb.filter(col("vec_id") <= 20)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-    def time(tag: String, tables: Option[Boolean]): Unit = {
+    def time(tag: String, tables: Option[Boolean],
+             maxTrainRows: Long = graft.functions.Similarity.MaxTrainRows): Unit = {
       val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         graft.functions.Similarity.ivfPqTopKPortable(queries, emb, k = 10,
-            dim = 64, useTablesOpt = tables)
+            dim = 64, useTablesOpt = tables, maxTrainRows = maxTrainRows)
           .write.mode("overwrite").format("noop").save()
         spark.catalog.clearCache()
         (System.nanoTime() - t0) / 1e9
       }.sorted
       println(f"[ab] $tag median=${ts(1)}%.2f s spread=[${ts.head}%.2f, ${ts.last}%.2f]")
     }
-    time("auto(matrix past cap)", None)
-    time("forced-table", Some(true))
+    time("auto(matrix past cap), sampled train (default)", None)
+    time("auto(matrix past cap), FULL train (mtr=0)    ", None, maxTrainRows = 0L)
+    time("forced-table, sampled train                  ", Some(true))
+    // at-rest index (round 9): build ONCE (the one-time production
+    // cost, sampled training inside), then time steady-state searches —
+    // pruned file listing + ADC + top-k, the shape a session pays
+    val idxDir = s"$dir/ann_idx_" + java.util.UUID.randomUUID().toString.take(8)
+    val tb = System.nanoTime()
+    graft.functions.AnnIndex.build(spark, emb, idxDir, dim = 64)
+    println(f"[ab] AnnIndex.build (sampled train + one encode+write pass): ${(System.nanoTime() - tb) / 1e9}%.2f s")
+    val probed = graft.functions.AnnIndex.probedFiles(spark, idxDir,
+      graft.functions.AnnIndex.probedCids(spark, queries,
+        graft.functions.AnnIndex.readMeta(spark, idxDir), nProbe = 8))
+    println(s"[ab] AnnIndex probe opens ${probed.size} of " +
+      s"${graft.sink.TxTable.currentFiles(spark, idxDir).size} files")
+    val ts = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      graft.functions.AnnIndex.search(spark, idxDir, queries, k = 10)
+        .write.mode("overwrite").format("noop").save()
+      spark.catalog.clearCache()
+      (System.nanoTime() - t0) / 1e9
+    }.sorted
+    println(f"[ab] AnnIndex.search median=${ts(1)}%.2f s spread=[${ts.head}%.2f, ${ts.last}%.2f]")
     spark.stop()
   }
 }

@@ -101,17 +101,32 @@ class MarginSpec extends SparkSpec {
     assert(r >= 0.8, s"portable ANN margin recall@5 $r below floor 0.8")
   }
 
-  test("ANN margin centroid-TABLE path (nC > MaxLiteralCentroids) recalls >= 0.8") {
-    // force the broadcast-join argmin machinery (no literal tree):
-    // 150 centroids on the 500-vector fixture exceeds
-    // MaxLiteralCentroids=128, so training, assignment and both probe
-    // legs run through centroidTable/tableNearestCids/tableProbeCids
+  test("ANN margin centroid-TABLE path (forced) recalls >= 0.8") {
+    // force the broadcast-join argmin machinery (round 9 moved the
+    // past-cap default to the matrix form; the table machinery stays
+    // behind useTablesOpt): 150 centroids on the 500-vector fixture
+    // exceeds MaxLiteralCentroids=128 either way, so training,
+    // assignment and both probe legs run at the past-cap geometry
     val (emb, queries) = realQueries
     val r = recallVsBrute(
       Similarity.marginTopKAnn(queries, emb, k = 5, nCentroids = 150,
-        nProbe = 24),
+        nProbe = 24, useTablesOpt = Some(true)),
       emb, queries)
     assert(r >= 0.8, s"table-path ANN margin recall@5 $r below floor 0.8")
+  }
+
+  test("ANN margin matrix (past-cap default) is bit-identical to the forced-table path") {
+    // the round-9 default swap (table -> matrix with codegen dot past
+    // MaxLiteralCentroids) is a PLAN change only: d = |c|^2 - 2<v,c> is
+    // the exact IEEE negation of the chained score with the identical
+    // driver-side norm constant, and both argmins tie to the lowest
+    // cid — so every id and every rounded margin must match
+    val (emb, queries) = realQueries
+    def run(tables: Option[Boolean]) =
+      Similarity.marginTopKAnn(queries, emb, k = 5, nCentroids = 150,
+          nProbe = 24, useTablesOpt = tables)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(run(None) === run(Some(true)))
   }
 
   test("marginTopK auto-switches to the ANN legs past the corpus threshold") {
