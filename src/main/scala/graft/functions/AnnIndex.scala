@@ -162,20 +162,15 @@ object AnnIndex {
     TxTable.commit(spark, table, added = files, removed = Nil, stats = stats)
   }
 
-  /** Incremental maintenance: encode NEW vectors with the index's
-    * FROZEN quantizers (meta sidecar) — one map-only pass, no Lloyd —
-    * and append them as one commit. The standard IVF contract: list
-    * geometry is fixed at build time; rebuild when the data drifts.
+  /** Encode `newRows` with FROZEN quantizers — one map-only pass, no
+    * Lloyd. Shared by [[append]] and [[appendOnce]].
     */
-  def append(spark: SparkSession, newRows: DataFrame, table: String,
-             cId: String = "vec_id", cVec: String = "embedding",
-             maxRecordsPerFile: Long = 5000000L): Long = {
-    val meta = readMeta(spark, table)
+  private def encodeWith(meta: Meta, newRows: DataFrame,
+                         cId: String, cVec: String): DataFrame = {
     val subDim = meta.dim / meta.m
-    val vi = Similarity.toIntVec(col("v"))
     val base = newRows
       .select(col(cId).cast("long").as("id"), col(cVec).cast("array<double>").as("v"))
-      .withColumn("vi", vi)
+      .withColumn("vi", Similarity.toIntVec(col("v")))
       .withColumn("cid", Similarity.intNearestCid(meta.coarse, col("vi")))
       .select(col("id"), col("cid"),
         zip_with(col("vi"), Similarity.intCentroidOf(meta.coarse, col("cid")),
@@ -187,10 +182,45 @@ object AnnIndex {
       }
       if (cand.length < 2) cand.head else least(cand: _*)
     }
-    val encoded = base.select(
+    base.select(
       col("id") +: col("cid") +: col("ri") +:
         (0 until meta.m).map(s => perSub(s).getField("cid").as(s"__c$s")): _*)
-    commitIndexRows(spark, encoded, table, maxRecordsPerFile)
+  }
+
+  /** Incremental maintenance: encode NEW vectors with the index's
+    * FROZEN quantizers (meta sidecar) — one map-only pass, no Lloyd —
+    * and append them as one commit. The standard IVF contract: list
+    * geometry is fixed at build time; rebuild when the data drifts.
+    */
+  def append(spark: SparkSession, newRows: DataFrame, table: String,
+             cId: String = "vec_id", cVec: String = "embedding",
+             maxRecordsPerFile: Long = 5000000L): Long =
+    commitIndexRows(spark, encodeWith(readMeta(spark, table), newRows, cId, cVec),
+      table, maxRecordsPerFile)
+
+  /** [[append]] with writer-transaction idempotence — exactly-once
+    * index maintenance under retries and the sink half of a streaming
+    * maintainer (`foreachBatch((batch, id) => appendOnce(..., id))`,
+    * the [[TxTable.appendOnce]] contract): a replay of an
+    * already-landed (appId, writerVersion) stages nothing durable and
+    * returns None instead of double-appending the batch's vectors.
+    */
+  def appendOnce(spark: SparkSession, newRows: DataFrame, table: String,
+                 appId: String, writerVersion: Long,
+                 cId: String = "vec_id", cVec: String = "embedding",
+                 maxRecordsPerFile: Long = 5000000L): Option[Long] = {
+    require(writerVersion >= 0, s"writerVersion must be >= 0, got $writerVersion")
+    // cheap fast path: no staging at all for an obvious duplicate
+    if (TxTable.txnVersion(spark, table, appId).exists(_ >= writerVersion))
+      return None
+    val encoded = encodeWith(readMeta(spark, table), newRows, cId, cVec)
+    val files = TxTable.stageBatch(spark, encoded.repartition(col("cid")),
+      table, partitionBy = Seq("cid"), maxRecordsPerFile = maxRecordsPerFile)
+    val stats = TxTable.fileStats(spark, table, files, Seq("cid"))
+    val out = TxTable.commitOnce(spark, table, added = files, removed = Nil,
+      appId = appId, writerVersion = writerVersion, stats = stats)
+    if (out.isEmpty) TxTable.deleteStaged(spark, table, files)
+    out
   }
 
   /** The driver-side probed-list set of a (broadcast-small) query

@@ -911,6 +911,23 @@ object TxTable {
       .getOrElse(throw new IllegalStateException(
         "unreachable: a txn-less commit never skips"))
 
+  /** [[commit]] with [[appendOnce]]'s writer-txn idempotence, for
+    * callers that stage their OWN batches (partitioned layouts like
+    * [[graft.functions.AnnIndex]], which needs `stageBatch(partitionBy)`
+    * rather than appendOnce's flat staging): returns None — publishing
+    * nothing — when the log already records `appId` at a writer version
+    * >= `writerVersion`. On a skip the STAGED FILES ARE THE CALLER'S to
+    * reclaim ([[deleteStaged]]), exactly as appendOnce does internally.
+    */
+  def commitOnce(spark: SparkSession, table: String,
+                 added: Seq[String], removed: Seq[String],
+                 appId: String, writerVersion: Long,
+                 stats: Seq[Seq[ColStat]] = Nil): Option[Long] = {
+    require(writerVersion >= 0, s"writerVersion must be >= 0, got $writerVersion")
+    commitOpt(spark, table, added, removed, stats = stats,
+      txn = Some((appId, writerVersion)))
+  }
+
   /** [[commit]] plus writer-transaction idempotence: with `txn =
     * Some((appId, writerVersion))`, the commit is SKIPPED (returns None,
     * publishes nothing) when the log already records `appId` at a

@@ -12,9 +12,15 @@ import scala.jdk.CollectionConverters._
   *  - IMPROVED:  new median < old min AND < old median / relThr
   *  - NEW / GONE: entry present in only one run
   *
+  * plus an ABSOLUTE floor (`minAbsDelta`, default 0.3 s): sub-second
+  * entries drift 20-40% between JVMs from suite order/JIT alone, and a
+  * 0.13 → 0.18 s "regression" is not actionable — without the floor the
+  * report drowns real deltas in noise flags (measured on two same-code
+  * sf0.01 runs: 19 flags without, the true kernel-swap deltas with).
+  *
   * Pure JVM (no Spark session — this reads ~500 JSON lines). Fields are
   * extracted by pattern, matching exactly what Bench writes.
-  * `runMain graft.tools.BenchCompare [historyPath] [relThr=1.25]`.
+  * `runMain graft.tools.BenchCompare [historyPath] [relThr=1.25] [minAbsDelta=0.3]`.
   */
 object BenchCompare {
   private val F = """"(\w+)":("[^"]*"|[-0-9.eE]+)""".r
@@ -22,6 +28,7 @@ object BenchCompare {
   def main(args: Array[String]): Unit = {
     val path = args.headOption.getOrElse("bench_history.jsonl")
     val relThr = args.lift(1).map(_.toDouble).getOrElse(1.25)
+    val minAbsDelta = args.lift(2).map(_.toDouble).getOrElse(0.3)
     val lines = java.nio.file.Files.readAllLines(
       java.nio.file.Paths.get(path)).asScala.filter(_.nonEmpty)
     val rows = lines.map { l =>
@@ -47,10 +54,10 @@ object BenchCompare {
       case (Some(a), Some(b)) =>
         val (om, olo, ohi) = (a("median").toDouble, a("min").toDouble, a("max").toDouble)
         val nm = b("median").toDouble
-        if (om > 0 && nm > ohi && nm > om * relThr) {
+        if (om > 0 && nm > ohi && nm > om * relThr && nm - om > minAbsDelta) {
           reg += 1
           println(f"REGRESSED $name%-32s $om%7.2f [$olo%.2f, $ohi%.2f] -> $nm%7.2f (${nm / om}%.2fx)")
-        } else if (om > 0 && nm >= 0 && nm < olo && nm < om / relThr) {
+        } else if (om > 0 && nm >= 0 && nm < olo && nm < om / relThr && om - nm > minAbsDelta) {
           imp += 1
           println(f"IMPROVED  $name%-32s $om%7.2f [$olo%.2f, $ohi%.2f] -> $nm%7.2f (${nm / om}%.2fx)")
         }

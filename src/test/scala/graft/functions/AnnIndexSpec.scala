@@ -86,6 +86,42 @@ class AnnIndexSpec extends SparkSpec {
     assert(atRest == inMem)
   }
 
+  test("compaction preserves the partition layout, the stats, and the pruned search") {
+    val dir = tmp("compact")
+    AnnIndex.build(spark, emb, dir, dim = 64, nCentroids = 16,
+      maxRecordsPerFile = 20L) // oversized lists split into several files
+    val before = TxTable.currentFiles(spark, dir).size
+    assert(before > 16, s"expected split files, got $before")
+    val expected = resultSet(AnnIndex.search(spark, dir, queries, k = 10))
+    // TxTable.compact with partitionBy keeps the cid= dirs (directory
+    // pruning survives) and recomputes the per-file cid stats — the
+    // index maintenance path after many appends
+    TxTable.compact(spark, dir, targetRowsPerFile = 1000000L,
+      partitionBy = Seq("cid"))
+    val after = TxTable.currentFiles(spark, dir)
+    assert(after.size < before, s"compaction must shrink files: $before -> ${after.size}")
+    val meta = AnnIndex.readMeta(spark, dir)
+    val q2 = emb.filter($"vec_id" <= 1)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val probed = AnnIndex.probedCids(spark, q2, meta, nProbe = 2)
+    val opened = AnnIndex.probedFiles(spark, dir, probed)
+    assert(opened.size < after.size,
+      s"post-compaction pruning opened ${opened.size}/${after.size}")
+    assert(resultSet(AnnIndex.search(spark, dir, queries, k = 10)) == expected)
+  }
+
+  test("build + search survive the hostile object store (lying rename, check-then-act create)") {
+    // the index is a TxTable + one sidecar: both must hold on a store
+    // whose rename REPLACES and whose exclusive-create races — the
+    // same stand-in the commit protocol and log store are proven on
+    val dir = graft.sink.HostileFileSystem.root(spark) + "/ann_idx"
+    AnnIndex.build(spark, emb, dir, dim = 64, nCentroids = 16)
+    val atRest = resultSet(AnnIndex.search(spark, dir, queries, k = 10))
+    val inMem = resultSet(Similarity.ivfPqTopKPortable(queries, emb, k = 10,
+      dim = 64, nCentroids = 16))
+    assert(atRest == inMem)
+  }
+
   test("append encodes with the frozen quantizers and is immediately searchable") {
     val dir = tmp("append")
     AnnIndex.build(spark, emb, dir, dim = 64, nCentroids = 16)
@@ -106,5 +142,29 @@ class AnnIndexSpec extends SparkSpec {
     // meta is untouched by append (frozen quantizers)
     val meta = AnnIndex.readMeta(spark, dir)
     assert(meta.coarse.length == 16)
+  }
+
+  test("appendOnce is exactly-once under replay (the streaming-maintainer contract)") {
+    val dir = tmp("once")
+    AnnIndex.build(spark, emb, dir, dim = 64, nCentroids = 16)
+    val batch = emb.filter($"vec_id" <= 3)
+      .select(($"vec_id" + 200000L).as("vec_id"), $"embedding")
+    val n0 = TxTable.read(spark, dir).count()
+    assert(AnnIndex.appendOnce(spark, batch, dir, "maintainer", 1L).isDefined)
+    val n1 = TxTable.read(spark, dir).count()
+    assert(n1 == n0 + batch.count())
+    // a crash-replay of the SAME writer version must stage nothing
+    // durable and change nothing
+    assert(AnnIndex.appendOnce(spark, batch, dir, "maintainer", 1L).isEmpty)
+    assert(TxTable.read(spark, dir).count() == n1)
+    // the next version lands, and its vectors are immediately probed
+    val batch2 = emb.filter($"vec_id" === 4)
+      .select(($"vec_id" + 200000L).as("vec_id"), $"embedding")
+    assert(AnnIndex.appendOnce(spark, batch2, dir, "maintainer", 2L).isDefined)
+    val q = emb.filter($"vec_id" === 4)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val hits = AnnIndex.search(spark, dir, q, k = 3)
+      .filter(col("neighbor_id") === 200004L)
+    assert(hits.count() == 1L)
   }
 }
