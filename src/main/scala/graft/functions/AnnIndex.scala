@@ -261,11 +261,20 @@ object AnnIndex {
              qVec: String = "query_vec"): DataFrame = {
     val meta = readMeta(spark, table)
     val qint = Similarity.toQInt(queries, qId, qVec)
+    val probed = probedCids(spark, queries, meta, nProbe, qId, qVec)
+    if (probed.isEmpty) // empty query set: an empty RESULT, not an
+      return emptyResult(spark, qId, "adc_q") // unreadable-scan error
     val index = TxTable.readFiles(spark, table,
-      probedFiles(spark, table, probedCids(spark, queries, meta, nProbe, qId, qVec)))
+      probedFiles(spark, table, probed))
     Similarity.topkByLowest(
       Similarity.adcProbeScore(qint, index, meta.coarse, meta.codebooks,
         meta.dim, meta.m, nProbe, qId), k, qId, "adc_q")
+  }
+
+  private def emptyResult(spark: SparkSession, qId: String,
+                          valCol: String): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Long, Long)].toDF(qId, "neighbor_id", valCol)
   }
 
   /** IVFADC+R against the at-rest index: ADC shortlist of `rerank`
@@ -282,8 +291,10 @@ object AnnIndex {
     require(rerank >= k, s"rerank=$rerank must be >= k=$k")
     val meta = readMeta(spark, table)
     val qint = Similarity.toQInt(queries, qId, qVec).localCheckpoint(true)
+    val probed = probedCids(spark, queries, meta, nProbe, qId, qVec)
+    if (probed.isEmpty) return emptyResult(spark, qId, "l2_q")
     val index = TxTable.readFiles(spark, table,
-      probedFiles(spark, table, probedCids(spark, queries, meta, nProbe, qId, qVec)))
+      probedFiles(spark, table, probed))
     val scored = Similarity.adcProbeScore(qint, index, meta.coarse,
       meta.codebooks, meta.dim, meta.m, nProbe, qId)
     val cand = Similarity.topkByLowest(scored, rerank, qId, "adc_q")

@@ -144,6 +144,15 @@ class AnnIndexSpec extends SparkSpec {
     assert(meta.coarse.length == 16)
   }
 
+  test("an empty query set returns an empty result, not a scan error") {
+    val dir = tmp("empty")
+    AnnIndex.build(spark, emb, dir, dim = 64, nCentroids = 16)
+    val none = emb.filter($"vec_id" < 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    assert(AnnIndex.search(spark, dir, none, k = 5).count() == 0)
+    assert(AnnIndex.searchRerank(spark, dir, none, k = 5, rerank = 10).count() == 0)
+  }
+
   test("appendOnce is exactly-once under replay (the streaming-maintainer contract)") {
     val dir = tmp("once")
     AnnIndex.build(spark, emb, dir, dim = 64, nCentroids = 16)
