@@ -4471,6 +4471,16 @@ object SparkEntry {
       functions.AnnIndex.build(s, emb, table, dim = 64)
       functions.AnnIndex.search(s, table, queries, k = 10)
     }),
+    // q156's published-recipe twin: SemDeDup with TRAINED k-means
+    // clusters (sampled Lloyd + matrix argmin past the literal cap) —
+    // recovers 493/500 planted near-dups vs the fixed-centroid gate
+    // form's 470 (SemDedupTrainedSpec); float means aren't
+    // SQL-replayable, so this is timed here and spec-pinned, while
+    // q156 gates the oracle-replayable fixed-centroid form
+    "b156_semdedup_trained" -> ((s, dir) => {
+      functions.Similarity.semDedupTrained(
+        t(s, dir, "embeddings"), "vec_id", "embedding")
+    }),
     // q61's production path: float Lloyd IVF (codegen DotProduct argmin
     // vs the portable variant's CodegenFallback integer distance). The
     // gate times the engine-portable twin; recall parity is spec-pinned.

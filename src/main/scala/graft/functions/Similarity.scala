@@ -1112,6 +1112,16 @@ object Similarity {
     val vecs = df.select(col(idCol).cast("long").as("vec_id"),
         asDouble(col(vecCol)).as("__v"))
       .join(assigned, Seq("vec_id"))
+    semDedupWithin(vecs, threshold)
+  }
+
+  /** The within-cluster dedup half of SemDeDup, shared by [[semDedup]]
+    * (fixed lowest-id centroids — the oracle-replayable gate form) and
+    * [[semDedupTrained]]: one self-equi-join on cluster_id with the
+    * `idA < idB` + cosine-threshold filter fused in-stage, one
+    * distinct + left_anti. `vecs` = (vec_id, __v, cluster_id).
+    */
+  private def semDedupWithin(vecs: DataFrame, threshold: Double): DataFrame = {
     val a = vecs.select(col("cluster_id"), col("vec_id").as("idA"), col("__v").as("__va"))
     val b = vecs.select(col("cluster_id"), col("vec_id").as("idB"), col("__v").as("__vb"))
     val losers = a.join(b, Seq("cluster_id"))
@@ -1121,6 +1131,46 @@ object Similarity {
       .select(col("idB").as("vec_id")).distinct()
     vecs.select(col("vec_id"), col("cluster_id"))
       .join(losers, Seq("vec_id"), "left_anti")
+  }
+
+  /** [[semDedup]] with TRAINED clusters — the published recipe (Abbas
+    * et al. run k-means on the embeddings; [[semDedup]]'s fixed
+    * lowest-id centroids are the deterministic, engine-replayable
+    * variant the q156 oracle gates). Lloyd runs on the bounded
+    * [[MaxTrainRows]] hash sample with the matrix argmin past the
+    * literal cap — so at any corpus size training is bounded and the
+    * one full pass is assignment. Trained centroids track the data's
+    * density, which tightens clusters around duplicate clumps: on the
+    * planted-twin fixture the trained variant recovers MORE planted
+    * near-dup drops than the fixed-centroid form at the same k
+    * (SemDedupTrainedSpec pins trained >= fixed). Deterministic
+    * (lowest-id init, hash sample, lowest-cid ties) — just not
+    * SQL-replayable, because distributed float means carry
+    * partition-order last-ulp drift; hence spec-pinned, not
+    * oracle-gated.
+    */
+  def semDedupTrained(df: DataFrame, idCol: String, vecCol: String,
+                      nClusters: Int = 0, threshold: Double = 0.95,
+                      iters: Int = 2,
+                      maxTrainRows: Long = MaxTrainRows): DataFrame = {
+    val c0 = df.select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = c0.count()
+    // √n UNCAPPED by the literal tree (matrix argmin past 128): cluster
+    // size — and the per-cluster quadratic block — stays ~constant
+    val nC = if (nClusters > 0) nClusters else autoCentroidsTable(n)
+    val init: Array[Array[Double]] = c0.orderBy(col("id")).limit(nC)
+      .select(col("v")).collect()
+      .map(_.getAs[scala.collection.Seq[Double]](0).toArray)
+    val centroids = lloydFloat(trainSample(c0, n, maxTrainRows), init, iters)
+    // assignment materialized ONCE (eager, GC-released): three plan
+    // branches consume it (both self-join sides + the left_anti base)
+    val vecs = c0
+      .select(col("id").as("vec_id"), col("v").as("__v"),
+        floatNearestCid(centroids, col("v")).cast("long").as("cluster_id"))
+      .localCheckpoint(true)
+    c0.unpersist()
+    semDedupWithin(vecs, threshold)
   }
 
   /** Margin-based neighbor scoring (Artetxe & Schwenk, ACL 2019 — the
