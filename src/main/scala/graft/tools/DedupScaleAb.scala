@@ -69,6 +69,9 @@ object DedupScaleAb {
     time("q156 shape (semDedup, auto √n clusters)")(
       graft.functions.Similarity.semDedup(emb, "vec_id", "embedding",
         threshold = 0.95))
+    time("b156 shape (semDedupTrained, sampled Lloyd)")(
+      graft.functions.Similarity.semDedupTrained(emb, "vec_id", "embedding",
+        threshold = 0.95))
     spark.stop()
   }
 }
