@@ -32,7 +32,9 @@ import graft.sink.TxTable
   * Maintenance rides the TxTable layer: [[append]] encodes NEW vectors
   * with the FROZEN quantizers (one map pass, no retraining — the
   * standard IVF maintenance contract; re-[[build]] when drift warrants
-  * it), commits are atomic and conflict-checked, and
+  * it — an atomic REPLACE: new rows + new sidecar swap in as one
+  * conflict-checked commit, see [[metaHash]]), commits are atomic and
+  * conflict-checked, and
   * `TxTable.compact(clusterBy = "id", partitionBy = Seq("cid"))`
   * re-tightens file sizes without losing the partition layout.
   */
@@ -43,7 +45,31 @@ object AnnIndex {
                         coarse: Array[Array[Long]],
                         codebooks: Array[Array[Array[Long]]])
 
-  private def metaPath(table: String) = new Path(s"$table/_graft_ann_meta.json")
+  /** Sidecars are CONTENT-ADDRESSED (`_graft_ann_meta.<md5-prefix>.json`,
+    * immutable once written) and every index row carries its quantizers'
+    * hash in the constant `__qz` column, so the commit's per-file stats
+    * record which sidecar decodes which rows. The pairing therefore
+    * switches ATOMICALLY with the data commit: a [[build]] over a live
+    * index stages rows tagged with the NEW hash and publishes ONE commit
+    * that adds them and removes every prior file — readers see (old
+    * rows, old sidecar) or (new rows, new sidecar), never a cross (the
+    * round-9 layout wrote one mutable sidecar BEFORE the commit, so a
+    * rebuild — or a build that died between sidecar and commit — decoded
+    * old codes with new codebooks). A crash before the commit leaves
+    * only an unreferenced sidecar; a clobbering rename re-lands
+    * identical bytes.
+    */
+  private[functions] def metaHash(rendered: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(rendered.getBytes("UTF-8"))
+    d.take(6).map(b => f"$b%02x").mkString
+  }
+
+  private def metaPath(table: String, hash: String) =
+    new Path(s"$table/_graft_ann_meta.$hash.json")
+
+  /** The column tagging every row with its quantizer sidecar's hash. */
+  val QzCol = "__qz"
 
   private def fsFor(spark: SparkSession, table: String) =
     new Path(table).getFileSystem(spark.sessionState.newHadoopConf())
@@ -102,28 +128,52 @@ object AnnIndex {
       toA2(arrField("coarse")), toA3(arrField("codebooks")))
   }
 
-  /** Read the quantizer sidecar of an existing index. */
-  def readMeta(spark: SparkSession, table: String): Meta = {
+  /** The committed rows' quantizer hash, from the commit log's `__qz`
+    * stats — the one source of truth for which sidecar decodes the
+    * current state. Requires a committed, consistently-tagged index.
+    */
+  def currentMetaHash(spark: SparkSession, table: String): String = {
+    val hashes = TxTable.currentFilesWithStats(spark, table)
+      .flatMap(_._2.find(_.col == QzCol).map(_.lo)).distinct
+    require(hashes.nonEmpty,
+      s"$table carries no quantizer tag in its committed stats — not a built AnnIndex (or empty)")
+    require(hashes.size == 1,
+      s"$table mixes quantizer generations ${hashes.mkString(", ")} — a torn maintenance write; rebuild")
+    hashes.head
+  }
+
+  /** Read the quantizer sidecar paired with the CURRENT commit. */
+  def readMeta(spark: SparkSession, table: String): Meta =
+    readMetaAt(spark, table, currentMetaHash(spark, table))._1
+
+  private def readMetaAt(spark: SparkSession, table: String,
+                         hash: String): (Meta, String) = {
     val fs = fsFor(spark, table)
-    val in = fs.open(metaPath(table))
+    val in = fs.open(metaPath(table, hash))
     try {
       val bytes = new java.io.ByteArrayOutputStream()
       val buf = new Array[Byte](8192)
       var n = in.read(buf)
       while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-      parseMeta(bytes.toString("UTF-8"))
+      (parseMeta(bytes.toString("UTF-8")), hash)
     } finally in.close()
   }
 
-  private def writeMeta(spark: SparkSession, table: String, meta: Meta): Unit = {
+  /** Write the sidecar to its content-addressed path; returns the hash.
+    * Idempotent (same meta → same path, same bytes) and unreferenced
+    * until a commit lands rows tagged with the hash.
+    */
+  private def writeMeta(spark: SparkSession, table: String, meta: Meta): String = {
     val fs = fsFor(spark, table)
-    // temp-write + rename, the commit-file discipline: a reader never
-    // observes a torn sidecar
-    val tmp = new Path(s"$table/._graft_ann_meta.json.tmp")
+    val rendered = renderMeta(meta)
+    val hash = metaHash(rendered)
+    val tmp = new Path(s"$table/._graft_ann_meta.$hash.json.tmp")
     val out = fs.create(tmp, true)
-    try out.write(renderMeta(meta).getBytes("UTF-8")) finally out.close()
-    fs.delete(metaPath(table), false)
-    require(fs.rename(tmp, metaPath(table)), s"ann meta rename failed for $table")
+    try out.write(rendered.getBytes("UTF-8")) finally out.close()
+    fs.delete(metaPath(table, hash), false)
+    require(fs.rename(tmp, metaPath(table, hash)),
+      s"ann meta rename failed for $table")
+    hash
   }
 
   /** Train (bounded sample), encode (one corpus pass), and land the
@@ -146,26 +196,36 @@ object AnnIndex {
             maxRecordsPerFile: Long = 5000000L): Long = {
     val (index, coarse, codebooks) = Similarity.ivfPqBuildIndex(corpus, dim,
       m, kCentroids, nCentroids, coarseIters, pqIters, cId, cVec, maxTrainRows)
-    writeMeta(spark, table, Meta(dim, m, kCentroids, coarse, codebooks))
-    commitIndexRows(spark, index, table, maxRecordsPerFile)
+    // REPLACE semantics over a live index: the prior state is captured
+    // first and the one commit below swaps it out conflict-checked
+    // (expectedHead), so a concurrent append can never be silently
+    // resurrected with stale codebooks
+    val head = TxTable.headVersion(spark, table)
+    val prior = TxTable.currentFiles(spark, table)
+    val hash = writeMeta(spark, table, Meta(dim, m, kCentroids, coarse, codebooks))
+    commitIndexRows(spark, index.withColumn(QzCol, lit(hash)), table,
+      maxRecordsPerFile, removed = prior, expectedHead = Some(head))
   }
 
   /** Stage `index` rows under `cid=` dirs and publish one stats-bearing
     * commit (shared by [[build]] and [[append]]).
     */
   private def commitIndexRows(spark: SparkSession, index: DataFrame,
-                              table: String, maxRecordsPerFile: Long): Long = {
+                              table: String, maxRecordsPerFile: Long,
+                              removed: Seq[String] = Nil,
+                              expectedHead: Option[Long] = None): Long = {
     val files = TxTable.stageBatch(spark,
       index.repartition(col("cid")), table,
       partitionBy = Seq("cid"), maxRecordsPerFile = maxRecordsPerFile)
-    val stats = TxTable.fileStats(spark, table, files, Seq("cid"))
-    TxTable.commit(spark, table, added = files, removed = Nil, stats = stats)
+    val stats = TxTable.fileStats(spark, table, files, Seq("cid", QzCol))
+    TxTable.commit(spark, table, added = files, removed = removed,
+      expectedHead = expectedHead, stats = stats)
   }
 
   /** Encode `newRows` with FROZEN quantizers — one map-only pass, no
     * Lloyd. Shared by [[append]] and [[appendOnce]].
     */
-  private def encodeWith(meta: Meta, newRows: DataFrame,
+  private def encodeWith(meta: Meta, hash: String, newRows: DataFrame,
                          cId: String, cVec: String): DataFrame = {
     val subDim = meta.dim / meta.m
     val base = newRows
@@ -184,7 +244,8 @@ object AnnIndex {
     }
     base.select(
       col("id") +: col("cid") +: col("ri") +:
-        (0 until meta.m).map(s => perSub(s).getField("cid").as(s"__c$s")): _*)
+        (0 until meta.m).map(s => perSub(s).getField("cid").as(s"__c$s")) :+
+        lit(hash).as(QzCol): _*)
   }
 
   /** Incremental maintenance: encode NEW vectors with the index's
@@ -194,9 +255,11 @@ object AnnIndex {
     */
   def append(spark: SparkSession, newRows: DataFrame, table: String,
              cId: String = "vec_id", cVec: String = "embedding",
-             maxRecordsPerFile: Long = 5000000L): Long =
-    commitIndexRows(spark, encodeWith(readMeta(spark, table), newRows, cId, cVec),
+             maxRecordsPerFile: Long = 5000000L): Long = {
+    val (meta, hash) = readMetaAt(spark, table, currentMetaHash(spark, table))
+    commitIndexRows(spark, encodeWith(meta, hash, newRows, cId, cVec),
       table, maxRecordsPerFile)
+  }
 
   /** [[append]] with writer-transaction idempotence — exactly-once
     * index maintenance under retries and the sink half of a streaming
@@ -213,10 +276,11 @@ object AnnIndex {
     // cheap fast path: no staging at all for an obvious duplicate
     if (TxTable.txnVersion(spark, table, appId).exists(_ >= writerVersion))
       return None
-    val encoded = encodeWith(readMeta(spark, table), newRows, cId, cVec)
+    val (meta, hash) = readMetaAt(spark, table, currentMetaHash(spark, table))
+    val encoded = encodeWith(meta, hash, newRows, cId, cVec)
     val files = TxTable.stageBatch(spark, encoded.repartition(col("cid")),
       table, partitionBy = Seq("cid"), maxRecordsPerFile = maxRecordsPerFile)
-    val stats = TxTable.fileStats(spark, table, files, Seq("cid"))
+    val stats = TxTable.fileStats(spark, table, files, Seq("cid", QzCol))
     val out = TxTable.commitOnce(spark, table, added = files, removed = Nil,
       appId = appId, writerVersion = writerVersion, stats = stats)
     if (out.isEmpty) TxTable.deleteStaged(spark, table, files)
@@ -264,8 +328,12 @@ object AnnIndex {
     val probed = probedCids(spark, queries, meta, nProbe, qId, qVec)
     if (probed.isEmpty) // empty query set: an empty RESULT, not an
       return emptyResult(spark, qId, "adc_q") // unreadable-scan error
-    val index = TxTable.readFiles(spark, table,
-      probedFiles(spark, table, probed))
+    val pf = probedFiles(spark, table, probed)
+    // every probed list may be EMPTY (Lloyd keeps empty clusters'
+    // centroids): no committed file → a schemaless emptyDataFrame scan
+    // would fail the join on `cid`, so return the empty result directly
+    if (pf.isEmpty) return emptyResult(spark, qId, "adc_q")
+    val index = TxTable.readFiles(spark, table, pf)
     Similarity.topkByLowest(
       Similarity.adcProbeScore(qint, index, meta.coarse, meta.codebooks,
         meta.dim, meta.m, nProbe, qId), k, qId, "adc_q")
@@ -293,8 +361,9 @@ object AnnIndex {
     val qint = Similarity.toQInt(queries, qId, qVec).localCheckpoint(true)
     val probed = probedCids(spark, queries, meta, nProbe, qId, qVec)
     if (probed.isEmpty) return emptyResult(spark, qId, "l2_q")
-    val index = TxTable.readFiles(spark, table,
-      probedFiles(spark, table, probed))
+    val pf = probedFiles(spark, table, probed)
+    if (pf.isEmpty) return emptyResult(spark, qId, "l2_q")
+    val index = TxTable.readFiles(spark, table, pf)
     val scored = Similarity.adcProbeScore(qint, index, meta.coarse,
       meta.codebooks, meta.dim, meta.m, nProbe, qId)
     val cand = Similarity.topkByLowest(scored, rerank, qId, "adc_q")

@@ -87,8 +87,8 @@ object Dedup {
     * codegen'd with no intermediate arrays; the composition is kept as
     * the executable spec of the hash chain).
     */
-  private def signatures(df: DataFrame, textCol: String, idCol: String,
-                         k: Int, shingleLen: Int): DataFrame =
+  private[functions] def signatures(df: DataFrame, textCol: String, idCol: String,
+                                    k: Int, shingleLen: Int): DataFrame =
     df.select(col(idCol).as("id"), tokenHashes(col(textCol)).as("__th"))
       .select(col("id"), MinHashSig.minhashSig(col("__th"), k, shingleLen).as("sig"))
 

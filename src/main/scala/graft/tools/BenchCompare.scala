@@ -36,17 +36,23 @@ object BenchCompare {
         m.group(1) -> m.group(2).stripPrefix("\"").stripSuffix("\"")).toMap
       kv
     }
-    val runs = rows.map(_("run")).distinct
+    // compare WITHIN one sf: bench_history may mix scale factors
+    // (SPARK_GRAFT_SF_DIR changes between local iteration and driver
+    // runs) and a cross-sf delta is a bogus 10x flag, not a result —
+    // so take the newest run's sf and the two most recent runs AT it
+    val newestSf = rows.last.getOrElse("sf", "?")
+    val atSf = rows.filter(_.getOrElse("sf", "?") == newestSf)
+    val runs = atSf.map(_("run")).distinct
     if (runs.size < 2) {
-      println(s"[benchcmp] only ${runs.size} run(s) in $path — nothing to compare")
+      println(s"[benchcmp] only ${runs.size} run(s) at sf $newestSf in $path — nothing to compare")
       return
     }
     val (oldRun, newRun) = (runs(runs.size - 2), runs.last)
     def byName(run: String) =
-      rows.filter(_("run") == run).map(r => r("name") -> r).toMap
+      atSf.filter(_("run") == run).map(r => r("name") -> r).toMap
     val (o, n) = (byName(oldRun), byName(newRun))
     println(s"[benchcmp] $oldRun -> $newRun " +
-      s"(sf ${rows.last.getOrElse("sf", "?")}, relThr $relThr)")
+      s"(sf $newestSf, relThr $relThr)")
     var reg, imp = 0
     for (name <- (o.keySet ++ n.keySet).toSeq.sorted) (o.get(name), n.get(name)) match {
       case (None, Some(_)) => println(f"NEW       $name")

@@ -144,6 +144,31 @@ class AnnIndexSpec extends SparkSpec {
     assert(meta.coarse.length == 16)
   }
 
+  test("rebuild over a live index REPLACES it: one commit, no stale rows, paired sidecar") {
+    val dir = tmp("rebuild")
+    AnnIndex.build(spark, emb, dir, dim = 64, nCentroids = 16)
+    // drift the index: append twins so the live state differs from any
+    // fresh build of `emb` alone
+    val twins = emb.filter($"vec_id" <= 5)
+      .select(($"vec_id" + 300000L).as("vec_id"), $"embedding")
+    AnnIndex.append(spark, twins, dir)
+    val hashBefore = AnnIndex.currentMetaHash(spark, dir)
+    // rebuild at a DIFFERENT geometry: the new sidecar cannot decode the
+    // old rows, so any survivor of the swap would poison the search
+    AnnIndex.build(spark, emb, dir, dim = 64, nCentroids = 8, m = 2)
+    assert(TxTable.read(spark, dir).count() == emb.count(),
+      "rebuild must remove every pre-rebuild row in the same commit")
+    assert(AnnIndex.currentMetaHash(spark, dir) != hashBefore)
+    val meta = AnnIndex.readMeta(spark, dir)
+    assert(meta.coarse.length == 8 && meta.m == 2)
+    // the rebuilt index answers bit-identically to a fresh in-session
+    // run at the rebuilt geometry — no old-generation contamination
+    val atRest = resultSet(AnnIndex.search(spark, dir, queries, k = 10))
+    val inMem = resultSet(Similarity.ivfPqTopKPortable(queries, emb, k = 10,
+      dim = 64, m = 2, nCentroids = 8))
+    assert(atRest == inMem)
+  }
+
   test("an empty query set returns an empty result, not a scan error") {
     val dir = tmp("empty")
     AnnIndex.build(spark, emb, dir, dim = 64, nCentroids = 16)

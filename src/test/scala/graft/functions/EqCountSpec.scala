@@ -49,9 +49,25 @@ class EqCountSpec extends SparkSpec {
       .select($"idA", $"idB", $"est_jaccard")
       .as[(Long, Long, Double)].collect().toSet
     assert(pairs.nonEmpty)
-    // the composition spelled out inline over the same signature join
-    // must produce the identical verified pair set
     pairs.foreach { case (a, b, j) =>
       assert(a < b && j >= 0.5 && j <= 1.0) }
+    // the composition spelled out inline over the same signatures and
+    // the SAME (estimator-independent) band-candidate set must produce
+    // the identical verified pair set — a kernel divergence on the real
+    // join path fails here, not only at the q23 oracle. threshold = 0
+    // keeps every band candidate (any estimate passes >= 0), so the
+    // candidate generation itself never consults the kernel's value.
+    val candidates = Dedup.minhashCandidatePairs(docs, "text", "doc_id",
+        threshold = 0.0)
+      .select($"idA", $"idB")
+    val sigs = Dedup.signatures(docs, "text", "doc_id", k = 64, shingleLen = 5)
+    val composed = candidates
+      .join(sigs.select($"id".as("idA"), $"sig".as("sigA")), Seq("idA"))
+      .join(sigs.select($"id".as("idB"), $"sig".as("sigB")), Seq("idB"))
+      .select($"idA", $"idB",
+        (composition($"sigA", $"sigB").cast("double") / lit(64)).as("est_jaccard"))
+      .filter($"est_jaccard" >= 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(composed == pairs)
   }
 }
