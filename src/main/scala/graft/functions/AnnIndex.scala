@@ -248,17 +248,97 @@ object AnnIndex {
         lit(hash).as(QzCol): _*)
   }
 
+  /** Rebuild-warranted drift signal: an appended batch whose
+    * total-variation distance from the indexed occupancy reaches this
+    * means at least half its probability mass lands in lists shaped
+    * unlike the corpus the quantizers were trained on — ADC error and
+    * probe recall degrade from there. The stat is recorded, never
+    * enforced: rebuild cadence is the operator's call.
+    */
+  val DriftThreshold: Double = 0.5
+
+  /** Total-variation distance between two list-occupancy histograms
+    * (0 = identically shaped, 1 = disjoint).
+    */
+  private[functions] def tvDistance(p: Map[Long, Long], q: Map[Long, Long]): Double = {
+    val (np, nq) = (math.max(1L, p.values.sum).toDouble, math.max(1L, q.values.sum).toDouble)
+    (p.keySet ++ q.keySet).toSeq
+      .map(k => math.abs(p.getOrElse(k, 0L) / np - q.getOrElse(k, 0L) / nq))
+      .sum / 2.0
+  }
+
+  private def occupancyOf(spark: SparkSession, table: String,
+                          files: Seq[String]): Map[Long, Long] =
+    if (files.isEmpty) Map.empty
+    else TxTable.readFiles(spark, table, files)
+      .groupBy(col("cid").cast("long").as("cid")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def driftPath(table: String, version: Long) =
+    new Path(s"$table/_graft_ann_drift.v$version.json")
+
+  /** Write the per-commit drift sidecar (tmp + rename; unique name per
+    * version, so clobber-on-rename re-lands identical bytes).
+    */
+  private def writeDrift(spark: SparkSession, table: String,
+                         version: Long, tv: Double): Unit = {
+    val fs = fsFor(spark, table)
+    val tmp = new Path(s"$table/._graft_ann_drift.v$version.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(
+      s"""{"version":$version,"tv":$tv,"threshold":$DriftThreshold}"""
+        .getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(driftPath(table, version), false)
+    require(fs.rename(tmp, driftPath(table, version)),
+      s"drift sidecar rename failed for $table v$version")
+  }
+
+  /** The recorded (version, tv) drift stats, commit order. */
+  def driftHistory(spark: SparkSession, table: String): Seq[(Long, Double)] = {
+    val fs = fsFor(spark, table)
+    val p = new Path(table)
+    if (!fs.exists(p)) return Nil
+    fs.listStatus(p).map(_.getPath.getName)
+      .filter(n => n.startsWith("_graft_ann_drift.v") && n.endsWith(".json"))
+      .flatMap { n =>
+        val in = fs.open(new Path(p, n))
+        val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+        for {
+          v <- """"version":(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+          tv <- """"tv":([-0-9.eE]+)""".r.findFirstMatchIn(txt).map(_.group(1).toDouble)
+        } yield (v, tv)
+      }.sortBy(_._1).toSeq
+  }
+
   /** Incremental maintenance: encode NEW vectors with the index's
     * FROZEN quantizers (meta sidecar) — one map-only pass, no Lloyd —
     * and append them as one commit. The standard IVF contract: list
-    * geometry is fixed at build time; rebuild when the data drifts.
+    * geometry is fixed at build time; rebuild when the data drifts —
+    * and drift is now OBSERVABLE: each append records the
+    * total-variation distance between the batch's list occupancy and
+    * the pre-append index's as a per-commit sidecar
+    * ([[driftHistory]]; [[DriftThreshold]] documents the
+    * rebuild-warranted level). Both histograms read only the `cid`
+    * column (partition-dir values — a footer-level scan).
     */
   def append(spark: SparkSession, newRows: DataFrame, table: String,
              cId: String = "vec_id", cVec: String = "embedding",
-             maxRecordsPerFile: Long = 5000000L): Long = {
+             maxRecordsPerFile: Long = 5000000L,
+             recordDrift: Boolean = true): Long = {
     val (meta, hash) = readMetaAt(spark, table, currentMetaHash(spark, table))
-    commitIndexRows(spark, encodeWith(meta, hash, newRows, cId, cVec),
-      table, maxRecordsPerFile)
+    val encoded = encodeWith(meta, hash, newRows, cId, cVec)
+    val prior = if (recordDrift) occupancyOf(spark, table,
+      TxTable.currentFiles(spark, table)) else Map.empty[Long, Long]
+    val files = TxTable.stageBatch(spark, encoded.repartition(col("cid")),
+      table, partitionBy = Seq("cid"), maxRecordsPerFile = maxRecordsPerFile)
+    val stats = TxTable.fileStats(spark, table, files, Seq("cid", QzCol))
+    val batch = if (recordDrift) occupancyOf(spark, table, files)
+      else Map.empty[Long, Long]
+    val v = TxTable.commit(spark, table, added = files, removed = Nil,
+      stats = stats)
+    if (recordDrift) writeDrift(spark, table, v, tvDistance(prior, batch))
+    v
   }
 
   /** [[append]] with writer-transaction idempotence — exactly-once
@@ -271,19 +351,25 @@ object AnnIndex {
   def appendOnce(spark: SparkSession, newRows: DataFrame, table: String,
                  appId: String, writerVersion: Long,
                  cId: String = "vec_id", cVec: String = "embedding",
-                 maxRecordsPerFile: Long = 5000000L): Option[Long] = {
+                 maxRecordsPerFile: Long = 5000000L,
+                 recordDrift: Boolean = true): Option[Long] = {
     require(writerVersion >= 0, s"writerVersion must be >= 0, got $writerVersion")
     // cheap fast path: no staging at all for an obvious duplicate
     if (TxTable.txnVersion(spark, table, appId).exists(_ >= writerVersion))
       return None
     val (meta, hash) = readMetaAt(spark, table, currentMetaHash(spark, table))
     val encoded = encodeWith(meta, hash, newRows, cId, cVec)
+    val prior = if (recordDrift) occupancyOf(spark, table,
+      TxTable.currentFiles(spark, table)) else Map.empty[Long, Long]
     val files = TxTable.stageBatch(spark, encoded.repartition(col("cid")),
       table, partitionBy = Seq("cid"), maxRecordsPerFile = maxRecordsPerFile)
     val stats = TxTable.fileStats(spark, table, files, Seq("cid", QzCol))
+    val batch = if (recordDrift) occupancyOf(spark, table, files)
+      else Map.empty[Long, Long]
     val out = TxTable.commitOnce(spark, table, added = files, removed = Nil,
       appId = appId, writerVersion = writerVersion, stats = stats)
     if (out.isEmpty) TxTable.deleteStaged(spark, table, files)
+    else if (recordDrift) writeDrift(spark, table, out.get, tvDistance(prior, batch))
     out
   }
 

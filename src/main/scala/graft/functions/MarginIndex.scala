@@ -1,0 +1,267 @@
+package graft.functions
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sink.TxTable
+
+/** The margin-alignment index AT REST — [[Similarity.marginTopKImi]]'s
+  * corpus state (vectors, norms, IMI cell ids, and the self-kNN
+  * a-means) materialized as a TxTable Hive-partitioned by cell id, with
+  * the trained half codebooks in a content-addressed sidecar (the
+  * [[AnnIndex]] pattern). Round-9's verdict item: `marginTopKAnn`
+  * rebuilt its IVF legs in-session per run, so the alignment pipeline
+  * re-paid training + assignment + the ENTIRE self-kNN leg on every
+  * query batch. Here all three are BUILD cost; a search is only
+  *
+  *  1. probe the query vectors into their nProbe nearest cells (exact
+  *     multi-sequence top cells over the two half codebooks),
+  *  2. open ONLY the probed cells' files (driver-side listing pruning
+  *     from the commit log's per-file cid stats — at derived geometry
+  *     the opened fraction nProbe/(n/target) collapses as n grows),
+  *  3. score candidates with exact cosine and normalize by the
+  *     PRECOMPUTED a-means (one column-pruned (id, a) read),
+  *  4. bounded top-k.
+  *
+  * Bit-parity with the in-session path is structural: search shares the
+  * probe/score/margin/top-k code with [[Similarity.marginTopKImi]], and
+  * MarginIndexSpec pins `search` ≡ `marginTopKImi(codebooksOpt =
+  * <the index's frozen codebooks>)` at the same geometry. The queries
+  * must be corpus members (the [[Similarity.marginTopKBrute]] margin
+  * contract — a-means exist only for indexed ids).
+  *
+  * Maintenance contract: geometry AND a-means are frozen at build.
+  * Appending vectors would stale the neighbors' a-means (a new vector
+  * changes its neighborhood's kNN sums), so the honest incremental
+  * story is rebuild-on-batch — [[build]] REPLACES the live index in one
+  * conflict-checked commit, like [[AnnIndex.build]].
+  */
+object MarginIndex {
+
+  /** Frozen build state: margin fold width, probe depth, half codebooks. */
+  final case class Meta(knn: Int, nProbe: Int,
+                        cb1: Array[Array[Double]], cb2: Array[Array[Double]])
+
+  /** Rows carry their codebook generation like [[AnnIndex.QzCol]]. */
+  val QzCol: String = AnnIndex.QzCol
+
+  private def render2(a: Array[Array[Double]]): String =
+    a.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+
+  private[functions] def renderMeta(m: Meta): String =
+    s"""{"knn":${m.knn},"nProbe":${m.nProbe},""" +
+      s""""cb1":${render2(m.cb1)},"cb2":${render2(m.cb2)}}"""
+
+  /** Minimal nested-double-array parser (the [[AnnIndex]] sidecar
+    * discipline — no dependency; `Double.toString` round-trips, so the
+    * frozen codebooks come back bit-identical).
+    */
+  private def parse2(s: String, i0: Int): (Array[Array[Double]], Int) = {
+    var i = i0
+    require(s.charAt(i) == '[', s"expected [ at $i")
+    i += 1
+    val outer = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    while (s.charAt(i) != ']') {
+      if (s.charAt(i) == ',') i += 1
+      else {
+        require(s.charAt(i) == '[', s"expected inner [ at $i")
+        i += 1
+        val inner = scala.collection.mutable.ArrayBuffer[Double]()
+        while (s.charAt(i) != ']') {
+          if (s.charAt(i) == ',') i += 1
+          else {
+            val j0 = i
+            while ("+-.0123456789eE".indexOf(s.charAt(i)) >= 0) i += 1
+            inner += s.substring(j0, i).toDouble
+          }
+        }
+        i += 1
+        outer += inner.toArray
+      }
+    }
+    (outer.toArray, i + 1)
+  }
+
+  private[functions] def parseMeta(txt: String): Meta = {
+    def intField(k: String): Int =
+      ("\"" + k + "\":(-?\\d+)").r.findFirstMatchIn(txt)
+        .getOrElse(sys.error(s"margin meta: missing $k")).group(1).toInt
+    def arrField(k: String): Array[Array[Double]] = {
+      val at = txt.indexOf("\"" + k + "\":")
+      require(at >= 0, s"margin meta: missing $k")
+      parse2(txt, at + k.length + 3)._1
+    }
+    Meta(intField("knn"), intField("nProbe"), arrField("cb1"), arrField("cb2"))
+  }
+
+  private def metaPath(table: String, hash: String) =
+    new Path(s"$table/_graft_margin_meta.$hash.json")
+
+  private def fsFor(spark: SparkSession, table: String) =
+    new Path(table).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def writeMeta(spark: SparkSession, table: String, meta: Meta): String = {
+    val fs = fsFor(spark, table)
+    val rendered = renderMeta(meta)
+    val hash = AnnIndex.metaHash(rendered)
+    val tmp = new Path(s"$table/._graft_margin_meta.$hash.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(rendered.getBytes("UTF-8")) finally out.close()
+    fs.delete(metaPath(table, hash), false)
+    require(fs.rename(tmp, metaPath(table, hash)),
+      s"margin meta rename failed for $table")
+    hash
+  }
+
+  /** Read the sidecar paired with the CURRENT commit (via the rows'
+    * `__qz` stats — atomic with the data, see [[AnnIndex.metaHash]]).
+    */
+  def readMeta(spark: SparkSession, table: String): Meta = {
+    val hash = AnnIndex.currentMetaHash(spark, table)
+    val fs = fsFor(spark, table)
+    val in = fs.open(metaPath(table, hash))
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      parseMeta(bytes.toString("UTF-8"))
+    } finally in.close()
+  }
+
+  /** Train, assign, compute the self-kNN a-means, and land everything
+    * as ONE replacing TxTable commit: rows (id, v, cn, a) under `cid=`
+    * Hive dirs with per-file cid + codebook-hash stats, codebooks in
+    * the content-addressed sidecar. Returns the committed version.
+    *
+    * 100 TB shape: training is two bounded-sample half-Lloyds; the
+    * assign pass is map-only; the self-kNN leg (the expensive one —
+    * candidate volume ~n·nProbe·targetClusterSize, linear by the IMI
+    * sizing) runs ONCE here instead of per query batch; the shuffle
+    * into the partitioned write is |corpus| skinny rows.
+    */
+  def build(spark: SparkSession, corpus: DataFrame, table: String,
+            kPerHalf: Int = 0, knn: Int = 4, nProbe: Int = 8, iters: Int = 3,
+            cId: String = "vec_id", cVec: String = "embedding",
+            targetClusterSize: Long = Similarity.ImiTargetClusterSize,
+            maxTrainRows: Long = Similarity.MaxTrainRows,
+            maxRecordsPerFile: Long = 5000000L): Long = {
+    val c0 = corpus.select(col(cId).cast("long").as("id"),
+        Similarity.asDouble(col(cVec)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = c0.count()
+    val kH = if (kPerHalf > 0) kPerHalf
+      else Similarity.imiHalfCentroids(n, targetClusterSize)
+    val (cb1, cb2) = Similarity.imiTrainedHalfCodebooks(c0, kH, iters, n, maxTrainRows)
+    val dim = cb1.head.length + cb2.head.length
+    val cb1p = Similarity.imiPad(cb1, dim, padHead = false)
+    val cb2p = Similarity.imiPad(cb2, dim, padHead = true)
+    val assigned = c0
+      .select(col("id"), col("v"),
+        Similarity.imiCellIdFrom(cb1p, cb2p, col("v")).as("cid"),
+        Similarity.l2norm(col("v")).as("__cn"),
+        Similarity.imiHalfProbes(cb1p, col("v"), nProbe).as("__s1"),
+        Similarity.imiHalfProbes(cb2p, col("v"), nProbe).as("__s2"))
+      .localCheckpoint(true)
+    c0.unpersist()
+    val probesV = assigned
+      .select(col("id").as("__qid"), col("v").as("__qv"), col("__cn").as("__qn"),
+        explode_outer(Similarity.imiProbeCellsOf(col("__s1"), col("__s2"),
+          cb2p.length, nProbe)).as("cid"))
+      .filter(col("cid").isNotNull)
+    val selfScored = assigned.select(col("cid"), col("id"), col("v"), col("__cn"))
+      .join(probesV, Seq("cid"))
+      .filter(col("__qid") =!= col("id"))
+      .select(col("__qid").as("query_id"), col("id").as("neighbor_id"),
+        Similarity.cosineWithNorms(col("__qv"), col("v"),
+          col("__qn"), col("__cn")).as("cos"))
+    val nnMean = Similarity.topkOf(selfScored, knn, "query_id")
+      .groupBy(col("query_id").as("id"))
+      .agg(sort_array(collect_list(col("cos"))).as("cs"))
+      .select(col("id"),
+        (aggregate(col("cs"), lit(0.0d), (acc, x) => acc + x)
+          / size(col("cs"))).as("a"))
+
+    val head = TxTable.headVersion(spark, table)
+    val prior = TxTable.currentFiles(spark, table)
+    val hash = writeMeta(spark, table, Meta(knn, nProbe, cb1, cb2))
+    val rows = assigned
+      .select(col("id"), col("v"), col("__cn").as("cn"), col("cid"))
+      .join(nnMean, Seq("id"))
+      .withColumn(QzCol, lit(hash))
+    val files = TxTable.stageBatch(spark, rows.repartition(col("cid")), table,
+      partitionBy = Seq("cid"), maxRecordsPerFile = maxRecordsPerFile)
+    val stats = TxTable.fileStats(spark, table, files, Seq("cid", QzCol))
+    TxTable.commit(spark, table, added = files, removed = prior,
+      expectedHead = Some(head), stats = stats)
+  }
+
+  /** Files whose committed cid stats may hold a probed cell — exact
+    * directory pruning from the commit log (lo = hi = the dir value
+    * under Hive layout); stat-less files are kept, the keep-safe
+    * default.
+    */
+  def probedFiles(spark: SparkSession, table: String,
+                  probed: Set[Long]): Seq[String] =
+    TxTable.currentFilesWithStats(spark, table).collect {
+      case (f, stats) if stats.find(_.col == "cid").forall(st =>
+        probed.exists(c => st.lo.toLong <= c && c <= st.hi.toLong)) => f
+    }
+
+  private def emptyResult(spark: SparkSession, qId: String): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Long, Double)].toDF(qId, "match_id", "margin_r")
+  }
+
+  /** Margin top-k against the at-rest index: probe → prune files →
+    * exact cosine over the probed cells' members → normalize by the
+    * precomputed a-means ((id, a) is a column-pruned read — parquet
+    * opens only those column chunks) → bounded top-k. Bit-identical to
+    * [[Similarity.marginTopKImi]] run with this index's frozen
+    * codebooks (MarginIndexSpec).
+    */
+  def search(spark: SparkSession, table: String, queries: DataFrame, k: Int,
+             qId: String = "query_id", qVec: String = "query_vec"): DataFrame = {
+    val meta = readMeta(spark, table)
+    val dim = meta.cb1.head.length + meta.cb2.head.length
+    val cb1p = Similarity.imiPad(meta.cb1, dim, padHead = false)
+    val cb2p = Similarity.imiPad(meta.cb2, dim, padHead = true)
+    // probe slices staged + materialized (the marginTopKImi discipline:
+    // the grid lambda must read attributes, never re-sort per element)
+    val qStaged = queries
+      .select(col(qId).cast("long").as(qId), Similarity.asDouble(col(qVec)).as("__qv"))
+      .select(col(qId), col("__qv"), Similarity.l2norm(col("__qv")).as("__qn"),
+        Similarity.imiHalfProbes(cb1p, col("__qv"), meta.nProbe).as("__s1"),
+        Similarity.imiHalfProbes(cb2p, col("__qv"), meta.nProbe).as("__s2"))
+      .localCheckpoint(true) // broadcast-small
+    val q = qStaged
+      .select(col(qId), col("__qv"), col("__qn"),
+        explode_outer(Similarity.imiProbeCellsOf(col("__s1"), col("__s2"),
+          cb2p.length, meta.nProbe)).as("cid"))
+      .filter(col("cid").isNotNull)
+      .drop("__s1", "__s2")
+    val probed = q.select(col("cid")).distinct().collect()
+      .map(_.getLong(0)).toSet // <= |queries|·nProbe ids, the pruning key
+    if (probed.isEmpty) return emptyResult(spark, qId)
+    val pf = probedFiles(spark, table, probed)
+    if (pf.isEmpty) return emptyResult(spark, qId)
+    val members = TxTable.readFiles(spark, table, pf)
+      .select(col("cid"), col("id"), col("v"), col("cn"))
+    val candScored = members.join(broadcast(q), Seq("cid"))
+      .filter(col(qId) =!= col("id"))
+      .select(col(qId), col("id").as("neighbor_id"),
+        Similarity.cosineWithNorms(col("__qv"), col("v"),
+          col("__qn"), col("cn")).as("cos"))
+    val aTab = TxTable.read(spark, table).select(col("id"), col("a"))
+    val scored = candScored
+      .join(aTab.select(col("id").as(qId), col("a").as("__aq")), Seq(qId))
+      .join(aTab.select(col("id").as("neighbor_id"), col("a").as("__ac")),
+        Seq("neighbor_id"))
+      .select(col(qId), col("neighbor_id"),
+        (col("cos") * lit(2.0d) / (col("__aq") + col("__ac"))).as("cos"))
+    Similarity.topkOf(scored, k, qId)
+      .select(col(qId), col("neighbor_id").as("match_id"),
+        round(col("cos"), 4).as("margin_r"))
+  }
+}

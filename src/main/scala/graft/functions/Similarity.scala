@@ -56,7 +56,7 @@ object Similarity {
   def cosineWithNorms(a: Column, b: Column, normA: Column, normB: Column): Column =
     dot(a, b) / (normA * normB)
 
-  private def asDouble(c: Column): Column = c.cast("array<double>")
+  private[functions] def asDouble(c: Column): Column = c.cast("array<double>")
 
   /** md5-derived ±1 sign matrix for [[signedProjection]] — the sign of
     * cell (j, i) is the low bit of the first hex digit of
@@ -188,7 +188,7 @@ object Similarity {
   }
 
   /** (query_id, neighbor_id, cos) → top-k per query via the aggregator. */
-  private def topkOf(scored: DataFrame, k: Int, qId: String): DataFrame = {
+  private[functions] def topkOf(scored: DataFrame, k: Int, qId: String): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._
     val agg = new TopKByScore(k).toColumn
@@ -1087,12 +1087,17 @@ object Similarity {
     * cosine only WITHIN each cluster, and drop every member with a
     * smaller-id partner at ≥ `threshold`. The published recipe for
     * web-scale corpora: all-pairs cosine is confined to cluster-sized
-    * blocks, so the pair volume is Σ|cluster|², tuned by k — at 100 TB
-    * k grows with the corpus so cluster size (and the per-cluster
-    * quadratic block) stays CONSTANT; the cross-cluster near-dups this
-    * sacrifices are the algorithm's documented approximation (the
-    * banded-LSH path, [[cosineNearDupDedup]], is the alternative whose
-    * misses are probabilistic instead of boundary-shaped).
+    * blocks, so the pair volume is Σ|cluster|², tuned by k. Growth
+    * accounting (corrected in round 10 — the earlier "cluster size
+    * stays constant" claim was wrong for k = √n): under the derived
+    * √n rule cluster size grows as √n and pair volume as n^1.5; only a
+    * k ∝ n sizing keeps it linear, which is what the IMI product grid
+    * ([[semDedupImi]]) provides once √n outgrows the 4096-entry driver
+    * array — [[semDedup]] hands off there automatically. The
+    * cross-cluster near-dups sacrificed either way are the algorithm's
+    * documented approximation (the banded-LSH path,
+    * [[cosineNearDupDedup]], is the alternative whose misses are
+    * probabilistic instead of boundary-shaped).
     *
     * Plan: one broadcast-assign pass ([[assignToLowestIdCentroids]] —
     * argmin as a partial agg, no window), one self-equi-join on
@@ -1100,15 +1105,30 @@ object Similarity {
     * same stage, one distinct + left_anti. Nothing global is quadratic.
     */
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
-               nClusters: Int = 0, threshold: Double = 0.95): DataFrame = {
+               nClusters: Int = 0, threshold: Double = 0.95,
+               imiCutoverRows: Long = MaxSingleLevelRows): DataFrame = {
     // nClusters <= 0 derives ceil(sqrt n) capped (the autoCentroids
-    // rule): cluster size — and with it the per-cluster quadratic
-    // cosine block — stays ~constant as the corpus grows, which is the
-    // published SemDeDup scale story applied in code rather than left
-    // as a parameter the caller must remember (the organic 10x probe's
-    // 3.56x wall at fixed k=16 is exactly the fixed-k failure mode)
-    val nC = if (nClusters > 0) nClusters else autoCentroids(df.count())
-    val assigned = assignToLowestIdCentroids(df, idCol, vecCol, nC)
+    // rule). Honest growth accounting: with k = sqrt(n) lists, cluster
+    // size grows as sqrt(n) and the within-cluster pair volume
+    // sum(c^2) ~ n^1.5; once the derived count saturates the driver-
+    // array cap, cluster size grows LINEARLY and pair volume tends to
+    // n^2/cap. Past [[imiCutoverRows]] (where the single-level rule
+    // saturates) the derivation therefore switches to the PRODUCT
+    // (IMI) cell grid with constant target cluster size — pair volume
+    // ~ n·targetSize, linear — in code, not as a parameter the caller
+    // must remember (the organic 10x probe's 3.56x wall at fixed k=16
+    // is exactly the fixed-k failure mode).
+    if (nClusters <= 0) {
+      val n = df.count()
+      if (n > imiCutoverRows)
+        return semDedupImi(df, idCol, vecCol, threshold = threshold)
+      val assigned = assignToLowestIdCentroids(df, idCol, vecCol, autoCentroids(n))
+      val vecs = df.select(col(idCol).cast("long").as("vec_id"),
+          asDouble(col(vecCol)).as("__v"))
+        .join(assigned, Seq("vec_id"))
+      return semDedupWithin(vecs, threshold)
+    }
+    val assigned = assignToLowestIdCentroids(df, idCol, vecCol, nClusters)
     val vecs = df.select(col(idCol).cast("long").as("vec_id"),
         asDouble(col(vecCol)).as("__v"))
       .join(assigned, Seq("vec_id"))
@@ -1152,12 +1172,28 @@ object Similarity {
   def semDedupTrained(df: DataFrame, idCol: String, vecCol: String,
                       nClusters: Int = 0, threshold: Double = 0.95,
                       iters: Int = 2,
-                      maxTrainRows: Long = MaxTrainRows): DataFrame = {
+                      maxTrainRows: Long = MaxTrainRows,
+                      imiCutoverRows: Long = MaxSingleLevelRows): DataFrame = {
     val c0 = df.select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = c0.count()
-    // √n UNCAPPED by the literal tree (matrix argmin past 128): cluster
-    // size — and the per-cluster quadratic block — stays ~constant
+    if (nClusters <= 0 && n > imiCutoverRows) {
+      // the sqrt(n) rule saturates the 4096 driver-array cap here and
+      // cluster size would grow linearly — hand off to the trained
+      // PRODUCT (IMI) grid, whose cell count keeps tracking n at a
+      // constant target cluster size (see [[semDedupTrainedImi]])
+      c0.unpersist()
+      return semDedupTrainedImi(df, idCol, vecCol, threshold = threshold,
+        iters = iters, maxTrainRows = maxTrainRows)
+    }
+    // sqrt(n) UNCAPPED by the literal tree (matrix argmin past 128).
+    // Growth accounting, honestly: cluster size grows as sqrt(n) under
+    // this rule (NOT "~constant" — the round-9 scaladoc's claim was
+    // wrong), so the within-cluster pair volume is sum(c^2) ~ n^1.5;
+    // the measured 7.6x wall for 10x rows between the organic decades
+    // is exactly that exponent. n^1.5 is what the published recipe
+    // costs at k = sqrt(n); the LINEAR-volume shape is the IMI route
+    // above, which takes over once sqrt(n) can no longer grow.
     val nC = if (nClusters > 0) nClusters else autoCentroidsTable(n)
     val init: Array[Array[Double]] = c0.orderBy(col("id")).limit(nC)
       .select(col("v")).collect()
@@ -1168,6 +1204,247 @@ object Similarity {
     val vecs = c0
       .select(col("id").as("vec_id"), col("v").as("__v"),
         floatNearestCid(centroids, col("v")).cast("long").as("cluster_id"))
+      .localCheckpoint(true)
+    c0.unpersist()
+    semDedupWithin(vecs, threshold)
+  }
+
+  /** [[semDedupTrained]]'s ENGINE-PORTABLE twin — closes round 9's one
+    * oracle gap: TRAINED-cluster SemDeDup whose geometry a SQL engine
+    * replays bit for bit. Float Lloyd's distributed means carry
+    * partition-order last-ulp drift (why semDedupTrained is spec-pinned
+    * only); here every training step runs in the exact fixed-point
+    * arithmetic of [[ivfTopKPortable]] — `round(v·2²⁰)` longs,
+    * lexicographic (dist, cid) argmin, floor-division means (pmod
+    * form), empty-cluster carry — the final assignment is the integer
+    * argmin, and the within-cluster prune is the exact double cosine.
+    * Every step replays in DuckDB: gate q236 reuses q61's unrolled
+    * integer-Lloyd CTEs and hash-verifies the trained survivors.
+    * Training runs on the bounded [[MaxTrainRows]] hash sample like
+    * every other build (a no-op at gate SF, so the oracle needs no
+    * sampling CTE).
+    */
+  def semDedupTrainedPortable(df: DataFrame, idCol: String, vecCol: String,
+                              nClusters: Int = 0, threshold: Double = 0.95,
+                              iters: Int = 3,
+                              maxTrainRows: Long = MaxTrainRows): DataFrame = {
+    val c0 = df.select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("vi", toIntVec(col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = c0.count()
+    val nC = if (nClusters > 0) nClusters else autoCentroidsTable(n)
+    val init: Array[Array[Long]] = c0.orderBy(col("id")).limit(nC)
+      .select(col("vi")).collect()
+      .map(_.getAs[scala.collection.Seq[Long]](0).toArray)
+    val centroids = lloydInt(trainSample(c0, n, maxTrainRows), init, iters)
+    val vecs = c0
+      .select(col("id").as("vec_id"), col("v").as("__v"),
+        intNearestCid(centroids, col("vi")).cast("long").as("cluster_id"))
+      .localCheckpoint(true)
+    c0.unpersist()
+    semDedupWithin(vecs, threshold)
+  }
+
+  // ---- IMI: the PRODUCT coarse quantizer (Babenko & Lempitsky, CVPR
+  // 2012 — "The Inverted Multi-Index"). Every single-level list count
+  // in this file derives as min(sqrt n, 4096) because the centroids
+  // live as a driver array / plan literal; past MaxSingleLevelRows
+  // (~16.7M vectors) cluster size — and with it semDedup's
+  // within-cluster pair volume and the margin self-kNN candidate
+  // volume — grows LINEARLY. The IMI shape breaks the ceiling with two
+  // bounded quantizers instead of one unbounded one: split each vector
+  // into halves, quantize each half against its own <=4096-entry
+  // codebook, and let the CELL id be the pair (c1, c2) — k1·k2 (up to
+  // ~16.7M) effective lists from two matrix argmins, while the driver
+  // only ever holds k1 + k2 half-width centroids. Cell distance
+  // d1 + d2 is EXACTLY the squared L2 distance to the concatenated
+  // product centroid, and the top-k cells by d1+d2 all have both
+  // half-ranks <= k, so probing the k x k grid of per-half top-k is an
+  // EXACT top-k cell enumeration (the multi-sequence property).
+
+  /** Target rows per IMI cell: the cell count derives as
+    * ceil(n / target), so the within-cell quadratic work per row is a
+    * CONSTANT and total pair volume is ~n·target — linear in the
+    * corpus, the property the sqrt(n) rule loses past its cap.
+    */
+  val ImiTargetClusterSize: Long = 1024L
+
+  /** Rows above which the single-level derived list count saturates
+    * [[MaxTableCentroids]] (sqrt n > 4096) and the derivations here
+    * switch to the IMI grid. The IMI grid's own ceiling is
+    * [[MaxTableCentroids]]² cells ≈ 16.7M · [[ImiTargetClusterSize]]
+    * rows ≈ 1.7·10¹⁰ vectors at the default target — past THAT, cell
+    * size grows again (document the residual honestly: at 10¹¹
+    * vectors cells hold ~6k rows, vs ~24M under the single-level cap).
+    */
+  val MaxSingleLevelRows: Long =
+    MaxTableCentroids.toLong * MaxTableCentroids.toLong
+
+  /** Per-half codebook size for an IMI grid of ~ceil(n/target) cells:
+    * k = ceil(sqrt(cells)), capped per half at [[MaxTableCentroids]].
+    */
+  private[graft] def imiHalfCentroids(n: Long, targetSize: Long): Int = {
+    val cells = math.max(1L, (n + targetSize - 1) / targetSize)
+    math.min(MaxTableCentroids.toLong,
+      math.max(1L, math.ceil(math.sqrt(cells.toDouble)).toLong)).toInt
+  }
+
+  /** Deterministic (oracle-replayable) half codebooks: the k lowest-id
+    * vectors' halves — the [[assignToLowestIdCentroids]] discipline
+    * applied per half. `c0` = (id, v). Also derives the split point:
+    * h = dim/2 (first half gets the extra coordinate on odd dims).
+    */
+  private def imiFixedHalfCodebooks(c0: DataFrame,
+                                    k: Int): (Array[Array[Double]], Array[Array[Double]]) = {
+    val rows = c0.orderBy(col("id")).limit(k)
+      .select(col("v")).collect()
+      .map(_.getAs[scala.collection.Seq[Double]](0).toArray)
+    require(rows.nonEmpty, "imi codebooks: empty corpus")
+    val h = (rows.head.length + 1) / 2
+    (rows.map(_.take(h)), rows.map(_.drop(h)))
+  }
+
+  /** Trained half codebooks: one bounded-sample Lloyd run PER HALF
+    * (init = the fixed lowest-id halves), each over the half-width
+    * projection of the same deterministic hash sample — training cost
+    * 2·iters·min(n, maxTrainRows)·k half-width distance evals. The
+    * half projections are eagerly checkpointed (bounded by the sample
+    * cap) so the Lloyd argmin lambda reads real columns, never a
+    * re-inlined slice.
+    */
+  private[functions] def imiTrainedHalfCodebooks(c0: DataFrame, k: Int, iters: Int,
+                                      n: Long, maxTrainRows: Long): (Array[Array[Double]], Array[Array[Double]]) = {
+    val (i1, i2) = imiFixedHalfCodebooks(c0, k)
+    val h = i1.head.length
+    val train = trainSample(c0, n, maxTrainRows)
+      .select(col("id"), slice(col("v"), 1, h).as("v"),
+        slice(col("v"), h + 1, i2.head.length).as("v2"))
+      .localCheckpoint(true) // both half-Lloyds iterate over it
+    val cb1 = lloydFloat(train.select(col("id"), col("v")), i1, iters)
+    val cb2 = lloydFloat(train.select(col("id"), col("v2").as("v")), i2, iters)
+    (cb1, cb2)
+  }
+
+  /** A half codebook ZERO-PADDED to full width (tail-padded for the
+    * first half, head-padded for the second): the distance to the
+    * padded centroid, |c_h|² − 2⟨v, c_pad⟩, ranks half-h distances
+    * exactly (the padding contributes 0 to the dot and |v|² is
+    * row-constant either way), so the per-half argmin/probe runs on
+    * the FULL vector column — no slice ever enters the matrix lambda
+    * (where CollapseProject would re-inline it per centroid), and a
+    * SQL oracle replays the identical padded fold.
+    */
+  private[functions] def imiPad(cb: Array[Array[Double]], dim: Int,
+                     padHead: Boolean): Array[Array[Double]] =
+    cb.map { c =>
+      val pad = Array.fill(dim - c.length)(0.0)
+      if (padHead) pad ++ c else c ++ pad
+    }
+
+  /** Composite cell id over the full vector column via the padded
+    * half codebooks: cid = argmin1 · k2 + argmin2, each argmin the
+    * matrix-literal (d, cid) struct min with lowest-cid ties.
+    */
+  private[functions] def imiCellIdFrom(cb1p: Array[Array[Double]], cb2p: Array[Array[Double]],
+                            v: Column): Column =
+    array_min(floatDistStructsMatrix(cb1p, v)).getField("cid").cast("long") * cb2p.length +
+      array_min(floatDistStructsMatrix(cb2p, v)).getField("cid").cast("long")
+
+  /** Per-half sorted (d, cid) probe slice of length `nProbe` over the
+    * full vector column (padded codebook) — staged as its own column
+    * by corpus-side callers so [[imiProbeCellsOf]]'s nested lambda
+    * reads a materialized attribute instead of re-sorting the codebook
+    * distances per outer element.
+    */
+  private[functions] def imiHalfProbes(cbp: Array[Array[Double]], v: Column, nProbe: Int): Column =
+    slice(array_sort(floatDistStructsMatrix(cbp, v)), 1, nProbe)
+
+  /** EXACT top-`nProbe` cells by summed half-distance from two staged
+    * [[imiHalfProbes]] columns: any top-k cell has both half-ranks
+    * <= k, so the k x k grid of the per-half top-k contains the true
+    * top-k — sort the <=nProbe² candidates and slice. d1 + d2 is the
+    * exact squared distance to the product centroid.
+    */
+  private[functions] def imiProbeCellsOf(s1: Column, s2: Column, k2: Int,
+                              nProbe: Int): Column =
+    transform(
+      slice(array_sort(flatten(transform(s1, a => transform(s2, b =>
+        struct((a.getField("d") + b.getField("d")).as("d"),
+          (a.getField("cid").cast("long") * k2 +
+            b.getField("cid").cast("long")).as("cid")))))), 1, nProbe),
+      s => s.getField("cid"))
+
+  /** SemDeDup over the IMI cell grid — [[semDedup]]'s within-cluster
+    * prune with the cluster id the PRODUCT cell (c1, c2) of two fixed
+    * lowest-id half codebooks. Deterministic and engine-replayable
+    * exactly like the q156 form (exact double arithmetic, lowest-cid
+    * ties), but the effective list count k² is no longer bounded by
+    * the 4096-entry driver array — `kPerHalf <= 0` derives
+    * k = ceil(sqrt(n / targetClusterSize)) per half, so cell size (and
+    * with it the per-row quadratic work) stays ~`targetClusterSize` at
+    * ANY corpus size up to [[MaxTableCentroids]]² cells. Gate q237
+    * pins kPerHalf = 4 (16 cells) against the DuckDB replay.
+    */
+  def semDedupImi(df: DataFrame, idCol: String, vecCol: String,
+                  kPerHalf: Int = 0, threshold: Double = 0.95,
+                  targetClusterSize: Long = ImiTargetClusterSize): DataFrame = {
+    val c0 = df.select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+    val k = if (kPerHalf > 0) kPerHalf
+      else imiHalfCentroids(c0.count(), targetClusterSize)
+    val (cb1, cb2) = imiFixedHalfCodebooks(c0, k)
+    val dim = cb1.head.length + cb2.head.length
+    // assignment materialized ONCE (eager, GC-released): three plan
+    // branches consume it and the two-argmin cell id must not re-run
+    // per branch (PlanShapeSpec recompute audit)
+    val vecs = c0
+      .select(col("id").as("vec_id"), col("v").as("__v"),
+        imiCellIdFrom(imiPad(cb1, dim, padHead = false),
+          imiPad(cb2, dim, padHead = true), col("v")).as("cluster_id"))
+      .localCheckpoint(true)
+    semDedupWithin(vecs, threshold)
+  }
+
+  /** (cluster_id, n) occupancy of the fixed-codebook IMI assignment —
+    * probe tooling (tools.ImiScaleAb) reports the within-cell pair
+    * volume Σ n·(n−1)/2 from it, the quantity the grid keeps LINEAR in
+    * the corpus where the sqrt(n) rule gives n^1.5.
+    */
+  private[graft] def imiCellCounts(df: DataFrame, idCol: String, vecCol: String,
+                                   kPerHalf: Int = 0,
+                                   targetClusterSize: Long = ImiTargetClusterSize): DataFrame = {
+    val c0 = df.select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+    val k = if (kPerHalf > 0) kPerHalf
+      else imiHalfCentroids(c0.count(), targetClusterSize)
+    val (cb1, cb2) = imiFixedHalfCodebooks(c0, k)
+    val dim = cb1.head.length + cb2.head.length
+    c0.select(imiCellIdFrom(imiPad(cb1, dim, padHead = false),
+        imiPad(cb2, dim, padHead = true), col("v")).as("cluster_id"))
+      .groupBy(col("cluster_id")).count()
+  }
+
+  /** [[semDedupImi]] with TRAINED half codebooks (two bounded-sample
+    * half-Lloyds) — the trained-cluster recipe at linear pair volume;
+    * [[semDedupTrained]] hands off here past [[MaxSingleLevelRows]].
+    * Deterministic but not SQL-replayable (distributed float means),
+    * same as [[semDedupTrained]] — spec-pinned + benched.
+    */
+  def semDedupTrainedImi(df: DataFrame, idCol: String, vecCol: String,
+                         kPerHalf: Int = 0, threshold: Double = 0.95,
+                         iters: Int = 2,
+                         targetClusterSize: Long = ImiTargetClusterSize,
+                         maxTrainRows: Long = MaxTrainRows): DataFrame = {
+    val c0 = df.select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = c0.count()
+    val k = if (kPerHalf > 0) kPerHalf else imiHalfCentroids(n, targetClusterSize)
+    val (cb1, cb2) = imiTrainedHalfCodebooks(c0, k, iters, n, maxTrainRows)
+    val dim = cb1.head.length + cb2.head.length
+    // assignment materialized ONCE (eager, GC-released): three plan
+    // branches consume it (both self-join sides + the left_anti base)
+    val vecs = c0
+      .select(col("id").as("vec_id"), col("v").as("__v"),
+        imiCellIdFrom(imiPad(cb1, dim, padHead = false),
+          imiPad(cb2, dim, padHead = true), col("v")).as("cluster_id"))
       .localCheckpoint(true)
     c0.unpersist()
     semDedupWithin(vecs, threshold)
@@ -1246,12 +1523,21 @@ object Similarity {
   def marginTopK(queries: DataFrame, corpus: DataFrame, k: Int, knn: Int = 4,
                  qId: String = "query_id", qVec: String = "query_vec",
                  cId: String = "vec_id", cVec: String = "embedding",
-                 maxBrute: Long = MaxBruteMarginCorpus): DataFrame =
-    if (corpus.count() <= maxBrute)
+                 maxBrute: Long = MaxBruteMarginCorpus,
+                 imiCutoverRows: Long = MaxSingleLevelRows): DataFrame = {
+    val n = corpus.count()
+    if (n <= maxBrute)
       marginTopKBrute(queries, corpus, k, knn, qId, qVec, cId, cVec)
+    else if (n > imiCutoverRows)
+      // past the single-level list cap the sqrt(n) IVF legs' candidate
+      // volume n·nProbe·(n/4096) grows quadratically — the IMI grid
+      // keeps cell size (and so the self-kNN volume per row) constant
+      marginTopKImi(queries, corpus, k, knn, qId = qId, qVec = qVec,
+        cId = cId, cVec = cVec)
     else
       marginTopKAnn(queries, corpus, k, knn, qId = qId, qVec = qVec,
         cId = cId, cVec = cVec)
+  }
 
   /** The corpus-scale margin path: BOTH brute legs replaced by IVF
     * candidates from ONE k-means training —
@@ -1366,6 +1652,107 @@ object Similarity {
         .withColumn("cid", explode_outer(floatProbeCids(centroids, col("__qv"), nProbe)))
         .filter(col("cid").isNotNull)
     val candScored = assigned.join(broadcast(q), Seq("cid"))
+      .filter(col(qId) =!= col("id"))
+      .select(col(qId), col("id").as("neighbor_id"),
+        cosineWithNorms(col("__qv"), col("v"), col("__qn"), col("__cn")).as("cos"))
+    val scored = candScored
+      .join(nnMean.select(col("id").as(qId), col("a").as("__aq")), Seq(qId))
+      .join(nnMean.select(col("id").as("neighbor_id"), col("a").as("__ac")),
+        Seq("neighbor_id"))
+      .select(col(qId), col("neighbor_id"),
+        (col("cos") * lit(2.0d) / (col("__aq") + col("__ac"))).as("cos"))
+    topkOf(scored, k, qId)
+      .select(col(qId), col("neighbor_id").as("match_id"),
+        round(col("cos"), 4).as("margin_r"))
+  }
+
+  /** The margin legs over the IMI PRODUCT grid — [[marginTopKAnn]]'s
+    * exact two-leg shape (self-kNN a-means + broadcast-query probe,
+    * same margin arithmetic) with assignment and probing against the
+    * k1 x k2 cell grid instead of a single centroid array:
+    *
+    *  - cells derive as ceil(n / targetClusterSize), so the self-kNN
+    *    leg's candidate volume n·nProbe·cellSize is ~n·nProbe·target —
+    *    LINEAR in the corpus at any size the grid reaches (~1.7·10¹⁰
+    *    vectors at the defaults), where the sqrt(n) single-level legs
+    *    degrade to n²·nProbe/4096 past their cap;
+    *  - probing is the EXACT top-nProbe cells by d1+d2 (multi-sequence
+    *    property: the per-half top-nProbe grid contains them), each
+    *    probe row an equi-join key on the composite cell id — shuffle
+    *    volume stays ~(1+nProbe)x the corpus, as in the IVF form;
+    *  - the per-half sorted probe slices are computed ONCE into the
+    *    checkpointed assignment (`__s1`/`__s2`), so the grid lambda
+    *    reads materialized attributes.
+    *
+    * Approximation is candidate-recall only (scores exact), same
+    * contract as [[marginTopKAnn]]; recall floor pinned by
+    * MarginImiSpec against the brute gold.
+    */
+  def marginTopKImi(queries: DataFrame, corpus: DataFrame, k: Int, knn: Int = 4,
+                    kPerHalf: Int = 0, nProbe: Int = 8, iters: Int = 3,
+                    qId: String = "query_id", qVec: String = "query_vec",
+                    cId: String = "vec_id", cVec: String = "embedding",
+                    targetClusterSize: Long = ImiTargetClusterSize,
+                    maxTrainRows: Long = MaxTrainRows,
+                    codebooksOpt: Option[(Array[Array[Double]], Array[Array[Double]])] = None): DataFrame = {
+    val c0 = corpus.select(col(cId).cast("long").as("id"), asDouble(col(cVec)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = c0.count()
+    val kH = if (kPerHalf > 0) kPerHalf else imiHalfCentroids(n, targetClusterSize)
+    // codebooksOpt: run against FROZEN half codebooks (the at-rest
+    // [[MarginIndex]] parity seam) instead of training in-session
+    val (cb1, cb2) = codebooksOpt.getOrElse(
+      imiTrainedHalfCodebooks(c0, kH, iters, n, maxTrainRows))
+    val dim = cb1.head.length + cb2.head.length
+    val cb1p = imiPad(cb1, dim, padHead = false)
+    val cb2p = imiPad(cb2, dim, padHead = true)
+    val assigned = c0
+      .select(col("id"), col("v"),
+        imiCellIdFrom(cb1p, cb2p, col("v")).as("cid"),
+        l2norm(col("v")).as("__cn"),
+        imiHalfProbes(cb1p, col("v"), nProbe).as("__s1"),
+        imiHalfProbes(cb2p, col("v"), nProbe).as("__s2"))
+      .localCheckpoint(true)
+    c0.unpersist()
+
+    // self-kNN leg: probe rows carry the vector into the shuffled
+    // equi-join on the cell id; cosine + bounded top-k consume the
+    // pair stream IN-STAGE (the marginTopKAnn shape, cell-id keyed)
+    val probesV = assigned
+      .select(col("id").as("__qid"), col("v").as("__qv"), col("__cn").as("__qn"),
+        explode_outer(imiProbeCellsOf(col("__s1"), col("__s2"), cb2p.length,
+          nProbe)).as("cid"))
+      .filter(col("cid").isNotNull)
+    val members = assigned.select(col("cid"), col("id"), col("v"), col("__cn"))
+    val selfScored = members.join(probesV, Seq("cid"))
+      .filter(col("__qid") =!= col("id"))
+      .select(col("__qid").as(qId), col("id").as("neighbor_id"),
+        cosineWithNorms(col("__qv"), col("v"), col("__qn"), col("__cn")).as("cos"))
+    val nnMean = topkOf(selfScored, knn, qId)
+      .groupBy(col(qId).as("id"))
+      .agg(sort_array(collect_list(col("cos"))).as("cs"))
+      .select(col("id"),
+        (aggregate(col("cs"), lit(0.0d), (acc, x) => acc + x)
+          / size(col("cs"))).as("a"))
+      .localCheckpoint(true)
+
+    // pair-scoring leg: broadcast-query probe over the same cells; the
+    // per-half probe slices are STAGED + materialized exactly like the
+    // corpus side's, so the grid lambda reads attributes (the lambda
+    // audit rejects a half-sort re-evaluated per outer element)
+    val qStaged = queries
+      .select(col(qId).cast("long").as(qId), asDouble(col(qVec)).as("__qv"))
+      .select(col(qId), col("__qv"), l2norm(col("__qv")).as("__qn"),
+        imiHalfProbes(cb1p, col("__qv"), nProbe).as("__s1"),
+        imiHalfProbes(cb2p, col("__qv"), nProbe).as("__s2"))
+      .localCheckpoint(true) // broadcast-small
+    val q = qStaged
+      .select(col(qId), col("__qv"), col("__qn"),
+        explode_outer(imiProbeCellsOf(col("__s1"), col("__s2"),
+          cb2p.length, nProbe)).as("cid"))
+      .filter(col("cid").isNotNull)
+      .drop("__s1", "__s2")
+    val candScored = members.join(broadcast(q), Seq("cid"))
       .filter(col(qId) =!= col("id"))
       .select(col(qId), col("id").as("neighbor_id"),
         cosineWithNorms(col("__qv"), col("v"), col("__qn"), col("__cn")).as("cos"))

@@ -63,17 +63,114 @@ final class LogStore(spark: SparkSession, path: String) {
     * lifecycle run when it happened to be the session's first read. The
     * `AnalysisException` catch stays for the exists-but-empty dir a
     * killed first append can leave behind (no footer → no schema).
+    *
+    * Reads the VISIBLE file set (round 10): plain `part-*` appends,
+    * plus `cpart-*` compaction outputs that a `_compact-*.json`
+    * manifest references, minus every file any manifest lists as
+    * replaced — see [[compact]] for why any listing snapshot of that
+    * rule is a complete, duplicate-free row set.
     */
   def read(): Dataset[RunLog] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) spark.emptyDataset[RunLog]
-    else try spark.read.parquet(path).as[RunLog]
-    catch { case _: org.apache.spark.sql.AnalysisException => spark.emptyDataset[RunLog] }
+    else {
+      val files = LogStore.visibleFiles(fs, p)
+      if (files.isEmpty) spark.emptyDataset[RunLog]
+      else try spark.read.parquet(files: _*).as[RunLog]
+      catch { case _: org.apache.spark.sql.AnalysisException => spark.emptyDataset[RunLog] }
+    }
   }
 
   def forIngestion(id: Long): Dataset[RunLog] =
     read().filter(_.lakeIngestionId == id)
+
+  /** Fold the visible file set into ONE file — the fleet-scale fix for
+    * one-part-file-per-append-forever (watermark recovery at thousands
+    * of runs listed thousands of tiny files). The switch is ATOMIC for
+    * readers and the old files stay readable until [[vacuumCompacted]]:
+    *
+    *  1. the visible rows are rewritten into a hidden staging dir and
+    *     published as `cpart-<uuid>.parquet` — INVISIBLE, because a
+    *     cpart only counts once a manifest references it;
+    *  2. `_compact-<uuid>.json` (compacted name + the replaced names)
+    *     is temp-written and RENAMED in — the one atomic step. A
+    *     listing before it sees exactly the old files; a listing after
+    *     it sees the cpart and excludes every replaced file;
+    *  3. replaced files are NOT deleted here: an in-flight reader that
+    *     listed before the manifest finishes on the intact old files.
+    *     [[vacuumCompacted]] reaps them after a grace age, TxTable
+    *     vacuum-style.
+    *
+    * A crash before step 2 leaves only invisible garbage (staging dir /
+    * unreferenced cpart); a crash after it is a completed compaction
+    * minus the deferred cleanup. Same-process compactions/appends
+    * serialize on the per-path lock; concurrent CROSS-PROCESS appends
+    * are safe (a part landing after the listing is not in the replaced
+    * set, so it stays visible) but concurrent cross-process COMPACTIONS
+    * are not coordinated — run one compactor per log, like TxTable's
+    * maintenance contract. Returns the number of files folded (0 = no
+    * compaction was warranted).
+    */
+  def compact(): Int = LogStore.lockFor(path).synchronized {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return 0
+    val victims = LogStore.visibleFiles(fs, p)
+    if (victims.length <= 1) return 0
+    val id = java.util.UUID.randomUUID().toString
+    val stage = new org.apache.hadoop.fs.Path(p, s".stage-c-$id")
+    try {
+      spark.read.parquet(victims: _*).coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(stage.toString)
+      val part = fs.listStatus(stage).map(_.getPath)
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"log compact: no part file staged under $stage"))
+      val cpart = new org.apache.hadoop.fs.Path(p, s"cpart-$id.snappy.parquet")
+      require(fs.rename(part, cpart), s"log compact: rename $part -> $cpart failed")
+      val victimNames = victims.map(v => new org.apache.hadoop.fs.Path(v).getName)
+      val mTmp = new org.apache.hadoop.fs.Path(p, s".manifest-$id.tmp")
+      val out = fs.create(mTmp, true)
+      try out.write(LogStore.renderManifest(cpart.getName, victimNames).getBytes("UTF-8"))
+      finally out.close()
+      val m = new org.apache.hadoop.fs.Path(p, s"_compact-$id.json")
+      require(fs.rename(mTmp, m), s"log compact: manifest rename failed for $m")
+      victims.length
+    } finally fs.delete(stage, true)
+  }
+
+  /** Reap compaction leftovers older than `minAgeMs`: data files some
+    * manifest replaced, then manifests whose compacted file is itself
+    * gone (superseded by a later compaction and already reaped). A
+    * manifest whose cpart is LIVE is never touched — it is what makes
+    * the cpart visible. Returns the deleted paths.
+    */
+  def vacuumCompacted(minAgeMs: Long = 3600000L): Seq[String] = LogStore.lockFor(path).synchronized {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Nil
+    val now = System.currentTimeMillis()
+    val statuses = fs.listStatus(p).filter(st => !st.isDirectory)
+    val byName = statuses.map(st => st.getPath.getName -> st).toMap
+    val manifests = statuses
+      .filter(st => st.getPath.getName.startsWith("_compact-") &&
+        st.getPath.getName.endsWith(".json"))
+    val parsed = manifests.map(m =>
+      m -> LogStore.parseManifest(LogStore.slurp(fs, m.getPath)))
+    val replaced = parsed.flatMap(_._2._2).toSet
+    val deletedData = replaced.toSeq.sorted.flatMap { name =>
+      byName.get(name).collect {
+        case st if now - st.getModificationTime >= minAgeMs &&
+            fs.delete(st.getPath, false) => st.getPath.toString
+      }
+    }
+    val deletedManifests = parsed.flatMap { case (m, (cpart, _)) =>
+      val gone = !fs.exists(new org.apache.hadoop.fs.Path(p, cpart))
+      if (gone && now - m.getModificationTime >= minAgeMs &&
+        fs.delete(m.getPath, false)) Some(m.getPath.toString) else None
+    }
+    deletedData ++ deletedManifests
+  }
 }
 
 object LogStore {
@@ -83,6 +180,56 @@ object LogStore {
   private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def lockFor(path: String): Object =
     locks.computeIfAbsent(path, _ => new Object)
+
+  /** The files a reader opens, from ONE directory listing: plain
+    * `part-*` appends and manifest-referenced `cpart-*` compaction
+    * outputs, minus everything any `_compact-*.json` manifest replaced.
+    * Every listing snapshot under this rule is a complete,
+    * duplicate-free row set — the manifest rename is the only switch.
+    */
+  private[state] def visibleFiles(fs: org.apache.hadoop.fs.FileSystem,
+                                  p: org.apache.hadoop.fs.Path): Seq[String] = {
+    val statuses = fs.listStatus(p).filter(st => !st.isDirectory)
+    val names = statuses.map(_.getPath.getName)
+    val parsed = statuses
+      .filter(st => st.getPath.getName.startsWith("_compact-") &&
+        st.getPath.getName.endsWith(".json"))
+      .map(m => parseManifest(slurp(fs, m.getPath)))
+    val replaced = parsed.flatMap(_._2).toSet
+    val referenced = parsed.map(_._1).toSet
+    statuses.collect {
+      case st if {
+        val n = st.getPath.getName
+        n.endsWith(".parquet") && !replaced.contains(n) &&
+          (n.startsWith("part-") || (n.startsWith("cpart-") && referenced.contains(n)))
+      } => st.getPath.toString
+    }.sorted
+  }
+
+  private[state] def renderManifest(compacted: String, replaced: Seq[String]): String =
+    s"""{"compacted":"$compacted","replaced":[${
+      replaced.map(r => "\"" + r + "\"").mkString(",")}]}"""
+
+  private[state] def parseManifest(txt: String): (String, Seq[String]) = {
+    val c = """"compacted":"([^"]+)"""".r.findFirstMatchIn(txt)
+      .getOrElse(sys.error(s"log manifest: missing compacted in $txt")).group(1)
+    val arr = """"replaced":\[([^\]]*)\]""".r.findFirstMatchIn(txt)
+      .getOrElse(sys.error(s"log manifest: missing replaced in $txt")).group(1)
+    val rs = """"([^"]+)"""".r.findAllMatchIn(arr).map(_.group(1)).toSeq
+    (c, rs)
+  }
+
+  private[state] def slurp(fs: org.apache.hadoop.fs.FileSystem,
+                           p: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(p)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      bytes.toString("UTF-8")
+    } finally in.close()
+  }
 
   /** Accepts optional fractional seconds — delta columns are often µs
     * precision and `end_value` records them exactly (a plain

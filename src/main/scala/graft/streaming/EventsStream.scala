@@ -317,6 +317,39 @@ object EventsStream {
     * nothing is O(corpus²). At scale, partition the signature table by
     * block bucket so the probe prunes files at rest.
     */
+  /** Structured Streaming maintainer for the at-rest IVFADC index —
+    * the wiring [[graft.functions.AnnIndex.appendOnce]]'s scaladoc
+    * documents, driven end to end: each micro-batch of new vectors is
+    * encoded with the index's FROZEN quantizers and appended as one
+    * writer-txn commit keyed by the micro-batch id. foreachBatch is
+    * at-least-once; the idempotent sink makes the index EXACTLY-ONCE
+    * under both failure shapes:
+    *  - restart with the same durable `checkpointDir` resumes at the
+    *    next unprocessed file (at most the in-flight batch replays, and
+    *    its (appId, batchId) skips);
+    *  - crash-replay from a fresh checkpoint re-presents every batch id
+    *    — every one skips (AnnIndexStreamSpec kills and restarts the
+    *    query around both shapes).
+    */
+  def runAnnIndexMaintainer(spark: SparkSession, stagingDir: String,
+                            schema: org.apache.spark.sql.types.StructType,
+                            indexTable: String, checkpointDir: String,
+                            appId: String = "ann-maintainer"): Unit = {
+    import org.apache.spark.sql.Row
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stagingDir)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        graft.functions.AnnIndex.appendOnce(spark, batch.toDF(), indexTable,
+          appId, batchId)
+        ()
+      }
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+  }
+
   def runStreamingNearDupTx(spark: SparkSession, stagingDir: String,
                             schema: org.apache.spark.sql.types.StructType,
                             sigTable: String, maxHamming: Int = 3): Unit = {

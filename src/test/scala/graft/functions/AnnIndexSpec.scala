@@ -178,6 +178,33 @@ class AnnIndexSpec extends SparkSpec {
     assert(AnnIndex.searchRerank(spark, dir, none, k = 5, rerank = 10).count() == 0)
   }
 
+  test("appends record an occupancy-drift stat; a shifted batch trips the threshold") {
+    val dir = tmp("drift")
+    AnnIndex.build(spark, emb, dir, dim = 64, nCentroids = 16)
+    // in-distribution batch: the corpus itself under new ids — same
+    // vectors, same lists, TV distance exactly 0
+    val same = emb.select(($"vec_id" + 400000L).as("vec_id"), $"embedding")
+    AnnIndex.append(spark, same, dir)
+    val h1 = AnnIndex.driftHistory(spark, dir)
+    assert(h1.size == 1, s"one drift record expected, got $h1")
+    assert(h1.head._2 == 0.0, s"identical distribution must score TV 0, got ${h1.head._2}")
+    // shifted batch: fifty copies of ONE vector — all mass in one list,
+    // the silent-degradation shape the stat exists to surface
+    val one = emb.filter($"vec_id" === 0L).select($"embedding").first()
+      .getAs[scala.collection.Seq[Float]](0)
+    val skew = spark.createDataFrame(
+      (1 to 50).map(i => (500000L + i, one.toArray))
+    ).toDF("vec_id", "embedding")
+    AnnIndex.append(spark, skew, dir)
+    val h2 = AnnIndex.driftHistory(spark, dir)
+    assert(h2.size == 2)
+    assert(h2.last._2 >= AnnIndex.DriftThreshold,
+      s"a one-list batch must trip the documented threshold, got ${h2.last._2}")
+    // the stat is observability only: the rows landed and search works
+    assert(graft.sink.TxTable.read(spark, dir).count() ==
+      emb.count() * 2 + 50)
+  }
+
   test("appendOnce is exactly-once under replay (the streaming-maintainer contract)") {
     val dir = tmp("once")
     AnnIndex.build(spark, emb, dir, dim = 64, nCentroids = 16)

@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sink.TxTable
+
+/** The at-rest margin index: bit-parity with the in-session IMI path at
+  * the same frozen codebooks (probe/score/margin/top-k are shared
+  * code, so any divergence is a storage bug), listing-time pruning to
+  * the probed cells, atomic rebuild, and the sidecar round trip.
+  */
+class MarginIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = graft.sources.Tables.load(spark, SfDir, "embeddings")
+  private lazy val queries = emb.filter($"vec_id" <= 9)
+    .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+
+  private def tmp(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_margin_$tag").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath + "/idx"
+  }
+
+  private def resultSet(df: org.apache.spark.sql.DataFrame) =
+    df.select($"query_id".cast("long"), $"match_id".cast("long"), $"margin_r")
+      .as[(Long, Long, Double)].collect().toSet
+
+  test("meta sidecar round-trips the frozen codebooks bit-exactly") {
+    val meta = MarginIndex.Meta(4, 8,
+      Array(Array(1.5, -2.25e-3), Array(0.1, 4.0)),
+      Array(Array(-5.75, 6.125), Array(7.0, -8.5)))
+    val back = MarginIndex.parseMeta(MarginIndex.renderMeta(meta))
+    assert(back.knn == 4 && back.nProbe == 8)
+    assert(back.cb1.map(_.toSeq).toSeq == meta.cb1.map(_.toSeq).toSeq)
+    assert(back.cb2.map(_.toSeq).toSeq == meta.cb2.map(_.toSeq).toSeq)
+  }
+
+  test("at-rest search is bit-identical to marginTopKImi with the frozen codebooks") {
+    val dir = tmp("parity")
+    MarginIndex.build(spark, emb, dir, kPerHalf = 4, nProbe = 8)
+    val meta = MarginIndex.readMeta(spark, dir)
+    val atRest = resultSet(MarginIndex.search(spark, dir, queries, k = 5))
+    val inSession = resultSet(Similarity.marginTopKImi(queries, emb, k = 5,
+      kPerHalf = 4, nProbe = 8, codebooksOpt = Some((meta.cb1, meta.cb2))))
+    assert(atRest == inSession)
+    // and the recall class holds vs the brute gold
+    val gold = Similarity.marginTopKBrute(queries, emb, k = 5)
+      .select($"query_id", $"match_id").as[(Long, Long)].collect().toSet
+    val got = atRest.map(t => (t._1, t._2))
+    val recall = got.count(gold.contains).toDouble / gold.size
+    assert(recall >= 0.8, s"at-rest margin recall@5 $recall below floor 0.8")
+  }
+
+  test("search opens only the probed cells' files") {
+    val dir = tmp("prune")
+    MarginIndex.build(spark, emb, dir, kPerHalf = 4, nProbe = 4)
+    val all = TxTable.currentFiles(spark, dir)
+    val one = queries.filter($"query_id" === 0L)
+    // one query probes <= nProbe cells of the 16-cell grid: the pruned
+    // file list must be a strict subset of the committed files
+    assert(MarginIndex.search(spark, dir, one, k = 3).count() == 3)
+    val probed = (0 until 16).map(_.toLong).toSet // upper bound: all cells
+    assert(MarginIndex.probedFiles(spark, dir, probed).toSet == all.toSet)
+    // a single cell prunes to that cell's files only
+    val cell0 = MarginIndex.probedFiles(spark, dir, Set(0L))
+    assert(cell0.nonEmpty && cell0.size < all.size,
+      s"expected a strict subset for one cell, got ${cell0.size}/${all.size}")
+  }
+
+  test("rebuild replaces the index atomically (one commit, new codebook generation)") {
+    val dir = tmp("rebuild")
+    MarginIndex.build(spark, emb, dir, kPerHalf = 4)
+    val n0 = TxTable.read(spark, dir).count()
+    val gen0 = AnnIndex.currentMetaHash(spark, dir)
+    MarginIndex.build(spark, emb, dir, kPerHalf = 2)
+    assert(TxTable.read(spark, dir).count() == n0,
+      "rebuild must swap, not append")
+    assert(AnnIndex.currentMetaHash(spark, dir) != gen0)
+    assert(MarginIndex.readMeta(spark, dir).cb1.length == 2)
+    // still answers, at the new geometry
+    assert(MarginIndex.search(spark, dir, queries, k = 5).count() == 50)
+  }
+
+  test("an empty query set returns an empty result, not a scan error") {
+    val dir = tmp("empty")
+    MarginIndex.build(spark, emb, dir, kPerHalf = 4)
+    val none = queries.filter($"query_id" < 0L)
+    val out = MarginIndex.search(spark, dir, none, k = 5)
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("query_id", "match_id", "margin_r"))
+  }
+}

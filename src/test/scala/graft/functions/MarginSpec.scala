@@ -129,6 +129,28 @@ class MarginSpec extends SparkSpec {
     assert(run(None) === run(Some(true)))
   }
 
+  test("IMI margin (product cells) recalls >= 0.8 of the brute top-5") {
+    // kPerHalf = 4 -> a 16-cell grid probed 8-deep: the same coverage
+    // class as the single-level 16-list gate geometry, but the lists
+    // come from TWO 4-entry half codebooks — the past-the-cap shape
+    val (emb, queries) = realQueries
+    val r = recallVsBrute(
+      Similarity.marginTopKImi(queries, emb, k = 5, kPerHalf = 4, nProbe = 8),
+      emb, queries)
+    assert(r >= 0.8, s"IMI margin recall@5 $r below floor 0.8")
+  }
+
+  test("marginTopK hands off to the IMI grid past imiCutoverRows") {
+    val (emb, queries) = realQueries
+    val imi = Similarity.marginTopK(queries, emb, k = 5, maxBrute = 10L,
+      imiCutoverRows = 100L)
+    assert(imi.columns.toSeq == Seq("query_id", "match_id", "margin_r"))
+    val counts = imi.groupBy(col("query_id")).count().collect()
+    assert(counts.length == 10 && counts.forall(_.getLong(1) == 5L))
+    val r = recallVsBrute(imi, emb, queries)
+    assert(r >= 0.6, s"handed-off IMI margin recall@5 $r below floor 0.6")
+  }
+
   test("marginTopK auto-switches to the ANN legs past the corpus threshold") {
     val (emb, queries) = realQueries
     // force the switch with a tiny threshold: the result must be the ANN

@@ -66,6 +66,23 @@ class SemDedupTrainedSpec extends SparkSpec {
       s"sample-trained planted-drop recovery fell to $sampled/500")
   }
 
+  test("the fixed-point portable twin matches the trained form's recovery class") {
+    // q236 hash-gates semDedupTrainedPortable against the DuckDB
+    // replay; pinned here: its integer-Lloyd geometry recovers planted
+    // twins at least as well as the FIXED-centroid form (training must
+    // help, in exact arithmetic too) and stays within the trained
+    // family's floor
+    val fixed = droppedTwins(
+      Similarity.semDedup(planted, "vec_id", "embedding", nClusters = 16))
+    val portable = droppedTwins(
+      Similarity.semDedupTrainedPortable(planted, "vec_id", "embedding",
+        nClusters = 16))
+    info(s"planted twins dropped: fixed $fixed, portable-trained $portable (of 500)")
+    assert(portable >= fixed,
+      s"integer-trained clusters recovered fewer planted dups ($portable < $fixed)")
+    assert(portable >= 400, s"portable-trained recovery fell to $portable/500")
+  }
+
   test("derived sizing (nClusters <= 0) uses the table-cap sqrt rule") {
     // 1000 planted vectors -> ceil(sqrt) = 32 clusters; the result must
     // keep every survivor exactly once with a cluster id attached

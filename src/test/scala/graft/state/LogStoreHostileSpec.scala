@@ -137,6 +137,77 @@ class LogStoreHostileSpec extends SparkSpec {
     assert(rows.length == 1 && rows.head.endValue == "41")
   }
 
+  test("compaction bounds the file count; a reader never observes a torn compaction") {
+    val dir = HostileFileSystem.root(spark)
+    val path = s"$dir/logs"
+    val store = new LogStore(spark, path)
+    (1 to 20).foreach(i => store.append(Seq(log(RunStatus.Success, i.toString, i.toLong))))
+    val fs = fsFor(path)
+    def dataFiles() = fs.listStatus(new Path(path))
+      .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted
+    def rows() = new LogStore(spark, path).read().collect()
+      .map(_.endValue).sorted.toSeq
+    val want = (1 to 20).map(_.toString).sorted
+    assert(dataFiles().count(_.startsWith("part-")) == 20)
+    assert(rows() == want)
+
+    // stage every intermediate compaction state by hand and prove each
+    // is a complete, duplicate-free read — the manifest rename is the
+    // ONLY visibility switch. (1) an orphan cpart with no manifest (a
+    // compactor killed before publish) is invisible:
+    val orphan = new Path(s"$path/cpart-orphan.snappy.parquet")
+    val src = fs.listStatus(new Path(path))
+      .map(_.getPath).find(_.getName.startsWith("part-")).get
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, orphan, false,
+      spark.sparkContext.hadoopConfiguration)
+    assert(rows() == want, "an unreferenced cpart must not double rows")
+    fs.delete(orphan, false)
+
+    // (2) the real compaction: one visible file, same rows, and the
+    // replaced files are STILL ON DISK (deferred delete) — a reader
+    // that listed before the manifest finishes on intact old files
+    assert(store.compact() == 20)
+    assert(rows() == want, "compaction must not change what a reader sees")
+    val after = dataFiles()
+    assert(after.count(_.startsWith("cpart-")) == 1)
+    assert(after.count(_.startsWith("part-")) == 20,
+      "replaced files must survive until vacuum (in-flight-reader grace)")
+    val (start, _) = LogStore.nextStartValue(
+      new LogStore(spark, path).forIngestion(1L).collect().toSeq,
+      dateNotAvailable = true)
+    assert(start == "21", "watermark recovery must be unchanged by compaction")
+
+    // (3) removing the manifest rolls visibility back to the old files
+    // — both sides of the atomic switch are complete row sets
+    val manifest = fs.listStatus(new Path(path))
+      .map(_.getPath).find(_.getName.startsWith("_compact-")).get
+    val saved = new Path(s"$path/.saved-manifest")
+    require(fs.rename(manifest, saved))
+    assert(rows() == want, "pre-manifest state must read the old files")
+    require(fs.rename(saved, manifest))
+
+    // (4) vacuum honors the grace age, then reaps replaced files only
+    assert(new LogStore(spark, path).vacuumCompacted(minAgeMs = Long.MaxValue).isEmpty)
+    assert(rows() == want)
+    val reaped = new LogStore(spark, path).vacuumCompacted(minAgeMs = 0L)
+    assert(reaped.length == 20, s"vacuum must reap the 20 replaced files, got $reaped")
+    assert(dataFiles().toSeq == dataFiles().filter(_.startsWith("cpart-")).toSeq)
+    assert(rows() == want)
+
+    // (5) appends after compaction stay visible; a second compaction
+    // folds cpart + parts and the superseded manifest is GC-able
+    store.append(Seq(log(RunStatus.Success, "21", 21L)))
+    assert(rows() == (want :+ "21").sorted)
+    assert(store.compact() == 2)
+    val reaped2 = new LogStore(spark, path).vacuumCompacted(minAgeMs = 0L)
+    assert(reaped2.nonEmpty)
+    assert(dataFiles().length == 1, s"steady state is ONE visible file, got ${dataFiles().toSeq}")
+    assert(fs.listStatus(new Path(path)).map(_.getPath.getName)
+      .count(_.startsWith("_compact-")) == 1,
+      "superseded manifests must be GC'd once their cpart is reaped")
+    assert(rows() == (want :+ "21").sorted)
+  }
+
   test("re-run after a failure resumes from the last success watermark (no re-read)") {
     val dir = HostileFileSystem.root(spark)
     val store = new LogStore(spark, s"$dir/logs")
