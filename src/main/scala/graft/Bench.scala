@@ -144,7 +144,8 @@ object Bench {
       "q193_tx_restore", "q226_config_autogen_roundtrip",
       "q227_log_state_rollup", "q228_schema_catalog", "q229_object_listing",
       "q235_ann_index_at_rest", "b119_cdf_read", "b120_ivm_refresh",
-      "b126_join_ivm_refresh", "b235_ann_index_auto", "b239_margin_at_rest")
+      "b126_join_ivm_refresh", "b235_ann_index_auto", "b239_margin_at_rest",
+      "q239_ann_index_imi")
     val streamingKind = Set("q41_stream_hourly", "q54_stream_distinct_pairs",
       "q63_stream_static_join", "q84_stream_stream_join", "q93_stream_neardup",
       "q155_stream_dedup", "q176_stream_trending", "q186_stream_jdbc_once",

@@ -4332,6 +4332,38 @@ object SparkEntry {
         t(s, dir, "embeddings"), "vec_id", "embedding",
         nClusters = 16, threshold = 0.95, iters = 3)
     }),
+
+    // A — IVFADC with the IMI PRODUCT coarse grid: the at-rest index
+    // family's escape from the same min(√n, 4096) list ceiling q237
+    // broke for semDedup. Two per-half integer Lloyds (4 seeds each, 3
+    // rounds at 32 dims) give a 16-cell grid; assignment is separable
+    // (argmin d1, argmin d2), residuals run against the CONCATENATED
+    // cell centroid, and the PQ/ADC chain is byte-shared with q232.
+    // The oracle replays BOTH half trainings, the cell grid, residuals,
+    // PQ training, codes, probing, and the ADC ranking — bit for bit.
+    "q238_ivfpq_imi" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") <= 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      functions.Similarity.ivfPqTopKImi(queries, emb, k = 10, dim = 64,
+        m = 4, kCentroids = 8, kPerHalf = 4, nProbe = 8)
+    }),
+
+    // K — q238's chain through the AT-REST round trip (the q235
+    // pattern for the IMI grid): build the cell-partitioned index once,
+    // search it with listing-time cell pruning — the result replays
+    // q238's full oracle value for value, proving the storage layer
+    // loses nothing at the past-the-ceiling geometry either.
+    "q239_ann_index_imi" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") <= 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q239").toString
+      val table = s"$tmp/ann_imi_idx"
+      functions.AnnIndex.buildImi(s, emb, table, dim = 64,
+        m = 4, kCentroids = 8, kPerHalf = 4)
+      functions.AnnIndex.search(s, table, queries, k = 10)
+    }),
   )
 
   // ----------------------------------------------------------- bench-only
@@ -4667,11 +4699,16 @@ object SparkEntry {
     * iterations, final assignment `a4(vec_id, cid)`. Used by q61 and
     * q225's oracles.
     */
-  private val ivfOracleCtes: String =
+  /** Quantized-embedding CTEs (e, ei) — the shared front of every
+    * integer-ANN oracle. */
+  private val eiCtes: String =
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        ei AS (SELECT vec_id,
                 list_transform(v, x -> CAST(round(x * 1048576) AS BIGINT)) AS vi
-              FROM e),
+              FROM e)"""
+
+  private val ivfOracleCtes: String =
+    s"""$eiCtes,
        c0 AS (
          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, vi AS c
          FROM (SELECT vec_id, vi FROM ei ORDER BY vec_id LIMIT 16)),
@@ -4815,9 +4852,24 @@ object SparkEntry {
     * (arithmetically identical to the Spark side's table lookup).
     * Ends at `adc(query_id, neighbor_id, adc_q)`.
     */
-  private val ivfPqOracleCtes: String = {
-    def pqDist(vi: String, c: String): String =
-      s"CAST(list_sum(list_transform(range(1, 17), j -> ($vi[j] - $c[j]) * ($vi[j] - $c[j]))) AS BIGINT)"
+  private def pqDist(vi: String, c: String): String =
+    s"CAST(list_sum(list_transform(range(1, 17), j -> ($vi[j] - $c[j]) * ($vi[j] - $c[j]))) AS BIGINT)"
+
+  private lazy val ivfPqOracleCtes: String =
+    s"""$ivfOracleCtes,
+       res AS MATERIALIZED (
+         SELECT a.vec_id, a.cid,
+           list_transform(range(1, 65), j -> ei.vi[j] - c.c[j]) AS ri
+         FROM a4 a JOIN ei ON ei.vec_id = a.vec_id
+         JOIN c3 c ON c.cid = a.cid),
+       $pqFromResidualsSql,
+       ${adcQuerySql("c3")}"""
+
+  /** residual -> per-subspace PQ training -> codes, shared by the
+    * single-level (c3) and IMI (cells) coarse oracles: expects a
+    * `res(vec_id, cid, ri)` CTE upstream. Ends at `codes`.
+    */
+  private lazy val pqFromResidualsSql: String = {
     def pqIteration(i: Int): String = {
       val prev = s"p${i - 1}"
       s"""pa$i AS MATERIALIZED (
@@ -4837,13 +4889,7 @@ object SparkEntry {
              LEFT JOIN pm$i m ON m.s = p.s AND m.cid = p.cid AND m.pos = rj.j
              GROUP BY p.s, p.cid)"""
     }
-    s"""$ivfOracleCtes,
-       res AS MATERIALIZED (
-         SELECT a.vec_id, a.cid,
-           list_transform(range(1, 65), j -> ei.vi[j] - c.c[j]) AS ri
-         FROM a4 a JOIN ei ON ei.vec_id = a.vec_id
-         JOIN c3 c ON c.cid = a.cid),
-       ris AS MATERIALIZED (
+    s"""ris AS MATERIALIZED (
          SELECT vec_id, s.s AS s, ri[(s.s*16+1):(s.s*16+16)] AS vi
          FROM res CROSS JOIN range(0, 4) s(s)),
        p0 AS MATERIALIZED (
@@ -4855,10 +4901,19 @@ object SparkEntry {
        ${pqIteration(2)},
        codes AS MATERIALIZED (
          SELECT r.vec_id, r.s, (min([${pqDist("r.vi", "c.c")}, c.cid]))[2] AS code
-         FROM ris r JOIN p2 c ON c.s = r.s GROUP BY r.vec_id, r.s),
-       qp AS (
+         FROM ris r JOIN p2 c ON c.s = r.s GROUP BY r.vec_id, r.s)"""
+  }
+
+  /** Query probe + ADC scoring against the centroid relation
+    * `$cents(cid, c)` (single-level lists or IMI product cells — for
+    * cells, ORDER BY the full distance replays the Spark side's padded
+    * d1+d2 cell ranking exactly: they differ by the row-constant
+    * |vi|²). Ends at `adc(query_id, neighbor_id, adc_q)`.
+    */
+  private def adcQuerySql(cents: String): String =
+    s"""qp AS (
          SELECT ei.vec_id AS query_id, c.cid, ${ivfDist("ei.vi", "c.c")} AS d
-         FROM ei CROSS JOIN c3 c WHERE ei.vec_id <= 20),
+         FROM ei CROSS JOIN $cents c WHERE ei.vec_id <= 20),
        probe AS (
          SELECT query_id, cid FROM (
            SELECT query_id, cid,
@@ -4870,7 +4925,7 @@ object SparkEntry {
              [(s.s*16+1):(s.s*16+16)] AS qvi
          FROM probe p
          JOIN ei ON ei.vec_id = p.query_id
-         JOIN c3 c ON c.cid = p.cid
+         JOIN $cents c ON c.cid = p.cid
          CROSS JOIN range(0, 4) s(s)),
        adc AS (
          SELECT qs.query_id, r.vec_id AS neighbor_id,
@@ -4880,7 +4935,6 @@ object SparkEntry {
          JOIN codes k ON k.vec_id = r.vec_id AND k.s = qs.s
          JOIN p2 pc ON pc.s = qs.s AND pc.cid = k.code
          GROUP BY 1, 2)"""
-  }
 
   /** q232: plain ADC ranking — (adc asc, id asc), top-10. */
   private val q232OracleSql: String =
@@ -4925,6 +4979,87 @@ object SparkEntry {
          ON g.query_id = s.query_id AND g.neighbor_id = s.neighbor_id
        GROUP BY 1"""
 
+  /** Integer squared distance over `dims` coordinates. */
+  private def ivfDistN(vi: String, c: String, dims: Int): String =
+    s"CAST(list_sum(list_transform(range(1, ${dims + 1}), j -> ($vi[j] - $c[j]) * ($vi[j] - $c[j]))) AS BIGINT)"
+
+  /** One unrolled integer half-Lloyd iteration over `src(vec_id, vi)`
+    * at `dims` coordinates, CTE chain prefix `pfx` (`${pfx}0` = seeds,
+    * `$pfx<i>` = round i) — [[ivfIteration]] parametrized for the IMI
+    * half codebooks.
+    */
+  private def imiHalfIteration(pfx: String, src: String, i: Int, dims: Int): String = {
+    val prev = s"$pfx${i - 1}"
+    s"""${pfx}a$i AS (
+           SELECT $src.vec_id, (min([${ivfDistN(s"$src.vi", "c.c", dims)}, c.cid]))[2] AS cid
+           FROM $src CROSS JOIN $prev c GROUP BY $src.vec_id),
+         ${pfx}s$i AS (
+           SELECT a.cid, r.j AS pos, CAST(sum($src.vi[r.j]) AS BIGINT) AS sm,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM ${pfx}a$i a JOIN $src ON $src.vec_id = a.vec_id
+           CROSS JOIN range(1, ${dims + 1}) r(j)
+           GROUP BY a.cid, r.j),
+         ${pfx}m$i AS (SELECT cid, pos, (sm - ((sm % n) + n) % n) // n AS mn FROM ${pfx}s$i),
+         $pfx$i AS (
+           SELECT p.cid, list(COALESCE(m.mn, p.c[r.j]) ORDER BY r.j) AS c
+           FROM $prev p CROSS JOIN range(1, ${dims + 1}) r(j)
+           LEFT JOIN ${pfx}m$i m ON m.cid = p.cid AND m.pos = r.j
+           GROUP BY p.cid)"""
+  }
+
+  /** The IMI-coarse IVFADC chain replayed end to end (q238/q239's
+    * oracle): two per-half integer Lloyds (4 lowest-id half seeds, 3
+    * rounds at 32 dims), SEPARABLE cell assignment (argmin of d1+d2 is
+    * (argmin d1, argmin d2) — the sum decomposes over disjoint
+    * coordinates; the Spark side's padded 64-wide argmins differ by a
+    * row constant, so assignments match exactly), residuals against
+    * the CONCATENATED cell centroid, then the SHARED residual-PQ chain
+    * and the ADC probe against the 16-cell `cells` relation. Ends at
+    * `adc(query_id, neighbor_id, adc_q)`.
+    */
+  private lazy val imiIvfPqOracleCtes: String =
+    s"""$eiCtes,
+       ei1 AS (SELECT vec_id, vi[1:32] AS vi FROM ei),
+       ei2 AS (SELECT vec_id, vi[33:64] AS vi FROM ei),
+       h1c0 AS (
+         SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, vi AS c
+         FROM (SELECT vec_id, vi FROM ei1 ORDER BY vec_id LIMIT 4)),
+       h2c0 AS (
+         SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, vi AS c
+         FROM (SELECT vec_id, vi FROM ei2 ORDER BY vec_id LIMIT 4)),
+       ${imiHalfIteration("h1c", "ei1", 1, 32)},
+       ${imiHalfIteration("h1c", "ei1", 2, 32)},
+       ${imiHalfIteration("h1c", "ei1", 3, 32)},
+       ${imiHalfIteration("h2c", "ei2", 1, 32)},
+       ${imiHalfIteration("h2c", "ei2", 2, 32)},
+       ${imiHalfIteration("h2c", "ei2", 3, 32)},
+       cells AS MATERIALIZED (
+         SELECT h1.cid * 4 + h2.cid AS cid, h1.c || h2.c AS c
+         FROM h1c3 h1 CROSS JOIN h2c3 h2),
+       ah1 AS (
+         SELECT ei1.vec_id, (min([${ivfDistN("ei1.vi", "c.c", 32)}, c.cid]))[2] AS cid
+         FROM ei1 CROSS JOIN h1c3 c GROUP BY ei1.vec_id),
+       ah2 AS (
+         SELECT ei2.vec_id, (min([${ivfDistN("ei2.vi", "c.c", 32)}, c.cid]))[2] AS cid
+         FROM ei2 CROSS JOIN h2c3 c GROUP BY ei2.vec_id),
+       acell AS (SELECT ah1.vec_id, ah1.cid * 4 + ah2.cid AS cid
+                 FROM ah1 JOIN ah2 ON ah2.vec_id = ah1.vec_id),
+       res AS MATERIALIZED (
+         SELECT a.vec_id, a.cid,
+           list_transform(range(1, 65), j -> ei.vi[j] - c.c[j]) AS ri
+         FROM acell a JOIN ei ON ei.vec_id = a.vec_id
+         JOIN cells c ON c.cid = a.cid),
+       $pqFromResidualsSql,
+       ${adcQuerySql("cells")}"""
+
+  /** q238/q239: IMI-coarse ADC ranking — (adc asc, id asc), top-10. */
+  private lazy val q238OracleSql: String =
+    s"""WITH $imiIvfPqOracleCtes
+       SELECT query_id, neighbor_id, adc_q FROM (
+         SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY adc_q, neighbor_id) AS rn
+         FROM adc) WHERE rn <= 10"""
+
   def oracleSql: Map[String, String] = Map(
     "q61_ann_ivf_topk" -> q61OracleSql,
     // q61's integer-Lloyd CTEs (16 seeds, 3 unrolled iterations) reused
@@ -4945,6 +5080,10 @@ object SparkEntry {
     "q225_margin_ann_recall" -> q225OracleSql,
     "q232_ivfpq_topk" -> q232OracleSql,
     "q233_ivfpq_rerank" -> q233OracleSql,
+    "q238_ivfpq_imi" -> q238OracleSql,
+    // the at-rest IMI index replays q238's oracle through the round
+    // trip, the q235 pattern at the past-the-ceiling grid
+    "q239_ann_index_imi" -> q238OracleSql,
     // the at-rest index at q232's exact geometry: the parquet + Hive
     // partition + stats-pruning round trip must reproduce the in-session
     // chain value for value, so the oracle is q232's full replay

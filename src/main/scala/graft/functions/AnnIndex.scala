@@ -40,10 +40,18 @@ import graft.sink.TxTable
   */
 object AnnIndex {
 
-  /** The frozen quantizer pair + geometry, as persisted in the sidecar. */
+  /** The frozen quantizer pair + geometry, as persisted in the sidecar.
+    * `coarse2` empty = single-level coarse lists (`coarse` is the list
+    * centroid array); nonEmpty = IMI PRODUCT cells (`coarse`/`coarse2`
+    * are the half codebooks, cid = c1·|coarse2| + c2) — the round-10
+    * shape that takes the at-rest index past the 4096-list ceiling.
+    */
   final case class Meta(dim: Int, m: Int, kCentroids: Int,
                         coarse: Array[Array[Long]],
-                        codebooks: Array[Array[Array[Long]]])
+                        codebooks: Array[Array[Array[Long]]],
+                        coarse2: Array[Array[Long]] = Array.empty) {
+    def isImi: Boolean = coarse2.nonEmpty
+  }
 
   /** Sidecars are CONTENT-ADDRESSED (`_graft_ann_meta.<md5-prefix>.json`,
     * immutable once written) and every index row carries its quantizers'
@@ -82,6 +90,7 @@ object AnnIndex {
 
   private[functions] def renderMeta(m: Meta): String =
     s"""{"dim":${m.dim},"m":${m.m},"kCentroids":${m.kCentroids},""" +
+      (if (m.isImi) s""""coarse2":${render2(m.coarse2)},""" else "") +
       s""""coarse":${render2(m.coarse)},"codebooks":${render3(m.codebooks)}}"""
 
   /** Minimal recursive parser for the sidecar's fixed shape — nested
@@ -124,8 +133,11 @@ object AnnIndex {
       require(at >= 0, s"ann meta: missing $k")
       parseNested(txt, at + k.length + 3)._1
     }
+    val coarse2 =
+      if (txt.contains("\"coarse2\":")) toA2(arrField("coarse2"))
+      else Array.empty[Array[Long]]
     Meta(intField("dim"), intField("m"), intField("kCentroids"),
-      toA2(arrField("coarse")), toA3(arrField("codebooks")))
+      toA2(arrField("coarse")), toA3(arrField("codebooks")), coarse2)
   }
 
   /** The committed rows' quantizer hash, from the commit log's `__qz`
@@ -193,7 +205,15 @@ object AnnIndex {
             coarseIters: Int = 3, pqIters: Int = 2,
             cId: String = "vec_id", cVec: String = "embedding",
             maxTrainRows: Long = Similarity.MaxTrainRows,
-            maxRecordsPerFile: Long = 5000000L): Long = {
+            maxRecordsPerFile: Long = 5000000L,
+            imiCutoverRows: Long = Similarity.MaxSingleLevelRows): Long = {
+    // derived sizing past the single-level ceiling hands off to the
+    // IMI product grid — list size must not grow linearly just because
+    // the caller kept the default (the semDedup/marginTopK discipline)
+    if (nCentroids <= 0 && corpus.count() > imiCutoverRows)
+      return buildImi(spark, corpus, table, dim, m, kCentroids,
+        coarseIters = coarseIters, pqIters = pqIters, cId = cId, cVec = cVec,
+        maxTrainRows = maxTrainRows, maxRecordsPerFile = maxRecordsPerFile)
     val (index, coarse, codebooks) = Similarity.ivfPqBuildIndex(corpus, dim,
       m, kCentroids, nCentroids, coarseIters, pqIters, cId, cVec, maxTrainRows)
     // REPLACE semantics over a live index: the prior state is captured
@@ -203,6 +223,33 @@ object AnnIndex {
     val head = TxTable.headVersion(spark, table)
     val prior = TxTable.currentFiles(spark, table)
     val hash = writeMeta(spark, table, Meta(dim, m, kCentroids, coarse, codebooks))
+    commitIndexRows(spark, index.withColumn(QzCol, lit(hash)), table,
+      maxRecordsPerFile, removed = prior, expectedHead = Some(head))
+  }
+
+  /** [[build]] with the IMI PRODUCT coarse grid
+    * ([[Similarity.ivfPqBuildIndexImi]]): cell count derives as
+    * n / targetCellSize from two ≤4096-entry half codebooks, so list
+    * size — and the per-query candidate volume nProbe·cellSize — stays
+    * bounded at ANY corpus size (the single-level √n rule saturates at
+    * 4096 lists). Same replace semantics, sidecar pairing, Hive
+    * `cid=` layout, pruning, drift stats, and frozen-quantizer
+    * append/appendOnce as the single-level index.
+    */
+  def buildImi(spark: SparkSession, corpus: DataFrame, table: String,
+               dim: Int, m: Int = 4, kCentroids: Int = 8, kPerHalf: Int = 0,
+               coarseIters: Int = 3, pqIters: Int = 2,
+               cId: String = "vec_id", cVec: String = "embedding",
+               maxTrainRows: Long = Similarity.MaxTrainRows,
+               targetCellSize: Long = Similarity.ImiTargetClusterSize,
+               maxRecordsPerFile: Long = 5000000L): Long = {
+    val (index, cb1, cb2, codebooks) = Similarity.ivfPqBuildIndexImi(corpus,
+      dim, m, kCentroids, kPerHalf, coarseIters, pqIters, cId, cVec,
+      maxTrainRows, targetCellSize)
+    val head = TxTable.headVersion(spark, table)
+    val prior = TxTable.currentFiles(spark, table)
+    val hash = writeMeta(spark, table,
+      Meta(dim, m, kCentroids, cb1, codebooks, coarse2 = cb2))
     commitIndexRows(spark, index.withColumn(QzCol, lit(hash)), table,
       maxRecordsPerFile, removed = prior, expectedHead = Some(head))
   }
@@ -228,13 +275,17 @@ object AnnIndex {
   private def encodeWith(meta: Meta, hash: String, newRows: DataFrame,
                          cId: String, cVec: String): DataFrame = {
     val subDim = meta.dim / meta.m
-    val base = newRows
+    val vi = newRows
       .select(col(cId).cast("long").as("id"), col(cVec).cast("array<double>").as("v"))
       .withColumn("vi", Similarity.toIntVec(col("v")))
-      .withColumn("cid", Similarity.intNearestCid(meta.coarse, col("vi")))
-      .select(col("id"), col("cid"),
-        zip_with(col("vi"), Similarity.intCentroidOf(meta.coarse, col("cid")),
-          (a, b) => a - b).as("ri"))
+    val base =
+      if (meta.isImi)
+        Similarity.intImiAssignResidual(vi, meta.coarse, meta.coarse2, meta.dim)
+      else vi
+        .withColumn("cid", Similarity.intNearestCid(meta.coarse, col("vi")))
+        .select(col("id"), col("cid"),
+          zip_with(col("vi"), Similarity.intCentroidOf(meta.coarse, col("cid")),
+            (a, b) => a - b).as("ri"))
     val perSub = (0 until meta.m).map { s =>
       val sl = slice(col("ri"), s * subDim + 1, subDim)
       val cand = meta.codebooks(s).zipWithIndex.map { case (cA, i) =>
@@ -379,12 +430,16 @@ object AnnIndex {
     */
   def probedCids(spark: SparkSession, queries: DataFrame, meta: Meta,
                  nProbe: Int, qId: String = "query_id",
-                 qVec: String = "query_vec"): Set[Int] = {
+                 qVec: String = "query_vec"): Set[Long] = {
     val qint = Similarity.toQInt(queries, qId, qVec)
-    qint.select(explode_outer(
+    if (meta.isImi)
+      Similarity.intImiQueryProbeCells(qint, meta.coarse, meta.coarse2,
+          meta.dim, nProbe)
+        .distinct().collect().map(_.getLong(0)).toSet
+    else qint.select(explode_outer(
         Similarity.intProbeCids(meta.coarse, col("__qvi"), nProbe)).as("cid"))
       .filter(col("cid").isNotNull)
-      .distinct().collect().map(_.getInt(0)).toSet
+      .distinct().collect().map(_.getInt(0).toLong).toSet
   }
 
   /** Committed files whose cid stats may hold a probed list — under the
@@ -394,7 +449,7 @@ object AnnIndex {
     * default: missing stats cost opens, never rows).
     */
   def probedFiles(spark: SparkSession, table: String,
-                  probed: Set[Int]): Seq[String] =
+                  probed: Set[Long]): Seq[String] =
     TxTable.currentFilesWithStats(spark, table).collect {
       case (f, stats) if stats.find(_.col == "cid").forall(st =>
         probed.exists(c => st.lo.toLong <= c && c <= st.hi.toLong)) => f
@@ -420,9 +475,13 @@ object AnnIndex {
     // would fail the join on `cid`, so return the empty result directly
     if (pf.isEmpty) return emptyResult(spark, qId, "adc_q")
     val index = TxTable.readFiles(spark, table, pf)
-    Similarity.topkByLowest(
-      Similarity.adcProbeScore(qint, index, meta.coarse, meta.codebooks,
-        meta.dim, meta.m, nProbe, qId), k, qId, "adc_q")
+    val scored =
+      if (meta.isImi)
+        Similarity.adcProbeScoreImi(qint, index, meta.coarse, meta.coarse2,
+          meta.codebooks, meta.dim, meta.m, nProbe, qId)
+      else Similarity.adcProbeScore(qint, index, meta.coarse, meta.codebooks,
+        meta.dim, meta.m, nProbe, qId)
+    Similarity.topkByLowest(scored, k, qId, "adc_q")
   }
 
   private def emptyResult(spark: SparkSession, qId: String,
@@ -450,14 +509,20 @@ object AnnIndex {
     val pf = probedFiles(spark, table, probed)
     if (pf.isEmpty) return emptyResult(spark, qId, "l2_q")
     val index = TxTable.readFiles(spark, table, pf)
-    val scored = Similarity.adcProbeScore(qint, index, meta.coarse,
-      meta.codebooks, meta.dim, meta.m, nProbe, qId)
+    val scored =
+      if (meta.isImi)
+        Similarity.adcProbeScoreImi(qint, index, meta.coarse, meta.coarse2,
+          meta.codebooks, meta.dim, meta.m, nProbe, qId)
+      else Similarity.adcProbeScore(qint, index, meta.coarse,
+        meta.codebooks, meta.dim, meta.m, nProbe, qId)
     val cand = Similarity.topkByLowest(scored, rerank, qId, "adc_q")
       .select(col(qId), col("neighbor_id"))
     val recon = index.join(broadcast(cand), index("id") === cand("neighbor_id"))
       .select(col(qId), col("neighbor_id"), col("cid"), col("ri"))
       .select(col(qId), col("neighbor_id"), col("ri"),
-        Similarity.intCentroidOf(meta.coarse, col("cid")).as("civ"))
+        (if (meta.isImi)
+          Similarity.intImiCellCentroid(meta.coarse, meta.coarse2, col("cid"))
+        else Similarity.intCentroidOf(meta.coarse, col("cid"))).as("civ"))
     val rr = recon
       .join(broadcast(qint), Seq(qId))
       .select(col(qId), col("neighbor_id"),

@@ -1996,10 +1996,21 @@ object Similarity {
       .localCheckpoint(true)
     c0.unpersist()
 
-    // per-subspace residual codebooks (same seeding rule as pqTrain:
-    // first kCentroids ids, index = rank − 1); trained on the SAME
-    // hash sample as the coarse quantizer — codebook Lloyd is m more
-    // full-relation aggregate loops otherwise
+    val (index, codebooks) = pqOnResiduals(res, m, subDim, kCentroids,
+      pqIters, n, maxTrainRows)
+    (index, coarse, codebooks)
+  }
+
+  /** Per-subspace residual-codebook training + code assignment, shared
+    * by the single-level ([[ivfPqBuildIndex]]) and IMI
+    * ([[ivfPqBuildIndexImi]]) coarse forms — the coarse quantizer only
+    * changes WHICH residuals arrive here. `res` = (id, cid, ri).
+    * Same seeding rule as pqTrain (first kCentroids ids, index =
+    * rank − 1); trained on the bounded hash sample.
+    */
+  private def pqOnResiduals(res: DataFrame, m: Int, subDim: Int,
+                            kCentroids: Int, pqIters: Int, n: Long,
+                            maxTrainRows: Long): (DataFrame, Array[Array[Array[Long]]]) = {
     val codebooks: Array[Array[Array[Long]]] = (0 until m).map { s =>
       val sub = res.select(col("id"),
         slice(col("ri"), s * subDim + 1, subDim).as("vi"))
@@ -2021,7 +2032,195 @@ object Similarity {
     val index = res.select(
       col("id") +: col("cid") +: col("ri") +:
         (0 until m).map(s => perSub(s).getField("cid").as(s"__c$s")): _*)
-    (index, coarse, codebooks)
+    (index, codebooks)
+  }
+
+  // ---- integer IMI coarse for the IVFADC family: the [[semDedupImi]]
+  // product grid in EXACT integer arithmetic, so the at-rest ADC index
+  // ([[graft.functions.AnnIndex]]) escapes the same min(√n, 4096) list
+  // ceiling — past it, a single-level index's per-query candidate
+  // volume n·nProbe/4096 grows linearly, while the grid holds cell
+  // size at the target. Everything is engine-replayable: per-half
+  // integer Lloyd (the lloydInt recipe on 32-dim halves), separable
+  // assignment (argmin of d1+d2 IS (argmin d1, argmin d2) — the sum
+  // decomposes over disjoint coordinates, ties per half to the lowest
+  // cid, which equals the lowest composite cid), residuals against
+  // the CONCATENATED cell centroid, probing by exact top-nProbe cells
+  // (padded integer distances differ from the half distances by the
+  // row-constant Σvᵢ² of the other half, so cell ORDER is exact).
+
+  private def intImiPad(cb: Array[Array[Long]], dim: Int,
+                        padHead: Boolean): Array[Array[Long]] =
+    cb.map { c =>
+      val pad = Array.fill(dim - c.length)(0L)
+      if (padHead) pad ++ c else c ++ pad
+    }
+
+  /** Product-cell assignment + residual over (…, vi): adds
+    * cid = c1·k2 + c2 and ri = vi − (c1 ‖ c2), the shared encode step
+    * of [[ivfPqBuildIndexImi]] and [[AnnIndex]]'s frozen-quantizer
+    * IMI append. c1/c2 are staged (each feeds the composite id AND the
+    * centroid lookup — a heavy argmin referenced twice keeps its own
+    * Project).
+    */
+  private[functions] def intImiAssignResidual(df: DataFrame,
+      cb1: Array[Array[Long]], cb2: Array[Array[Long]],
+      dim: Int): DataFrame = {
+    val cb1p = intImiPad(cb1, dim, padHead = false)
+    val cb2p = intImiPad(cb2, dim, padHead = true)
+    val cb1Lit = typedLit(cb1.map(_.toSeq).toSeq)
+    val cb2Lit = typedLit(cb2.map(_.toSeq).toSeq)
+    df.withColumn("c1", intNearestCid(cb1p, col("vi")))
+      .withColumn("c2", intNearestCid(cb2p, col("vi")))
+      .select(col("id"),
+        (col("c1").cast("long") * cb2.length + col("c2")).as("cid"),
+        zip_with(col("vi"),
+          concat(element_at(cb1Lit, col("c1") + 1),
+            element_at(cb2Lit, col("c2") + 1)),
+          (a, b) => a - b).as("ri"))
+  }
+
+  /** Trained integer half codebooks: lowest-id seeds, one bounded-
+    * sample [[lloydInt]] per half over eagerly-checkpointed half
+    * projections. `c0` = (id, vi).
+    */
+  private[functions] def intImiHalfCodebooks(c0: DataFrame, k: Int, iters: Int,
+                                             n: Long, maxTrainRows: Long): (Array[Array[Long]], Array[Array[Long]]) = {
+    val rows = c0.orderBy(col("id")).limit(k).select(col("vi")).collect()
+      .map(_.getAs[scala.collection.Seq[Long]](0).toArray)
+    require(rows.nonEmpty, "int imi codebooks: empty corpus")
+    val h = (rows.head.length + 1) / 2
+    val h2 = rows.head.length - h
+    val train = trainSample(c0, n, maxTrainRows)
+      .select(col("id"), slice(col("vi"), 1, h).as("vi"),
+        slice(col("vi"), h + 1, h2).as("vi2"))
+      .localCheckpoint(true)
+    val cb1 = lloydInt(train.select(col("id"), col("vi")), rows.map(_.take(h)), iters)
+    val cb2 = lloydInt(train.select(col("id"), col("vi2").as("vi")),
+      rows.map(_.drop(h)), iters)
+    (cb1, cb2)
+  }
+
+  /** IMI-coarse IVFADC build: product-cell assignment, residuals
+    * against the concatenated cell centroid (c1 ‖ c2 — an O(1)
+    * two-lookup expression; the k1·k2 cell centroids are never
+    * materialized), then the SAME residual-PQ training/encode as the
+    * single-level build. Returns (index(id, cid, ri, __c*), cb1, cb2,
+    * codebooks); cid = c1·k2 + c2.
+    */
+  private[functions] def ivfPqBuildIndexImi(corpus: DataFrame, dim: Int, m: Int,
+      kCentroids: Int, kPerHalf: Int, coarseIters: Int, pqIters: Int,
+      cId: String, cVec: String, maxTrainRows: Long,
+      targetCellSize: Long = ImiTargetClusterSize): (DataFrame, Array[Array[Long]], Array[Array[Long]], Array[Array[Array[Long]]]) = {
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val subDim = dim / m
+    val c0 = corpus.select(col(cId).cast("long").as("id"),
+        asDouble(col(cVec)).as("v"))
+      .withColumn("vi", toIntVec(col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = c0.count()
+    val kH = if (kPerHalf > 0) kPerHalf else imiHalfCentroids(n, targetCellSize)
+    val (cb1, cb2) = intImiHalfCodebooks(c0.select(col("id"), col("vi")),
+      kH, coarseIters, n, maxTrainRows)
+    val res = intImiAssignResidual(c0, cb1, cb2, dim).localCheckpoint(true)
+    c0.unpersist()
+    val (index, codebooks) = pqOnResiduals(res, m, subDim, kCentroids,
+      pqIters, n, maxTrainRows)
+    (index, cb1, cb2, codebooks)
+  }
+
+  /** The probe+score half of IMI-coarse IVFADC — [[adcProbeScore]]'s
+    * shape with the probe list the exact top-`nProbe` product cells
+    * and the residual base the concatenated cell centroid. The query
+    * relation is broadcast-small; its per-half probe slices are staged
+    * and eagerly materialized so the grid lambda reads attributes.
+    */
+  private[functions] def adcProbeScoreImi(qint: DataFrame, index: DataFrame,
+      cb1: Array[Array[Long]], cb2: Array[Array[Long]],
+      codebooks: Array[Array[Array[Long]]],
+      dim: Int, m: Int, nProbe: Int, qId: String): DataFrame = {
+    val subDim = dim / m
+    val cb1p = intImiPad(cb1, dim, padHead = false)
+    val cb2p = intImiPad(cb2, dim, padHead = true)
+    val k2 = cb2.length
+    val qStaged = qint
+      .select(col(qId), col("__qvi"),
+        slice(array_sort(intDistStructsMatrix(cb1p, col("__qvi"))), 1, nProbe).as("__s1"),
+        slice(array_sort(intDistStructsMatrix(cb2p, col("__qvi"))), 1, nProbe).as("__s2"))
+      .localCheckpoint(true)
+    val qResid = qStaged
+      .select(col(qId), col("__qvi"),
+        explode_outer(imiProbeCellsOf(col("__s1"), col("__s2"), k2, nProbe)).as("pcid"))
+      .filter(col("pcid").isNotNull)
+      .select(col(qId), col("pcid"),
+        zip_with(col("__qvi"), intImiCellCentroid(cb1, cb2, col("pcid")),
+          (a, b) => a - b).as("qri"))
+    val q = qResid
+      .select(col(qId) +: col("pcid") +: (0 until m).map { s =>
+        val sl = slice(col("qri"), s * subDim + 1, subDim)
+        array(codebooks(s).map(cA => intSqDist(sl, cA)): _*).as(s"__t$s")
+      }: _*)
+    index.join(broadcast(q), col("cid") === col("pcid"))
+      .filter(col(qId) =!= col("id"))
+      .select(col(qId), col("id").as("neighbor_id"),
+        (0 until m).map(s => element_at(col(s"__t$s"), col(s"__c$s") + 1))
+          .reduce(_ + _).as("adc_q"))
+  }
+
+  /** The concatenated centroid of a product cell — two O(1) lookups
+    * into the half-codebook literals, never a k1·k2 materialization.
+    * cid must be the composite c1·k2 + c2.
+    */
+  private[functions] def intImiCellCentroid(cb1: Array[Array[Long]],
+      cb2: Array[Array[Long]], cid: Column): Column = {
+    val k2 = cb2.length
+    concat(
+      element_at(typedLit(cb1.map(_.toSeq).toSeq),
+        (cid.cast("long") / k2).cast("int") + 1),
+      element_at(typedLit(cb2.map(_.toSeq).toSeq),
+        pmod(cid.cast("long"), lit(k2.toLong)).cast("int") + 1))
+  }
+
+  /** The distinct probe CELLS of a (broadcast-small) integer query
+    * relation against an IMI grid — the pruning key for the at-rest
+    * index ([[AnnIndex.probedCids]]'s IMI form). qint = (…, __qvi).
+    */
+  private[functions] def intImiQueryProbeCells(qint: DataFrame,
+      cb1: Array[Array[Long]], cb2: Array[Array[Long]], dim: Int,
+      nProbe: Int): DataFrame = {
+    val cb1p = intImiPad(cb1, dim, padHead = false)
+    val cb2p = intImiPad(cb2, dim, padHead = true)
+    qint.select(
+        slice(array_sort(intDistStructsMatrix(cb1p, col("__qvi"))), 1, nProbe).as("__s1"),
+        slice(array_sort(intDistStructsMatrix(cb2p, col("__qvi"))), 1, nProbe).as("__s2"))
+      .localCheckpoint(true) // broadcast-small; grid lambda reads attributes
+      .select(explode_outer(
+        imiProbeCellsOf(col("__s1"), col("__s2"), cb2.length, nProbe)).as("cid"))
+      .filter(col("cid").isNotNull)
+  }
+
+  /** In-session IMI-coarse IVFADC top-k — [[ivfPqTopKPortable]]'s
+    * engine-portable contract (every step exact integer arithmetic,
+    * gate q238 replays training, assignment, residuals, PQ, probing
+    * and ADC ranking in DuckDB) with the coarse quantizer the product
+    * grid: the at-rest index's list count — and with it the per-query
+    * candidate volume nProbe·cellSize — stays bounded by the target
+    * cell size at ANY corpus size, where the single-level √n rule
+    * saturates at 4096 lists (~16.7M vectors) and degrades linearly.
+    */
+  def ivfPqTopKImi(queries: DataFrame, corpus: DataFrame, k: Int,
+                   dim: Int, m: Int = 4, kCentroids: Int = 8,
+                   kPerHalf: Int = 0, nProbe: Int = 8,
+                   coarseIters: Int = 3, pqIters: Int = 2,
+                   qId: String = "query_id", qVec: String = "query_vec",
+                   cId: String = "vec_id", cVec: String = "embedding",
+                   maxTrainRows: Long = MaxTrainRows,
+                   targetCellSize: Long = ImiTargetClusterSize): DataFrame = {
+    val (index, cb1, cb2, codebooks) = ivfPqBuildIndexImi(corpus, dim, m,
+      kCentroids, kPerHalf, coarseIters, pqIters, cId, cVec, maxTrainRows,
+      targetCellSize)
+    topkByLowest(adcProbeScoreImi(toQInt(queries, qId, qVec), index,
+      cb1, cb2, codebooks, dim, m, nProbe, qId), k, qId, "adc_q")
   }
 
   /** The probe+score half of IVFADC, literal/matrix coarse form:

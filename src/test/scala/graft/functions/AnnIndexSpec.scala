@@ -169,6 +169,36 @@ class AnnIndexSpec extends SparkSpec {
     assert(atRest == inMem)
   }
 
+  test("IMI grid at rest: parity with the in-session chain, frozen append, auto-handoff") {
+    val dir = tmp("imi")
+    AnnIndex.buildImi(spark, emb, dir, dim = 64, m = 4, kCentroids = 8,
+      kPerHalf = 4)
+    assert(AnnIndex.readMeta(spark, dir).isImi)
+    // at-rest == in-session at the same geometry (integer Lloyd is
+    // fully deterministic, so two independent trainings agree)
+    val atRest = resultSet(AnnIndex.search(spark, dir, queries, k = 10))
+    val inMem = resultSet(Similarity.ivfPqTopKImi(queries, emb, k = 10,
+      dim = 64, m = 4, kCentroids = 8, kPerHalf = 4))
+    assert(atRest == inMem)
+    // re-ranked search reconstructs against the CONCATENATED cell
+    // centroid: every exact twin of a query must surface at the top
+    val twins = emb.filter($"vec_id" <= 5)
+      .select(($"vec_id" + 600000L).as("vec_id"), $"embedding")
+    AnnIndex.append(spark, twins, dir) // frozen product-quantizer encode
+    val q5 = emb.filter($"vec_id" <= 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val hits = AnnIndex.searchRerank(spark, dir, q5, k = 3, rerank = 20)
+      .filter(col("neighbor_id") === col("query_id") + 600000L)
+    assert(hits.count() == q5.count(),
+      "every appended twin must rank in its original's re-ranked top-3")
+    // derived sizing hands off to the grid past the cutover
+    val dir2 = tmp("imihandoff")
+    AnnIndex.build(spark, emb, dir2, dim = 64, imiCutoverRows = 10L)
+    assert(AnnIndex.readMeta(spark, dir2).isImi,
+      "build must hand off to the IMI grid past imiCutoverRows")
+    assert(AnnIndex.search(spark, dir2, queries, k = 5).count() == queries.count() * 5)
+  }
+
   test("an empty query set returns an empty result, not a scan error") {
     val dir = tmp("empty")
     AnnIndex.build(spark, emb, dir, dim = 64, nCentroids = 16)
