@@ -424,6 +424,28 @@ object AnnIndex {
     out
   }
 
+  /** Compact when the index carries more than `maxFilesPerList` files
+    * per live list — the AnnChurnAb-measured cadence (each append adds
+    * up to one file per touched list, so a probe opens
+    * ≈ appends-since-compaction × probed lists; at ~3 files/list the
+    * probe pays triple its post-compaction opens). The check is
+    * commit-log-only (driver-side file names + cid stats, no data IO);
+    * the compaction keeps the Hive `cid=` layout and clusters by id.
+    * Returns the compaction commit version, or None when the ratio is
+    * healthy. Run it after appends — the SCALE.md cadence
+    * recommendation as code, not prose.
+    */
+  def compactIfNeeded(spark: SparkSession, table: String,
+                      maxFilesPerList: Double = 3.0,
+                      targetRowsPerFile: Long = 5000000L): Option[Long] = {
+    val stats = TxTable.currentFilesWithStats(spark, table)
+    if (stats.isEmpty) return None
+    val lists = stats.flatMap(_._2.find(_.col == "cid").map(_.lo)).distinct.size
+    if (lists == 0 || stats.size <= lists * maxFilesPerList) None
+    else Some(TxTable.compact(spark, table, targetRowsPerFile,
+      clusterBy = Some("id"), partitionBy = Seq("cid")))
+  }
+
   /** The driver-side probed-list set of a (broadcast-small) query
     * relation — |queries|·nProbe ids, the pruning key. Exposed so specs
     * and operators can audit what a search will open.

@@ -235,6 +235,28 @@ class AnnIndexSpec extends SparkSpec {
       emb.count() * 2 + 50)
   }
 
+  test("compactIfNeeded fires at the measured cadence and restores the open count") {
+    val dir = tmp("cadence")
+    AnnIndex.build(spark, emb, dir, dim = 64, nCentroids = 16)
+    assert(AnnIndex.compactIfNeeded(spark, dir).isEmpty,
+      "a fresh build (~1 file/list) must not trigger compaction")
+    // four appends -> ~5 files per touched list, past the 3.0 default
+    (1 to 4).foreach { i =>
+      AnnIndex.append(spark, emb.filter($"vec_id" <= 40)
+        .select(($"vec_id" + i * 10000L).as("vec_id"), $"embedding"), dir)
+    }
+    val before = TxTable.currentFiles(spark, dir).size
+    val meta = AnnIndex.readMeta(spark, dir)
+    val v = AnnIndex.compactIfNeeded(spark, dir)
+    assert(v.isDefined, s"$before files over ${meta.coarse.length} lists must compact")
+    val after = TxTable.currentFiles(spark, dir).size
+    assert(after < before && after <= meta.coarse.length,
+      s"compaction must restore ~one file per list, got $after (was $before)")
+    assert(AnnIndex.compactIfNeeded(spark, dir).isEmpty, "idempotent once healthy")
+    // searches still answer over the compacted layout
+    assert(AnnIndex.search(spark, dir, queries, k = 5).count() == queries.count() * 5)
+  }
+
   test("appendOnce is exactly-once under replay (the streaming-maintainer contract)") {
     val dir = tmp("once")
     AnnIndex.build(spark, emb, dir, dim = 64, nCentroids = 16)
