@@ -1121,7 +1121,11 @@ object Similarity {
     if (nClusters <= 0) {
       val n = df.count()
       if (n > imiCutoverRows)
-        return semDedupImi(df, idCol, vecCol, threshold = threshold)
+        // n is already known — pass the derived k so the grid form
+        // does not re-count the corpus
+        return semDedupImi(df, idCol, vecCol,
+          kPerHalf = imiHalfCentroids(n, ImiTargetClusterSize),
+          threshold = threshold)
       val assigned = assignToLowestIdCentroids(df, idCol, vecCol, autoCentroids(n))
       val vecs = df.select(col(idCol).cast("long").as("vec_id"),
           asDouble(col(vecCol)).as("__v"))
@@ -1183,8 +1187,9 @@ object Similarity {
       // PRODUCT (IMI) grid, whose cell count keeps tracking n at a
       // constant target cluster size (see [[semDedupTrainedImi]])
       c0.unpersist()
-      return semDedupTrainedImi(df, idCol, vecCol, threshold = threshold,
-        iters = iters, maxTrainRows = maxTrainRows)
+      return semDedupTrainedImi(df, idCol, vecCol,
+        kPerHalf = imiHalfCentroids(n, ImiTargetClusterSize),
+        threshold = threshold, iters = iters, maxTrainRows = maxTrainRows)
     }
     // sqrt(n) UNCAPPED by the literal tree (matrix argmin past 128).
     // Growth accounting, honestly: cluster size grows as sqrt(n) under
@@ -1532,8 +1537,9 @@ object Similarity {
       // past the single-level list cap the sqrt(n) IVF legs' candidate
       // volume n·nProbe·(n/4096) grows quadratically — the IMI grid
       // keeps cell size (and so the self-kNN volume per row) constant
-      marginTopKImi(queries, corpus, k, knn, qId = qId, qVec = qVec,
-        cId = cId, cVec = cVec)
+      marginTopKImi(queries, corpus, k, knn,
+        kPerHalf = imiHalfCentroids(n, ImiTargetClusterSize),
+        qId = qId, qVec = qVec, cId = cId, cVec = cVec)
     else
       marginTopKAnn(queries, corpus, k, knn, qId = qId, qVec = qVec,
         cId = cId, cVec = cVec)
