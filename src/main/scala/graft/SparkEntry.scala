@@ -4364,6 +4364,48 @@ object SparkEntry {
         m = 4, kCentroids = 8, kPerHalf = 4)
       functions.AnnIndex.search(s, table, queries, k = 10)
     }),
+
+    // V — TRAINED-cluster SemDeDup on the IMI PRODUCT grid under a full
+    // oracle gate: q236's fixed-point discipline applied to the
+    // past-the-ceiling geometry. Both half codebooks train with the
+    // exact integer Lloyd (4 lowest-id half seeds, 3 rounds — q238's
+    // CTEs verbatim), the cluster id is the separable composite cell
+    // (argmin d1)·k2 + (argmin d2), and the within-cell prune is the
+    // exact double cosine — so the TRAINED product-cell boundary, the
+    // shape semDedupTrained hands off to past ~16.7M vectors, is
+    // hash-verified end to end, not just spec-pinned (its float twin
+    // semDedupTrainedImi stays the production default; b-twin b156).
+    "q240_semdedup_trained_imi" -> ((s, dir) => {
+      functions.Similarity.semDedupTrainedImiPortable(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        kPerHalf = 4, threshold = 0.95, iters = 3)
+    }),
+
+    // V — the margin-alignment ANN path at the PAST-THE-CEILING grid,
+    // hash-gated end to end (q225's pattern at q238's geometry):
+    // recall@5 of the engine-portable IMI-candidate margin
+    // (marginTopKImiPortable — integer half-Lloyds, separable cell
+    // assignment, exact top-8-cells-by-d1+d2 probing on BOTH legs, the
+    // brute margin tree) against the brute-force margin gold. The
+    // oracle replays the probe as one rank of the 16 concatenated cell
+    // centroids by full 64-dim integer distance — exactly the
+    // multi-sequence grid's order (padded half distances differ by a
+    // row constant; ties to the lowest composite cid both ways).
+    "q241_margin_imi_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") <= 9)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val sys = functions.Similarity.marginTopKImiPortable(queries, emb, k = 5,
+          kPerHalf = 4, nProbe = 8)
+        .select(col("query_id"), col("match_id"))
+      val gold = functions.Similarity.marginTopKBrute(queries, emb, k = 5)
+        .select(col("query_id"), col("match_id"), lit(1L).as("__g"))
+      sys.join(gold, Seq("query_id", "match_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(sum(when(col("__g").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+        .select(col("query_id"), col("n_hits"),
+          expr("(10000 * n_hits) div 5").as("recall_bp"))
+    }),
   )
 
   // ----------------------------------------------------------- bench-only
@@ -5017,7 +5059,13 @@ object SparkEntry {
     * and the ADC probe against the 16-cell `cells` relation. Ends at
     * `adc(query_id, neighbor_id, adc_q)`.
     */
-  private lazy val imiIvfPqOracleCtes: String =
+  /** The shared PREFIX of every IMI-grid oracle: two per-half integer
+    * Lloyds (4 lowest-id half seeds, 3 rounds at 32 dims) and the
+    * SEPARABLE composite cell assignment, ending at
+    * `acell(vec_id, cid)`. q238/q239 extend it with the residual-PQ/ADC
+    * chain; q240 replays the within-cell SemDeDup prune on it.
+    */
+  private lazy val imiHalfAssignCtes: String =
     s"""$eiCtes,
        ei1 AS (SELECT vec_id, vi[1:32] AS vi FROM ei),
        ei2 AS (SELECT vec_id, vi[33:64] AS vi FROM ei),
@@ -5033,9 +5081,6 @@ object SparkEntry {
        ${imiHalfIteration("h2c", "ei2", 1, 32)},
        ${imiHalfIteration("h2c", "ei2", 2, 32)},
        ${imiHalfIteration("h2c", "ei2", 3, 32)},
-       cells AS MATERIALIZED (
-         SELECT h1.cid * 4 + h2.cid AS cid, h1.c || h2.c AS c
-         FROM h1c3 h1 CROSS JOIN h2c3 h2),
        ah1 AS (
          SELECT ei1.vec_id, (min([${ivfDistN("ei1.vi", "c.c", 32)}, c.cid]))[2] AS cid
          FROM ei1 CROSS JOIN h1c3 c GROUP BY ei1.vec_id),
@@ -5043,7 +5088,13 @@ object SparkEntry {
          SELECT ei2.vec_id, (min([${ivfDistN("ei2.vi", "c.c", 32)}, c.cid]))[2] AS cid
          FROM ei2 CROSS JOIN h2c3 c GROUP BY ei2.vec_id),
        acell AS (SELECT ah1.vec_id, ah1.cid * 4 + ah2.cid AS cid
-                 FROM ah1 JOIN ah2 ON ah2.vec_id = ah1.vec_id),
+                 FROM ah1 JOIN ah2 ON ah2.vec_id = ah1.vec_id)"""
+
+  private lazy val imiIvfPqOracleCtes: String =
+    s"""$imiHalfAssignCtes,
+       cells AS MATERIALIZED (
+         SELECT h1.cid * 4 + h2.cid AS cid, h1.c || h2.c AS c
+         FROM h1c3 h1 CROSS JOIN h2c3 h2),
        res AS MATERIALIZED (
          SELECT a.vec_id, a.cid,
            list_transform(range(1, 65), j -> ei.vi[j] - c.c[j]) AS ri
@@ -5051,6 +5102,101 @@ object SparkEntry {
          JOIN cells c ON c.cid = a.cid),
        $pqFromResidualsSql,
        ${adcQuerySql("cells")}"""
+
+  /** q241's oracle: q225's end-to-end margin replay with the coarse
+    * quantizer the IMI product grid — the half-Lloyd + separable-
+    * assignment CTEs, both probe legs as ONE rank of the concatenated
+    * cell centroids by full 64-dim integer distance (= d1 + d2 exactly;
+    * ties to the lowest composite cid, matching the multi-sequence
+    * grid's order), the top-4 ascending cosine fold, the
+    * `cos·8/(s_x+s_y)` margin tree, then recall@5 vs the brute gold.
+    */
+  private lazy val q241OracleSql: String = {
+    val cosOf = (a: String, b: String) =>
+      s"""list_dot_product($a, $b)
+             / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"""
+    s"""WITH $imiHalfAssignCtes,
+       cells AS MATERIALIZED (
+         SELECT h1.cid * 4 + h2.cid AS cid, h1.c || h2.c AS c
+         FROM h1c3 h1 CROSS JOIN h2c3 h2),
+       selfqp AS (
+         SELECT ei.vec_id AS sid, c.cid, ${ivfDistN("ei.vi", "c.c", 64)} AS d
+         FROM ei CROSS JOIN cells c),
+       selfprobe AS (
+         SELECT sid, cid FROM (
+           SELECT sid, cid,
+             row_number() OVER (PARTITION BY sid ORDER BY d, cid) AS rn
+           FROM selfqp) WHERE rn <= 8),
+       selfcand AS (
+         SELECT p.sid, a.vec_id AS nid
+         FROM selfprobe p JOIN acell a ON a.cid = p.cid
+         WHERE a.vec_id <> p.sid),
+       selfsc AS (
+         SELECT sc.sid, sc.nid, ${cosOf("qe.v", "ce.v")} AS cos
+         FROM selfcand sc
+         JOIN e qe ON qe.vec_id = sc.sid
+         JOIN e ce ON ce.vec_id = sc.nid),
+       atop4 AS (SELECT sid, cos FROM (
+                   SELECT sid, cos, row_number() OVER (
+                     PARTITION BY sid ORDER BY cos DESC, nid ASC) AS rn
+                   FROM selfsc) WHERE rn <= 4),
+       asm AS (SELECT sid AS id, l[1] + l[2] + l[3] + l[4] AS s FROM (
+                 SELECT sid, list_sort(list(cos)) AS l FROM atop4 GROUP BY sid)),
+       qp AS (
+         SELECT ei.vec_id AS query_id, c.cid, ${ivfDistN("ei.vi", "c.c", 64)} AS d
+         FROM ei CROSS JOIN cells c WHERE ei.vec_id <= 9),
+       probe AS (
+         SELECT query_id, cid FROM (
+           SELECT query_id, cid,
+             row_number() OVER (PARTITION BY query_id ORDER BY d, cid) AS rn
+           FROM qp) WHERE rn <= 8),
+       cand AS (
+         SELECT p.query_id, a.vec_id AS nid
+         FROM probe p JOIN acell a ON a.cid = p.cid
+         WHERE a.vec_id <> p.query_id),
+       candsc AS (
+         SELECT c.query_id, c.nid, ${cosOf("qe.v", "ce.v")} AS cos
+         FROM cand c
+         JOIN e qe ON qe.vec_id = c.query_id
+         JOIN e ce ON ce.vec_id = c.nid),
+       mga AS (
+         SELECT cs.query_id, cs.nid AS match_id,
+           cs.cos * 8.0 / (sa.s + sb.s) AS margin
+         FROM candsc cs
+         JOIN asm sa ON sa.id = cs.query_id
+         JOIN asm sb ON sb.id = cs.nid),
+       sysm AS (SELECT query_id, match_id FROM (
+                  SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY margin DESC, match_id ASC) AS rn
+                  FROM mga) WHERE rn <= 5),
+       pr AS (
+         SELECT a.vec_id AS id, b.vec_id AS nid, ${cosOf("a.v", "b.v")} AS cos
+         FROM e a JOIN e b ON b.vec_id <> a.vec_id),
+       btop4 AS (SELECT id, cos FROM (
+                   SELECT id, cos, row_number() OVER (
+                     PARTITION BY id ORDER BY cos DESC, nid ASC) AS rn FROM pr)
+                 WHERE rn <= 4),
+       bsm AS (SELECT id, l[1] + l[2] + l[3] + l[4] AS s FROM (
+                 SELECT id, list_sort(list(cos)) AS l FROM btop4 GROUP BY id)),
+       bmg AS (
+         SELECT p.id AS query_id, p.nid AS match_id,
+           p.cos * 8.0 / (sa.s + sb.s) AS margin
+         FROM pr p JOIN bsm sa ON sa.id = p.id JOIN bsm sb ON sb.id = p.nid
+         WHERE p.id <= 9),
+       gold AS (SELECT query_id, match_id FROM (
+                  SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY margin DESC, match_id ASC) AS rn
+                  FROM bmg) WHERE rn <= 5)
+       SELECT s.query_id,
+         CAST(sum(CASE WHEN g.match_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hits,
+         CAST((10000 * sum(CASE WHEN g.match_id IS NOT NULL THEN 1 ELSE 0 END)) // 5
+           AS BIGINT) AS recall_bp
+       FROM sysm s
+       LEFT JOIN gold g
+         ON g.query_id = s.query_id AND g.match_id = s.match_id
+       GROUP BY 1"""
+  }
 
   /** q238/q239: IMI-coarse ADC ranking — (adc asc, id asc), top-10. */
   private lazy val q238OracleSql: String =
@@ -5084,6 +5230,25 @@ object SparkEntry {
     // the at-rest IMI index replays q238's oracle through the round
     // trip, the q235 pattern at the past-the-ceiling grid
     "q239_ann_index_imi" -> q238OracleSql,
+    // the margin ANN path at the IMI grid, q225's pattern: both probe
+    // legs rank the 16 concatenated cell centroids by full integer
+    // distance (= d1+d2), then the brute margin tree + recall@5
+    "q241_margin_imi_recall" -> q241OracleSql,
+    // q238's half-Lloyd + separable-assignment CTEs reused verbatim;
+    // the composite cell becomes the cluster id and q236's
+    // within-cluster cosine prune replays on it
+    "q240_semdedup_trained_imi" ->
+      s"""WITH $imiHalfAssignCtes,
+         a AS (SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id FROM acell),
+         losers AS (
+           SELECT DISTINCT y.vec_id
+           FROM a x JOIN a y ON y.cluster_id = x.cluster_id AND y.vec_id > x.vec_id
+           JOIN e ex ON ex.vec_id = x.vec_id
+           JOIN e ey ON ey.vec_id = y.vec_id
+           WHERE list_dot_product(ex.v, ey.v)
+             / (sqrt(list_dot_product(ex.v, ex.v)) * sqrt(list_dot_product(ey.v, ey.v))) >= 0.95)
+         SELECT vec_id, cluster_id FROM a
+         WHERE vec_id NOT IN (SELECT vec_id FROM losers)""",
     // the at-rest index at q232's exact geometry: the parquet + Hive
     // partition + stats-pruning round trip must reproduce the in-session
     // chain value for value, so the oracle is q232's full replay

@@ -325,6 +325,30 @@ object AnnIndex {
       .groupBy(col("cid").cast("long").as("cid")).count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
 
+  /** List occupancy from commit-log stats ALONE where possible: under
+    * the Hive layout every file's cid stat is lo = hi, and row counts
+    * ride each stats-bearing commit ([[TxTable.RowCountStat]]) — so the
+    * histogram is a driver-side fold over the log, zero data IO. Files
+    * missing either stat (pre-row-count commits) fall back to one
+    * pruned data read.
+    */
+  private def occupancyOfEntries(spark: SparkSession, table: String,
+      entries: Seq[(String, Seq[TxTable.ColStat])]): Map[Long, Long] = {
+    def statOcc(st: Seq[TxTable.ColStat]): Option[(Long, Long)] = for {
+      c <- st.find(_.col == "cid") if c.lo == c.hi
+      n <- st.find(_.col == TxTable.RowCountStat)
+    } yield (c.lo.toLong, n.lo.toLong)
+    val (statted, rest) = entries.partition(e => statOcc(e._2).isDefined)
+    val base = statted.flatMap(e => statOcc(e._2))
+      .groupMapReduce(_._1)(_._2)(_ + _)
+    if (rest.isEmpty) base
+    else {
+      val read = occupancyOf(spark, table, rest.map(_._1))
+      (base.keySet ++ read.keySet).map(k =>
+        k -> (base.getOrElse(k, 0L) + read.getOrElse(k, 0L))).toMap
+    }
+  }
+
   private def driftPath(table: String, version: Long) =
     new Path(s"$table/_graft_ann_drift.v$version.json")
 
@@ -370,8 +394,9 @@ object AnnIndex {
     * total-variation distance between the batch's list occupancy and
     * the pre-append index's as a per-commit sidecar
     * ([[driftHistory]]; [[DriftThreshold]] documents the
-    * rebuild-warranted level). Both histograms read only the `cid`
-    * column (partition-dir values — a footer-level scan).
+    * rebuild-warranted level). Both histograms fold commit-log stats
+    * (cid dir values + per-file row counts) driver-side — recording
+    * drift costs ZERO data IO at any index size.
     */
   def append(spark: SparkSession, newRows: DataFrame, table: String,
              cId: String = "vec_id", cVec: String = "embedding",
@@ -379,13 +404,15 @@ object AnnIndex {
              recordDrift: Boolean = true): Long = {
     val (meta, hash) = readMetaAt(spark, table, currentMetaHash(spark, table))
     val encoded = encodeWith(meta, hash, newRows, cId, cVec)
-    val prior = if (recordDrift) occupancyOf(spark, table,
-      TxTable.currentFiles(spark, table)) else Map.empty[Long, Long]
+    val prior = if (recordDrift) occupancyOfEntries(spark, table,
+      TxTable.currentFilesWithStats(spark, table)) else Map.empty[Long, Long]
     val files = TxTable.stageBatch(spark, encoded.repartition(col("cid")),
       table, partitionBy = Seq("cid"), maxRecordsPerFile = maxRecordsPerFile)
     val stats = TxTable.fileStats(spark, table, files, Seq("cid", QzCol))
-    val batch = if (recordDrift) occupancyOf(spark, table, files)
-      else Map.empty[Long, Long]
+    // the batch histogram derives from the just-computed commit stats —
+    // no extra job; the prior side is a driver-side commit-log fold
+    val batch = if (recordDrift) occupancyOfEntries(spark, table,
+      files.zip(stats)) else Map.empty[Long, Long]
     val v = TxTable.commit(spark, table, added = files, removed = Nil,
       stats = stats)
     if (recordDrift) writeDrift(spark, table, v, tvDistance(prior, batch))
@@ -410,13 +437,13 @@ object AnnIndex {
       return None
     val (meta, hash) = readMetaAt(spark, table, currentMetaHash(spark, table))
     val encoded = encodeWith(meta, hash, newRows, cId, cVec)
-    val prior = if (recordDrift) occupancyOf(spark, table,
-      TxTable.currentFiles(spark, table)) else Map.empty[Long, Long]
+    val prior = if (recordDrift) occupancyOfEntries(spark, table,
+      TxTable.currentFilesWithStats(spark, table)) else Map.empty[Long, Long]
     val files = TxTable.stageBatch(spark, encoded.repartition(col("cid")),
       table, partitionBy = Seq("cid"), maxRecordsPerFile = maxRecordsPerFile)
     val stats = TxTable.fileStats(spark, table, files, Seq("cid", QzCol))
-    val batch = if (recordDrift) occupancyOf(spark, table, files)
-      else Map.empty[Long, Long]
+    val batch = if (recordDrift) occupancyOfEntries(spark, table,
+      files.zip(stats)) else Map.empty[Long, Long]
     val out = TxTable.commitOnce(spark, table, added = files, removed = Nil,
       appId = appId, writerVersion = writerVersion, stats = stats)
     if (out.isEmpty) TxTable.deleteStaged(spark, table, files)

@@ -21,7 +21,9 @@ import graft.sink.TxTable
   *     from the commit log's per-file cid stats — at derived geometry
   *     the opened fraction nProbe/(n/target) collapses as n grows),
   *  3. score candidates with exact cosine and normalize by the
-  *     PRECOMPUTED a-means (one column-pruned (id, a) read),
+  *     PRECOMPUTED a-means, both sides served by the pruned read
+  *     itself (candidates are probed-cell members; a query's own cell
+  *     is always its top-1 probe) — no full-corpus (id, a) scan,
   *  4. bounded top-k.
   *
   * Bit-parity with the in-session path is structural: search shares the
@@ -216,8 +218,8 @@ object MarginIndex {
 
   /** Margin top-k against the at-rest index: probe → prune files →
     * exact cosine over the probed cells' members → normalize by the
-    * precomputed a-means ((id, a) is a column-pruned read — parquet
-    * opens only those column chunks) → bounded top-k. Bit-identical to
+    * precomputed a-means (both endpoints' `a` ride the pruned read —
+    * no full-corpus column scan) → bounded top-k. Bit-identical to
     * [[Similarity.marginTopKImi]] run with this index's frozen
     * codebooks (MarginIndexSpec).
     */
@@ -246,18 +248,26 @@ object MarginIndex {
     if (probed.isEmpty) return emptyResult(spark, qId)
     val pf = probedFiles(spark, table, probed)
     if (pf.isEmpty) return emptyResult(spark, qId)
+    // BOTH a-means come from the pruned read — never a full-corpus
+    // (id, a) column scan per query batch: candidates are probed-cell
+    // members by construction, and each query's OWN cell is always its
+    // top-1 probe (the separable argmin (argmin d1, argmin d2) IS the
+    // first multi-sequence cell), so the query row sits in the probed
+    // files too — the corpus-membership contract makes the query-side
+    // lookup a member-filtering broadcast join
     val members = TxTable.readFiles(spark, table, pf)
-      .select(col("cid"), col("id"), col("v"), col("cn"))
+      .select(col("cid"), col("id"), col("v"), col("cn"), col("a"))
     val candScored = members.join(broadcast(q), Seq("cid"))
       .filter(col(qId) =!= col("id"))
       .select(col(qId), col("id").as("neighbor_id"),
         Similarity.cosineWithNorms(col("__qv"), col("v"),
-          col("__qn"), col("cn")).as("cos"))
-    val aTab = TxTable.read(spark, table).select(col("id"), col("a"))
+          col("__qn"), col("cn")).as("cos"),
+        col("a").as("__ac"))
+    val aq = members
+      .join(broadcast(qStaged.select(col(qId).as("id")).distinct()), Seq("id"))
+      .select(col("id").as(qId), col("a").as("__aq"))
     val scored = candScored
-      .join(aTab.select(col("id").as(qId), col("a").as("__aq")), Seq(qId))
-      .join(aTab.select(col("id").as("neighbor_id"), col("a").as("__ac")),
-        Seq("neighbor_id"))
+      .join(broadcast(aq), Seq(qId))
       .select(col(qId), col("neighbor_id"),
         (col("cos") * lit(2.0d) / (col("__aq") + col("__ac"))).as("cos"))
     Similarity.topkOf(scored, k, qId)

@@ -562,10 +562,22 @@ object Similarity {
               nCentroids: Int = 0, nProbe: Int = 8, iters: Int = 3,
               qId: String = "query_id", qVec: String = "query_vec",
               cId: String = "vec_id", cVec: String = "embedding",
-              maxTrainRows: Long = MaxTrainRows): DataFrame = {
+              maxTrainRows: Long = MaxTrainRows,
+              imiCutoverRows: Long = MaxSingleLevelRows): DataFrame = {
     val c0 = corpus.select(col(cId).as("id"), asDouble(col(cVec)).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = c0.count()
+    if (nCentroids <= 0 && n > imiCutoverRows) {
+      // derived sizing saturates the 4096 driver-array cap here: list
+      // size — and the per-query candidate volume nProbe·(n/4096) —
+      // would grow linearly. Hand off to the IMI product grid, the
+      // same dispatcher rule as semDedup/semDedupTrained/marginTopK.
+      c0.unpersist()
+      return ivfTopKImi(queries, corpus, k,
+        kPerHalf = imiHalfCentroids(n, ImiTargetClusterSize),
+        nProbe = nProbe, iters = iters, qId = qId, qVec = qVec,
+        cId = cId, cVec = cVec, maxTrainRows = maxTrainRows)
+    }
     val nC = if (nCentroids > 0) nCentroids else autoCentroids(n)
     val init: Array[Array[Double]] = c0.orderBy(col("id")).limit(nC)
       .select(col("v")).collect()
@@ -586,6 +598,59 @@ object Similarity {
       // the all-centroid distance array per query row (graft.util.Explode)
       .withColumn("cid", explode_outer(floatProbeCids(centroids, col("__qv"), nProbe)))
       .filter(col("cid").isNotNull)
+    topkOf(assigned.join(broadcast(q), Seq("cid"))
+      .filter(col(qId) =!= col("id"))
+      .select(col(qId), col("id").as("neighbor_id"),
+        cosineWithNorms(col("__qv"), col("v"), col("__qn"), col("__cn")).as("cos")), k, qId)
+  }
+
+  /** [[ivfTopK]] with the IMI PRODUCT coarse grid — the float cosine
+    * ANN family's escape from the min(√n, 4096) list ceiling, completing
+    * the dispatcher set (semDedup/semDedupTrained/marginTopK/
+    * AnnIndex.build): two trained ≤4096-entry half codebooks give
+    * ~n/targetClusterSize effective cells, so the per-query candidate
+    * volume nProbe·cellSize stays BOUNDED at any corpus size where the
+    * capped single-level rule degrades to nProbe·(n/4096) linearly.
+    * Probing is the exact multi-sequence top-nProbe cells by d1+d2;
+    * scores are exact cosine on the candidate set (candidate-recall
+    * approximation only, the [[marginTopKImi]] contract). The query
+    * side's per-half probe slices are staged + eagerly materialized so
+    * the grid lambda reads attributes (the repeated-lambda audit rule).
+    */
+  def ivfTopKImi(queries: DataFrame, corpus: DataFrame, k: Int,
+                 kPerHalf: Int = 0, nProbe: Int = 8, iters: Int = 3,
+                 qId: String = "query_id", qVec: String = "query_vec",
+                 cId: String = "vec_id", cVec: String = "embedding",
+                 targetClusterSize: Long = ImiTargetClusterSize,
+                 maxTrainRows: Long = MaxTrainRows): DataFrame = {
+    val c0 = corpus.select(col(cId).as("id"), asDouble(col(cVec)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = c0.count()
+    val kH = if (kPerHalf > 0) kPerHalf else imiHalfCentroids(n, targetClusterSize)
+    val (cb1, cb2) = imiTrainedHalfCodebooks(c0, kH, iters, n, maxTrainRows)
+    val dim = cb1.head.length + cb2.head.length
+    val cb1p = imiPad(cb1, dim, padHead = false)
+    val cb2p = imiPad(cb2, dim, padHead = true)
+    // the cache only serves the Lloyd jobs; the final query re-reads
+    // the source in ONE pass (assign → probe-join → top-k), the ivfTopK
+    // production shape
+    c0.unpersist()
+    val assigned = c0
+      .select(col("id"), col("v"),
+        imiCellIdFrom(cb1p, cb2p, col("v")).as("cid"),
+        l2norm(col("v")).as("__cn"))
+    val qStaged = queries
+      .select(col(qId), asDouble(col(qVec)).as("__qv"))
+      .select(col(qId), col("__qv"), l2norm(col("__qv")).as("__qn"),
+        imiHalfProbes(cb1p, col("__qv"), nProbe).as("__s1"),
+        imiHalfProbes(cb2p, col("__qv"), nProbe).as("__s2"))
+      .localCheckpoint(true) // broadcast-small
+    val q = qStaged
+      .select(col(qId), col("__qv"), col("__qn"),
+        explode_outer(imiProbeCellsOf(col("__s1"), col("__s2"),
+          cb2p.length, nProbe)).as("cid"))
+      .filter(col("cid").isNotNull)
+      .drop("__s1", "__s2")
     topkOf(assigned.join(broadcast(q), Seq("cid"))
       .filter(col(qId) =!= col("id"))
       .select(col(qId), col("id").as("neighbor_id"),
@@ -1455,6 +1520,43 @@ object Similarity {
     semDedupWithin(vecs, threshold)
   }
 
+  /** [[semDedupTrainedImi]]'s ENGINE-PORTABLE twin — the q236
+    * fixed-point discipline applied to the PRODUCT grid, so the trained
+    * past-the-ceiling geometry is hash-replayable too: both half
+    * codebooks train with [[lloydInt]] (round(v·2²⁰) longs,
+    * lexicographic argmin, floor-division means, empty-cluster carry)
+    * over the bounded hash sample, the cluster id is the separable
+    * composite cell (argmin d1)·k2 + (argmin d2) — padded full-width
+    * argmins, which differ from the half distances by a row constant,
+    * so ties and order match the oracle's 32-dim halves exactly — and
+    * the within-cell prune is the exact double cosine. Gate q240
+    * replays both half Lloyds (q238's CTEs), the composite assignment,
+    * and the prune.
+    */
+  def semDedupTrainedImiPortable(df: DataFrame, idCol: String, vecCol: String,
+                                 kPerHalf: Int = 0, threshold: Double = 0.95,
+                                 iters: Int = 3,
+                                 targetClusterSize: Long = ImiTargetClusterSize,
+                                 maxTrainRows: Long = MaxTrainRows): DataFrame = {
+    val c0 = df.select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("vi", toIntVec(col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = c0.count()
+    val k = if (kPerHalf > 0) kPerHalf else imiHalfCentroids(n, targetClusterSize)
+    val (cb1, cb2) = intImiHalfCodebooks(c0.select(col("id"), col("vi")),
+      k, iters, n, maxTrainRows)
+    val dim = cb1.head.length + cb2.head.length
+    val cb1p = intImiPad(cb1, dim, padHead = false)
+    val cb2p = intImiPad(cb2, dim, padHead = true)
+    val vecs = c0
+      .select(col("id").as("vec_id"), col("v").as("__v"),
+        (intNearestCid(cb1p, col("vi")).cast("long") * cb2.length +
+          intNearestCid(cb2p, col("vi")).cast("long")).as("cluster_id"))
+      .localCheckpoint(true)
+    c0.unpersist()
+    semDedupWithin(vecs, threshold)
+  }
+
   /** Margin-based neighbor scoring (Artetxe & Schwenk, ACL 2019 — the
     * LASER bitext-mining criterion): raw cosine over-selects hubs
     * (vectors close to EVERYTHING), so each pair's cosine is normalized
@@ -1836,6 +1938,106 @@ object Similarity {
       .withColumn("cid", explode_outer(intProbeCids(centroids, col("__qvi"), nProbe)))
       .filter(col("cid").isNotNull)
     val candScored = assigned.join(broadcast(q), Seq("cid"))
+      .filter(col(qId) =!= col("id"))
+      .select(col(qId), col("id").as("neighbor_id"),
+        cosineWithNorms(col("__qv"), col("v"), col("__qn"), col("__cn")).as("cos"))
+    val scored = candScored
+      .join(nnSum.select(col("id").as(qId), col("s").as("__sq")), Seq(qId))
+      .join(nnSum.select(col("id").as("neighbor_id"), col("s").as("__sc")),
+        Seq("neighbor_id"))
+      .select(col(qId), col("neighbor_id"),
+        (col("cos") * lit(8.0) / (col("__sq") + col("__sc"))).as("cos"))
+    topkOf(scored, k, qId)
+      .select(col(qId), col("neighbor_id").as("match_id"),
+        round(col("cos"), 4).as("margin_r"))
+  }
+
+  /** [[marginTopKAnnPortable]] with the coarse quantizer the INTEGER
+    * IMI product grid — the past-the-ceiling margin geometry under the
+    * full oracle (gate q241, the q225 pattern at the q238 grid): both
+    * half codebooks train with the exact integer Lloyd, assignment is
+    * the separable composite cell, and PROBING is the exact
+    * top-`nProbe` cells by d1+d2 — which equals ranking all k1·k2
+    * cells by the full 64-dim integer distance to the concatenated
+    * cell centroid (the padded half distances differ by a row
+    * constant; ties to the lowest composite cid both ways, and the
+    * multi-sequence containment holds under that tie order), so the
+    * oracle replays the probe as one rank over the `cells` relation.
+    * The margin arithmetic is the brute form's literal tree verbatim.
+    */
+  def marginTopKImiPortable(queries: DataFrame, corpus: DataFrame, k: Int,
+                            knn: Int = 4, kPerHalf: Int = 0, nProbe: Int = 8,
+                            iters: Int = 3,
+                            qId: String = "query_id", qVec: String = "query_vec",
+                            cId: String = "vec_id", cVec: String = "embedding",
+                            targetClusterSize: Long = ImiTargetClusterSize,
+                            maxTrainRows: Long = MaxTrainRows): DataFrame = {
+    require(knn == 4, s"margin fold is unrolled for knn = 4, got $knn")
+    val c0 = corpus.select(col(cId).cast("long").as("id"), asDouble(col(cVec)).as("v"))
+      .withColumn("vi", toIntVec(col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = c0.count()
+    val kH = if (kPerHalf > 0) kPerHalf else imiHalfCentroids(n, targetClusterSize)
+    val (cb1, cb2) = intImiHalfCodebooks(c0.select(col("id"), col("vi")),
+      kH, iters, n, maxTrainRows)
+    val dim = cb1.head.length + cb2.head.length
+    val cb1p = intImiPad(cb1, dim, padHead = false)
+    val cb2p = intImiPad(cb2, dim, padHead = true)
+    // assignment + the per-half probe slices staged and MATERIALIZED
+    // once (the marginTopKImi discipline: the grid lambda must read
+    // attributes, never re-sort the codebook distances per element)
+    val assigned = c0
+      .select(col("id"), col("v"),
+        (intNearestCid(cb1p, col("vi")).cast("long") * cb2.length +
+          intNearestCid(cb2p, col("vi")).cast("long")).as("cid"),
+        l2norm(col("v")).as("__cn"),
+        slice(array_sort(intDistStructsMatrix(cb1p, col("vi"))), 1, nProbe).as("__s1"),
+        slice(array_sort(intDistStructsMatrix(cb2p, col("vi"))), 1, nProbe).as("__s2"))
+      .localCheckpoint(true)
+    c0.unpersist()
+
+    // self-kNN leg: probe rows carry the prober's vector into the
+    // cell-id equi-join; cosine + bounded top-k consume the pair stream
+    // in-stage (the marginTopKAnnPortable shape, composite-cell keyed)
+    val probesV = assigned
+      .select(col("id").as("__qid"), col("v").as("__qv"), col("__cn").as("__qn"),
+        explode_outer(imiProbeCellsOf(col("__s1"), col("__s2"), cb2.length,
+          nProbe)).as("cid"))
+      .filter(col("cid").isNotNull)
+    val members = assigned.select(col("cid"), col("id"), col("v"), col("__cn"))
+    val selfScored = members.join(probesV, Seq("cid"))
+      .filter(col("__qid") =!= col("id"))
+      .select(col("__qid").as(qId), col("id").as("neighbor_id"),
+        cosineWithNorms(col("__qv"), col("v"), col("__qn"), col("__cn")).as("cos"))
+    val nnSum = topkOf(selfScored, knn, qId)
+      .groupBy(col(qId).as("id"))
+      .agg(sort_array(collect_list(col("cos"))).as("cs"))
+      .select(col("id"),
+        when(size(col("cs")) === knn,
+          element_at(col("cs"), 1) + element_at(col("cs"), 2) +
+            element_at(col("cs"), 3) + element_at(col("cs"), 4))
+          .otherwise(raise_error(
+            lit(s"marginTopKImiPortable: every corpus vector must probe " +
+              s"> $knn neighbors — raise nProbe")))
+          .as("s"))
+      .localCheckpoint(true)
+
+    // pair-scoring leg: broadcast-query probe over the same cells, the
+    // query side's slices staged + materialized like the corpus side's
+    val qStaged = queries
+      .select(col(qId).cast("long").as(qId), asDouble(col(qVec)).as("__qv"))
+      .select(col(qId), col("__qv"), l2norm(col("__qv")).as("__qn"),
+        toIntVec(col("__qv")).as("__qvi"))
+      .select(col(qId), col("__qv"), col("__qn"),
+        slice(array_sort(intDistStructsMatrix(cb1p, col("__qvi"))), 1, nProbe).as("__s1"),
+        slice(array_sort(intDistStructsMatrix(cb2p, col("__qvi"))), 1, nProbe).as("__s2"))
+      .localCheckpoint(true) // broadcast-small
+    val q = qStaged
+      .select(col(qId), col("__qv"), col("__qn"),
+        explode_outer(imiProbeCellsOf(col("__s1"), col("__s2"),
+          cb2.length, nProbe)).as("cid"))
+      .filter(col("cid").isNotNull)
+    val candScored = members.join(broadcast(q), Seq("cid"))
       .filter(col(qId) =!= col("id"))
       .select(col(qId), col("id").as("neighbor_id"),
         cosineWithNorms(col("__qv"), col("v"), col("__qn"), col("__cn")).as("cos"))

@@ -70,6 +70,15 @@ object TxTable {
     */
   final case class ColStat(col: String, typ: String, lo: String, hi: String)
 
+  /** Synthetic per-file ROW-COUNT stat (`lo` = `hi` = the count), added
+    * by [[fileStats]] alongside every requested column: commit-log-only
+    * consumers (list-occupancy drift, compaction sizing) read row
+    * volumes without touching data files. The `#` prefix can never
+    * collide with a real column, and pruning ignores it (stats are
+    * looked up by the pruned column's name).
+    */
+  val RowCountStat: String = "#rows"
+
   final case class Commit(version: Long, added: Seq[String], removed: Seq[String],
                           stats: Seq[Seq[ColStat]] = Nil,
                           txn: Option[(String, Long)] = None) {
@@ -479,7 +488,8 @@ object TxTable {
     val aggs = typed.flatMap { case (c, t) =>
       val base = if (t == "S") col(c).cast("string") else col(c)
       Seq(min(base).as(s"__lo_$c"), max(base).as(s"__hi_$c"))
-    }
+    } :+ org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)).as("__nrows")
     val rows = df.groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
@@ -487,11 +497,12 @@ object TxTable {
       rows.find(_.getString(0).endsWith(f)) match {
         case None => Seq.empty[ColStat] // listing/URI mismatch: keep-safe
         case Some(r) =>
+          val n = r.getLong(1 + 2 * typed.size).toString
           typed.zipWithIndex.flatMap { case ((c, t), i) =>
             val (lo, hi) = (r.get(1 + 2 * i), r.get(2 + 2 * i))
             if (lo == null || hi == null) None // all-null column in file
             else Some(ColStat(c, t, lo.toString, hi.toString))
-          }
+          } :+ ColStat(RowCountStat, "L", n, n)
       }
     }
   }

@@ -109,6 +109,24 @@ class AnnRecallSpec extends SparkSpec {
     assert(r >= 0.80, f"sample-trained recall@10 degraded to $r%.4f")
   }
 
+  test("IMI-grid ivfTopKImi holds the recall floor; ivfTopK hands off past the cutover") {
+    // the float cosine family's past-the-ceiling shape: two trained
+    // half codebooks, exact multi-sequence cell probing, exact cosine
+    // on the candidate set — recall must hold in the single-level band
+    val r = recallAt10(topSets(Similarity.ivfTopKImi(queries, emb, k = 10,
+      kPerHalf = 4, nProbe = 8)))
+    info(f"IMI IVF recall@10 = $r%.4f")
+    assert(r >= 0.80, f"IMI IVF recall@10 degraded to $r%.4f")
+    // dispatcher: an injected cutover below n routes the default-sized
+    // call to the grid, and the routed result equals the explicit call
+    val n = emb.count()
+    val routed = topSets(Similarity.ivfTopK(queries, emb, k = 10,
+      imiCutoverRows = n - 1))
+    val direct = topSets(Similarity.ivfTopKImi(queries, emb, k = 10,
+      kPerHalf = Similarity.imiHalfCentroids(n, Similarity.ImiTargetClusterSize)))
+    assert(routed == direct, "routed IMI handoff must equal the explicit call")
+  }
+
   private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.select($"idA".cast("long"), $"idB".cast("long"))
       .as[(Long, Long)].collect().toSet

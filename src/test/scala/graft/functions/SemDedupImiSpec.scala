@@ -102,6 +102,21 @@ class SemDedupImiSpec extends SparkSpec {
     assert(trained >= 400, s"trained IMI planted-drop recovery fell to $trained/500")
   }
 
+  test("portable trained IMI (fixed-point half-Lloyds) recovers planted twins too") {
+    // the q240 gate form: integer half-Lloyd geometry, exact-cosine
+    // prune — recall must hold in the same band as the float twin, and
+    // the run must be bit-deterministic (it is hash-gated in DuckDB)
+    val dropped = droppedTwins(Similarity.semDedupTrainedImiPortable(
+      planted, "vec_id", "embedding", kPerHalf = 4))
+    info(s"planted twins dropped by portable trained IMI: $dropped (of 500)")
+    assert(dropped >= 400, s"portable trained IMI recovery fell to $dropped/500")
+    val a = Similarity.semDedupTrainedImiPortable(planted, "vec_id", "embedding",
+      kPerHalf = 4).select($"vec_id").as[Long].collect().toSet
+    val b = Similarity.semDedupTrainedImiPortable(planted, "vec_id", "embedding",
+      kPerHalf = 4).select($"vec_id").as[Long].collect().toSet
+    assert(a == b, "portable trained IMI must be bit-deterministic")
+  }
+
   test("semDedupTrained hands off to the trained IMI grid past the cutover") {
     val out = Similarity.semDedupTrained(planted, "vec_id", "embedding",
       imiCutoverRows = 10L)

@@ -96,6 +96,25 @@ class TxStatsPruningSpec extends SparkSpec {
       .filter($"id".between(120L, 180L)).count() == 61L)
   }
 
+  test("every stats-bearing file carries the synthetic #rows count") {
+    val t = mk()
+    mkRangeTable(t)
+    val entries = TxTable.currentFilesWithStats(spark, t)
+    assert(entries.nonEmpty)
+    entries.foreach { case (f, st) =>
+      val rc = st.find(_.col == TxTable.RowCountStat)
+      assert(rc.isDefined, s"$f missing ${TxTable.RowCountStat}")
+      assert(rc.get.typ == "L" && rc.get.lo == rc.get.hi)
+    }
+    // counts sum to the table's true row count — the commit-log-only
+    // occupancy consumers (drift stats) depend on exactly this
+    val total = entries.flatMap(_._2.find(_.col == TxTable.RowCountStat))
+      .map(_.lo.toLong).sum
+    assert(total == TxTable.read(spark, t).count())
+    // the synthetic stat never prunes (lookups are by real column name)
+    assert(TxTable.prunedFiles(spark, t, "id", None, None).size == entries.size)
+  }
+
   test("all-null stat column: no stat emitted, file always kept") {
     val t = mk()
     TxTable.append(spark,
