@@ -209,11 +209,19 @@ object AnnIndex {
             imiCutoverRows: Long = Similarity.MaxSingleLevelRows): Long = {
     // derived sizing past the single-level ceiling hands off to the
     // IMI product grid — list size must not grow linearly just because
-    // the caller kept the default (the semDedup/marginTopK discipline)
-    if (nCentroids <= 0 && corpus.count() > imiCutoverRows)
-      return buildImi(spark, corpus, table, dim, m, kCentroids,
-        coarseIters = coarseIters, pqIters = pqIters, cId = cId, cVec = cVec,
-        maxTrainRows = maxTrainRows, maxRecordsPerFile = maxRecordsPerFile)
+    // the caller kept the default (the semDedup/marginTopK discipline).
+    // The sizing count collapses to a footer-level count(*); the
+    // derived half-k is FORWARDED so the grid build never re-derives
+    // (the dispatcher discipline — its own persisted count still runs,
+    // doubling as the training cache's materialization).
+    if (nCentroids <= 0) {
+      val n = corpus.count()
+      if (n > imiCutoverRows)
+        return buildImi(spark, corpus, table, dim, m, kCentroids,
+          kPerHalf = Similarity.imiHalfCentroids(n, Similarity.ImiTargetClusterSize),
+          coarseIters = coarseIters, pqIters = pqIters, cId = cId, cVec = cVec,
+          maxTrainRows = maxTrainRows, maxRecordsPerFile = maxRecordsPerFile)
+    }
     val (index, coarse, codebooks) = Similarity.ivfPqBuildIndex(corpus, dim,
       m, kCentroids, nCentroids, coarseIters, pqIters, cId, cVec, maxTrainRows)
     // REPLACE semantics over a live index: the prior state is captured
@@ -402,21 +410,39 @@ object AnnIndex {
              cId: String = "vec_id", cVec: String = "embedding",
              maxRecordsPerFile: Long = 5000000L,
              recordDrift: Boolean = true): Long = {
-    val (meta, hash) = readMetaAt(spark, table, currentMetaHash(spark, table))
-    val encoded = encodeWith(meta, hash, newRows, cId, cVec)
-    val prior = if (recordDrift) occupancyOfEntries(spark, table,
-      TxTable.currentFilesWithStats(spark, table)) else Map.empty[Long, Long]
-    val files = TxTable.stageBatch(spark, encoded.repartition(col("cid")),
-      table, partitionBy = Seq("cid"), maxRecordsPerFile = maxRecordsPerFile)
-    val stats = TxTable.fileStats(spark, table, files, Seq("cid", QzCol))
-    // the batch histogram derives from the just-computed commit stats —
-    // no extra job; the prior side is a driver-side commit-log fold
-    val batch = if (recordDrift) occupancyOfEntries(spark, table,
-      files.zip(stats)) else Map.empty[Long, Long]
-    val v = TxTable.commit(spark, table, added = files, removed = Nil,
-      stats = stats)
-    if (recordDrift) writeDrift(spark, table, v, tvDistance(prior, batch))
-    v
+    // head-guarded: the commit is conditioned on the head read BEFORE
+    // the quantizer sidecar, so an append can never land rows encoded
+    // with pre-replace quantizers into a concurrently rebuilt index (a
+    // race that would mix __qz generations and brick every read until
+    // a manual rebuild). Losing the race — to a rebuild OR a harmless
+    // concurrent append — restages against the fresh state.
+    var attempt = 0
+    while (true) {
+      val head = TxTable.headVersion(spark, table)
+      val (meta, hash) = readMetaAt(spark, table, currentMetaHash(spark, table))
+      val encoded = encodeWith(meta, hash, newRows, cId, cVec)
+      val prior = if (recordDrift) occupancyOfEntries(spark, table,
+        TxTable.currentFilesWithStats(spark, table)) else Map.empty[Long, Long]
+      val files = TxTable.stageBatch(spark, encoded.repartition(col("cid")),
+        table, partitionBy = Seq("cid"), maxRecordsPerFile = maxRecordsPerFile)
+      val stats = TxTable.fileStats(spark, table, files, Seq("cid", QzCol))
+      // the batch histogram derives from the just-computed commit stats —
+      // no extra job; the prior side is a driver-side commit-log fold
+      val batch = if (recordDrift) occupancyOfEntries(spark, table,
+        files.zip(stats)) else Map.empty[Long, Long]
+      try {
+        val v = TxTable.commit(spark, table, added = files, removed = Nil,
+          expectedHead = Some(head), stats = stats)
+        if (recordDrift) writeDrift(spark, table, v, tvDistance(prior, batch))
+        return v
+      } catch { case _: java.util.ConcurrentModificationException =>
+        TxTable.deleteStaged(spark, table, files)
+        attempt += 1
+        if (attempt >= 5) throw new java.io.IOException(
+          s"$table: index append lost the commit race $attempt times")
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** [[append]] with writer-transaction idempotence — exactly-once
@@ -435,20 +461,35 @@ object AnnIndex {
     // cheap fast path: no staging at all for an obvious duplicate
     if (TxTable.txnVersion(spark, table, appId).exists(_ >= writerVersion))
       return None
-    val (meta, hash) = readMetaAt(spark, table, currentMetaHash(spark, table))
-    val encoded = encodeWith(meta, hash, newRows, cId, cVec)
-    val prior = if (recordDrift) occupancyOfEntries(spark, table,
-      TxTable.currentFilesWithStats(spark, table)) else Map.empty[Long, Long]
-    val files = TxTable.stageBatch(spark, encoded.repartition(col("cid")),
-      table, partitionBy = Seq("cid"), maxRecordsPerFile = maxRecordsPerFile)
-    val stats = TxTable.fileStats(spark, table, files, Seq("cid", QzCol))
-    val batch = if (recordDrift) occupancyOfEntries(spark, table,
-      files.zip(stats)) else Map.empty[Long, Long]
-    val out = TxTable.commitOnce(spark, table, added = files, removed = Nil,
-      appId = appId, writerVersion = writerVersion, stats = stats)
-    if (out.isEmpty) TxTable.deleteStaged(spark, table, files)
-    else if (recordDrift) writeDrift(spark, table, out.get, tvDistance(prior, batch))
-    out
+    // head-guarded like [[append]]: never land old-quantizer rows into
+    // a concurrently rebuilt index; a lost race restages fresh
+    var attempt = 0
+    while (true) {
+      val head = TxTable.headVersion(spark, table)
+      val (meta, hash) = readMetaAt(spark, table, currentMetaHash(spark, table))
+      val encoded = encodeWith(meta, hash, newRows, cId, cVec)
+      val prior = if (recordDrift) occupancyOfEntries(spark, table,
+        TxTable.currentFilesWithStats(spark, table)) else Map.empty[Long, Long]
+      val files = TxTable.stageBatch(spark, encoded.repartition(col("cid")),
+        table, partitionBy = Seq("cid"), maxRecordsPerFile = maxRecordsPerFile)
+      val stats = TxTable.fileStats(spark, table, files, Seq("cid", QzCol))
+      val batch = if (recordDrift) occupancyOfEntries(spark, table,
+        files.zip(stats)) else Map.empty[Long, Long]
+      try {
+        val out = TxTable.commitOnce(spark, table, added = files, removed = Nil,
+          appId = appId, writerVersion = writerVersion, stats = stats,
+          expectedHead = Some(head))
+        if (out.isEmpty) TxTable.deleteStaged(spark, table, files)
+        else if (recordDrift) writeDrift(spark, table, out.get, tvDistance(prior, batch))
+        return out
+      } catch { case _: java.util.ConcurrentModificationException =>
+        TxTable.deleteStaged(spark, table, files)
+        attempt += 1
+        if (attempt >= 5) throw new java.io.IOException(
+          s"$table: index appendOnce lost the commit race $attempt times")
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Compact when the index carries more than `maxFilesPerList` files

@@ -26,12 +26,17 @@ import graft.sink.TxTable
   *     is always its top-1 probe) — no full-corpus (id, a) scan,
   *  4. bounded top-k.
   *
-  * Bit-parity with the in-session path is structural: search shares the
-  * probe/score/margin/top-k code with [[Similarity.marginTopKImi]], and
-  * MarginIndexSpec pins `search` ≡ `marginTopKImi(codebooksOpt =
-  * <the index's frozen codebooks>)` at the same geometry. The queries
-  * must be corpus members (the [[Similarity.marginTopKBrute]] margin
-  * contract — a-means exist only for indexed ids).
+  * Bit-parity with the in-session path is STRUCTURAL: the self-kNN
+  * a-mean leg, the query probe staging, and the margin/top-k tail are
+  * the same definitions [[Similarity.marginTopKImi]] runs
+  * ([[Similarity.imiSelfKnnAMeans]] / [[Similarity.imiQueryProbes]] /
+  * [[Similarity.marginNormalizeTopK]]); the candidate cosine join is
+  * the one deliberate divergence (a-means ride the pruned read instead
+  * of an in-session join). MarginIndexSpec pins `search` ≡
+  * `marginTopKImi(codebooksOpt = <the index's frozen codebooks>)` at
+  * the same geometry. The queries must be corpus members (the
+  * [[Similarity.marginTopKBrute]] margin contract — a-means exist only
+  * for indexed ids).
   *
   * Maintenance contract: geometry AND a-means are frozen at build.
   * Appending vectors would stale the neighbors' a-means (a new vector
@@ -167,23 +172,10 @@ object MarginIndex {
         Similarity.imiHalfProbes(cb2p, col("v"), nProbe).as("__s2"))
       .localCheckpoint(true)
     c0.unpersist()
-    val probesV = assigned
-      .select(col("id").as("__qid"), col("v").as("__qv"), col("__cn").as("__qn"),
-        explode_outer(Similarity.imiProbeCellsOf(col("__s1"), col("__s2"),
-          cb2p.length, nProbe)).as("cid"))
-      .filter(col("cid").isNotNull)
-    val selfScored = assigned.select(col("cid"), col("id"), col("v"), col("__cn"))
-      .join(probesV, Seq("cid"))
-      .filter(col("__qid") =!= col("id"))
-      .select(col("__qid").as("query_id"), col("id").as("neighbor_id"),
-        Similarity.cosineWithNorms(col("__qv"), col("v"),
-          col("__qn"), col("__cn")).as("cos"))
-    val nnMean = Similarity.topkOf(selfScored, knn, "query_id")
-      .groupBy(col("query_id").as("id"))
-      .agg(sort_array(collect_list(col("cos"))).as("cs"))
-      .select(col("id"),
-        (aggregate(col("cs"), lit(0.0d), (acc, x) => acc + x)
-          / size(col("cs"))).as("a"))
+    // the self-kNN a-mean leg IS marginTopKImi's — one shared
+    // definition ([[Similarity.imiSelfKnnAMeans]]), so the at-rest
+    // parity is structural, not copy-discipline
+    val nnMean = Similarity.imiSelfKnnAMeans(assigned, cb2p.length, nProbe, knn)
 
     val head = TxTable.headVersion(spark, table)
     val prior = TxTable.currentFiles(spark, table)
@@ -199,17 +191,14 @@ object MarginIndex {
       expectedHead = Some(head), stats = stats)
   }
 
-  /** Files whose committed cid stats may hold a probed cell — exact
-    * directory pruning from the commit log (lo = hi = the dir value
-    * under Hive layout); stat-less files are kept, the keep-safe
-    * default.
+  /** Files whose committed cid stats may hold a probed cell — the
+    * SAME commit-log pruning rule as the ADC index (one definition,
+    * [[AnnIndex.probedFiles]]); stat-less files are kept, the
+    * keep-safe default.
     */
   def probedFiles(spark: SparkSession, table: String,
                   probed: Set[Long]): Seq[String] =
-    TxTable.currentFilesWithStats(spark, table).collect {
-      case (f, stats) if stats.find(_.col == "cid").forall(st =>
-        probed.exists(c => st.lo.toLong <= c && c <= st.hi.toLong)) => f
-    }
+    AnnIndex.probedFiles(spark, table, probed)
 
   private def emptyResult(spark: SparkSession, qId: String): DataFrame = {
     import spark.implicits._
@@ -229,20 +218,9 @@ object MarginIndex {
     val dim = meta.cb1.head.length + meta.cb2.head.length
     val cb1p = Similarity.imiPad(meta.cb1, dim, padHead = false)
     val cb2p = Similarity.imiPad(meta.cb2, dim, padHead = true)
-    // probe slices staged + materialized (the marginTopKImi discipline:
-    // the grid lambda must read attributes, never re-sort per element)
-    val qStaged = queries
-      .select(col(qId).cast("long").as(qId), Similarity.asDouble(col(qVec)).as("__qv"))
-      .select(col(qId), col("__qv"), Similarity.l2norm(col("__qv")).as("__qn"),
-        Similarity.imiHalfProbes(cb1p, col("__qv"), meta.nProbe).as("__s1"),
-        Similarity.imiHalfProbes(cb2p, col("__qv"), meta.nProbe).as("__s2"))
-      .localCheckpoint(true) // broadcast-small
-    val q = qStaged
-      .select(col(qId), col("__qv"), col("__qn"),
-        explode_outer(Similarity.imiProbeCellsOf(col("__s1"), col("__s2"),
-          cb2p.length, meta.nProbe)).as("cid"))
-      .filter(col("cid").isNotNull)
-      .drop("__s1", "__s2")
+    // probe staging + cell explosion shared with marginTopKImi/
+    // ivfTopKImi ([[Similarity.imiQueryProbes]])
+    val q = Similarity.imiQueryProbes(queries, cb1p, cb2p, meta.nProbe, qId, qVec)
     val probed = q.select(col("cid")).distinct().collect()
       .map(_.getLong(0)).toSet // <= |queries|·nProbe ids, the pruning key
     if (probed.isEmpty) return emptyResult(spark, qId)
@@ -264,14 +242,10 @@ object MarginIndex {
           col("__qn"), col("cn")).as("cos"),
         col("a").as("__ac"))
     val aq = members
-      .join(broadcast(qStaged.select(col(qId).as("id")).distinct()), Seq("id"))
+      .join(broadcast(queries.select(col(qId).cast("long").as("id")).distinct()),
+        Seq("id"))
       .select(col("id").as(qId), col("a").as("__aq"))
-    val scored = candScored
-      .join(broadcast(aq), Seq(qId))
-      .select(col(qId), col("neighbor_id"),
-        (col("cos") * lit(2.0d) / (col("__aq") + col("__ac"))).as("cos"))
-    Similarity.topkOf(scored, k, qId)
-      .select(col(qId), col("neighbor_id").as("match_id"),
-        round(col("cos"), 4).as("margin_r"))
+    Similarity.marginNormalizeTopK(
+      candScored.join(broadcast(aq), Seq(qId)), k, qId)
   }
 }

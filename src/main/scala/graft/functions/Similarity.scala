@@ -564,20 +564,21 @@ object Similarity {
               cId: String = "vec_id", cVec: String = "embedding",
               maxTrainRows: Long = MaxTrainRows,
               imiCutoverRows: Long = MaxSingleLevelRows): DataFrame = {
-    val c0 = corpus.select(col(cId).as("id"), asDouble(col(cVec)).as("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = c0.count()
+    // count BEFORE persist (footer-level count(*)): the dispatch branch
+    // must not materialize a full corpus cache it immediately discards
+    val c0u = corpus.select(col(cId).as("id"), asDouble(col(cVec)).as("v"))
+    val n = c0u.count()
     if (nCentroids <= 0 && n > imiCutoverRows) {
       // derived sizing saturates the 4096 driver-array cap here: list
       // size — and the per-query candidate volume nProbe·(n/4096) —
       // would grow linearly. Hand off to the IMI product grid, the
       // same dispatcher rule as semDedup/semDedupTrained/marginTopK.
-      c0.unpersist()
       return ivfTopKImi(queries, corpus, k,
         kPerHalf = imiHalfCentroids(n, ImiTargetClusterSize),
         nProbe = nProbe, iters = iters, qId = qId, qVec = qVec,
         cId = cId, cVec = cVec, maxTrainRows = maxTrainRows)
     }
+    val c0 = c0u.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nC = if (nCentroids > 0) nCentroids else autoCentroids(n)
     val init: Array[Array[Double]] = c0.orderBy(col("id")).limit(nC)
       .select(col("v")).collect()
@@ -639,18 +640,7 @@ object Similarity {
       .select(col("id"), col("v"),
         imiCellIdFrom(cb1p, cb2p, col("v")).as("cid"),
         l2norm(col("v")).as("__cn"))
-    val qStaged = queries
-      .select(col(qId), asDouble(col(qVec)).as("__qv"))
-      .select(col(qId), col("__qv"), l2norm(col("__qv")).as("__qn"),
-        imiHalfProbes(cb1p, col("__qv"), nProbe).as("__s1"),
-        imiHalfProbes(cb2p, col("__qv"), nProbe).as("__s2"))
-      .localCheckpoint(true) // broadcast-small
-    val q = qStaged
-      .select(col(qId), col("__qv"), col("__qn"),
-        explode_outer(imiProbeCellsOf(col("__s1"), col("__s2"),
-          cb2p.length, nProbe)).as("cid"))
-      .filter(col("cid").isNotNull)
-      .drop("__s1", "__s2")
+    val q = imiQueryProbes(queries, cb1p, cb2p, nProbe, qId, qVec)
     topkOf(assigned.join(broadcast(q), Seq("cid"))
       .filter(col(qId) =!= col("id"))
       .select(col(qId), col("id").as("neighbor_id"),
@@ -1243,15 +1233,19 @@ object Similarity {
                       iters: Int = 2,
                       maxTrainRows: Long = MaxTrainRows,
                       imiCutoverRows: Long = MaxSingleLevelRows): DataFrame = {
-    val c0 = df.select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = c0.count()
+    // count BEFORE persist: the sizing count collapses to a
+    // footer-level count(*), while persist-then-count would
+    // materialize a full corpus cache that the dispatch branch throws
+    // away — at exactly the >16.7M-row scale where it costs most. The
+    // stay branch loses nothing: the first training job materializes
+    // the cache instead of the count.
+    val c0u = df.select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+    val n = c0u.count()
     if (nClusters <= 0 && n > imiCutoverRows) {
       // the sqrt(n) rule saturates the 4096 driver-array cap here and
       // cluster size would grow linearly — hand off to the trained
       // PRODUCT (IMI) grid, whose cell count keeps tracking n at a
       // constant target cluster size (see [[semDedupTrainedImi]])
-      c0.unpersist()
       return semDedupTrainedImi(df, idCol, vecCol,
         kPerHalf = imiHalfCentroids(n, ImiTargetClusterSize),
         threshold = threshold, iters = iters, maxTrainRows = maxTrainRows)
@@ -1264,6 +1258,7 @@ object Similarity {
     // is exactly that exponent. n^1.5 is what the published recipe
     // costs at k = sqrt(n); the LINEAR-volume shape is the IMI route
     // above, which takes over once sqrt(n) can no longer grow.
+    val c0 = c0u.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nC = if (nClusters > 0) nClusters else autoCentroidsTable(n)
     val init: Array[Array[Double]] = c0.orderBy(col("id")).limit(nC)
       .select(col("v")).collect()
@@ -1796,6 +1791,70 @@ object Similarity {
     * contract as [[marginTopKAnn]]; recall floor pinned by
     * MarginImiSpec against the brute gold.
     */
+  /** The IMI self-kNN a-mean leg, SHARED by [[marginTopKImi]] and the
+    * at-rest [[MarginIndex.build]] (one definition — the bit-parity the
+    * spec pins is structural, not copy-discipline): probe rows carry
+    * the prober's vector into the shuffled equi-join on the cell id,
+    * cosine + bounded top-k consume the pair stream IN-STAGE, then the
+    * ascending-sorted mean. `assigned` must be the MATERIALIZED
+    * (id, v, cid, __cn, __s1, __s2) relation. Output (id, a).
+    */
+  private[functions] def imiSelfKnnAMeans(assigned: DataFrame, k2: Int,
+                                          nProbe: Int, knn: Int): DataFrame = {
+    val probesV = assigned
+      .select(col("id").as("__qid"), col("v").as("__qv"), col("__cn").as("__qn"),
+        explode_outer(imiProbeCellsOf(col("__s1"), col("__s2"), k2,
+          nProbe)).as("cid"))
+      .filter(col("cid").isNotNull)
+    val selfScored = assigned.select(col("cid"), col("id"), col("v"), col("__cn"))
+      .join(probesV, Seq("cid"))
+      .filter(col("__qid") =!= col("id"))
+      .select(col("__qid").as("__mq"), col("id").as("neighbor_id"),
+        cosineWithNorms(col("__qv"), col("v"), col("__qn"), col("__cn")).as("cos"))
+    topkOf(selfScored, knn, "__mq")
+      .groupBy(col("__mq").as("id"))
+      .agg(sort_array(collect_list(col("cos"))).as("cs"))
+      .select(col("id"),
+        (aggregate(col("cs"), lit(0.0d), (acc, x) => acc + x)
+          / size(col("cs"))).as("a"))
+  }
+
+  /** Query-side IMI probe rows, SHARED by [[marginTopKImi]],
+    * [[ivfTopKImi]] and [[MarginIndex.search]]: per-half sorted probe
+    * slices STAGED + eagerly materialized (broadcast-small by
+    * contract; the lambda audit rejects a half-sort re-evaluated per
+    * outer element), then the exact top-nProbe product cells exploded
+    * to (qId, __qv, __qn, cid) rows.
+    */
+  private[functions] def imiQueryProbes(queries: DataFrame,
+      cb1p: Array[Array[Double]], cb2p: Array[Array[Double]], nProbe: Int,
+      qId: String, qVec: String): DataFrame = {
+    val qStaged = queries
+      .select(col(qId).cast("long").as(qId), asDouble(col(qVec)).as("__qv"))
+      .select(col(qId), col("__qv"), l2norm(col("__qv")).as("__qn"),
+        imiHalfProbes(cb1p, col("__qv"), nProbe).as("__s1"),
+        imiHalfProbes(cb2p, col("__qv"), nProbe).as("__s2"))
+      .localCheckpoint(true)
+    qStaged
+      .select(col(qId), col("__qv"), col("__qn"),
+        explode_outer(imiProbeCellsOf(col("__s1"), col("__s2"),
+          cb2p.length, nProbe)).as("cid"))
+      .filter(col("cid").isNotNull)
+  }
+
+  /** Margin normalization + bounded top-k, SHARED by every margin
+    * variant's tail: `cand` = (qId, neighbor_id, cos, __aq, __ac) with
+    * the endpoints' a-MEANS — the `cos·2/(a_x+a_y)` mean form (the
+    * brute/portable forms fold SUMS and absorb /knn/2 into the /8
+    * literal; identical value).
+    */
+  private[functions] def marginNormalizeTopK(cand: DataFrame, k: Int,
+                                             qId: String): DataFrame =
+    topkOf(cand.select(col(qId), col("neighbor_id"),
+        (col("cos") * lit(2.0d) / (col("__aq") + col("__ac"))).as("cos")), k, qId)
+      .select(col(qId), col("neighbor_id").as("match_id"),
+        round(col("cos"), 4).as("margin_r"))
+
   def marginTopKImi(queries: DataFrame, corpus: DataFrame, k: Int, knn: Int = 4,
                     kPerHalf: Int = 0, nProbe: Int = 8, iters: Int = 3,
                     qId: String = "query_id", qVec: String = "query_vec",
@@ -1823,43 +1882,10 @@ object Similarity {
       .localCheckpoint(true)
     c0.unpersist()
 
-    // self-kNN leg: probe rows carry the vector into the shuffled
-    // equi-join on the cell id; cosine + bounded top-k consume the
-    // pair stream IN-STAGE (the marginTopKAnn shape, cell-id keyed)
-    val probesV = assigned
-      .select(col("id").as("__qid"), col("v").as("__qv"), col("__cn").as("__qn"),
-        explode_outer(imiProbeCellsOf(col("__s1"), col("__s2"), cb2p.length,
-          nProbe)).as("cid"))
-      .filter(col("cid").isNotNull)
     val members = assigned.select(col("cid"), col("id"), col("v"), col("__cn"))
-    val selfScored = members.join(probesV, Seq("cid"))
-      .filter(col("__qid") =!= col("id"))
-      .select(col("__qid").as(qId), col("id").as("neighbor_id"),
-        cosineWithNorms(col("__qv"), col("v"), col("__qn"), col("__cn")).as("cos"))
-    val nnMean = topkOf(selfScored, knn, qId)
-      .groupBy(col(qId).as("id"))
-      .agg(sort_array(collect_list(col("cos"))).as("cs"))
-      .select(col("id"),
-        (aggregate(col("cs"), lit(0.0d), (acc, x) => acc + x)
-          / size(col("cs"))).as("a"))
-      .localCheckpoint(true)
-
-    // pair-scoring leg: broadcast-query probe over the same cells; the
-    // per-half probe slices are STAGED + materialized exactly like the
-    // corpus side's, so the grid lambda reads attributes (the lambda
-    // audit rejects a half-sort re-evaluated per outer element)
-    val qStaged = queries
-      .select(col(qId).cast("long").as(qId), asDouble(col(qVec)).as("__qv"))
-      .select(col(qId), col("__qv"), l2norm(col("__qv")).as("__qn"),
-        imiHalfProbes(cb1p, col("__qv"), nProbe).as("__s1"),
-        imiHalfProbes(cb2p, col("__qv"), nProbe).as("__s2"))
-      .localCheckpoint(true) // broadcast-small
-    val q = qStaged
-      .select(col(qId), col("__qv"), col("__qn"),
-        explode_outer(imiProbeCellsOf(col("__s1"), col("__s2"),
-          cb2p.length, nProbe)).as("cid"))
-      .filter(col("cid").isNotNull)
-      .drop("__s1", "__s2")
+    val nnMean = imiSelfKnnAMeans(assigned, cb2p.length, nProbe, knn)
+      .localCheckpoint(true) // both margin join sides consume it
+    val q = imiQueryProbes(queries, cb1p, cb2p, nProbe, qId, qVec)
     val candScored = members.join(broadcast(q), Seq("cid"))
       .filter(col(qId) =!= col("id"))
       .select(col(qId), col("id").as("neighbor_id"),
@@ -1868,11 +1894,7 @@ object Similarity {
       .join(nnMean.select(col("id").as(qId), col("a").as("__aq")), Seq(qId))
       .join(nnMean.select(col("id").as("neighbor_id"), col("a").as("__ac")),
         Seq("neighbor_id"))
-      .select(col(qId), col("neighbor_id"),
-        (col("cos") * lit(2.0d) / (col("__aq") + col("__ac"))).as("cos"))
-    topkOf(scored, k, qId)
-      .select(col(qId), col("neighbor_id").as("match_id"),
-        round(col("cos"), 4).as("margin_r"))
+    marginNormalizeTopK(scored, k, qId)
   }
 
   /** ENGINE-PORTABLE ANN margin: [[marginTopKAnn]]'s two-leg shape with

@@ -933,10 +933,11 @@ object TxTable {
   def commitOnce(spark: SparkSession, table: String,
                  added: Seq[String], removed: Seq[String],
                  appId: String, writerVersion: Long,
-                 stats: Seq[Seq[ColStat]] = Nil): Option[Long] = {
+                 stats: Seq[Seq[ColStat]] = Nil,
+                 expectedHead: Option[Long] = None): Option[Long] = {
     require(writerVersion >= 0, s"writerVersion must be >= 0, got $writerVersion")
-    commitOpt(spark, table, added, removed, stats = stats,
-      txn = Some((appId, writerVersion)))
+    commitOpt(spark, table, added, removed, expectedHead = expectedHead,
+      stats = stats, txn = Some((appId, writerVersion)))
   }
 
   /** [[commit]] plus writer-transaction idempotence: with `txn =

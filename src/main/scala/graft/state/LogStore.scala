@@ -140,27 +140,40 @@ final class LogStore(spark: SparkSession, path: String) {
   }
 
   /** Reap compaction leftovers older than `minAgeMs`: data files some
-    * manifest replaced, then manifests whose compacted file is itself
-    * gone (superseded by a later compaction and already reaped). A
-    * manifest whose cpart is LIVE is never touched — it is what makes
-    * the cpart visible. Returns the deleted paths.
+    * manifest replaced, manifests whose compacted file is itself gone
+    * (superseded by a later compaction and already reaped), plus
+    * crash-left invisible garbage — unreferenced `cpart-*` files (a
+    * compactor that died between the cpart rename and the manifest
+    * rename) and hidden `.stage-*` dirs (a killed writer/compactor).
+    * A manifest whose cpart is LIVE is never touched — it is what makes
+    * the cpart visible.
+    *
+    * The grace age for a REPLACED file is measured from its MANIFEST's
+    * mtime — the instant the file became unreferenced — never from the
+    * file's own mtime (its append time): an in-flight reader that
+    * listed just before the manifest landed must get the full window
+    * however old the appends are. Returns the deleted paths.
     */
   def vacuumCompacted(minAgeMs: Long = 3600000L): Seq[String] = LogStore.lockFor(path).synchronized {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return Nil
     val now = System.currentTimeMillis()
-    val statuses = fs.listStatus(p).filter(st => !st.isDirectory)
+    val all = fs.listStatus(p)
+    val statuses = all.filter(st => !st.isDirectory)
     val byName = statuses.map(st => st.getPath.getName -> st).toMap
     val manifests = statuses
       .filter(st => st.getPath.getName.startsWith("_compact-") &&
         st.getPath.getName.endsWith(".json"))
     val parsed = manifests.map(m =>
       m -> LogStore.parseManifest(LogStore.slurp(fs, m.getPath)))
-    val replaced = parsed.flatMap(_._2._2).toSet
-    val deletedData = replaced.toSeq.sorted.flatMap { name =>
+    // victim -> the replacement instant (latest manifest naming it)
+    val replacedAt = parsed
+      .flatMap { case (m, (_, rs)) => rs.map(_ -> m.getModificationTime) }
+      .groupBy(_._1).map { case (n, ts) => n -> ts.map(_._2).max }
+    val deletedData = replacedAt.toSeq.sortBy(_._1).flatMap { case (name, mAt) =>
       byName.get(name).collect {
-        case st if now - st.getModificationTime >= minAgeMs &&
+        case st if now - mAt >= minAgeMs &&
             fs.delete(st.getPath, false) => st.getPath.toString
       }
     }
@@ -169,7 +182,23 @@ final class LogStore(spark: SparkSession, path: String) {
       if (gone && now - m.getModificationTime >= minAgeMs &&
         fs.delete(m.getPath, false)) Some(m.getPath.toString) else None
     }
-    deletedData ++ deletedManifests
+    // crash garbage: cparts no manifest references (invisible by
+    // construction — a compaction in flight right now is younger than
+    // any sane grace age), and hidden staging dirs
+    val referenced = parsed.map(_._2._1).toSet
+    val orphanCparts = statuses.collect {
+      case st if st.getPath.getName.startsWith("cpart-") &&
+          !referenced.contains(st.getPath.getName) &&
+          !replacedAt.contains(st.getPath.getName) &&
+          now - st.getModificationTime >= minAgeMs &&
+          fs.delete(st.getPath, false) => st.getPath.toString
+    }
+    val staleStages = all.collect {
+      case st if st.isDirectory && st.getPath.getName.startsWith(".stage-") &&
+          now - st.getModificationTime >= minAgeMs &&
+          fs.delete(st.getPath, true) => st.getPath.toString
+    }
+    deletedData ++ deletedManifests ++ orphanCparts ++ staleStages
   }
 }
 

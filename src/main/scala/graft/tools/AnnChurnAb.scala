@@ -45,10 +45,14 @@ object AnnChurnAb {
       val opened = graft.functions.AnnIndex.probedFiles(spark, idx, probed).size
       val t = System.nanoTime()
       val rows = graft.functions.AnnIndex.search(spark, idx, queries, k = 10).count()
+      val searchS = (System.nanoTime() - t) / 1e9 // drift read NOT timed:
+      // driftHistory lists + parses one sidecar per append — including
+      // it inflated "search" with per-append FS cost unrelated to the
+      // probe (the number this tool exists to isolate)
       val drift = graft.functions.AnnIndex.driftHistory(spark, idx)
         .lastOption.map(d => f"${d._2}%.3f").getOrElse("-")
       println(f"[churn] $tag%-12s files=$all%4d opened=$opened%4d " +
-        f"search=${(System.nanoTime() - t) / 1e9}%5.2f s rows=$rows drift=$drift")
+        f"search=$searchS%5.2f s rows=$rows drift=$drift")
     }
     measure("built")
     (0 until 10).foreach { i =>

@@ -208,6 +208,51 @@ class LogStoreHostileSpec extends SparkSpec {
     assert(rows() == (want :+ "21").sorted)
   }
 
+  test("vacuum grace runs from the MANIFEST's mtime; aged crash garbage is reaped") {
+    val dir = HostileFileSystem.root(spark)
+    val path = s"$dir/logs2"
+    val store = new LogStore(spark, path)
+    (1 to 3).foreach(i => store.append(Seq(log(RunStatus.Success, i.toString, i.toLong))))
+    val fs = fsFor(path)
+    def names() = fs.listStatus(new Path(path)).map(_.getPath.getName).toSeq
+    def rows() = new LogStore(spark, path).read().collect()
+      .map(_.endValue).sorted.toSeq
+    val want = (1 to 3).map(_.toString).sorted
+    val old = System.currentTimeMillis() - 86400000L // a day ago
+    // the appends are ANCIENT — but compaction replaces them just now,
+    // so a 1-hour grace must still protect an in-flight reader that
+    // listed a moment before the manifest landed (measuring age from
+    // the victims' own mtime would reap them instantly)
+    names().filter(_.startsWith("part-")).foreach(n =>
+      fs.setTimes(new Path(s"$path/$n"), old, -1))
+    assert(store.compact() == 3)
+    assert(new LogStore(spark, path).vacuumCompacted(minAgeMs = 3600000L).isEmpty,
+      "old victims under a FRESH manifest are inside the grace window")
+    assert(rows() == want)
+    // age the manifest too → the replacement is now old, victims reap
+    names().filter(_.startsWith("_compact-")).foreach(n =>
+      fs.setTimes(new Path(s"$path/$n"), old, -1))
+    val reaped = new LogStore(spark, path).vacuumCompacted(minAgeMs = 3600000L)
+    assert(reaped.count(_.contains("part-")) == 3, s"expected 3 victims reaped, got $reaped")
+    assert(rows() == want)
+    // crash garbage: an unreferenced cpart (compactor died before its
+    // manifest) and a hidden staging dir (killed writer) — invisible,
+    // protected while fresh, reaped once aged
+    val orphan = new Path(s"$path/cpart-zombie.snappy.parquet")
+    val out = fs.create(orphan, true); out.write(Array[Byte](1, 2, 3)); out.close()
+    fs.mkdirs(new Path(s"$path/.stage-zombie"))
+    assert(rows() == want, "crash garbage must stay invisible")
+    assert(new LogStore(spark, path).vacuumCompacted(minAgeMs = 3600000L).isEmpty,
+      "fresh crash garbage is protected (it may be an in-flight compaction)")
+    fs.setTimes(orphan, old, -1)
+    fs.setTimes(new Path(s"$path/.stage-zombie"), old, -1)
+    val reaped2 = new LogStore(spark, path).vacuumCompacted(minAgeMs = 3600000L)
+    assert(reaped2.exists(_.contains("cpart-zombie")) &&
+      reaped2.exists(_.contains(".stage-zombie")),
+      s"aged crash garbage must be reaped, got $reaped2")
+    assert(rows() == want)
+  }
+
   test("re-run after a failure resumes from the last success watermark (no re-read)") {
     val dir = HostileFileSystem.root(spark)
     val store = new LogStore(spark, s"$dir/logs")
