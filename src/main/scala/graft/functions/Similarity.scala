@@ -564,21 +564,21 @@ object Similarity {
               cId: String = "vec_id", cVec: String = "embedding",
               maxTrainRows: Long = MaxTrainRows,
               imiCutoverRows: Long = MaxSingleLevelRows): DataFrame = {
-    // count BEFORE persist (footer-level count(*)): the dispatch branch
-    // must not materialize a full corpus cache it immediately discards
-    val c0u = corpus.select(col(cId).as("id"), asDouble(col(cVec)).as("v"))
-    val n = c0u.count()
+    val c0 = corpus.select(col(cId).as("id"), asDouble(col(cVec)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = c0.count()
     if (nCentroids <= 0 && n > imiCutoverRows) {
       // derived sizing saturates the 4096 driver-array cap here: list
       // size — and the per-query candidate volume nProbe·(n/4096) —
-      // would grow linearly. Hand off to the IMI product grid, the
-      // same dispatcher rule as semDedup/semDedupTrained/marginTopK.
-      return ivfTopKImi(queries, corpus, k,
+      // would grow linearly. Hand off to the IMI product grid (the
+      // same dispatcher rule as semDedup/semDedupTrained/marginTopK),
+      // HANDING THE CACHE THROUGH — the count just materialized it,
+      // and the grid trains over the same persisted relation.
+      return ivfTopKImiOn(queries, c0, n, k,
         kPerHalf = imiHalfCentroids(n, ImiTargetClusterSize),
         nProbe = nProbe, iters = iters, qId = qId, qVec = qVec,
-        cId = cId, cVec = cVec, maxTrainRows = maxTrainRows)
+        maxTrainRows = maxTrainRows)
     }
-    val c0 = c0u.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nC = if (nCentroids > 0) nCentroids else autoCentroids(n)
     val init: Array[Array[Double]] = c0.orderBy(col("id")).limit(nC)
       .select(col("v")).collect()
@@ -626,7 +626,19 @@ object Similarity {
                  maxTrainRows: Long = MaxTrainRows): DataFrame = {
     val c0 = corpus.select(col(cId).as("id"), asDouble(col(cVec)).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = c0.count()
+    ivfTopKImiOn(queries, c0, c0.count(), k, kPerHalf, nProbe, iters,
+      qId, qVec, maxTrainRows, targetClusterSize)
+  }
+
+  /** [[ivfTopKImi]] over an ALREADY-persisted, counted (id, v)
+    * relation — the [[ivfTopK]] dispatcher hands its cache through
+    * here. Unpersists `c0` after training.
+    */
+  private def ivfTopKImiOn(queries: DataFrame, c0: DataFrame, n: Long, k: Int,
+                           kPerHalf: Int, nProbe: Int, iters: Int,
+                           qId: String, qVec: String,
+                           maxTrainRows: Long,
+                           targetClusterSize: Long = ImiTargetClusterSize): DataFrame = {
     val kH = if (kPerHalf > 0) kPerHalf else imiHalfCentroids(n, targetClusterSize)
     val (cb1, cb2) = imiTrainedHalfCodebooks(c0, kH, iters, n, maxTrainRows)
     val dim = cb1.head.length + cb2.head.length
@@ -1233,22 +1245,21 @@ object Similarity {
                       iters: Int = 2,
                       maxTrainRows: Long = MaxTrainRows,
                       imiCutoverRows: Long = MaxSingleLevelRows): DataFrame = {
-    // count BEFORE persist: the sizing count collapses to a
-    // footer-level count(*), while persist-then-count would
-    // materialize a full corpus cache that the dispatch branch throws
-    // away — at exactly the >16.7M-row scale where it costs most. The
-    // stay branch loses nothing: the first training job materializes
-    // the cache instead of the count.
-    val c0u = df.select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
-    val n = c0u.count()
+    val c0 = df.select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = c0.count()
     if (nClusters <= 0 && n > imiCutoverRows) {
       // the sqrt(n) rule saturates the 4096 driver-array cap here and
       // cluster size would grow linearly — hand off to the trained
       // PRODUCT (IMI) grid, whose cell count keeps tracking n at a
-      // constant target cluster size (see [[semDedupTrainedImi]])
-      return semDedupTrainedImi(df, idCol, vecCol,
+      // constant target cluster size. The cache the count just
+      // materialized is HANDED THROUGH (not discarded — the review's
+      // wasted-materialization find): the grid trains and assigns over
+      // the same persisted relation.
+      return semDedupTrainedImiOn(c0, n,
         kPerHalf = imiHalfCentroids(n, ImiTargetClusterSize),
-        threshold = threshold, iters = iters, maxTrainRows = maxTrainRows)
+        threshold = threshold, iters = iters,
+        targetClusterSize = ImiTargetClusterSize, maxTrainRows = maxTrainRows)
     }
     // sqrt(n) UNCAPPED by the literal tree (matrix argmin past 128).
     // Growth accounting, honestly: cluster size grows as sqrt(n) under
@@ -1258,7 +1269,6 @@ object Similarity {
     // is exactly that exponent. n^1.5 is what the published recipe
     // costs at k = sqrt(n); the LINEAR-volume shape is the IMI route
     // above, which takes over once sqrt(n) can no longer grow.
-    val c0 = c0u.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nC = if (nClusters > 0) nClusters else autoCentroidsTable(n)
     val init: Array[Array[Double]] = c0.orderBy(col("id")).limit(nC)
       .select(col("v")).collect()
@@ -1500,7 +1510,19 @@ object Similarity {
                          maxTrainRows: Long = MaxTrainRows): DataFrame = {
     val c0 = df.select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = c0.count()
+    semDedupTrainedImiOn(c0, c0.count(), kPerHalf, threshold, iters,
+      targetClusterSize, maxTrainRows)
+  }
+
+  /** [[semDedupTrainedImi]] over an ALREADY-persisted, counted (id, v)
+    * relation — the [[semDedupTrained]] dispatcher hands its cache
+    * through here, so the cutover costs neither a discarded cache
+    * materialization nor a duplicate corpus pass. Unpersists `c0`.
+    */
+  private def semDedupTrainedImiOn(c0: DataFrame, n: Long,
+                                   kPerHalf: Int, threshold: Double, iters: Int,
+                                   targetClusterSize: Long,
+                                   maxTrainRows: Long): DataFrame = {
     val k = if (kPerHalf > 0) kPerHalf else imiHalfCentroids(n, targetClusterSize)
     val (cb1, cb2) = imiTrainedHalfCodebooks(c0, k, iters, n, maxTrainRows)
     val dim = cb1.head.length + cb2.head.length
