@@ -409,41 +409,11 @@ object AnnIndex {
   def append(spark: SparkSession, newRows: DataFrame, table: String,
              cId: String = "vec_id", cVec: String = "embedding",
              maxRecordsPerFile: Long = 5000000L,
-             recordDrift: Boolean = true): Long = {
-    // head-guarded: the commit is conditioned on the head read BEFORE
-    // the quantizer sidecar, so an append can never land rows encoded
-    // with pre-replace quantizers into a concurrently rebuilt index (a
-    // race that would mix __qz generations and brick every read until
-    // a manual rebuild). Losing the race — to a rebuild OR a harmless
-    // concurrent append — restages against the fresh state.
-    var attempt = 0
-    while (true) {
-      val head = TxTable.headVersion(spark, table)
-      val (meta, hash) = readMetaAt(spark, table, currentMetaHash(spark, table))
-      val encoded = encodeWith(meta, hash, newRows, cId, cVec)
-      val prior = if (recordDrift) occupancyOfEntries(spark, table,
-        TxTable.currentFilesWithStats(spark, table)) else Map.empty[Long, Long]
-      val files = TxTable.stageBatch(spark, encoded.repartition(col("cid")),
-        table, partitionBy = Seq("cid"), maxRecordsPerFile = maxRecordsPerFile)
-      val stats = TxTable.fileStats(spark, table, files, Seq("cid", QzCol))
-      // the batch histogram derives from the just-computed commit stats —
-      // no extra job; the prior side is a driver-side commit-log fold
-      val batch = if (recordDrift) occupancyOfEntries(spark, table,
-        files.zip(stats)) else Map.empty[Long, Long]
-      try {
-        val v = TxTable.commit(spark, table, added = files, removed = Nil,
-          expectedHead = Some(head), stats = stats)
-        if (recordDrift) writeDrift(spark, table, v, tvDistance(prior, batch))
-        return v
-      } catch { case _: java.util.ConcurrentModificationException =>
-        TxTable.deleteStaged(spark, table, files)
-        attempt += 1
-        if (attempt >= 5) throw new java.io.IOException(
-          s"$table: index append lost the commit race $attempt times")
-      }
-    }
-    throw new IllegalStateException("unreachable")
-  }
+             recordDrift: Boolean = true): Long =
+    appendImpl(spark, newRows, table, cId, cVec, maxRecordsPerFile,
+      recordDrift, txn = None)
+      .getOrElse(throw new IllegalStateException(
+        "unreachable: a txn-less index append never skips"))
 
   /** [[append]] with writer-transaction idempotence — exactly-once
     * index maintenance under retries and the sink half of a streaming
@@ -461,32 +431,84 @@ object AnnIndex {
     // cheap fast path: no staging at all for an obvious duplicate
     if (TxTable.txnVersion(spark, table, appId).exists(_ >= writerVersion))
       return None
-    // head-guarded like [[append]]: never land old-quantizer rows into
-    // a concurrently rebuilt index; a lost race restages fresh
+    appendImpl(spark, newRows, table, cId, cVec, maxRecordsPerFile,
+      recordDrift, txn = Some((appId, writerVersion)))
+  }
+
+  /** The shared head-guarded append loop: the commit is conditioned on
+    * the head read BEFORE the quantizer sidecar, so an append can never
+    * land rows encoded with pre-replace quantizers into a concurrently
+    * rebuilt index (a race that would mix __qz generations and brick
+    * every read until a manual rebuild). Losing the race re-checks the
+    * state and RE-COMMITS the already-staged files when the quantizer
+    * generation is unchanged — a harmless concurrent append costs one
+    * extra commit attempt, never a re-encode + rewrite of the whole
+    * batch; only an actual rebuild (fresh `__qz`) restages. With `txn`
+    * set, the writer watermark is re-checked at the TOP of every
+    * iteration, so a duplicate replay that loses the head race to
+    * concurrent commits skips as a no-op instead of exhausting retries
+    * (both re-check rules are the round-10 ADVICE items).
+    */
+  private def appendImpl(spark: SparkSession, newRows: DataFrame, table: String,
+                         cId: String, cVec: String, maxRecordsPerFile: Long,
+                         recordDrift: Boolean,
+                         txn: Option[(String, Long)]): Option[Long] = {
     var attempt = 0
+    var staged: Seq[String] = Nil
+    var stagedHash: String = null
+    var stats: Seq[Seq[TxTable.ColStat]] = Nil
+    var batch: Map[Long, Long] = Map.empty
+    def dropStaged(): Unit = if (staged.nonEmpty) {
+      TxTable.deleteStaged(spark, table, staged); staged = Nil
+    }
     while (true) {
+      txn.foreach { case (app, wv) =>
+        if (TxTable.txnVersion(spark, table, app).exists(_ >= wv)) {
+          dropStaged(); return None
+        }
+      }
       val head = TxTable.headVersion(spark, table)
-      val (meta, hash) = readMetaAt(spark, table, currentMetaHash(spark, table))
-      val encoded = encodeWith(meta, hash, newRows, cId, cVec)
+      val hash = currentMetaHash(spark, table)
+      if (staged.isEmpty || stagedHash != hash) {
+        dropStaged()
+        val (meta, _) = readMetaAt(spark, table, hash)
+        val encoded = encodeWith(meta, hash, newRows, cId, cVec)
+        staged = TxTable.stageBatch(spark, encoded.repartition(col("cid")),
+          table, partitionBy = Seq("cid"), maxRecordsPerFile = maxRecordsPerFile)
+        stats = TxTable.fileStats(spark, table, staged, Seq("cid", QzCol))
+        stagedHash = hash
+        // the batch histogram derives from the just-computed commit
+        // stats — no extra job (and it only changes when we restage)
+        batch = if (recordDrift) occupancyOfEntries(spark, table,
+          staged.zip(stats)) else Map.empty[Long, Long]
+      }
+      // the prior side is a driver-side commit-log fold, re-read per
+      // attempt so the drift stat reflects the state we commit against
       val prior = if (recordDrift) occupancyOfEntries(spark, table,
         TxTable.currentFilesWithStats(spark, table)) else Map.empty[Long, Long]
-      val files = TxTable.stageBatch(spark, encoded.repartition(col("cid")),
-        table, partitionBy = Seq("cid"), maxRecordsPerFile = maxRecordsPerFile)
-      val stats = TxTable.fileStats(spark, table, files, Seq("cid", QzCol))
-      val batch = if (recordDrift) occupancyOfEntries(spark, table,
-        files.zip(stats)) else Map.empty[Long, Long]
       try {
-        val out = TxTable.commitOnce(spark, table, added = files, removed = Nil,
-          appId = appId, writerVersion = writerVersion, stats = stats,
-          expectedHead = Some(head))
-        if (out.isEmpty) TxTable.deleteStaged(spark, table, files)
-        else if (recordDrift) writeDrift(spark, table, out.get, tvDistance(prior, batch))
+        val out = txn match {
+          case None => Some(TxTable.commit(spark, table, added = staged,
+            removed = Nil, expectedHead = Some(head), stats = stats))
+          case Some((app, wv)) => TxTable.commitOnce(spark, table,
+            added = staged, removed = Nil, appId = app, writerVersion = wv,
+            stats = stats, expectedHead = Some(head))
+        }
+        out match {
+          case Some(v) =>
+            if (recordDrift) writeDrift(spark, table, v, tvDistance(prior, batch))
+          case None => dropStaged()
+        }
         return out
       } catch { case _: java.util.ConcurrentModificationException =>
-        TxTable.deleteStaged(spark, table, files)
         attempt += 1
-        if (attempt >= 5) throw new java.io.IOException(
-          s"$table: index appendOnce lost the commit race $attempt times")
+        if (attempt >= 5) {
+          dropStaged()
+          throw new java.io.IOException(
+            s"$table: index append lost the commit race $attempt times")
+        }
+        // staged files KEPT: the next iteration re-commits them against
+        // the fresh head unless the quantizer generation moved
       }
     }
     throw new IllegalStateException("unreachable")

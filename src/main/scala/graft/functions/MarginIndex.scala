@@ -241,10 +241,31 @@ object MarginIndex {
         Similarity.cosineWithNorms(col("__qv"), col("v"),
           col("__qn"), col("cn")).as("cos"),
         col("a").as("__ac"))
-    val aq = members
+    // the query-side a-mean rides the pruned read on the invariant that
+    // a query's own cell is its top-1 probe — under an EXACT float tie
+    // in the padded d1+d2 sums a different composite cell can rank
+    // first, and with a small nProbe the query's own cell could fall
+    // outside the probed set. That must surface as an ERROR, not a
+    // silently dropped query (the corpus-membership contract's
+    // loud-failure intent, round-10 ADVICE): the a-mean lookup is
+    // collected (≤ |queries| rows — the query relation is
+    // broadcast-small by contract and already drives two broadcasts)
+    // and every query id is required to have one.
+    val qIds = queries.select(col(qId).cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val aqRows = members
       .join(broadcast(queries.select(col(qId).cast("long").as("id")).distinct()),
         Seq("id"))
-      .select(col("id").as(qId), col("a").as("__aq"))
+      .select(col("id"), col("a")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val missing = qIds -- aqRows.map(_._1)
+    require(missing.isEmpty,
+      s"$table: query ids ${missing.toSeq.sorted.take(8).mkString(", ")} have no " +
+        "a-mean in the probed cells — either the query is not a corpus member " +
+        "(the margin contract requires it) or a probe tie pushed its own cell " +
+        s"out of the nProbe=${meta.nProbe} probe set; raise nProbe at build")
+    import spark.implicits._
+    val aq = aqRows.toSeq.toDF(qId, "__aq")
     Similarity.marginNormalizeTopK(
       candScored.join(broadcast(aq), Seq(qId)), k, qId)
   }

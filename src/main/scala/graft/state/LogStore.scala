@@ -152,7 +152,17 @@ final class LogStore(spark: SparkSession, path: String) {
     * mtime — the instant the file became unreferenced — never from the
     * file's own mtime (its append time): an in-flight reader that
     * listed just before the manifest landed must get the full window
-    * however old the appends are. Returns the deleted paths.
+    * however old the appends are. For a `.stage-*` dir the age basis is
+    * the NEWEST mtime anywhere in its tree — a writer stalled mid-write
+    * keeps refreshing its part file's mtime, so a live staging dir is
+    * only reaped if the whole write has been idle past the window (the
+    * dir's own mtime alone goes stale the moment the part file is
+    * created). Contract (the [[graft.sink.TxTable.vacuum]] discipline):
+    * `minAgeMs` must exceed the longest plausible in-flight append or
+    * compaction write — a too-small window can still reap a writer
+    * whose ENTIRE write stalled longer than it, failing that writer's
+    * part-file rename (loudly: [[append]] requires the rename).
+    * Returns the deleted paths.
     */
   def vacuumCompacted(minAgeMs: Long = 3600000L): Seq[String] = LogStore.lockFor(path).synchronized {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -195,7 +205,7 @@ final class LogStore(spark: SparkSession, path: String) {
     }
     val staleStages = all.collect {
       case st if st.isDirectory && st.getPath.getName.startsWith(".stage-") &&
-          now - st.getModificationTime >= minAgeMs &&
+          now - LogStore.newestMtime(fs, st) >= minAgeMs &&
           fs.delete(st.getPath, true) => st.getPath.toString
     }
     deletedData ++ deletedManifests ++ orphanCparts ++ staleStages
@@ -247,6 +257,24 @@ object LogStore {
     val rs = """"([^"]+)"""".r.findAllMatchIn(arr).map(_.group(1)).toSeq
     (c, rs)
   }
+
+  /** Newest modification time anywhere under `st`'s tree (the stage-dir
+    * vacuum age basis — see [[LogStore.vacuumCompacted]]). Falls back to
+    * the dir's own mtime when the tree vanishes mid-walk (a concurrent
+    * writer finishing and cleaning up: the next vacuum sees the truth).
+    */
+  private[state] def newestMtime(fs: org.apache.hadoop.fs.FileSystem,
+                                 st: org.apache.hadoop.fs.FileStatus): Long =
+    try {
+      var newest = st.getModificationTime
+      val stack = scala.collection.mutable.Stack(st)
+      while (stack.nonEmpty) {
+        val cur = stack.pop()
+        newest = math.max(newest, cur.getModificationTime)
+        if (cur.isDirectory) fs.listStatus(cur.getPath).foreach(stack.push)
+      }
+      newest
+    } catch { case _: java.io.FileNotFoundException => st.getModificationTime }
 
   private[state] def slurp(fs: org.apache.hadoop.fs.FileSystem,
                            p: org.apache.hadoop.fs.Path): String = {

@@ -257,6 +257,41 @@ class AnnIndexSpec extends SparkSpec {
     assert(AnnIndex.search(spark, dir, queries, k = 5).count() == queries.count() * 5)
   }
 
+  test("concurrent appends + duplicate replays: exactly-once, no lost-race failures") {
+    // the round-10 ADVICE pair: a lost head race to a HARMLESS
+    // concurrent append re-commits the already-staged files (same
+    // quantizer generation — no restage, and no hard IOException after
+    // 5 losses), and a duplicate (appId, writerVersion) replay that
+    // loses its race re-checks the writer watermark and skips as a
+    // no-op. Eight racing writers — four plain appends, two duplicate
+    // pairs — force the CME path through both rules.
+    val dir = tmp("race")
+    AnnIndex.build(spark, emb, dir, dim = 64, nCentroids = 16)
+    val n0 = TxTable.read(spark, dir).count()
+    def batch(tag: Long) = emb.filter($"vec_id" <= 9)
+      .select(($"vec_id" + tag).as("vec_id"), $"embedding")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val plain = (1 to 4).map { i => Future {
+      AnnIndex.append(spark, batch(700000L + i * 1000L), dir)
+    }}
+    // two writers replaying the SAME txn each: at most one commit per
+    // (appId, writerVersion) may land
+    val dup = (1 to 2).flatMap { w => (1 to 2).map { _ => Future {
+      AnnIndex.appendOnce(spark, batch(800000L + w * 1000L), dir, s"racer-$w", 1L)
+    }}}
+    val landedPlain = plain.map(Await.result(_, 120.seconds))
+    val landedDup = dup.map(Await.result(_, 120.seconds))
+    assert(landedPlain.size == 4)
+    val dupLanded = landedDup.count(_.isDefined)
+    assert(dupLanded == 2, s"each duplicate pair lands exactly once, got $dupLanded")
+    // 4 plain batches + 1 per duplicate pair, 10 rows each
+    assert(TxTable.read(spark, dir).count() == n0 + 6 * 10)
+    // and no torn generations: the index still reads + searches
+    assert(AnnIndex.search(spark, dir, queries, k = 5).count() == queries.count() * 5)
+  }
+
   test("appendOnce is exactly-once under replay (the streaming-maintainer contract)") {
     val dir = tmp("once")
     AnnIndex.build(spark, emb, dir, dim = 64, nCentroids = 16)

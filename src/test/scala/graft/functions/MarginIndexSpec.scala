@@ -83,6 +83,23 @@ class MarginIndexSpec extends SparkSpec {
     assert(MarginIndex.search(spark, dir, queries, k = 5).count() == 50)
   }
 
+  test("a query with no a-mean in the probed cells fails LOUDLY, never silently drops") {
+    // the query-side a-mean rides the pruned read on the own-cell-is-
+    // top-1-probe invariant; a contract violation (non-member query —
+    // or, pathologically, an exact probe tie at tiny nProbe) must
+    // surface as an error, not a missing query in the output
+    val dir = tmp("loud")
+    MarginIndex.build(spark, emb, dir, kPerHalf = 4)
+    val alien = spark.createDataFrame(Seq(
+      (999999L, Array.fill(64)(0.123))
+    )).toDF("query_id", "query_vec")
+    val ex = intercept[IllegalArgumentException] {
+      MarginIndex.search(spark, dir, alien, k = 5).collect()
+    }
+    assert(ex.getMessage.contains("999999"),
+      s"the error must name the dropped query id: ${ex.getMessage}")
+  }
+
   test("an empty query set returns an empty result, not a scan error") {
     val dir = tmp("empty")
     MarginIndex.build(spark, emb, dir, kPerHalf = 4)
