@@ -4406,6 +4406,83 @@ object SparkEntry {
         .select(col("query_id"), col("n_hits"),
           expr("(10000 * n_hits) div 5").as("recall_bp"))
     }),
+
+    // V — INCREMENTAL SemDeDup against the standing corpus (round 11):
+    // the float-vector corpus lands AT REST once (VecIndex — cid-
+    // partitioned TxTable, frozen fixed half codebooks in the sidecar),
+    // then a batch with planted twins of corpus vectors deduplicates
+    // against it via a map-only frozen assignment + a pruned read of
+    // ONLY the batch's own cells — per-batch cost ∝ batch, the corpus
+    // is never rescanned or retrained. The oracle replays the
+    // batch-inclusive FULL-corpus q237 run (seeds = the 4 lowest-id
+    // CORPUS vectors — the build's derivation) restricted to batch
+    // ids, which the loser rule makes exactly equal: a batch row drops
+    // iff some same-cell lower-id row (standing member or batch-mate)
+    // is within threshold, and standing losers still kill.
+    "q242_semdedup_incr_at" -> ((s, dir) => {
+      val ev = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val corpus = ev.filter(col("vec_id") % 5 =!= 0)
+      val batch = ev.filter(col("vec_id") % 5 === 0)
+        .unionByName(corpus.filter(col("vec_id") < 30)
+          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q242").toString
+      val table = s"$tmp/vec_idx"
+      functions.VecIndex.build(s, corpus, table, kPerHalf = 4, iters = 0)
+      functions.VecIndex.dedupBatch(s, table, batch)
+    }),
+
+    // K — the float-IVF family AT REST (round 11): q237's fixed-
+    // codebook IMI geometry lands as a VecIndex and the cosine search
+    // runs probe → pruned read → exact cosine → top-k, replaying the
+    // in-session ivfTopKImi value for value through the storage round
+    // trip (the q235/q239 pattern for the float family — training and
+    // assignment become build cost; a search opens only its probed
+    // cells' files).
+    "q243_vec_index_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") <= 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q243").toString
+      val table = s"$tmp/vec_idx"
+      functions.VecIndex.build(s, emb, table, kPerHalf = 4, iters = 0)
+      functions.VecIndex.search(s, table, queries, k = 10, nProbe = 8)
+    }),
+
+    // V — incremental a-mean maintenance for the at-rest margin index
+    // (round 11): build on a subset, grow it through TWO appends that
+    // repair only the invalidated a-means (discovered via the probe
+    // inverted partitions, recomputed over the exact candidate pool),
+    // then compare search over queries spanning original AND appended
+    // rows against the full in-session marginTopKImi at the frozen
+    // codebooks. The q234 self-parity pattern: the gate's contract IS
+    // the constant 0 — the margin computation itself is independently
+    // oracle-replayed by q241 at this geometry.
+    "q244_margin_incr_parity" -> ((s, dir) => {
+      val ev = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val corpus = ev.filter(col("vec_id") < 300)
+      val b1 = ev.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+      val b2 = ev.filter(col("vec_id") >= 400)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q244").toString
+      val idx = s"$tmp/margin_idx"
+      functions.MarginIndex.build(s, corpus, idx, kPerHalf = 4, nProbe = 8)
+      val meta = functions.MarginIndex.readMeta(s, idx)
+      functions.MarginIndex.append(s, b1, idx)
+      functions.MarginIndex.append(s, b2, idx)
+      val q = ev.filter(col("vec_id") <= 4 ||
+          (col("vec_id") >= 300 && col("vec_id") <= 304))
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+        .localCheckpoint(true)
+      // each leg feeds BOTH sides of the symmetric difference —
+      // materialize once (the recompute-detector discipline)
+      val atRest = functions.MarginIndex.search(s, idx, q, k = 5)
+        .localCheckpoint(true)
+      val inSession = functions.Similarity.marginTopKImi(q, ev, k = 5,
+          kPerHalf = 4, nProbe = 8,
+          codebooksOpt = Some((meta.cb1, meta.cb2)))
+        .localCheckpoint(true)
+      atRest.exceptAll(inSession).union(inSession.exceptAll(atRest))
+        .agg(count(lit(1)).cast("long").as("n_diff"))
+    }),
   )
 
   // ----------------------------------------------------------- bench-only
@@ -5256,6 +5333,11 @@ object SparkEntry {
     // the parity gate's contract IS the constant: both plan shapes of
     // the same exact-integer ranking must agree row for row
     "q234_ivfpq_table_parity" ->
+      "SELECT CAST(0 AS BIGINT) AS n_diff",
+    // same self-parity contract: the incrementally-maintained at-rest
+    // margin state must agree row for row with the full in-session run
+    // (whose math q241 oracle-replays at this geometry)
+    "q244_margin_incr_parity" ->
       "SELECT CAST(0 AS BIGINT) AS n_diff",
     "q92_bpe_merged" ->
       s"""WITH RECURSIVE $bpeCtes
@@ -7494,6 +7576,97 @@ object SparkEntry {
              / (sqrt(list_dot_product(ex.v, ex.v)) * sqrt(list_dot_product(ey.v, ey.v))) >= 0.95)
          SELECT vec_id, cluster_id FROM a
          WHERE vec_id NOT IN (SELECT vec_id FROM losers)""",
+    // q237's batch-inclusive full run with the seeds drawn from the
+    // CORPUS subset (the at-rest build's derivation), restricted to
+    // batch ids — the incremental dedupBatch contract: a batch row
+    // drops iff some same-cell lower-id row (standing member or
+    // batch-mate) is within threshold
+    "q242_semdedup_incr_at" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         corp AS (SELECT vec_id, v FROM e WHERE vec_id % 5 <> 0),
+         bat AS (SELECT vec_id, v FROM e WHERE vec_id % 5 = 0
+                 UNION ALL
+                 SELECT vec_id + 100000, v FROM corp WHERE vec_id < 30),
+         allr AS (SELECT vec_id, v FROM corp UNION ALL SELECT vec_id, v FROM bat),
+         h AS (SELECT vec_id, v[1:32] AS v1, v[33:64] AS v2 FROM allr),
+         cb AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+                       v[1:32] AS c1, v[33:64] AS c2
+                FROM (SELECT vec_id, v FROM corp ORDER BY vec_id LIMIT 4)),
+         d1 AS (SELECT h.vec_id, cb.cid,
+                  list_dot_product(cb.c1, cb.c1) - 2 * list_dot_product(h.v1, cb.c1) AS dist
+                FROM h CROSS JOIN cb),
+         a1 AS (SELECT vec_id, cid AS g1 FROM (
+                  SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                  FROM d1) WHERE rn = 1),
+         d2 AS (SELECT h.vec_id, cb.cid,
+                  list_dot_product(cb.c2, cb.c2) - 2 * list_dot_product(h.v2, cb.c2) AS dist
+                FROM h CROSS JOIN cb),
+         a2 AS (SELECT vec_id, cid AS g2 FROM (
+                  SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                  FROM d2) WHERE rn = 1),
+         a AS (SELECT a1.vec_id, CAST(a1.g1 * 4 + a2.g2 AS BIGINT) AS cluster_id
+               FROM a1 JOIN a2 ON a2.vec_id = a1.vec_id),
+         losers AS (
+           SELECT DISTINCT y.vec_id
+           FROM a x JOIN a y ON y.cluster_id = x.cluster_id AND y.vec_id > x.vec_id
+           JOIN allr ex ON ex.vec_id = x.vec_id
+           JOIN allr ey ON ey.vec_id = y.vec_id
+           WHERE (y.vec_id % 5 = 0 OR y.vec_id >= 100000)
+             AND list_dot_product(ex.v, ey.v)
+               / (sqrt(list_dot_product(ex.v, ex.v)) * sqrt(list_dot_product(ey.v, ey.v))) >= 0.95)
+         SELECT a.vec_id, a.cluster_id FROM a
+         JOIN bat b ON b.vec_id = a.vec_id
+         WHERE a.vec_id NOT IN (SELECT vec_id FROM losers)""",
+    // q237's fixed-codebook assignment + the multi-sequence probe (top-8
+    // cells by d1+d2, ties to the lowest composite cid — the padded
+    // half distances differ from these by exact-zero products only) +
+    // exact cosine over the probed cells' members, top-10 by
+    // (cos desc, id asc) — replayed through the at-rest round trip
+    "q243_vec_index_ivf" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         h AS (SELECT vec_id, v[1:32] AS v1, v[33:64] AS v2 FROM e),
+         cb AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+                       v[1:32] AS c1, v[33:64] AS c2
+                FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4)),
+         d1 AS (SELECT h.vec_id, cb.cid,
+                  list_dot_product(cb.c1, cb.c1) - 2 * list_dot_product(h.v1, cb.c1) AS dist
+                FROM h CROSS JOIN cb),
+         a1 AS (SELECT vec_id, cid AS g1 FROM (
+                  SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                  FROM d1) WHERE rn = 1),
+         d2 AS (SELECT h.vec_id, cb.cid,
+                  list_dot_product(cb.c2, cb.c2) - 2 * list_dot_product(h.v2, cb.c2) AS dist
+                FROM h CROSS JOIN cb),
+         a2 AS (SELECT vec_id, cid AS g2 FROM (
+                  SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                  FROM d2) WHERE rn = 1),
+         a AS (SELECT a1.vec_id, CAST(a1.g1 * 4 + a2.g2 AS BIGINT) AS cluster_id
+               FROM a1 JOIN a2 ON a2.vec_id = a1.vec_id),
+         qp AS (SELECT d1.vec_id AS query_id,
+                  CAST(d1.cid * 4 + d2.cid AS BIGINT) AS cid,
+                  d1.dist + d2.dist AS d
+                FROM d1 JOIN d2 ON d2.vec_id = d1.vec_id
+                WHERE d1.vec_id <= 20),
+         probe AS (SELECT query_id, cid FROM (
+                     SELECT query_id, cid,
+                       row_number() OVER (PARTITION BY query_id ORDER BY d, cid) AS rn
+                     FROM qp) WHERE rn <= 8),
+         cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+                  FROM probe p JOIN a ON a.cluster_id = p.cid
+                  WHERE a.vec_id <> p.query_id),
+         sc AS (SELECT c.query_id, c.neighbor_id,
+                  list_dot_product(qe.v, ce.v)
+                    / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))) AS cos
+                FROM cand c JOIN e qe ON qe.vec_id = c.query_id
+                JOIN e ce ON ce.vec_id = c.neighbor_id)
+         SELECT query_id, neighbor_id, cos FROM (
+           SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+           FROM sc) WHERE rn <= 10""",
     // 3 unrolled row/col scaling passes, integer ppm weights; window
     // sums over BIGINT cells are exact, so every division replays
     "q158_ipf_raking" ->

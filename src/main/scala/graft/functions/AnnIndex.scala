@@ -452,7 +452,22 @@ object AnnIndex {
   private def appendImpl(spark: SparkSession, newRows: DataFrame, table: String,
                          cId: String, cVec: String, maxRecordsPerFile: Long,
                          recordDrift: Boolean,
-                         txn: Option[(String, Long)]): Option[Long] = {
+                         txn: Option[(String, Long)]): Option[Long] =
+    appendLoop(spark, table, hash => {
+      val (meta, _) = readMetaAt(spark, table, hash)
+      encodeWith(meta, hash, newRows, cId, cVec)
+    }, maxRecordsPerFile, recordDrift, txn)
+
+  /** The loop body of [[appendImpl]], parameterized by the frozen-meta
+    * encoder (`hash => rows tagged with that hash, cid-assigned`) so
+    * sibling index layouts ([[VecIndex]], [[MarginIndex]]) share the
+    * race discipline and the drift sidecars without sharing a schema.
+    */
+  private[functions] def appendLoop(spark: SparkSession, table: String,
+                                    encode: String => DataFrame,
+                                    maxRecordsPerFile: Long,
+                                    recordDrift: Boolean,
+                                    txn: Option[(String, Long)]): Option[Long] = {
     var attempt = 0
     var staged: Seq[String] = Nil
     var stagedHash: String = null
@@ -471,8 +486,7 @@ object AnnIndex {
       val hash = currentMetaHash(spark, table)
       if (staged.isEmpty || stagedHash != hash) {
         dropStaged()
-        val (meta, _) = readMetaAt(spark, table, hash)
-        val encoded = encodeWith(meta, hash, newRows, cId, cVec)
+        val encoded = encode(hash)
         staged = TxTable.stageBatch(spark, encoded.repartition(col("cid")),
           table, partitionBy = Seq("cid"), maxRecordsPerFile = maxRecordsPerFile)
         stats = TxTable.fileStats(spark, table, staged, Seq("cid", QzCol))

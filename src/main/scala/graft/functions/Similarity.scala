@@ -623,11 +623,12 @@ object Similarity {
                  qId: String = "query_id", qVec: String = "query_vec",
                  cId: String = "vec_id", cVec: String = "embedding",
                  targetClusterSize: Long = ImiTargetClusterSize,
-                 maxTrainRows: Long = MaxTrainRows): DataFrame = {
+                 maxTrainRows: Long = MaxTrainRows,
+                 codebooksOpt: Option[(Array[Array[Double]], Array[Array[Double]])] = None): DataFrame = {
     val c0 = corpus.select(col(cId).as("id"), asDouble(col(cVec)).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     ivfTopKImiOn(queries, c0, c0.count(), k, kPerHalf, nProbe, iters,
-      qId, qVec, maxTrainRows, targetClusterSize)
+      qId, qVec, maxTrainRows, targetClusterSize, codebooksOpt)
   }
 
   /** [[ivfTopKImi]] over an ALREADY-persisted, counted (id, v)
@@ -638,9 +639,13 @@ object Similarity {
                            kPerHalf: Int, nProbe: Int, iters: Int,
                            qId: String, qVec: String,
                            maxTrainRows: Long,
-                           targetClusterSize: Long = ImiTargetClusterSize): DataFrame = {
+                           targetClusterSize: Long = ImiTargetClusterSize,
+                           codebooksOpt: Option[(Array[Array[Double]], Array[Array[Double]])] = None): DataFrame = {
     val kH = if (kPerHalf > 0) kPerHalf else imiHalfCentroids(n, targetClusterSize)
-    val (cb1, cb2) = imiTrainedHalfCodebooks(c0, kH, iters, n, maxTrainRows)
+    // codebooksOpt: run against FROZEN half codebooks (the at-rest
+    // [[VecIndex]] parity seam) instead of training in-session
+    val (cb1, cb2) = codebooksOpt.getOrElse(
+      imiTrainedHalfCodebooks(c0, kH, iters, n, maxTrainRows))
     val dim = cb1.head.length + cb2.head.length
     val cb1p = imiPad(cb1, dim, padHead = false)
     val cb2p = imiPad(cb2, dim, padHead = true)
@@ -1369,7 +1374,7 @@ object Similarity {
     * applied per half. `c0` = (id, v). Also derives the split point:
     * h = dim/2 (first half gets the extra coordinate on odd dims).
     */
-  private def imiFixedHalfCodebooks(c0: DataFrame,
+  private[functions] def imiFixedHalfCodebooks(c0: DataFrame,
                                     k: Int): (Array[Array[Double]], Array[Array[Double]]) = {
     val rows = c0.orderBy(col("id")).limit(k)
       .select(col("v")).collect()
@@ -1462,11 +1467,16 @@ object Similarity {
     */
   def semDedupImi(df: DataFrame, idCol: String, vecCol: String,
                   kPerHalf: Int = 0, threshold: Double = 0.95,
-                  targetClusterSize: Long = ImiTargetClusterSize): DataFrame = {
+                  targetClusterSize: Long = ImiTargetClusterSize,
+                  codebooksOpt: Option[(Array[Array[Double]], Array[Array[Double]])] = None): DataFrame = {
     val c0 = df.select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
-    val k = if (kPerHalf > 0) kPerHalf
-      else imiHalfCentroids(c0.count(), targetClusterSize)
-    val (cb1, cb2) = imiFixedHalfCodebooks(c0, k)
+    // codebooksOpt: prune against FROZEN half codebooks (the at-rest
+    // [[VecIndex.dedupBatch]] parity seam) instead of deriving in-run
+    val (cb1, cb2) = codebooksOpt.getOrElse {
+      val k = if (kPerHalf > 0) kPerHalf
+        else imiHalfCentroids(c0.count(), targetClusterSize)
+      imiFixedHalfCodebooks(c0, k)
+    }
     val dim = cb1.head.length + cb2.head.length
     // assignment materialized ONCE (eager, GC-released): three plan
     // branches consume it and the two-argmin cell id must not re-run
@@ -1822,13 +1832,28 @@ object Similarity {
     * (id, v, cid, __cn, __s1, __s2) relation. Output (id, a).
     */
   private[functions] def imiSelfKnnAMeans(assigned: DataFrame, k2: Int,
-                                          nProbe: Int, knn: Int): DataFrame = {
-    val probesV = assigned
+                                          nProbe: Int, knn: Int): DataFrame =
+    imiKnnAMeansOver(assigned,
+      assigned.select(col("cid"), col("id"), col("v"), col("__cn")),
+      k2, nProbe, knn)
+
+  /** The a-mean leg with an ASYMMETRIC candidate relation: `probeSide`
+    * = the rows needing an a-mean (id, v, __cn, __s1, __s2 — probe
+    * slices STAGED, the lambda-audit rule), `members` = the candidate
+    * pool (cid, id, v, __cn). [[imiSelfKnnAMeans]] is the symmetric
+    * special case; [[MarginIndex.append]] recomputes a-means for the
+    * TOUCHED rows only by restricting `probeSide` while keeping
+    * `members` exact — same definitions, so incremental a-means are
+    * bit-identical to a full pass.
+    */
+  private[functions] def imiKnnAMeansOver(probeSide: DataFrame, members: DataFrame,
+                                          k2: Int, nProbe: Int, knn: Int): DataFrame = {
+    val probesV = probeSide
       .select(col("id").as("__qid"), col("v").as("__qv"), col("__cn").as("__qn"),
         explode_outer(imiProbeCellsOf(col("__s1"), col("__s2"), k2,
           nProbe)).as("cid"))
       .filter(col("cid").isNotNull)
-    val selfScored = assigned.select(col("cid"), col("id"), col("v"), col("__cn"))
+    val selfScored = members
       .join(probesV, Seq("cid"))
       .filter(col("__qid") =!= col("id"))
       .select(col("__qid").as("__mq"), col("id").as("neighbor_id"),

@@ -1,0 +1,63 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Margin-index incremental maintenance probe (VERDICT r10 item 2):
+  * the r10 index was rebuild-only, so a daily-refresh alignment
+  * pipeline paid the full train + assign + self-kNN build per batch
+  * (211.5 s-class at 100×); [[graft.functions.MarginIndex.append]]
+  * repairs only the a-means a batch invalidates. The claim to measure:
+  * refresh cost ∝ touched neighborhood (batch cells + affected rows'
+  * probe cells), NOT corpus. This probe:
+  *
+  *  1. builds once on 99% of the deck (derived geometry) — the
+  *     rebuild-per-batch cost an operator would otherwise pay,
+  *  2. appends the held-out 1% in five 0.2% batches, per append
+  *     reporting wall, files rewritten vs kept (the touched-partition
+  *     footprint), and a fixed 10-query search wall after it,
+  *  3. prints the rebuild:append ratio — the steady-state win.
+  *
+  * Run over ImiScaleAb/SemDedupIncrAb `gen` decks:
+  * `runMain graft.tools.MarginIncrAb <dir>` (expects embeddings.parquet).
+  */
+object MarginIncrAb {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val corpus = emb.filter(col("vec_id") % 500 >= 5)
+    val idx = java.nio.file.Files.createTempDirectory("graft_mincr")
+      .toString + "/idx"
+    var t0 = System.nanoTime()
+    graft.functions.MarginIndex.build(spark, corpus, idx)
+    val buildS = (System.nanoTime() - t0) / 1e9
+    println(f"[mincr] build(${corpus.count()}%,d rows) once: $buildS%.1f s")
+    val queries = emb.filter(col("vec_id") % 500 >= 5 && col("vec_id") <= 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+
+    var appendTotal = 0.0
+    (0 until 5).foreach { i =>
+      val batch = emb.filter(col("vec_id") % 500 === i)
+      val before = graft.sink.TxTable.currentFiles(spark, idx).toSet
+      t0 = System.nanoTime()
+      graft.functions.MarginIndex.append(spark, batch, idx)
+      val w = (System.nanoTime() - t0) / 1e9
+      appendTotal += w
+      val after = graft.sink.TxTable.currentFiles(spark, idx).toSet
+      t0 = System.nanoTime()
+      val rows = graft.functions.MarginIndex.search(spark, idx, queries, k = 5).count()
+      val sW = (System.nanoTime() - t0) / 1e9
+      println(f"[mincr] append $i (${batch.count()}%,d rows): $w%6.1f s " +
+        f"rewrote=${(before -- after).size}%3d kept=${(before & after).size}%4d " +
+        f"added=${(after -- before).size}%3d search=$sW%5.2f s rows=$rows")
+    }
+    println(f"[mincr] rebuild-per-batch would cost ~$buildS%.1f s x5 = ${buildS * 5}%.1f s; " +
+      f"incremental appends cost $appendTotal%.1f s (${buildS * 5 / appendTotal}%.1fx)")
+    spark.stop()
+  }
+}

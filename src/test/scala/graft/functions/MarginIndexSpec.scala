@@ -62,7 +62,13 @@ class MarginIndexSpec extends SparkSpec {
     // file list must be a strict subset of the committed files
     assert(MarginIndex.search(spark, dir, one, k = 3).count() == 3)
     val probed = (0 until 16).map(_.toLong).toSet // upper bound: all cells
-    assert(MarginIndex.probedFiles(spark, dir, probed).toSet == all.toSet)
+    // all REAL cells cover every data file; the probe inverted
+    // partitions (cid >= 16) stay out of any search's read set
+    val cidOf = "cid=(\\d+)/".r
+    val dataFiles = all.filter(f =>
+      cidOf.findFirstMatchIn(f).exists(_.group(1).toLong < 16L)).toSet
+    assert(dataFiles.nonEmpty && dataFiles.size < all.size)
+    assert(MarginIndex.probedFiles(spark, dir, probed).toSet == dataFiles)
     // a single cell prunes to that cell's files only
     val cell0 = MarginIndex.probedFiles(spark, dir, Set(0L))
     assert(cell0.nonEmpty && cell0.size < all.size,
@@ -72,14 +78,72 @@ class MarginIndexSpec extends SparkSpec {
   test("rebuild replaces the index atomically (one commit, new codebook generation)") {
     val dir = tmp("rebuild")
     MarginIndex.build(spark, emb, dir, kPerHalf = 4)
-    val n0 = TxTable.read(spark, dir).count()
+    // data rows (probe inverted rows carry a null payload)
+    def dataRows() = TxTable.read(spark, dir).filter($"cn".isNotNull).count()
+    val n0 = dataRows()
+    assert(n0 == emb.count())
     val gen0 = AnnIndex.currentMetaHash(spark, dir)
     MarginIndex.build(spark, emb, dir, kPerHalf = 2)
-    assert(TxTable.read(spark, dir).count() == n0,
-      "rebuild must swap, not append")
+    assert(dataRows() == n0, "rebuild must swap, not append")
     assert(AnnIndex.currentMetaHash(spark, dir) != gen0)
     assert(MarginIndex.readMeta(spark, dir).cb1.length == 2)
     // still answers, at the new geometry
+    assert(MarginIndex.search(spark, dir, queries, k = 5).count() == 50)
+  }
+
+  test("append repairs exactly the invalidated a-means: search ≡ the grown in-session run") {
+    val ev = emb.select($"vec_id", $"embedding")
+    val corpus = ev.filter($"vec_id" < 300)
+    val b1 = ev.filter($"vec_id" >= 300 && $"vec_id" < 400)
+    val b2 = ev.filter($"vec_id" >= 400)
+    val dir = tmp("incr")
+    MarginIndex.build(spark, corpus, dir, kPerHalf = 4, nProbe = 8)
+    val meta = MarginIndex.readMeta(spark, dir)
+    MarginIndex.append(spark, b1, dir)
+    MarginIndex.append(spark, b2, dir)
+    // queries span original corpus AND appended rows
+    val q = ev.filter($"vec_id" <= 4 || ($"vec_id" >= 300 && $"vec_id" <= 304))
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val atRest = resultSet(MarginIndex.search(spark, dir, q, k = 5))
+    val inSession = resultSet(Similarity.marginTopKImi(q, ev, k = 5,
+      kPerHalf = 4, nProbe = 8, codebooksOpt = Some((meta.cb1, meta.cb2))))
+    assert(atRest == inSession,
+      "post-append state must be bit-identical to the full in-session run")
+  }
+
+  test("append rewrites only the touched partitions (cost ∝ neighborhood, not corpus)") {
+    val ev = emb.select($"vec_id", $"embedding")
+    val corpus = ev.filter($"vec_id" < 450)
+    val dir = tmp("touch")
+    MarginIndex.build(spark, corpus, dir, kPerHalf = 4, nProbe = 2)
+    val before = TxTable.currentFiles(spark, dir).toSet
+    // a single appended vector touches its own cell's neighborhood only
+    MarginIndex.append(spark, ev.filter($"vec_id" === 450), dir)
+    val after = TxTable.currentFiles(spark, dir).toSet
+    val kept = before & after
+    assert(kept.nonEmpty,
+      s"an append of one vector must keep untouched partitions' files " +
+        s"(kept ${kept.size} of ${before.size})")
+    // and the removed set is confined to real-cell partitions (probe
+    // partitions, cid >= 16 at this 4x4 grid, are append-only)
+    val removed = before -- after
+    val cidOf = "cid=(\\d+)/".r
+    assert(removed.forall(f =>
+        cidOf.findFirstMatchIn(f).exists(_.group(1).toLong < 16L)),
+      s"unexpectedly rewrote probe partitions: $removed")
+  }
+
+  test("appendOnce is exactly-once under replay") {
+    val ev = emb.select($"vec_id", $"embedding")
+    val corpus = ev.filter($"vec_id" < 450)
+    val batch = ev.filter($"vec_id" >= 450)
+    val dir = tmp("once")
+    MarginIndex.build(spark, corpus, dir, kPerHalf = 4)
+    assert(MarginIndex.appendOnce(spark, batch, dir, "m", 1L).isDefined)
+    val v = graft.sink.TxTable.headVersion(spark, dir)
+    assert(MarginIndex.appendOnce(spark, batch, dir, "m", 1L).isEmpty)
+    assert(graft.sink.TxTable.headVersion(spark, dir) == v,
+      "a replayed batch must publish nothing")
     assert(MarginIndex.search(spark, dir, queries, k = 5).count() == 50)
   }
 
