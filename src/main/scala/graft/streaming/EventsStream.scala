@@ -334,7 +334,8 @@ object EventsStream {
   def runAnnIndexMaintainer(spark: SparkSession, stagingDir: String,
                             schema: org.apache.spark.sql.types.StructType,
                             indexTable: String, checkpointDir: String,
-                            appId: String = "ann-maintainer"): Unit = {
+                            appId: String = "ann-maintainer",
+                            maxFilesPerList: Double = 3.0): Unit = {
     import org.apache.spark.sql.Row
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
@@ -344,6 +345,17 @@ object EventsStream {
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         graft.functions.AnnIndex.appendOnce(spark, batch.toDF(), indexTable,
           appId, batchId)
+        // the AnnChurnAb-measured cadence as part of the maintainer
+        // loop, not an operator chore: each append adds up to one file
+        // per touched list, and the churn probe showed search cost
+        // growing linearly in appends-since-compaction — so the
+        // maintainer compacts whenever the commit-log-only ratio check
+        // trips (idempotent; a replayed batch skips the append but the
+        // ratio check re-runs harmlessly). Compaction is its own
+        // conflict-checked commit AFTER the append's, so a crash
+        // between them just leaves the ratio to the next batch.
+        graft.functions.AnnIndex.compactIfNeeded(spark, indexTable,
+          maxFilesPerList = maxFilesPerList)
         ()
       }
       .start()
