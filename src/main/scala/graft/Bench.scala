@@ -55,6 +55,22 @@ object Bench {
         try run(fn, warmDir) catch { case _: Throwable => () }
         spark.catalog.clearCache()
       }
+    // the multimodal codec family JIT-compiles slowly (MediaBenchAb,
+    // round 11: sample 1 carried 14 s of compilation on q34, 5.7 s on
+    // q134, zero GC — the mapPartitions codec bodies are large and the
+    // 500-doc sf0.001 warm pass leaves them interpreted), and under a
+    // busy suite the compiler backlog bled into the timed medians
+    // (the r10 2.6-6.4 s elevation, code untouched). One extra warm
+    // pass at the TARGET sf reaches the compile thresholds before
+    // timing; the family synthesizes its bytes from doc ids, so this
+    // warms CODE only — no data-cache advantage over other entries.
+    val mediaFamily = Seq("q34_multimodal_decode", "q35_media_features",
+      "q102_video_frame_stats", "q134_image_ahash_dups", "q86_wav_pcm_stats",
+      "q168_audio_segments")
+    mediaFamily.filter(timed.contains).foreach { name =>
+      try run(timed(name), sfDir) catch { case _: Throwable => () }
+      spark.catalog.clearCache()
+    }
     val names = timed.keys.toSeq.sorted
     val samples = scala.collection.mutable.Map[String, List[Double]]().withDefaultValue(Nil)
     // setup seconds = eager work inside the query-constructor LAMBDA,

@@ -4514,6 +4514,21 @@ object SparkEntry {
   private val marginBenchIndexes =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Memoized at-rest VecIndex (trained, derived geometry) per (process,
+    * sf dir) — the b242/b243 twins time steady-state dedup/search, not
+    * the one-time build (the marginBenchIndex discipline).
+    */
+  private val vecBenchIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def vecBenchIndex(s: SparkSession, dir: String): String =
+    vecBenchIndexes.computeIfAbsent(dir, _ => {
+      val idx = java.nio.file.Files.createTempDirectory("graft-benchvec")
+        .toString + "/idx"
+      functions.VecIndex.build(s, t(s, dir, "embeddings"), idx, kPerHalf = 4)
+      idx
+    })
+
   private def marginBenchIndex(s: SparkSession, dir: String): String =
     marginBenchIndexes.computeIfAbsent(dir, _ => {
       val idx = java.nio.file.Files.createTempDirectory("graft-benchmargin")
@@ -4671,6 +4686,24 @@ object SparkEntry {
       val table = s"$tmp/ann_idx"
       functions.AnnIndex.build(s, emb, table, dim = 64)
       functions.AnnIndex.search(s, table, queries, k = 10)
+    }),
+    // round 11: the VecIndex steady states, against a MEMOIZED trained
+    // index (the marginBenchIndex discipline — builds are one-time
+    // production cost; these twins time what a daily run actually pays)
+    "b242_semdedup_incr" -> ((s, dir) => {
+      val idx = vecBenchIndex(s, dir)
+      // the daily shape: a ~10% batch under fresh ids dedups against
+      // the standing corpus (plan = frozen assign + pruned-cell join)
+      val batch = t(s, dir, "embeddings").filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 5000000L).as("vec_id"), col("embedding"))
+      functions.VecIndex.dedupBatch(s, idx, batch)
+    }),
+    "b243_vec_ivf_at_rest" -> ((s, dir) => {
+      val idx = vecBenchIndex(s, dir)
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") <= 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      functions.VecIndex.search(s, idx, queries, k = 10)
     }),
     // q156's published-recipe twin: SemDeDup with TRAINED k-means
     // clusters (sampled Lloyd + matrix argmin past the literal cap) —

@@ -313,6 +313,17 @@ object AnnIndex {
     * unlike the corpus the quantizers were trained on — ADC error and
     * probe recall degrade from there. The stat is recorded, never
     * enforced: rebuild cadence is the operator's call.
+    *
+    * How to read it under GRADUAL shift (tools.DriftShiftAb, round
+    * 11): for a batch mixing fraction α of a new mode into the
+    * trained distribution, TV grows ≈ α · TV(pure new mode) — the
+    * stat is a per-batch MIXTURE ESTIMATE, linear in α. On the
+    * measured curve, new-data ADC recall had already fallen ~50% from
+    * its peak by TV ≈ 0.45, so waiting for a single batch to cross
+    * 0.5 reads the alarm late: treat 0.5 as the one-batch alarm (a
+    * mostly-shifted batch) and a SUSTAINED trailing mean ≥ ~0.3 —
+    * above the measured 0.23-0.26 in-distribution noise floor — as
+    * the rebuild trigger for slow mixture rotation.
     */
   val DriftThreshold: Double = 0.5
 

@@ -48,17 +48,23 @@ import graft.sink.TxTable
   * never touch them) — and an append:
   *
   *  1. assigns the batch with the frozen codebooks (map-only),
-  *  2. finds the AFFECTED standing rows by a pruned read of just the
-  *     new cells' probe partitions,
-  *  3. recomputes a-means for affected ∪ batch rows only, over the
+  *  2. finds the CANDIDATE rows by a pruned read of just the new
+  *     cells' probe partitions, then SCREENS them exactly against the
+  *     stored displacement bound (each row keeps `ck` = its kth-kept
+  *     cosine and `nk` = its neighbor count): a row's a-mean changes
+  *     iff nk < knn or some batch vector in its probed new cells beats
+  *     ck — one cheap cosine per (candidate, relevant batch vector),
+  *  3. recomputes a-means for DISPLACED ∪ batch rows only, over the
   *     exact candidate pool ([[Similarity.imiKnnAMeansOver]] — the same
   *     definitions as the build leg, so values are bit-identical to a
   *     full pass),
-  *  4. rewrites ONLY the touched `cid=` partitions + appends the
-  *     batch's probe rows, as ONE conflict-checked commit.
+  *  4. rewrites ONLY the displaced rows' `cid=` partitions + appends
+  *     the batch's data and probe rows as NEW files, all in ONE
+  *     conflict-checked commit.
   *
-  * Per-batch cost ∝ touched neighborhood (batch cells + the affected
-  * rows' probe cells), never corpus. Like TxTable compaction, appends
+  * Per-batch cost: a screening pass ∝ candidate rows (cheap dot
+  * products) + the a-mean recompute ∝ genuinely displaced rows —
+  * never a corpus-wide kNN pass. Like TxTable compaction, appends
   * are single-maintainer: a lost head race throws rather than retries.
   * [[build]] still REPLACES the live index in one conflict-checked
   * commit, like [[AnnIndex.build]], when a retrain is warranted.
@@ -202,8 +208,8 @@ object MarginIndex {
     val rows = assigned
       .select(col("id"), col("v"), col("__cn").as("cn"), col("cid"))
       .join(nnMean, Seq("id"))
-      .select(col("id"), col("v"), col("cn"), col("a"), col("cid"),
-        col("cid").as("hc"))
+      .select(col("id"), col("v"), col("cn"), col("a"), col("ck"),
+        col("nk"), col("cid"), col("cid").as("hc"))
       .unionByName(probeRowsOf(assigned, cb2p.length,
         cb1p.length.toLong * cb2p.length, nProbe))
       .withColumn(QzCol, lit(hash))
@@ -229,6 +235,7 @@ object MarginIndex {
       .filter(col("pc").isNotNull)
       .select(col("id"), lit(null).cast("array<double>").as("v"),
         lit(null).cast("double").as("cn"), lit(null).cast("double").as("a"),
+        lit(null).cast("double").as("ck"), lit(null).cast("long").as("nk"),
         (col("pc") + lit(nCells)).as("cid"), col("hc"))
 
   /** Incremental maintenance — the round-10 verdict's rebuild-only gap
@@ -303,32 +310,62 @@ object MarginIndex {
       .map(_.getLong(0)).toSet
     if (newCells.isEmpty) return Some(head) // empty batch: nothing to repair
 
-    // 2. who probes the new cells? — one pruned read of the probe
-    // inverted partitions (cost ∝ |newCells| · occupancy, not corpus)
+    // 2. who COULD be affected? — one pruned read of the new cells'
+    // probe inverted partitions (cost ∝ |newCells| · occupancy, not
+    // corpus): the candidate rows, each paired with the new cell(s) of
+    // its probe set so the screen below scores exactly the right pairs
     val probeFiles = AnnIndex.probedFiles(spark, table, newCells.map(_ + nCells))
-    val affected = (if (probeFiles.isEmpty)
-        Seq.empty[(Long, Long)].toDF("id", "hc")
+    val candPairs = (if (probeFiles.isEmpty)
+        Seq.empty[(Long, Long, Long)].toDF("id", "hc", "pc")
       else TxTable.readFiles(spark, table, probeFiles)
-        .select(col("id"), col("hc")).distinct())
-      .localCheckpoint(true) // consumed: home-cell collect + two joins
-    val affectedCells = affected.select(col("hc")).distinct().collect()
+        .select(col("id"), col("hc").cast("long").as("hc"),
+          (col("cid").cast("long") - nCells).as("pc")))
+      .localCheckpoint(true) // consumed: home collect + screen join
+
+    // 3. the DISPLACEMENT screen — exact, from the stored per-row
+    // bound: a candidate's a-mean changes iff its neighborhood is
+    // unsaturated (nk < knn) or some batch vector in its probed new
+    // cells beats its kth cosine (a tie carries the same VALUE into
+    // the fold either way — skipping it is exact). This is what keeps
+    // a uniform batch from degenerating to a corpus-wide recompute:
+    // the screen costs one cheap cosine per (candidate, batch-vector-
+    // in-probed-cell) pair; the expensive a-mean recompute runs only
+    // for genuinely displaced rows.
+    val candHomes = candPairs.select(col("hc")).distinct().collect()
       .map(_.getLong(0)).toSet
+    val candHomeFiles = AnnIndex.probedFiles(spark, table, candHomes)
+    val candData = (if (candHomeFiles.isEmpty)
+        Seq.empty[(Long, Seq[Double], Double, Double, Double, Long, Long)]
+          .toDF("id", "v", "cn", "a", "ck", "nk", "cid")
+      else TxTable.readFiles(spark, table, candHomeFiles)
+        .select(col("id"), col("v"), col("cn"), col("a"), col("ck"),
+          col("nk"), col("cid").cast("long").as("cid")))
+      .localCheckpoint(true) // consumed: screen + keep/updated/affRows
+    val displaced = candPairs
+      .join(batchAssigned.select(col("cid").as("pc"), col("v").as("__bv"),
+        col("__cn").as("__bn")), Seq("pc"))
+      .join(candData.select(col("id"), col("v").as("__xv"),
+        col("cn").as("__xn"), col("ck"), col("nk")), Seq("id"))
+      .filter(col("nk") < meta.knn ||
+        Similarity.cosineWithNorms(col("__xv"), col("__bv"),
+          col("__xn"), col("__bn")) > col("ck"))
+      .select(col("id"), col("hc")).distinct()
+      .localCheckpoint(true) // consumed: home collect + three joins
 
-    // 3. partitions to rewrite = affected homes ∪ the batch's cells
-    val rewriteCells = affectedCells ++ newCells
+    // 4. partitions to REWRITE = displaced homes only (batch rows land
+    // as ADDED files in their cells — no rewrite needed for them)
+    val rewriteCells = displaced.select(col("hc")).distinct().collect()
+      .map(_.getLong(0)).toSet
     val rewriteFiles = AnnIndex.probedFiles(spark, table, rewriteCells)
-    val rewriteMembers = (if (rewriteFiles.isEmpty)
-        Seq.empty[(Long, Seq[Double], Double, Double, Long)]
-          .toDF("id", "v", "cn", "a", "cid")
-      else TxTable.readFiles(spark, table, rewriteFiles)
-        .select(col("id"), col("v"), col("cn"), col("a"), col("cid")))
-      .localCheckpoint(true) // consumed: keep + updated + affRows
+    val rewriteMembers = candData
+      .filter(col("cid").isInCollection(
+        if (rewriteCells.isEmpty) Set(-1L) else rewriteCells))
 
-    // 4. the rows needing a fresh a-mean (affected ∪ batch), probe
+    // 5. the rows needing a fresh a-mean (displaced ∪ batch), probe
     // slices staged from their stored vectors (same frozen expression
     // as at their own insertion)
     val affRows = rewriteMembers
-      .join(affected.select(col("id")), Seq("id"))
+      .join(displaced.select(col("id")), Seq("id"))
       .select(col("id"), col("v"), col("cn").as("__cn"),
         Similarity.imiHalfProbes(cb1p, col("v"), meta.nProbe).as("__s1"),
         Similarity.imiHalfProbes(cb2p, col("v"), meta.nProbe).as("__s2"))
@@ -337,7 +374,7 @@ object MarginIndex {
       batchAssigned.select(col("id"), col("v"), col("__cn"),
         col("__s1"), col("__s2")))
 
-    // 5. the exact candidate pool: every probed cell of every needA
+    // 6. the exact candidate pool: every probed cell of every needA
     // row — standing members from a pruned read, plus the batch itself
     val candCells = needA.select(explode_outer(
         Similarity.imiProbeCellsOf(col("__s1"), col("__s2"), k2,
@@ -355,18 +392,20 @@ object MarginIndex {
     val newA = Similarity.imiKnnAMeansOver(needA, candMembers, k2,
       meta.nProbe, meta.knn).localCheckpoint(true) // updated + newMain
 
-    // 6. assemble the rewritten partitions + the batch's probe rows
+    // 7. assemble the rewritten partitions + the batch's data/probe rows
+    val outCols = Seq(col("id"), col("v"), col("cn"), col("a"), col("ck"),
+      col("nk"), col("cid"))
     val keep = rewriteMembers
-      .join(affected.select(col("id")), Seq("id"), "left_anti")
-      .select(col("id"), col("v"), col("cn"), col("a"), col("cid"))
+      .join(displaced.select(col("id")), Seq("id"), "left_anti")
+      .select(outCols: _*)
     val updated = rewriteMembers
       .select(col("id"), col("v"), col("cn"), col("cid"))
       .join(newA, Seq("id"))
-      .select(col("id"), col("v"), col("cn"), col("a"), col("cid"))
+      .select(outCols: _*)
     val newMain = batchAssigned
       .select(col("id"), col("v"), col("__cn").as("cn"), col("cid"))
       .join(newA, Seq("id"))
-      .select(col("id"), col("v"), col("cn"), col("a"), col("cid"))
+      .select(outCols: _*)
     val rows = keep.unionByName(updated).unionByName(newMain)
       .withColumn("hc", col("cid"))
       .unionByName(probeRowsOf(batchAssigned, k2, nCells, meta.nProbe))

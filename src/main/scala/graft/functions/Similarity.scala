@@ -1845,6 +1845,15 @@ object Similarity {
     * TOUCHED rows only by restricting `probeSide` while keeping
     * `members` exact — same definitions, so incremental a-means are
     * bit-identical to a full pass.
+    *
+    * Besides `a`, every row carries its DISPLACEMENT BOUND: `ck` = the
+    * smallest kept top-knn cosine and `nk` = how many neighbors the
+    * fold saw (< knn in sparse neighborhoods). A later append changes
+    * this row's a-mean iff a new vector lands in its probed cells AND
+    * (nk < knn OR its cosine exceeds ck — an exact tie carries the
+    * same VALUE into the mean either way) — the screen that keeps
+    * incremental maintenance ∝ genuinely-displaced rows instead of
+    * ∝ everyone-who-probes-a-touched-cell.
     */
   private[functions] def imiKnnAMeansOver(probeSide: DataFrame, members: DataFrame,
                                           k2: Int, nProbe: Int, knn: Int): DataFrame = {
@@ -1863,7 +1872,9 @@ object Similarity {
       .agg(sort_array(collect_list(col("cos"))).as("cs"))
       .select(col("id"),
         (aggregate(col("cs"), lit(0.0d), (acc, x) => acc + x)
-          / size(col("cs"))).as("a"))
+          / size(col("cs"))).as("a"),
+        element_at(col("cs"), 1).as("ck"),
+        size(col("cs")).cast("long").as("nk"))
   }
 
   /** Query-side IMI probe rows, SHARED by [[marginTopKImi]],

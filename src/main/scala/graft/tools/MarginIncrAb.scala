@@ -58,6 +58,28 @@ object MarginIncrAb {
     }
     println(f"[mincr] rebuild-per-batch would cost ~$buildS%.1f s x5 = ${buildS * 5}%.1f s; " +
       f"incremental appends cost $appendTotal%.1f s (${buildS * 5 / appendTotal}%.1fx)")
+
+    // the ∝-touched-cells axis, isolated: a CONCENTRATED batch (twins
+    // of rows from ONE cell — identical vectors land in the same cell)
+    // touches only that cell's probe neighborhood, where the uniform
+    // batches above scatter over ~every cell and the affected set
+    // approaches the corpus (the honest worst case). The delta between
+    // these two walls IS the locality term.
+    val oneCell = graft.sink.TxTable.read(spark, idx)
+      .filter(col("cn").isNotNull)
+      .filter(col("cid") === col("cid")) // force a concrete read below
+    val topCell = oneCell.groupBy(col("cid")).count()
+      .orderBy(col("count").desc).first().get(0).toString.toLong
+    val concentrated = oneCell.filter(col("cid") === topCell)
+      .select((col("id") + 90000000L).as("vec_id"),
+        col("v").as("embedding")).limit(400)
+    val before = graft.sink.TxTable.currentFiles(spark, idx).toSet
+    t0 = System.nanoTime()
+    graft.functions.MarginIndex.append(spark, concentrated, idx)
+    val wC = (System.nanoTime() - t0) / 1e9
+    val after = graft.sink.TxTable.currentFiles(spark, idx).toSet
+    println(f"[mincr] concentrated append (${concentrated.count()}%,d rows, 1 cell): " +
+      f"$wC%6.1f s rewrote=${(before -- after).size} kept=${(before & after).size}")
     spark.stop()
   }
 }
