@@ -362,6 +362,57 @@ object EventsStream {
     try { q.processAllAvailable() } finally q.stop()
   }
 
+  /** Structured Streaming SEMANTIC dedup maintainer — the
+    * [[runStreamingNearDupTx]] minhash loop's embedding twin (round
+    * 11, closing the r9 verdict's "semantic twin" note): each
+    * micro-batch of (vec_id, embedding) rows dedups against the
+    * STANDING at-rest corpus ([[graft.functions.VecIndex.dedupBatch]]
+    * — frozen codebooks, pruned-cell read, cost ∝ batch), records a
+    * per-row verdict (vec_id, kept) into `verdictTable`, and admits
+    * the WHOLE batch into the index (losers keep killing — the q93
+    * batch-rule contract). Both sinks are exactly-once under replay:
+    * the verdict append is a TxTable writer txn keyed by the batch id
+    * and the admission is [[graft.functions.VecIndex.appendOnce]]
+    * keyed by the same id. A crash BETWEEN the two replays the batch
+    * safely: dedupBatch is replay-stable even when the batch already
+    * landed in the index (a batch row meeting its own corpus copy is
+    * excluded by the strict idA < idB comparison, and the duplicated
+    * cross pairs collapse in the losers' distinct — verdicts
+    * recompute bit-identically), so the missing half lands and the
+    * done half skips. With monotone ids across batches the verdict
+    * stream equals the one-shot full-corpus run batch by batch (the
+    * VecIndexSpec daily-loop parity, streamed).
+    */
+  def runSemDedupMaintainer(spark: SparkSession, stagingDir: String,
+                            schema: org.apache.spark.sql.types.StructType,
+                            indexTable: String, verdictTable: String,
+                            checkpointDir: String,
+                            appId: String = "semdedup-maintainer",
+                            threshold: Double = 0.95): Unit = {
+    import org.apache.spark.sql.Row
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stagingDir)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val b = batch.toDF().localCheckpoint(true) // verdicts + admission
+        val survivors = graft.functions.VecIndex
+          .dedupBatch(spark, indexTable, b, threshold = threshold)
+          .select(col("vec_id"), lit(true).as("kept"))
+        val verdicts = b.select(col("vec_id").cast("long").as("vec_id"))
+          .join(survivors, Seq("vec_id"), "left")
+          .select(col("vec_id"), coalesce(col("kept"), lit(false)).as("kept"))
+        graft.sink.TxTable.appendOnce(spark, verdicts, verdictTable,
+          appId, batchId)
+        graft.functions.VecIndex.appendOnce(spark, b, indexTable,
+          s"$appId-idx", batchId)
+        ()
+      }
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+  }
+
   def runStreamingNearDupTx(spark: SparkSession, stagingDir: String,
                             schema: org.apache.spark.sql.types.StructType,
                             sigTable: String, maxHamming: Int = 3): Unit = {
