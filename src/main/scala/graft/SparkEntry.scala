@@ -4461,7 +4461,9 @@ object SparkEntry {
       val ev = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val corpus = ev.filter(col("vec_id") < 300)
       val b1 = ev.filter(col("vec_id") >= 300 && col("vec_id") < 400)
-      val b2 = ev.filter(col("vec_id") >= 400)
+      // bounded second batch: the gate's cost must not scale with sf —
+      // it exercises the repair machinery, not batch throughput
+      val b2 = ev.filter(col("vec_id") >= 400 && col("vec_id") < 500)
       val tmp = java.nio.file.Files.createTempDirectory("graft-q244").toString
       val idx = s"$tmp/margin_idx"
       functions.MarginIndex.build(s, corpus, idx, kPerHalf = 4, nProbe = 8)
@@ -4473,10 +4475,12 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
         .localCheckpoint(true)
       // each leg feeds BOTH sides of the symmetric difference —
-      // materialize once (the recompute-detector discipline)
+      // materialize once (the recompute-detector discipline); the
+      // in-session leg runs over exactly the GROWN corpus
+      val grown = corpus.unionByName(b1).unionByName(b2)
       val atRest = functions.MarginIndex.search(s, idx, q, k = 5)
         .localCheckpoint(true)
-      val inSession = functions.Similarity.marginTopKImi(q, ev, k = 5,
+      val inSession = functions.Similarity.marginTopKImi(q, grown, k = 5,
           kPerHalf = 4, nProbe = 8,
           codebooksOpt = Some((meta.cb1, meta.cb2)))
         .localCheckpoint(true)
