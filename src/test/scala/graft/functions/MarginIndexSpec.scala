@@ -133,6 +133,36 @@ class MarginIndexSpec extends SparkSpec {
       s"unexpectedly rewrote probe partitions: $removed")
   }
 
+  test("compaction after append churn preserves the layout, the bounds, and the search") {
+    // appends add files per batch (data cells + probe partitions);
+    // TxTable.compact(partitionBy = cid) folds them back while keeping
+    // the Hive layout, the displacement-bound columns, and bit-exact
+    // search — the AnnChurnAb cadence applied to the margin index
+    val ev = emb.select($"vec_id", $"embedding")
+    val corpus = ev.filter($"vec_id" < 400)
+    val dir = tmp("compact")
+    MarginIndex.build(spark, corpus, dir, kPerHalf = 4, nProbe = 8)
+    val meta = MarginIndex.readMeta(spark, dir)
+    (0 until 4).foreach { i =>
+      MarginIndex.append(spark,
+        ev.filter($"vec_id" >= 400 + i * 25 && $"vec_id" < 425 + i * 25), dir)
+    }
+    val q = ev.filter($"vec_id" <= 4 || $"vec_id" === 410)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val expected = resultSet(MarginIndex.search(spark, dir, q, k = 5))
+    val before = TxTable.currentFiles(spark, dir).size
+    TxTable.compact(spark, dir, targetRowsPerFile = 1000000L,
+      partitionBy = Seq("cid"))
+    val after = TxTable.currentFiles(spark, dir).size
+    assert(after < before, s"compaction must shrink files: $before -> $after")
+    assert(resultSet(MarginIndex.search(spark, dir, q, k = 5)) == expected)
+    // and the grown index still matches the in-session run exactly
+    val grown = corpus.unionByName(ev.filter($"vec_id" >= 400))
+    val inSession = resultSet(Similarity.marginTopKImi(q, grown, k = 5,
+      kPerHalf = 4, nProbe = 8, codebooksOpt = Some((meta.cb1, meta.cb2))))
+    assert(expected == inSession)
+  }
+
   test("appendOnce is exactly-once under replay") {
     val ev = emb.select($"vec_id", $"embedding")
     val corpus = ev.filter($"vec_id" < 450)
