@@ -4533,6 +4533,22 @@ object SparkEntry {
       idx
     })
 
+  /** b244's own mutable margin index + a fresh-id counter (appends
+    * mutate state — never share the search twins' fixture).
+    */
+  private val marginIncrBenchIndexes = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, java.util.concurrent.atomic.AtomicLong)]()
+
+  private def marginIncrBenchIndex(s: SparkSession,
+      dir: String): (String, java.util.concurrent.atomic.AtomicLong) =
+    marginIncrBenchIndexes.computeIfAbsent(dir, _ => {
+      val idx = java.nio.file.Files.createTempDirectory("graft-benchmincr")
+        .toString + "/idx"
+      functions.MarginIndex.build(s, t(s, dir, "embeddings"), idx,
+        kPerHalf = 4, nProbe = 8)
+      (idx, new java.util.concurrent.atomic.AtomicLong(0))
+    })
+
   private def marginBenchIndex(s: SparkSession, dir: String): String =
     marginBenchIndexes.computeIfAbsent(dir, _ => {
       val idx = java.nio.file.Files.createTempDirectory("graft-benchmargin")
@@ -4708,6 +4724,20 @@ object SparkEntry {
       val queries = emb.filter(col("vec_id") <= 20)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       functions.VecIndex.search(s, idx, queries, k = 10)
+    }),
+    // the SCREENED margin-index append steady state: one 100-row batch
+    // under fresh ids per sample against a memoized index (its own —
+    // appends mutate state, so it never shares b239's). The eager
+    // append IS the timed work; q244 times the gate (build + appends +
+    // the parity comparison), this twin isolates the daily-refresh op.
+    "b244_margin_incr_append" -> ((s, dir) => {
+      val (idx, ctr) = marginIncrBenchIndex(s, dir)
+      val tag = 10000000L + ctr.incrementAndGet() * 100000L
+      val batch = t(s, dir, "embeddings").filter(col("vec_id") < 100)
+        .select((col("vec_id") + tag).as("vec_id"), col("embedding"))
+      val v = functions.MarginIndex.append(s, batch, idx)
+      import s.implicits._
+      Seq(v).toDF("committed_version")
     }),
     // q156's published-recipe twin: SemDeDup with TRAINED k-means
     // clusters (sampled Lloyd + matrix argmin past the literal cap) —
