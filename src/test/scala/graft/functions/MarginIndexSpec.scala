@@ -133,6 +133,28 @@ class MarginIndexSpec extends SparkSpec {
       s"unexpectedly rewrote probe partitions: $removed")
   }
 
+  test("four deterministic-random appends stay bit-identical to the grown in-session run") {
+    // the displacement screen's adversarial surface is SEQUENCES: a
+    // row displaced by append 2 must carry its refreshed ck into
+    // append 3's screen, and rows skipped as exact ties must still be
+    // right later. Four hash-split random batches (the id mix
+    // interleaves: twins, fresh rows, near-dups) then ONE parity check
+    val ev = emb.select($"vec_id", $"embedding")
+    val corpus = ev.filter(pmod(hash($"vec_id"), lit(5)) === 0)
+    val parts = (1 to 4).map(i => ev.filter(pmod(hash($"vec_id"), lit(5)) === i))
+    val dir = tmp("seq")
+    MarginIndex.build(spark, corpus, dir, kPerHalf = 4, nProbe = 8)
+    val meta = MarginIndex.readMeta(spark, dir)
+    parts.foreach(b => MarginIndex.append(spark, b, dir))
+    val q = ev.filter($"vec_id" % 50 === 0) // queries across all five splits
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val atRest = resultSet(MarginIndex.search(spark, dir, q, k = 5))
+    val inSession = resultSet(Similarity.marginTopKImi(q, ev, k = 5,
+      kPerHalf = 4, nProbe = 8, codebooksOpt = Some((meta.cb1, meta.cb2))))
+    assert(atRest == inSession,
+      "state after a 4-append sequence must equal the one-shot run bit for bit")
+  }
+
   test("compaction after append churn preserves the layout, the bounds, and the search") {
     // appends add files per batch (data cells + probe partitions);
     // TxTable.compact(partitionBy = cid) folds them back while keeping

@@ -148,6 +148,34 @@ class VecIndexSpec extends SparkSpec {
     assert(VecIndex.search(spark, dir, queries, k = 5).count() == queries.count() * 5)
   }
 
+  test("the shared maintenance loop holds on this layout: drift recorded, cadence compacts") {
+    // VecIndex rides AnnIndex.appendLoop/compactIfNeeded — pin that the
+    // drift sidecars and the files-per-list cadence actually work on
+    // the float layout, not just the ADC one
+    val dir = tmp("maint")
+    VecIndex.build(spark, emb, dir, kPerHalf = 4, iters = 0)
+    val same = emb.select(($"vec_id" + 700000L).as("vec_id"), $"embedding")
+    VecIndex.append(spark, same, dir)
+    val drift = AnnIndex.driftHistory(spark, dir)
+    assert(drift.size == 1 && drift.head._2 == 0.0,
+      s"an identical-distribution append must record TV 0, got $drift")
+    (1 to 4).foreach { i =>
+      VecIndex.append(spark, emb.filter($"vec_id" <= 40)
+        .select(($"vec_id" + 800000L + i * 1000L).as("vec_id"), $"embedding"), dir)
+    }
+    assert(AnnIndex.compactIfNeeded(spark, dir).isDefined,
+      "append churn past the ratio must compact")
+    assert(AnnIndex.compactIfNeeded(spark, dir).isEmpty, "idempotent once healthy")
+    // dedup and search still answer over the compacted layout
+    val q = emb.filter($"vec_id" <= 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    assert(VecIndex.search(spark, dir, q, k = 3).count() == 18)
+    assert(VecIndex.dedupBatch(spark, dir,
+      emb.filter($"vec_id" <= 5)
+        .select(($"vec_id" + 900000L).as("vec_id"), $"embedding")).count() == 0,
+      "twins of indexed rows must all drop after compaction")
+  }
+
   test("an empty batch and an empty query set return empty results, not scan errors") {
     val dir = tmp("empty")
     VecIndex.build(spark, emb, dir, kPerHalf = 4, iters = 0)
