@@ -63,7 +63,14 @@ object Bench {
     // (the r10 2.6-6.4 s elevation, code untouched). One extra warm
     // pass at the TARGET sf reaches the compile thresholds before
     // timing; the family synthesizes its bytes from doc ids, so this
-    // warms CODE only — no data-cache advantage over other entries.
+    // warms CODE only — no SPARK-cache advantage over other entries.
+    // (Honest residual: the pass also touches the documents parquet, so
+    // the OS page cache for those files is warm on sample 1 —
+    // spark.catalog.clearCache() cannot drop that. The medians over
+    // n >= 3 samples dominate the reported numbers, and every other
+    // entry's sample 1 warms the same page cache for samples 2+, so
+    // the asymmetry is one first-sample read of a table the whole
+    // bench re-reads anyway; accepted, r11 ADVICE.)
     val mediaFamily = Seq("q34_multimodal_decode", "q35_media_features",
       "q102_video_frame_stats", "q134_image_ahash_dups", "q86_wav_pcm_stats",
       "q168_audio_segments")

@@ -205,11 +205,21 @@ object MarginIndex {
     val head = TxTable.headVersion(spark, table)
     val prior = TxTable.currentFiles(spark, table)
     val hash = writeMeta(spark, table, Meta(knn, nProbe, cb1, cb2))
+    // LEFT join: a row whose probed cells hold no OTHER row gets no
+    // a-mean group from the kNN leg. Dropping it (the pre-r12 inner
+    // join) lost its vector from the index forever — its probe rows
+    // landed but nothing could ever repair it (r11 ADVICE, medium).
+    // Store it with the SENTINEL (a/ck null, nk = 0) instead: nk = 0 <
+    // knn makes the displacement screen mark it the moment any later
+    // append lands a vector in one of its probed cells, and the
+    // recompute then gives it its real a-mean. [[search]] filters
+    // a-null rows, which reproduces exactly the in-session run's
+    // inner-join drop until that repair happens.
     val rows = assigned
       .select(col("id"), col("v"), col("__cn").as("cn"), col("cid"))
-      .join(nnMean, Seq("id"))
+      .join(nnMean, Seq("id"), "left_outer")
       .select(col("id"), col("v"), col("cn"), col("a"), col("ck"),
-        col("nk"), col("cid"), col("cid").as("hc"))
+        coalesce(col("nk"), lit(0L)).as("nk"), col("cid"), col("cid").as("hc"))
       .unionByName(probeRowsOf(assigned, cb2p.length,
         cb1p.length.toLong * cb2p.length, nProbe))
       .withColumn(QzCol, lit(hash))
@@ -308,7 +318,19 @@ object MarginIndex {
       .localCheckpoint(true)
     val newCells = batchAssigned.select(col("cid")).distinct().collect()
       .map(_.getLong(0)).toSet
-    if (newCells.isEmpty) return Some(head) // empty batch: nothing to repair
+    if (newCells.isEmpty) return txn match {
+      // an empty batch repairs nothing, but an appendOnce caller still
+      // needs the (appId, writerVersion) WATERMARK recorded — otherwise
+      // every replay of this writer version re-runs the whole
+      // assignment/read path instead of skipping on the fast path
+      // (r11 ADVICE). An empty conflict-checked commit records it.
+      case Some((app, wv)) => TxTable.commitOnce(spark, table, added = Nil,
+        removed = Nil, appId = app, writerVersion = wv,
+        expectedHead = Some(head))
+      // plain append: a documented NO-OP — nothing landed; the returned
+      // version is the unchanged head.
+      case None => Some(head)
+    }
 
     // 2. who COULD be affected? — one pruned read of the new cells'
     // probe inverted partitions (cost ∝ |newCells| · occupancy, not
@@ -402,10 +424,19 @@ object MarginIndex {
       .select(col("id"), col("v"), col("cn"), col("cid"))
       .join(newA, Seq("id"))
       .select(outCols: _*)
+    // LEFT join, sentinel for candidate-less batch rows — the same
+    // repairability contract as [[build]]'s (r11 ADVICE, medium): a
+    // batch row whose probed cells hold no other row (corpus OR batch)
+    // gets no group from imiKnnAMeansOver; the inner join used to drop
+    // its DATA row while its probe rows landed, permanently losing the
+    // vector. With (a/ck null, nk = 0) stored, the next append that
+    // populates one of its probed cells screens it as displaced
+    // (nk = 0 < knn) and computes its real a-mean.
     val newMain = batchAssigned
       .select(col("id"), col("v"), col("__cn").as("cn"), col("cid"))
-      .join(newA, Seq("id"))
-      .select(outCols: _*)
+      .join(newA, Seq("id"), "left_outer")
+      .select(col("id"), col("v"), col("cn"), col("a"), col("ck"),
+        coalesce(col("nk"), lit(0L)).as("nk"), col("cid"))
     val rows = keep.unionByName(updated).unionByName(newMain)
       .withColumn("hc", col("cid"))
       .unionByName(probeRowsOf(batchAssigned, k2, nCells, meta.nProbe))
@@ -416,12 +447,23 @@ object MarginIndex {
     val files = TxTable.stageBatch(spark, rows.repartition(col("cid")), table,
       partitionBy = Seq("cid"), maxRecordsPerFile = maxRecordsPerFile)
     val stats = TxTable.fileStats(spark, table, files, Seq("cid", QzCol))
-    val out = txn match {
-      case None => Some(TxTable.commit(spark, table, added = files,
-        removed = rewriteFiles, expectedHead = Some(head), stats = stats))
-      case Some((app, wv)) => TxTable.commitOnce(spark, table, added = files,
-        removed = rewriteFiles, appId = app, writerVersion = wv,
-        stats = stats, expectedHead = Some(head))
+    // A lost head race THROWS (single-maintainer contract) — but the
+    // staged files (potentially a rewrite of every displaced partition)
+    // must not be left orphaned until the stage-dir vacuum window
+    // expires (r11 ADVICE): reclaim them before rethrowing, the same
+    // terminal-failure cleanup AnnIndex.appendLoop does.
+    val out = try {
+      txn match {
+        case None => Some(TxTable.commit(spark, table, added = files,
+          removed = rewriteFiles, expectedHead = Some(head), stats = stats))
+        case Some((app, wv)) => TxTable.commitOnce(spark, table, added = files,
+          removed = rewriteFiles, appId = app, writerVersion = wv,
+          stats = stats, expectedHead = Some(head))
+      }
+    } catch { case t: Throwable =>
+      try TxTable.deleteStaged(spark, table, files)
+      catch { case c: Throwable => t.addSuppressed(c) }
+      throw t
     }
     if (out.isEmpty) TxTable.deleteStaged(spark, table, files)
     out
@@ -469,7 +511,13 @@ object MarginIndex {
     // first multi-sequence cell), so the query row sits in the probed
     // files too — the corpus-membership contract makes the query-side
     // lookup a member-filtering broadcast join
+    // a-null rows are the nk = 0 SENTINELS (stored so a later append
+    // can repair a row whose probed cells were empty at insert time —
+    // see [[build]]): the in-session run's inner a-mean join drops such
+    // rows from the candidate side, so filtering them here IS the
+    // parity behavior, not a divergence.
     val members = TxTable.readFiles(spark, table, pf)
+      .filter(col("a").isNotNull)
       .select(col("cid"), col("id"), col("v"), col("cn"), col("a"))
     val candScored = members.join(broadcast(q), Seq("cid"))
       .filter(col(qId) =!= col("id"))
@@ -498,8 +546,10 @@ object MarginIndex {
     require(missing.isEmpty,
       s"$table: query ids ${missing.toSeq.sorted.take(8).mkString(", ")} have no " +
         "a-mean in the probed cells — either the query is not a corpus member " +
-        "(the margin contract requires it) or a probe tie pushed its own cell " +
-        s"out of the nProbe=${meta.nProbe} probe set; raise nProbe at build")
+        "(the margin contract requires it), or a probe tie pushed its own cell " +
+        s"out of the nProbe=${meta.nProbe} probe set (raise nProbe at build), " +
+        "or the row is an unrepaired nk=0 sentinel (its probed cells held no " +
+        "other vector at insert time; a later append into those cells repairs it)")
     import spark.implicits._
     val aq = aqRows.toSeq.toDF(qId, "__aq")
     Similarity.marginNormalizeTopK(

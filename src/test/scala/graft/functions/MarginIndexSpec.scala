@@ -216,6 +216,128 @@ class MarginIndexSpec extends SparkSpec {
       s"the error must name the dropped query id: ${ex.getMessage}")
   }
 
+  // Two half-clusters at (0,0,0,0) and (10,10,10,10): with kPerHalf = 2
+  // the trained half centroids sit on the clusters, so the PRODUCT cells
+  // (A-half1, B-half2) and (B-half1, A-half2) exist but are EMPTY — a
+  // "Frankenstein" vector (0,0,10,10) lands alone there, and at
+  // nProbe = 1 it probes only that empty cell: zero kNN candidates.
+  private def twoClusterCorpus = spark.createDataFrame(
+    (0 until 6).map(i => (i.toLong, Array(1.0 + i * 0.01, 1.0, 1.0, 1.0 + 0.01 * i))) ++
+    (6 until 12).map(i => (i.toLong, Array(10.0 + i * 0.01, 10.0, 10.0, 10.0 + 0.01 * i)))
+  ).toDF("vec_id", "embedding")
+
+  test("a candidate-less batch row is STORED as an nk=0 sentinel and repaired " +
+       "by the next append into its cells — never silently dropped") {
+    val dir = tmp("sentinel")
+    MarginIndex.build(spark, twoClusterCorpus, dir, kPerHalf = 2, nProbe = 1)
+    val meta = MarginIndex.readMeta(spark, dir)
+    val franken = spark.createDataFrame(Seq(
+      (100L, Array(1.0, 1.0, 10.0, 10.0)))).toDF("vec_id", "embedding")
+    MarginIndex.append(spark, franken, dir)
+    // the data row LANDED (the pre-r12 inner join lost it) with the sentinel
+    val stored = TxTable.read(spark, dir)
+      .filter($"cn".isNotNull && $"id" === 100L)
+      .select($"a", $"ck", $"nk").collect()
+    assert(stored.length == 1, "the candidate-less row's data row must land")
+    assert(stored.head.isNullAt(0) && stored.head.isNullAt(1) &&
+      stored.head.getLong(2) == 0L, s"expected (a null, ck null, nk 0) sentinel")
+    // unrepaired, a query FOR it fails loudly (no a-mean yet)
+    val exQ = intercept[IllegalArgumentException] {
+      MarginIndex.search(spark, dir,
+        franken.select($"vec_id".as("query_id"), $"embedding".as("query_vec")),
+        k = 2).collect()
+    }
+    assert(exQ.getMessage.contains("100"), exQ.getMessage)
+    // a second vector into the same empty cell: the screen sees nk=0 < knn
+    // through the probe inverted partition and REPAIRS the sentinel
+    val mate = spark.createDataFrame(Seq(
+      (101L, Array(1.05, 1.0, 10.0, 10.05)))).toDF("vec_id", "embedding")
+    MarginIndex.append(spark, mate, dir)
+    val repaired = TxTable.read(spark, dir)
+      .filter($"cn".isNotNull && $"id" === 100L)
+      .select($"a", $"nk").collect()
+    assert(repaired.length == 1 && !repaired.head.isNullAt(0) &&
+      repaired.head.getLong(1) == 1L,
+      s"the sentinel must gain its real a-mean once a neighbor arrives")
+    // and the repaired state is bit-identical to the full in-session run
+    // over the grown corpus at the frozen codebooks
+    val grown = twoClusterCorpus.unionByName(franken).unionByName(mate)
+    val q = grown.filter($"vec_id" === 0L || $"vec_id" >= 100L)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val atRest = resultSet(MarginIndex.search(spark, dir, q, k = 2))
+    val inSession = resultSet(Similarity.marginTopKImi(q, grown, k = 2,
+      kPerHalf = 2, nProbe = 1, codebooksOpt = Some((meta.cb1, meta.cb2))))
+    assert(atRest == inSession)
+  }
+
+  test("an empty batch records the appendOnce watermark so replays take the fast path") {
+    val dir = tmp("emptybatch")
+    MarginIndex.build(spark, twoClusterCorpus, dir, kPerHalf = 2, nProbe = 1)
+    val ev = twoClusterCorpus.filter($"vec_id" < 0) // empty
+    val head0 = TxTable.headVersion(spark, dir)
+    // plain append: documented no-op, head unchanged
+    assert(MarginIndex.append(spark, ev, dir) == head0)
+    assert(TxTable.headVersion(spark, dir) == head0)
+    // appendOnce: an EMPTY commit lands so the (appId, writerVersion)
+    // watermark is recorded — the replay skips before any read work
+    assert(MarginIndex.appendOnce(spark, ev, dir, "w", 3L).isDefined)
+    assert(TxTable.txnVersion(spark, dir, "w").contains(3L))
+    assert(MarginIndex.appendOnce(spark, ev, dir, "w", 3L).isEmpty)
+    // and the data content is untouched
+    assert(TxTable.read(spark, dir).filter($"cn".isNotNull).count() == 12L)
+  }
+
+  test("a lost head race throws AND reclaims its staged files (no orphans)") {
+    val dir = tmp("race")
+    val ev = emb.select($"vec_id", $"embedding")
+    MarginIndex.build(spark, ev.filter($"vec_id" < 400), dir, kPerHalf = 4, nProbe = 2)
+    val b1 = ev.filter($"vec_id" >= 400 && $"vec_id" < 450)
+    val b2 = ev.filter($"vec_id" >= 450)
+    // both appends read the same head, stage concurrently, and race the
+    // conflict-checked commit: exactly one wins, the loser throws
+    // ConcurrentModificationException — and must leave NO staged orphans
+    // behind (r11 ADVICE: a lost race used to strand a full rewrite of
+    // every displaced partition until the stage-dir vacuum window)
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    def racer(b: org.apache.spark.sql.DataFrame) = pool.submit(
+      new java.util.concurrent.Callable[Either[Throwable, Long]] {
+        def call() = {
+          start.await()
+          try Right(MarginIndex.append(spark, b, dir))
+          catch { case t: Throwable => Left(t) }
+        }
+      })
+    val (f1, f2) = (racer(b1), racer(b2))
+    start.countDown()
+    val results = Seq(f1.get(300, TimeUnit.SECONDS), f2.get(300, TimeUnit.SECONDS))
+    pool.shutdown()
+    val (losers, winners) = (results.collect { case Left(t) => t },
+      results.collect { case Right(v) => v })
+    assert(winners.size == 1 && losers.size == 1,
+      s"expected exactly one winner and one CME loser, got $results")
+    assert(losers.head.isInstanceOf[java.util.ConcurrentModificationException],
+      s"loser must throw CME, got ${losers.head}")
+    // no orphans: every parquet file on disk was COMMITTED at some
+    // version (files the winner's commit REMOVED legitimately linger
+    // until vacuum — only never-committed stage leftovers are orphans)
+    val head = TxTable.headVersion(spark, dir)
+    val everCommitted = (1L to head).flatMap(v =>
+      TxTable.filesAt(spark, dir, v)).map(f =>
+      new java.io.File(dir, f).getCanonicalPath).toSet
+    val onDisk = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).filter(_.getName.endsWith(".parquet"))
+        .map(_.getCanonicalPath).toSet
+    }
+    assert((onDisk -- everCommitted).isEmpty,
+      s"staged orphans left behind: ${(onDisk -- everCommitted).take(5)}")
+    // the surviving state still answers
+    assert(MarginIndex.search(spark, dir, queries, k = 5).count() == 50)
+  }
+
   test("an empty query set returns an empty result, not a scan error") {
     val dir = tmp("empty")
     MarginIndex.build(spark, emb, dir, kPerHalf = 4)
