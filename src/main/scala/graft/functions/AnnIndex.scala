@@ -67,14 +67,10 @@ object AnnIndex {
     * only an unreferenced sidecar; a clobbering rename re-lands
     * identical bytes.
     */
-  private[functions] def metaHash(rendered: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(rendered.getBytes("UTF-8"))
-    d.take(6).map(b => f"$b%02x").mkString
-  }
-
-  private def metaPath(table: String, hash: String) =
-    new Path(s"$table/_graft_ann_meta.$hash.json")
+  // the content address + publish/read discipline is shared by all
+  // three index families — see [[IndexSidecar]]
+  private[functions] def metaHash(rendered: String): String =
+    IndexSidecar.hash(rendered)
 
   /** The column tagging every row with its quantizer sidecar's hash. */
   val QzCol = "__qz"
@@ -159,34 +155,15 @@ object AnnIndex {
     readMetaAt(spark, table, currentMetaHash(spark, table))._1
 
   private def readMetaAt(spark: SparkSession, table: String,
-                         hash: String): (Meta, String) = {
-    val fs = fsFor(spark, table)
-    val in = fs.open(metaPath(table, hash))
-    try {
-      val bytes = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      var n = in.read(buf)
-      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-      (parseMeta(bytes.toString("UTF-8")), hash)
-    } finally in.close()
-  }
+                         hash: String): (Meta, String) =
+    (parseMeta(IndexSidecar.read(spark, table, "ann", hash)), hash)
 
   /** Write the sidecar to its content-addressed path; returns the hash.
     * Idempotent (same meta → same path, same bytes) and unreferenced
-    * until a commit lands rows tagged with the hash.
+    * until a commit lands rows tagged with the hash ([[IndexSidecar]]).
     */
-  private def writeMeta(spark: SparkSession, table: String, meta: Meta): String = {
-    val fs = fsFor(spark, table)
-    val rendered = renderMeta(meta)
-    val hash = metaHash(rendered)
-    val tmp = new Path(s"$table/._graft_ann_meta.$hash.json.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(rendered.getBytes("UTF-8")) finally out.close()
-    fs.delete(metaPath(table, hash), false)
-    require(fs.rename(tmp, metaPath(table, hash)),
-      s"ann meta rename failed for $table")
-    hash
-  }
+  private def writeMeta(spark: SparkSession, table: String, meta: Meta): String =
+    IndexSidecar.write(spark, table, "ann", renderMeta(meta))
 
   /** Train (bounded sample), encode (one corpus pass), and land the
     * index as ONE TxTable commit: `cid=` Hive partition dirs (the
@@ -404,6 +381,45 @@ object AnnIndex {
         } yield (v, tv)
       }.sortBy(_._1).toSeq
   }
+
+  /** The in-distribution TV noise floor DriftShiftAb measured (0.23 —
+    * 0.26 across unshifted appends at the probe geometry): a trailing
+    * mean must clear it decisively before a rebuild is worth its cost.
+    */
+  val SustainedDriftThreshold: Double = 0.3
+
+  /** The sustained-drift rebuild rule as a PURE fold, spec-pinnable
+    * against the measured DriftShiftAb mixture curve without a table:
+    * warranted iff (a) any recorded batch TV reaches
+    * [[DriftThreshold]] — the one-batch alarm, a mostly-shifted batch
+    * — or (b) the trailing mean of the last `window` stats reaches
+    * [[SustainedDriftThreshold]] — the gradual-rotation trigger the
+    * r11 probe measured (0.5 fires one append AFTER new-data recall
+    * has already collapsed ~50%; the ~0.3 trailing mean fires at
+    * sustained α≈0.5-0.6, above the 0.23-0.26 in-distribution floor,
+    * while a rebuild still recovers everything). Fewer than `window`
+    * recorded appends is no evidence, not an alarm — only the
+    * one-batch rule can fire there.
+    */
+  private[functions] def rebuildWarrantedFrom(tvs: Seq[Double],
+      window: Int = 3,
+      sustained: Double = SustainedDriftThreshold): Boolean =
+    tvs.exists(_ >= DriftThreshold) || (tvs.length >= window &&
+      tvs.takeRight(window).sum / window >= sustained)
+
+  /** [[rebuildWarrantedFrom]] over the index's recorded
+    * [[driftHistory]] — a driver-side sidecar fold, ZERO data IO at
+    * any index size. The r11 verdict's item: the rule lived in
+    * [[DriftThreshold]]'s doc comment; now the maintainers surface it
+    * as a logged signal each batch. It stays a SIGNAL — rebuilds
+    * replace the live index and retrain geometry, an operator
+    * decision, never an automatic side effect of an append loop.
+    */
+  def rebuildWarranted(spark: SparkSession, table: String,
+                       window: Int = 3,
+                       sustained: Double = SustainedDriftThreshold): Boolean =
+    rebuildWarrantedFrom(driftHistory(spark, table).map(_._2),
+      window, sustained)
 
   /** Incremental maintenance: encode NEW vectors with the index's
     * FROZEN quantizers (meta sidecar) — one map-only pass, no Lloyd —

@@ -1,6 +1,5 @@
 package graft.functions
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -127,40 +126,16 @@ object MarginIndex {
     Meta(intField("knn"), intField("nProbe"), arrField("cb1"), arrField("cb2"))
   }
 
-  private def metaPath(table: String, hash: String) =
-    new Path(s"$table/_graft_margin_meta.$hash.json")
-
-  private def fsFor(spark: SparkSession, table: String) =
-    new Path(table).getFileSystem(spark.sessionState.newHadoopConf())
-
-  private def writeMeta(spark: SparkSession, table: String, meta: Meta): String = {
-    val fs = fsFor(spark, table)
-    val rendered = renderMeta(meta)
-    val hash = AnnIndex.metaHash(rendered)
-    val tmp = new Path(s"$table/._graft_margin_meta.$hash.json.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(rendered.getBytes("UTF-8")) finally out.close()
-    fs.delete(metaPath(table, hash), false)
-    require(fs.rename(tmp, metaPath(table, hash)),
-      s"margin meta rename failed for $table")
-    hash
-  }
+  private def writeMeta(spark: SparkSession, table: String, meta: Meta): String =
+    IndexSidecar.write(spark, table, "margin", renderMeta(meta))
 
   /** Read the sidecar paired with the CURRENT commit (via the rows'
-    * `__qz` stats — atomic with the data, see [[AnnIndex.metaHash]]).
+    * `__qz` stats — atomic with the data; publish/read discipline in
+    * [[IndexSidecar]]).
     */
-  def readMeta(spark: SparkSession, table: String): Meta = {
-    val hash = AnnIndex.currentMetaHash(spark, table)
-    val fs = fsFor(spark, table)
-    val in = fs.open(metaPath(table, hash))
-    try {
-      val bytes = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      var n = in.read(buf)
-      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-      parseMeta(bytes.toString("UTF-8"))
-    } finally in.close()
-  }
+  def readMeta(spark: SparkSession, table: String): Meta =
+    parseMeta(IndexSidecar.read(spark, table, "margin",
+      AnnIndex.currentMetaHash(spark, table)))
 
   /** Train, assign, compute the self-kNN a-means, and land everything
     * as ONE replacing TxTable commit: rows (id, v, cn, a) under `cid=`

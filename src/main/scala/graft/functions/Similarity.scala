@@ -1867,14 +1867,20 @@ object Similarity {
       .filter(col("__qid") =!= col("id"))
       .select(col("__qid").as("__mq"), col("id").as("neighbor_id"),
         cosineWithNorms(col("__qv"), col("v"), col("__qn"), col("__cn")).as("cos"))
-    topkOf(selfScored, knn, "__mq")
+    // ONE fixed-width codegen fold ([[KnnAMeanFold]]) instead of the
+    // typed TopKByScore pass + collect_list re-aggregation: keyed by
+    // corpus row id, the typed path's ObjectHashAggregate fell back to
+    // sort-based aggregation (>128 groups/partition, always true here)
+    // and externally sorted the ENTIRE n·nProbe·cellSize pair stream —
+    // ~16B rows at the 2M deck, the r11 build that never finished.
+    // HashAggregate partials consume the join output in-stage under
+    // codegen and spill only per-GROUP buffers; values are bit-identical
+    // (same kept multiset, same ascending 0.0-seeded IEEE sum).
+    selfScored
       .groupBy(col("__mq").as("id"))
-      .agg(sort_array(collect_list(col("cos"))).as("cs"))
-      .select(col("id"),
-        (aggregate(col("cs"), lit(0.0d), (acc, x) => acc + x)
-          / size(col("cs"))).as("a"),
-        element_at(col("cs"), 1).as("ck"),
-        size(col("cs")).cast("long").as("nk"))
+      .agg(KnnAMeanFold(col("cos"), knn).as("__f"))
+      .select(col("id"), col("__f").getField("a").as("a"),
+        col("__f").getField("ck").as("ck"), col("__f").getField("nk").as("nk"))
   }
 
   /** Query-side IMI probe rows, SHARED by [[marginTopKImi]],

@@ -1,6 +1,5 @@
 package graft.functions
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -65,40 +64,16 @@ object VecIndex {
     Meta(arrField("cb1"), arrField("cb2"))
   }
 
-  private def metaPath(table: String, hash: String) =
-    new Path(s"$table/_graft_vec_meta.$hash.json")
-
-  private def fsFor(spark: SparkSession, table: String) =
-    new Path(table).getFileSystem(spark.sessionState.newHadoopConf())
-
-  private def writeMeta(spark: SparkSession, table: String, meta: Meta): String = {
-    val fs = fsFor(spark, table)
-    val rendered = renderMeta(meta)
-    val hash = AnnIndex.metaHash(rendered)
-    val tmp = new Path(s"$table/._graft_vec_meta.$hash.json.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(rendered.getBytes("UTF-8")) finally out.close()
-    fs.delete(metaPath(table, hash), false)
-    require(fs.rename(tmp, metaPath(table, hash)),
-      s"vec meta rename failed for $table")
-    hash
-  }
+  private def writeMeta(spark: SparkSession, table: String, meta: Meta): String =
+    IndexSidecar.write(spark, table, "vec", renderMeta(meta))
 
   /** Read the sidecar paired with the CURRENT commit (via the rows'
-    * `__qz` stats — atomic with the data, see [[AnnIndex.metaHash]]).
+    * `__qz` stats — atomic with the data; publish/read discipline in
+    * [[IndexSidecar]]).
     */
-  def readMeta(spark: SparkSession, table: String): Meta = {
-    val hash = AnnIndex.currentMetaHash(spark, table)
-    val fs = fsFor(spark, table)
-    val in = fs.open(metaPath(table, hash))
-    try {
-      val bytes = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      var n = in.read(buf)
-      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-      parseMeta(bytes.toString("UTF-8"))
-    } finally in.close()
-  }
+  def readMeta(spark: SparkSession, table: String): Meta =
+    parseMeta(IndexSidecar.read(spark, table, "vec",
+      AnnIndex.currentMetaHash(spark, table)))
 
   /** Frozen-codebook assignment of an (idCol, vecCol) relation to
     * `(id, v, cn, cid)` — one map-only pass, the shape every consumer

@@ -356,11 +356,29 @@ object EventsStream {
         // between them just leaves the ratio to the next batch.
         graft.functions.AnnIndex.compactIfNeeded(spark, indexTable,
           maxFilesPerList = maxFilesPerList)
+        logDriftSignal(spark, indexTable, appId, batchId)
         ()
       }
       .start()
     try { q.processAllAvailable() } finally q.stop()
   }
+
+  /** Surface the sustained-drift rebuild signal from the maintainer
+    * loop (r11 verdict item 3: the rule was a doc comment; now each
+    * batch folds [[graft.functions.AnnIndex.driftHistory]] driver-side
+    * — zero data IO — and LOGS when a rebuild is warranted). A signal,
+    * never an action: rebuilds retrain geometry and replace the live
+    * index, which is the operator's call, not an append loop's.
+    */
+  private def logDriftSignal(spark: SparkSession, indexTable: String,
+                             appId: String, batchId: Long): Unit =
+    if (graft.functions.AnnIndex.rebuildWarranted(spark, indexTable))
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"[$appId] batch $batchId: index $indexTable drift history says a " +
+          s"REBUILD IS WARRANTED (one-batch tv >= " +
+          s"${graft.functions.AnnIndex.DriftThreshold} or trailing mean >= " +
+          s"${graft.functions.AnnIndex.SustainedDriftThreshold}) — appends " +
+          "continue; schedule a retraining build")
 
   /** Structured Streaming SEMANTIC dedup maintainer — the
     * [[runStreamingNearDupTx]] minhash loop's embedding twin (round
@@ -388,7 +406,9 @@ object EventsStream {
                             indexTable: String, verdictTable: String,
                             checkpointDir: String,
                             appId: String = "semdedup-maintainer",
-                            threshold: Double = 0.95): Unit = {
+                            threshold: Double = 0.95,
+                            maxFilesPerList: Double = 3.0,
+                            maxVerdictFiles: Int = 8): Unit = {
     import org.apache.spark.sql.Row
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
@@ -407,6 +427,24 @@ object EventsStream {
           appId, batchId)
         graft.functions.VecIndex.appendOnce(spark, b, indexTable,
           s"$appId-idx", batchId)
+        // the same AnnChurnAb cadence the ANN maintainer runs (r11
+        // verdict watch #1: dedupBatch's pruned reads degrade linearly
+        // in files-per-cell exactly like the measured ANN churn curve,
+        // and this loop appended every micro-batch without ever folding
+        // them back). The VecIndex shares the cid layout, so the same
+        // commit-log-only ratio check applies; compaction is its own
+        // conflict-checked commit AFTER the appends', so a crash in
+        // between just leaves the ratio to the next batch.
+        graft.functions.AnnIndex.compactIfNeeded(spark, indexTable,
+          maxFilesPerList = maxFilesPerList)
+        // the verdict table is flat (one small file per micro-batch —
+        // the LogGcAb shape): fold it when the file count passes the
+        // threshold so watermark/verdict reads stay O(1) listings
+        if (graft.sink.TxTable.currentFiles(spark, verdictTable).size >
+            maxVerdictFiles)
+          graft.sink.TxTable.compact(spark, verdictTable,
+            targetRowsPerFile = 5000000L)
+        logDriftSignal(spark, indexTable, appId, batchId)
         ()
       }
       .start()

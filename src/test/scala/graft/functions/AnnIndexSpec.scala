@@ -235,6 +235,48 @@ class AnnIndexSpec extends SparkSpec {
       emb.count() * 2 + 50)
   }
 
+  test("rebuildWarranted codes the DriftShiftAb curve: fires on the measured " +
+       "mixture shift, silent at the in-distribution floor") {
+    // the r11 probe's measured curve IS the fixture (SCALE.md): a
+    // gradual mixture rotation α = 0.0 → 1.0 recorded these TV stats.
+    val mixtureCurve = Seq(0.000, 0.156, 0.261, 0.355, 0.453, 0.501, 0.548)
+    // the trailing-3 mean crosses 0.3 at the 0.453 append (α = 0.8) —
+    // one append BEFORE the one-batch 0.5 alarm, while a rebuild still
+    // recovers everything (the probe's operational finding)
+    assert(!AnnIndex.rebuildWarrantedFrom(mixtureCurve.take(4)),
+      "α <= 0.6: trailing mean 0.257 is inside the noise floor")
+    assert(AnnIndex.rebuildWarrantedFrom(mixtureCurve.take(5)),
+      "α = 0.8: trailing mean 0.356 must fire the sustained trigger")
+    // the 0.23-0.26 in-distribution noise floor NEVER fires, at any length
+    val floor = Seq.fill(20)(Seq(0.23, 0.24, 0.26, 0.25)).flatten
+    assert(!AnnIndex.rebuildWarrantedFrom(floor),
+      "sustained in-distribution jitter must stay silent")
+    // a single mostly-shifted batch is the one-batch alarm — fires even
+    // with too little history for the trailing mean
+    assert(AnnIndex.rebuildWarrantedFrom(Seq(0.51)))
+    assert(AnnIndex.rebuildWarrantedFrom(Seq(0.1, 0.1, 0.55, 0.1, 0.1)))
+    // no history, no alarm
+    assert(!AnnIndex.rebuildWarrantedFrom(Nil))
+    assert(!AnnIndex.rebuildWarrantedFrom(Seq(0.29, 0.29)))
+  }
+
+  test("rebuildWarranted reads the index's own drift history (zero data IO)") {
+    val dir = tmp("warranted")
+    AnnIndex.build(spark, emb, dir, dim = 64, nCentroids = 16)
+    val same = emb.select(($"vec_id" + 400000L).as("vec_id"), $"embedding")
+    AnnIndex.append(spark, same, dir)
+    assert(!AnnIndex.rebuildWarranted(spark, dir),
+      "an in-distribution append (TV 0) must not warrant a rebuild")
+    val one = emb.filter($"vec_id" === 0L).select($"embedding").first()
+      .getAs[scala.collection.Seq[Float]](0)
+    val skew = spark.createDataFrame(
+      (1 to 50).map(i => (500000L + i, one.toArray))
+    ).toDF("vec_id", "embedding")
+    AnnIndex.append(spark, skew, dir)
+    assert(AnnIndex.rebuildWarranted(spark, dir),
+      "a one-list batch trips the one-batch alarm through the history fold")
+  }
+
   test("compactIfNeeded fires at the measured cadence and restores the open count") {
     val dir = tmp("cadence")
     AnnIndex.build(spark, emb, dir, dim = 64, nCentroids = 16)
