@@ -4487,6 +4487,41 @@ object SparkEntry {
       atRest.exceptAll(inSession).union(inSession.exceptAll(atRest))
         .agg(count(lit(1)).cast("long").as("n_diff"))
     }),
+
+    // O — the ORCHESTRATED semantic daily tick (round 12, the r11
+    // verdict's item 8): ONE entry runs the whole lifecycle the layer
+    // exists for — build the vec + margin indexes once, run one tick
+    // (dedupBatch → verdict append → whole-batch vec admission →
+    // survivor margin admission → compaction cadence → zero-IO count
+    // validation → run log), then REPLAY the same tick (every sink
+    // must skip; validation must hold on a zero delta). The output is
+    // the tick's verdict relation + the lifecycle's validation flag;
+    // the oracle replays the survivor rule (q242's fixed-codebook
+    // CTEs), so the orchestration's observable result is hash-gated.
+    "q245_semantic_tick" -> ((s, dir) => {
+      val ev = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val corpus = ev.filter(col("vec_id") % 5 =!= 0)
+      val batch = ev.filter(col("vec_id") % 5 === 0)
+        .unionByName(corpus.filter(col("vec_id") < 30)
+          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q245").toString
+      val (vec, margin, verd) = (s"$tmp/vec_idx", s"$tmp/margin_idx", s"$tmp/verdicts")
+      functions.VecIndex.build(s, corpus, vec, kPerHalf = 4, iters = 0)
+      functions.MarginIndex.build(s, corpus, margin, kPerHalf = 4, nProbe = 8)
+      val store = new graft.state.LogStore(s, s"$tmp/logs")
+      val orch = new graft.driver.Orchestrator(s, tmp, store)
+      val r1 = orch.semanticTick(batch, vec, verd, tick = 1L,
+        marginTable = Some(margin), appId = "q245")
+      val r2 = orch.semanticTick(batch, vec, verd, tick = 1L,
+        marginTable = Some(margin), appId = "q245") // replay: all sinks skip
+      val ok = r1.landed && r1.validated && r1.verdictLanded &&
+        r1.marginVersion.isDefined &&
+        !r2.landed && r2.validated && !r2.verdictLanded &&
+        r2.marginVersion.isEmpty
+      graft.sink.TxTable.read(s, verd)
+        .select(col("vec_id").cast("long").as("vec_id"), col("kept"),
+          lit(ok).as("validated"))
+    }),
   )
 
   // ----------------------------------------------------------- bench-only
@@ -7686,6 +7721,51 @@ object SparkEntry {
          SELECT a.vec_id, a.cluster_id FROM a
          JOIN bat b ON b.vec_id = a.vec_id
          WHERE a.vec_id NOT IN (SELECT vec_id FROM losers)""",
+    // the orchestrated tick emits ONE VERDICT PER BATCH ROW: kept =
+    // survivor under q242's rule (same fixed-codebook CTEs), losers
+    // flagged false instead of filtered; `validated` is the lifecycle's
+    // own exactly-once + count-validation outcome (landed tick grows
+    // the index by exactly |batch|; the replayed tick by exactly 0 and
+    // skips every sink) — the oracle pins it TRUE
+    "q245_semantic_tick" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         corp AS (SELECT vec_id, v FROM e WHERE vec_id % 5 <> 0),
+         bat AS (SELECT vec_id, v FROM e WHERE vec_id % 5 = 0
+                 UNION ALL
+                 SELECT vec_id + 100000, v FROM corp WHERE vec_id < 30),
+         allr AS (SELECT vec_id, v FROM corp UNION ALL SELECT vec_id, v FROM bat),
+         h AS (SELECT vec_id, v[1:32] AS v1, v[33:64] AS v2 FROM allr),
+         cb AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+                       v[1:32] AS c1, v[33:64] AS c2
+                FROM (SELECT vec_id, v FROM corp ORDER BY vec_id LIMIT 4)),
+         d1 AS (SELECT h.vec_id, cb.cid,
+                  list_dot_product(cb.c1, cb.c1) - 2 * list_dot_product(h.v1, cb.c1) AS dist
+                FROM h CROSS JOIN cb),
+         a1 AS (SELECT vec_id, cid AS g1 FROM (
+                  SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                  FROM d1) WHERE rn = 1),
+         d2 AS (SELECT h.vec_id, cb.cid,
+                  list_dot_product(cb.c2, cb.c2) - 2 * list_dot_product(h.v2, cb.c2) AS dist
+                FROM h CROSS JOIN cb),
+         a2 AS (SELECT vec_id, cid AS g2 FROM (
+                  SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                  FROM d2) WHERE rn = 1),
+         a AS (SELECT a1.vec_id, CAST(a1.g1 * 4 + a2.g2 AS BIGINT) AS cluster_id
+               FROM a1 JOIN a2 ON a2.vec_id = a1.vec_id),
+         losers AS (
+           SELECT DISTINCT y.vec_id
+           FROM a x JOIN a y ON y.cluster_id = x.cluster_id AND y.vec_id > x.vec_id
+           JOIN allr ex ON ex.vec_id = x.vec_id
+           JOIN allr ey ON ey.vec_id = y.vec_id
+           WHERE (y.vec_id % 5 = 0 OR y.vec_id >= 100000)
+             AND list_dot_product(ex.v, ey.v)
+               / (sqrt(list_dot_product(ex.v, ex.v)) * sqrt(list_dot_product(ey.v, ey.v))) >= 0.95)
+         SELECT b.vec_id,
+                b.vec_id NOT IN (SELECT vec_id FROM losers) AS kept,
+                TRUE AS validated
+         FROM bat b""",
     // q237's fixed-codebook assignment + the multi-sequence probe (top-8
     // cells by d1+d2, ties to the lowest composite cid — the padded
     // half distances differ from these by exact-zero products only) +
