@@ -352,12 +352,12 @@ object AnnIndex {
     * version, so clobber-on-rename re-lands identical bytes).
     */
   private def writeDrift(spark: SparkSession, table: String,
-                         version: Long, tv: Double): Unit = {
+                         version: Long, tv: Double, n: Long): Unit = {
     val fs = fsFor(spark, table)
     val tmp = new Path(s"$table/._graft_ann_drift.v$version.json.tmp")
     val out = fs.create(tmp, true)
     try out.write(
-      s"""{"version":$version,"tv":$tv,"threshold":$DriftThreshold}"""
+      s"""{"version":$version,"tv":$tv,"n":$n,"threshold":$DriftThreshold}"""
         .getBytes("UTF-8"))
     finally out.close()
     fs.delete(driftPath(table, version), false)
@@ -366,7 +366,18 @@ object AnnIndex {
   }
 
   /** The recorded (version, tv) drift stats, commit order. */
-  def driftHistory(spark: SparkSession, table: String): Seq[(Long, Double)] = {
+  def driftHistory(spark: SparkSession, table: String): Seq[(Long, Double)] =
+    driftStats(spark, table).map(t => (t._1, t._2))
+
+  /** The recorded (version, tv, batchRows) drift stats, commit order.
+    * `batchRows` lets the rebuild fold weigh the EVIDENCE: a tiny
+    * batch's occupancy histogram is sampling noise, not distribution
+    * shift (round-12 IndexGcAb: 5-row twin batches read TV ≈ 0.5 on a
+    * 16-cell grid purely from small-sample concentration). Pre-round-12
+    * sidecars carry no `n` — read as Long.MaxValue (trusted; they were
+    * recorded by probes with real batch sizes).
+    */
+  def driftStats(spark: SparkSession, table: String): Seq[(Long, Double, Long)] = {
     val fs = fsFor(spark, table)
     val p = new Path(table)
     if (!fs.exists(p)) return Nil
@@ -378,8 +389,60 @@ object AnnIndex {
         for {
           v <- """"version":(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
           tv <- """"tv":([-0-9.eE]+)""".r.findFirstMatchIn(txt).map(_.group(1).toDouble)
-        } yield (v, tv)
+        } yield (v, tv, """"n":(\d+)""".r.findFirstMatchIn(txt)
+          .map(_.group(1).toLong).getOrElse(Long.MaxValue))
       }.sortBy(_._1).toSeq
+  }
+
+  /** GC for the table's NON-DATA sidecars, with the liveness rule
+    * [[graft.sink.TxTable.vacuum]] cannot know (round-12 IndexGcAb
+    * finding: vacuum's !live test reaped a live index's codebooks, so
+    * vacuum now skips `_graft_*` metadata entirely and THIS owns it):
+    *
+    *  - meta sidecars (`_graft_*_meta.<hash>.json`, any family prefix)
+    *    whose hash is NOT the current generation's
+    *    ([[currentMetaHash]]) are rebuild leftovers — reaped;
+    *  - drift stats older than the newest `keepDrift` versions are
+    *    reaped (the rebuild signal folds a trailing WINDOW; the long
+    *    tail is audit history, and one tiny file per append is
+    *    unbounded at fleet cadence);
+    *  - aged `._graft_*.tmp` staging files are crash garbage — reaped.
+    *
+    * All deletions respect `minAgeMs` (the vacuum grace contract: an
+    * in-flight BUILD publishes its new sidecar before its commit
+    * lands — the grace window keeps a cross-process GC from eating it;
+    * the same-process maintainer is already serialized). Runs on the
+    * [[compactIfNeeded]] cadence so maintainers get it for free.
+    * Returns the deleted names.
+    */
+  def vacuumSidecars(spark: SparkSession, table: String,
+                     keepDrift: Int = 256,
+                     minAgeMs: Long = 3600000L): Seq[String] = {
+    val fs = fsFor(spark, table)
+    val root = new Path(table)
+    if (!fs.exists(root)) return Nil
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    val current = scala.util.Try(currentMetaHash(spark, table)).toOption
+    val entries = fs.listStatus(root).filter(_.isFile)
+    val metaRe = "_graft_[a-z]+_meta\\.([0-9a-f]+)\\.json".r
+    val driftRe = "_graft_ann_drift\\.v(\\d+)\\.json".r
+    val driftVersions = entries.flatMap(e =>
+      driftRe.findFirstMatchIn(e.getPath.getName).map(_.group(1).toLong))
+    val driftFloor =
+      if (driftVersions.isEmpty) Long.MinValue
+      else driftVersions.max - keepDrift
+    val deleted = scala.collection.mutable.ListBuffer[String]()
+    entries.foreach { e =>
+      val name = e.getPath.getName
+      val dead = name match {
+        case metaRe(h) => current.exists(_ != h)
+        case driftRe(v) => v.toLong <= driftFloor
+        case n => n.startsWith("._graft_") && n.endsWith(".tmp")
+      }
+      if (dead && e.getModificationTime < cutoff &&
+          fs.delete(e.getPath, false)) deleted += name
+    }
+    deleted.toList
   }
 
   /** The in-distribution TV noise floor DriftShiftAb measured (0.23 —
@@ -408,17 +471,25 @@ object AnnIndex {
       tvs.takeRight(window).sum / window >= sustained)
 
   /** [[rebuildWarrantedFrom]] over the index's recorded
-    * [[driftHistory]] — a driver-side sidecar fold, ZERO data IO at
+    * [[driftStats]] — a driver-side sidecar fold, ZERO data IO at
     * any index size. The r11 verdict's item: the rule lived in
     * [[DriftThreshold]]'s doc comment; now the maintainers surface it
     * as a logged signal each batch. It stays a SIGNAL — rebuilds
     * replace the live index and retrain geometry, an operator
     * decision, never an automatic side effect of an append loop.
+    *
+    * Batches below `minBatchRows` are NOT evidence: a 5-row batch on a
+    * 16-cell grid reads TV ≈ 0.5 from small-sample concentration alone
+    * (IndexGcAb, round 12), so tiny maintenance appends would ring the
+    * alarm forever. Size it to at least a few rows per list; the
+    * DriftShiftAb calibration used 400-row batches on 16 lists.
     */
   def rebuildWarranted(spark: SparkSession, table: String,
                        window: Int = 3,
-                       sustained: Double = SustainedDriftThreshold): Boolean =
-    rebuildWarrantedFrom(driftHistory(spark, table).map(_._2),
+                       sustained: Double = SustainedDriftThreshold,
+                       minBatchRows: Long = 32L): Boolean =
+    rebuildWarrantedFrom(driftStats(spark, table)
+      .collect { case (_, tv, n) if n >= minBatchRows => tv },
       window, sustained)
 
   /** Incremental maintenance: encode NEW vectors with the index's
@@ -537,7 +608,8 @@ object AnnIndex {
         }
         out match {
           case Some(v) =>
-            if (recordDrift) writeDrift(spark, table, v, tvDistance(prior, batch))
+            if (recordDrift) writeDrift(spark, table, v,
+              tvDistance(prior, batch), batch.values.sum)
           case None => dropStaged()
         }
         return out
@@ -573,8 +645,15 @@ object AnnIndex {
     if (stats.isEmpty) return None
     val lists = stats.flatMap(_._2.find(_.col == "cid").map(_.lo)).distinct.size
     if (lists == 0 || stats.size <= lists * maxFilesPerList) None
-    else Some(TxTable.compact(spark, table, targetRowsPerFile,
-      clusterBy = Some("id"), partitionBy = Seq("cid")))
+    else Some {
+      val v = TxTable.compact(spark, table, targetRowsPerFile,
+        clusterBy = Some("id"), partitionBy = Seq("cid"))
+      // sidecar GC rides the compaction cadence: rebuild-leftover
+      // metas, the drift-stat tail, and aged tmp staging (cheap — one
+      // top-level listing — and only when a compaction already paid)
+      vacuumSidecars(spark, table)
+      v
+    }
   }
 
   /** The driver-side probed-list set of a (broadcast-small) query

@@ -832,11 +832,39 @@ object TxTable {
       val st = it.next()
       val rel = qRoot.toUri.relativize(st.getPath.toUri).getPath
       val isLog = rel.startsWith("_graft_txn")
-      // anything not in the live set — crash orphans AND removed-by-
-      // compaction files — is reclaimable once past the grace window
+      // `_graft_*` table METADATA (index meta/drift sidecars and their
+      // `._graft_*.tmp` staging) is NOT vacuum's domain: sidecars are
+      // content-addressed and referenced through commit STATS, not the
+      // live-file set, so the !live test would reap a LIVE index's
+      // codebooks (round-12 IndexGcAb finding — the first fleet-cadence
+      // vacuum destroyed the VecIndex meta). Their own GC with the
+      // right liveness rule is [[graft.functions.AnnIndex.vacuumSidecars]].
+      val name = st.getPath.getName
+      val isSidecar = name.startsWith("_graft_") || name.startsWith("._graft_")
+      // anything else not in the live set — crash orphans AND removed-
+      // by-compaction files — is reclaimable once past the grace window
       // (no time travel in the minimal form)
-      val dead = !isLog && !live(rel) && st.getModificationTime < cutoff
+      val dead = !isLog && !isSidecar && !live(rel) && st.getModificationTime < cutoff
       if (dead && fs.delete(st.getPath, false)) deleted += rel
+    }
+    // retired batch/partition dirs: deleting a dir's last file leaves
+    // an EMPTY directory forever — at fleet cadence that is one
+    // abandoned `batch-*` dir per append, unbounded (IndexGcAb, round
+    // 12: +1 top-level entry per cycle). Reap aged empty dirs
+    // bottom-up, never the root or the log dir. A dir emptied by the
+    // pass above carries a fresh mtime (unlink updates it), so the
+    // grace window keeps in-flight stagers safe; the non-recursive
+    // delete re-checks emptiness atomically.
+    def subDirs(p: Path): Seq[Path] = {
+      val kids = fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+      kids.flatMap(subDirs) ++ kids
+    }
+    subDirs(qRoot).foreach { d =>
+      val rel = qRoot.toUri.relativize(d.toUri).getPath
+      if (!rel.startsWith("_graft_txn") &&
+          fs.getFileStatus(d).getModificationTime < cutoff &&
+          fs.listStatus(d).isEmpty && fs.delete(d, false))
+        deleted += rel
     }
     // log cleaning: commits at versions ≤ the latest checkpoint (and
     // older checkpoints) are replay-redundant — the snapshot carries

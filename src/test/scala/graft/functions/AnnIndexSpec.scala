@@ -277,6 +277,98 @@ class AnnIndexSpec extends SparkSpec {
       "a one-list batch trips the one-batch alarm through the history fold")
   }
 
+  test("tiny batches are not drift evidence: rebuildWarranted ignores them") {
+    // IndexGcAb round 12: a 5-row twin batch on a 16-cell grid reads
+    // TV ≈ 0.5 from small-sample concentration alone — maintenance
+    // appends must not ring the alarm forever
+    val dir = tmp("tinydrift")
+    AnnIndex.build(spark, emb, dir, dim = 64, nCentroids = 16)
+    (0 until 4).foreach { i =>
+      AnnIndex.append(spark, emb.filter($"vec_id" <= 4)
+        .select(($"vec_id" + 600000L + i * 100L).as("vec_id"), $"embedding"), dir)
+    }
+    val stats = AnnIndex.driftStats(spark, dir)
+    assert(stats.forall(_._3 == 5L), s"batch rows must be recorded: $stats")
+    assert(stats.exists(_._2 >= 0.4),
+      s"the premise: tiny batches DO read high TV ($stats)")
+    assert(!AnnIndex.rebuildWarranted(spark, dir),
+      "5-row batches are sampling noise, not a rebuild signal")
+  }
+
+  test("vacuum never touches sidecars; vacuumSidecars reaps exactly the dead ones") {
+    val dir = tmp("sidecargc")
+    AnnIndex.build(spark, emb, dir, dim = 64, nCentroids = 16)
+    val gen0 = AnnIndex.currentMetaHash(spark, dir)
+    // a rebuild leaves the old generation's sidecar + retired data files
+    AnnIndex.build(spark, emb, dir, dim = 64, nCentroids = 8)
+    val gen1 = AnnIndex.currentMetaHash(spark, dir)
+    assert(gen0 != gen1)
+    // drift tail + a crashed tmp
+    (0 until 6).foreach { i =>
+      AnnIndex.append(spark, emb.filter($"vec_id" <= 40)
+        .select(($"vec_id" + 700000L + i * 100L).as("vec_id"), $"embedding"), dir)
+    }
+    val tmpFile = new java.io.File(dir, "._graft_ann_meta.deadbeef.json.tmp")
+    java.nio.file.Files.write(tmpFile.toPath, "crash".getBytes)
+    def names() = new java.io.File(dir).listFiles().map(_.getName).toSet
+    // TxTable.vacuum (grace 0) reclaims retired DATA but leaves every
+    // `_graft_*` sidecar alone — the round-12 IndexGcAb finding
+    graft.sink.TxTable.vacuum(spark, dir, minAgeMs = 0L)
+    assert(names().exists(_.contains(gen0)), "vacuum must not eat old metas")
+    assert(names().exists(_.contains(gen1)), "vacuum must NEVER eat the live meta")
+    assert(names().contains(tmpFile.getName))
+    // the sidecar reaper: stale meta + drift tail + tmp go, live meta stays
+    val reaped = AnnIndex.vacuumSidecars(spark, dir, keepDrift = 2, minAgeMs = 0L)
+    assert(reaped.exists(_.contains(gen0)), s"stale meta must be reaped: $reaped")
+    assert(!names().exists(_.contains(gen0)))
+    assert(names().exists(_.contains(gen1)), "the live meta survives the reaper")
+    assert(!names().contains(tmpFile.getName), "aged tmp staging is crash garbage")
+    assert(AnnIndex.driftStats(spark, dir).size <= 2,
+      "the drift tail folds to keepDrift")
+    // the index still answers after both reapers
+    val q = emb.filter($"vec_id" <= 4)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    assert(AnnIndex.search(spark, dir, q, k = 5).count() == 25)
+  }
+
+  test("vacuum reaps aged EMPTY dirs (abandoned batch/partition dirs), keeps live ones") {
+    val dir = tmp("emptydirs")
+    AnnIndex.build(spark, emb, dir, dim = 64, nCentroids = 16)
+    // appends + compaction retire whole batch dirs
+    (0 until 4).foreach { i =>
+      AnnIndex.append(spark, emb.filter($"vec_id" <= 40)
+        .select(($"vec_id" + 800000L + i * 100L).as("vec_id"), $"embedding"), dir)
+    }
+    graft.sink.TxTable.compact(spark, dir, targetRowsPerFile = 1000000L,
+      clusterBy = Some("id"), partitionBy = Seq("cid"))
+    def dirCount() = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) :+ f else Nil
+      walk(new java.io.File(dir)).size
+    }
+    // convergence is one nesting LEVEL per pass: deleting a dir's
+    // children refreshes its mtime past this pass's cutoff (the
+    // stager-safety grace), so the newly-empty parent falls to the
+    // NEXT cadence run — loop to the fixpoint and assert it's clean
+    var guard = 0
+    while (graft.sink.TxTable.vacuum(spark, dir, minAgeMs = 0L).nonEmpty) {
+      guard += 1; assert(guard < 8, "vacuum must reach a fixpoint")
+    }
+    val after = dirCount()
+    assert(graft.sink.TxTable.vacuum(spark, dir, minAgeMs = 0L).isEmpty &&
+      dirCount() == after, "the fixpoint is stable")
+    // every remaining dir is non-empty (or the log dir)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) :+ f else Nil
+    val emptyDirs = walk(new java.io.File(dir))
+      .filter(d => d.isDirectory && d.listFiles().isEmpty)
+      .filterNot(_.getName == "_graft_txn")
+    assert(emptyDirs.isEmpty, s"abandoned empty dirs left: $emptyDirs")
+    val q = emb.filter($"vec_id" <= 4)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    assert(AnnIndex.search(spark, dir, q, k = 5).count() == 25)
+  }
+
   test("compactIfNeeded fires at the measured cadence and restores the open count") {
     val dir = tmp("cadence")
     AnnIndex.build(spark, emb, dir, dim = 64, nCentroids = 16)
