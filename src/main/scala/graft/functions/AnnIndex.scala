@@ -683,8 +683,16 @@ object AnnIndex {
   def probedFiles(spark: SparkSession, table: String,
                   probed: Set[Long]): Seq[String] =
     TxTable.currentFilesWithStats(spark, table).collect {
-      case (f, stats) if stats.find(_.col == "cid").forall(st =>
-        probed.exists(c => st.lo.toLong <= c && c <= st.hi.toLong)) => f
+      case (f, stats) if stats.find(_.col == "cid").forall { st =>
+        val (lo, hi) = (st.lo.toLong, st.hi.toLong)
+        // Hive layout ⇒ lo == hi: one hash lookup per file. The range
+        // scan over `probed` runs only for range-statted files (legacy
+        // or multi-cell), keeping driver pruning O(files) — not
+        // O(files · |probed|), which turns quadratic at the decade
+        // where both counts are the cell count (SCALE.md r12 math).
+        if (lo == hi) probed.contains(lo)
+        else probed.exists(c => lo <= c && c <= hi)
+      } => f
     }
 
   /** ADC top-k against the at-rest index: prune files to the probed
