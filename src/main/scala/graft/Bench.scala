@@ -168,7 +168,12 @@ object Bench {
       "q227_log_state_rollup", "q228_schema_catalog", "q229_object_listing",
       "q235_ann_index_at_rest", "b119_cdf_read", "b120_ivm_refresh",
       "b126_join_ivm_refresh", "b235_ann_index_auto", "b239_margin_at_rest",
-      "q239_ann_index_imi")
+      "q239_ann_index_imi",
+      // r12: the orchestrated-tick gate builds BOTH indexes (incl. the
+      // margin self-kNN leg) and runs two full ticks inside the lambda —
+      // the q40 lifecycle class; steady-state tick cost is priced by the
+      // b242/b243/b244 twins
+      "q245_semantic_tick")
     val streamingKind = Set("q41_stream_hourly", "q54_stream_distinct_pairs",
       "q63_stream_static_join", "q84_stream_stream_join", "q93_stream_neardup",
       "q155_stream_dedup", "q176_stream_trending", "q186_stream_jdbc_once",

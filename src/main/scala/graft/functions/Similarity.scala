@@ -1862,6 +1862,10 @@ object Similarity {
         explode_outer(imiProbeCellsOf(col("__s1"), col("__s2"), k2,
           nProbe)).as("cid"))
       .filter(col("cid").isNotNull)
+    // (A shuffled-hash hint on the members side was A/B'd in round 12 —
+    // 49.2 vs 48.5 s at the 198k build, appends slightly worse: the
+    // join is NOT the bottleneck; the per-pair partial-aggregate probe
+    // is. Left on Catalyst's default join choice.)
     val selfScored = members
       .join(probesV, Seq("cid"))
       .filter(col("__qid") =!= col("id"))

@@ -25,7 +25,8 @@ object MarginIncrAb {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("MINCR_SHUFFLE", "32").toInt)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
