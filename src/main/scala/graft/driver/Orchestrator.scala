@@ -92,20 +92,18 @@ final class Orchestrator(spark: SparkSession, lakeRoot: String, logStore: LogSto
       .flatMap(_._2.find(_.col == TxTable.RowCountStat).map(_.lo.toLong)).sum
     val vecBefore = vecRows()
 
-    val survivors = VecIndex.dedupBatch(spark, vecTable, b,
+    // the verdict rule is the streaming maintainer's, ONE definition
+    val verdicts = VecIndex.verdictsOf(spark, vecTable, b,
         threshold = threshold)
-      .select(col("vec_id").cast("long").as("vec_id"))
-      .localCheckpoint(true) // verdict join + margin admission
-    val kept = survivors.count()
-    val verdicts = b.select(col("vec_id"))
-      .join(survivors.withColumn("kept", lit(true)), Seq("vec_id"), "left")
-      .select(col("vec_id"), coalesce(col("kept"), lit(false)).as("kept"))
+      .localCheckpoint(true) // verdict sink + kept count + margin admission
+    val kept = verdicts.filter(col("kept")).count()
     val verdictVer = TxTable.appendOnce(spark, verdicts, verdictTable,
       appId, tick)
     val vecVer = VecIndex.appendOnce(spark, b, vecTable, s"$appId-idx", tick)
     val marginVer = marginTable.flatMap { mt =>
-      MarginIndex.appendOnce(spark, b.join(survivors, Seq("vec_id")), mt,
-        s"$appId-margin", tick)
+      MarginIndex.appendOnce(spark,
+        b.join(verdicts.filter(col("kept")).select(col("vec_id")),
+          Seq("vec_id")), mt, s"$appId-margin", tick)
     }
 
     AnnIndex.compactIfNeeded(spark, vecTable, maxFilesPerList = maxFilesPerList)

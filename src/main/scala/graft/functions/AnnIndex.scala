@@ -208,8 +208,10 @@ object AnnIndex {
     val head = TxTable.headVersion(spark, table)
     val prior = TxTable.currentFiles(spark, table)
     val hash = writeMeta(spark, table, Meta(dim, m, kCentroids, coarse, codebooks))
-    commitIndexRows(spark, index.withColumn(QzCol, lit(hash)), table,
+    val v = commitIndexRows(spark, index.withColumn(QzCol, lit(hash)), table,
       maxRecordsPerFile, removed = prior, expectedHead = Some(head))
+    clearDriftStats(spark, table)
+    v
   }
 
   /** [[build]] with the IMI PRODUCT coarse grid
@@ -235,8 +237,10 @@ object AnnIndex {
     val prior = TxTable.currentFiles(spark, table)
     val hash = writeMeta(spark, table,
       Meta(dim, m, kCentroids, cb1, codebooks, coarse2 = cb2))
-    commitIndexRows(spark, index.withColumn(QzCol, lit(hash)), table,
+    val v = commitIndexRows(spark, index.withColumn(QzCol, lit(hash)), table,
       maxRecordsPerFile, removed = prior, expectedHead = Some(head))
+    clearDriftStats(spark, table)
+    v
   }
 
   /** Stage `index` rows under `cid=` dirs and publish one stats-bearing
@@ -394,6 +398,24 @@ object AnnIndex {
       }.sortBy(_._1).toSeq
   }
 
+  /** Delete every recorded drift sidecar. Called by the BUILD paths
+    * after their replacing commit lands (r12 review finding): drift
+    * stats describe batches against a RETIRED geometry, and
+    * [[rebuildWarranted]]'s one-batch alarm scans the whole retained
+    * history — without this, the signal keeps demanding the rebuild
+    * the operator just performed until keepDrift newer appends age the
+    * offending record out.
+    */
+  def clearDriftStats(spark: SparkSession, table: String): Int = {
+    val fs = fsFor(spark, table)
+    val p = new Path(table)
+    if (!fs.exists(p)) return 0
+    val re = "_graft_ann_drift\\.v\\d+\\.json".r
+    fs.listStatus(p).map(_.getPath)
+      .filter(q => re.pattern.matcher(q.getName).matches())
+      .count(q => fs.delete(q, false))
+  }
+
   /** GC for the table's NON-DATA sidecars, with the liveness rule
     * [[graft.sink.TxTable.vacuum]] cannot know (round-12 IndexGcAb
     * finding: vacuum's !live test reaped a live index's codebooks, so
@@ -431,11 +453,24 @@ object AnnIndex {
     val driftFloor =
       if (driftVersions.isEmpty) Long.MinValue
       else driftVersions.max - keepDrift
+    // a stale meta's grace runs from its SUPERSESSION, not its own
+    // mtime (r12 review finding: a month-old sidecar would be reaped
+    // the instant a rebuild retired it, while a cross-process reader
+    // that resolved the old hash just before the swap still needs it).
+    // The rebuild writes the NEW sidecar at supersession time, so the
+    // current meta file's mtime IS that instant — stale metas are
+    // reapable only once it has aged past the grace.
+    val supersededLongAgo = current.exists(h => entries.exists { e =>
+      e.getPath.getName match {
+        case metaRe(eh) => eh == h && e.getModificationTime < cutoff
+        case _ => false
+      }
+    })
     val deleted = scala.collection.mutable.ListBuffer[String]()
     entries.foreach { e =>
       val name = e.getPath.getName
       val dead = name match {
-        case metaRe(h) => current.exists(_ != h)
+        case metaRe(h) => current.exists(_ != h) && supersededLongAgo
         case driftRe(v) => v.toLong <= driftFloor
         case n => n.startsWith("._graft_") && n.endsWith(".tmp")
       }

@@ -90,11 +90,25 @@ case class KnnAMeanFold(cos: Expression, k: Int) extends DeclarativeAggregate {
   }
 
   override lazy val mergeExpressions: Seq[Expression] = {
-    // fold the right buffer's slots into the left, one insert each;
-    // -Inf padding inserts are no-ops (they sink and truncate away)
-    var cur: Seq[Expression] = slots.map(_.left)
-    (0 until k).foreach { i => cur = insertInto(cur, slots(i).right) }
-    cur :+ Add(cnt.left, cnt.right)
+    // selection formula, NOT k chained inserts: the m-th largest of two
+    // merged descending arrays is max(B_m, A_m, max_{0<i<m} min(A_i,
+    // B_{m-i})) — every output slot is an independent O(m)-term
+    // expression over the ORIGINAL buffer attributes. Chained inserts
+    // shared each pass's carry nodes between a Greatest and a Least,
+    // and Catalyst walks expressions as TREES: the shared-carry DAG
+    // expands to ~C(2k, k) root-to-leaf paths, hanging analysis past
+    // k ≈ 12. This shape is O(k²) nodes and O(k²) paths — k = 64 is
+    // fine (KnnAMeanFoldSpec pins parity through k = 16 merges).
+    // -Inf padding needs no special case: min(x, -Inf) = -Inf loses to
+    // any real term, and an all-padding slot correctly stays -Inf.
+    val merged = (1 to k).map { m =>
+      val terms: Seq[Expression] =
+        slots(m - 1).right +: slots(m - 1).left +:
+          (1 until m).map(i =>
+            Least(Seq(slots(i - 1).left, slots(m - i - 1).right)))
+      if (terms.size == 1) terms.head else Greatest(terms)
+    }
+    merged :+ Add(cnt.left, cnt.right)
   }
 
   override lazy val evaluateExpression: Expression = {

@@ -129,8 +129,14 @@ object VecIndex {
     val files = TxTable.stageBatch(spark, rows.repartition(col("cid")), table,
       partitionBy = Seq("cid"), maxRecordsPerFile = maxRecordsPerFile)
     val stats = TxTable.fileStats(spark, table, files, Seq("cid", AnnIndex.QzCol))
-    TxTable.commit(spark, table, added = files, removed = prior,
+    val v = TxTable.commit(spark, table, added = files, removed = prior,
       expectedHead = Some(head), stats = stats)
+    // appends record drift ([[AnnIndex.appendLoop]]); a REBUILD retires
+    // that geometry, so the history resets with it (r12 review finding
+    // — otherwise rebuildWarranted keeps demanding the rebuild that
+    // just happened)
+    AnnIndex.clearDriftStats(spark, table)
+    v
   }
 
   /** Frozen-codebook incremental append — map-only encode, head-guarded
@@ -254,5 +260,22 @@ object VecIndex {
           col("__na"), col("__nb")) >= threshold)
       .select(col("idB").as("vec_id")).distinct()
     bKeep.join(losers, Seq("vec_id"), "left_anti")
+  }
+
+  /** Per-row VERDICTS of a batch against the standing corpus: one
+    * (id, kept) row per batch row — kept = [[dedupBatch]] survivor,
+    * losers flagged false. ONE definition for the streaming maintainer
+    * and the orchestrated daily tick (r12 review: the survivor
+    * left-join rule existed in both; a future change to either copy
+    * would silently diverge the two paths).
+    */
+  def verdictsOf(spark: SparkSession, table: String, batch: DataFrame,
+                 idCol: String = "vec_id", vecCol: String = "embedding",
+                 threshold: Double = 0.95): DataFrame = {
+    val survivors = dedupBatch(spark, table, batch, idCol, vecCol, threshold)
+      .select(col(idCol).cast("long").as(idCol), lit(true).as("kept"))
+    batch.select(col(idCol).cast("long").as(idCol))
+      .join(survivors, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("kept"), lit(false)).as("kept"))
   }
 }

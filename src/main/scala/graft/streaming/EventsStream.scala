@@ -417,12 +417,8 @@ object EventsStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val b = batch.toDF().localCheckpoint(true) // verdicts + admission
-        val survivors = graft.functions.VecIndex
-          .dedupBatch(spark, indexTable, b, threshold = threshold)
-          .select(col("vec_id"), lit(true).as("kept"))
-        val verdicts = b.select(col("vec_id").cast("long").as("vec_id"))
-          .join(survivors, Seq("vec_id"), "left")
-          .select(col("vec_id"), coalesce(col("kept"), lit(false)).as("kept"))
+        val verdicts = graft.functions.VecIndex
+          .verdictsOf(spark, indexTable, b, threshold = threshold)
         graft.sink.TxTable.appendOnce(spark, verdicts, verdictTable,
           appId, batchId)
         graft.functions.VecIndex.appendOnce(spark, b, indexTable,

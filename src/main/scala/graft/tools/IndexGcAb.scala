@@ -155,6 +155,9 @@ object IndexGcAb {
         nProbe = 8, codebooksOpt = Some((mMeta.cb1, mMeta.cb2))))
     println(s"[idxgc:margin] parityFails=$mFail reclaimed=$mReclaimed")
     require(vFail == 0 && mFail == 0, "GC must never change an answer")
+    require(!vDrift, "in-distribution twin appends must not ring the " +
+      "rebuild alarm (the minBatchRows gate — r12 review: this was " +
+      "printed but never asserted)")
     spark.stop()
   }
 }

@@ -295,6 +295,52 @@ class AnnIndexSpec extends SparkSpec {
       "5-row batches are sampling noise, not a rebuild signal")
   }
 
+  test("a rebuild CLEARS the drift history: the alarm resets after the rebuild it demanded") {
+    // r12 review finding: the one-batch alarm scans the whole retained
+    // history and builds left pre-rebuild sidecars in place — the
+    // signal kept demanding the rebuild the operator just performed
+    val dir = tmp("driftreset")
+    AnnIndex.build(spark, emb, dir, dim = 64, nCentroids = 16)
+    val one = emb.filter($"vec_id" === 0L).select($"embedding").first()
+      .getAs[scala.collection.Seq[Float]](0)
+    AnnIndex.append(spark, spark.createDataFrame(
+      (1 to 50).map(i => (500000L + i, one.toArray))).toDF("vec_id", "embedding"), dir)
+    assert(AnnIndex.rebuildWarranted(spark, dir), "the skew batch rings the alarm")
+    AnnIndex.build(spark, emb, dir, dim = 64, nCentroids = 16) // the rebuild
+    assert(AnnIndex.driftStats(spark, dir).isEmpty,
+      "stats against the retired geometry must be gone")
+    assert(!AnnIndex.rebuildWarranted(spark, dir),
+      "the alarm must reset after the rebuild")
+    // the cleared table keeps recording from scratch
+    AnnIndex.append(spark, emb.filter($"vec_id" <= 40)
+      .select(($"vec_id" + 600000L).as("vec_id"), $"embedding"), dir)
+    assert(AnnIndex.driftStats(spark, dir).size == 1)
+    assert(!AnnIndex.rebuildWarranted(spark, dir))
+  }
+
+  test("a superseded meta keeps the grace window from its SUPERSESSION, not its mtime") {
+    // r12 review finding: a month-old sidecar was reaped the instant a
+    // rebuild retired it — but a cross-process reader that resolved
+    // the old hash just before the swap still needs it for the grace
+    val dir = tmp("supersede")
+    AnnIndex.build(spark, emb, dir, dim = 64, nCentroids = 16)
+    val gen0 = AnnIndex.currentMetaHash(spark, dir)
+    // age the first sidecar far past any grace
+    val old = new java.io.File(dir).listFiles()
+      .find(_.getName.contains(gen0)).get
+    old.setLastModified(System.currentTimeMillis() - 86400000L)
+    AnnIndex.build(spark, emb, dir, dim = 64, nCentroids = 8) // supersedes NOW
+    def names() = new java.io.File(dir).listFiles().map(_.getName).toSet
+    // production grace: the supersession is seconds old — the stale
+    // meta must survive even though its own mtime is a day old
+    AnnIndex.vacuumSidecars(spark, dir, minAgeMs = 3600000L)
+    assert(names().exists(_.contains(gen0)),
+      "grace must run from supersession, not the stale file's mtime")
+    // zero grace: reapable
+    AnnIndex.vacuumSidecars(spark, dir, minAgeMs = 0L)
+    assert(!names().exists(_.contains(gen0)))
+  }
+
   test("vacuum never touches sidecars; vacuumSidecars reaps exactly the dead ones") {
     val dir = tmp("sidecargc")
     AnnIndex.build(spark, emb, dir, dim = 64, nCentroids = 16)

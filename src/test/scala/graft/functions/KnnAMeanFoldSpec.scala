@@ -47,7 +47,10 @@ class KnnAMeanFoldSpec extends SparkSpec {
       (g, i.toLong, if (i % 11 == 0) math.sin((i - 11) * 0.7) else c)
     } ++ (100 until 110).map(i => (1000L + i, i.toLong, 0.5)) // nk < knn
     val scored = rows.toDF("__mq", "neighbor_id", "cos").repartition(32)
-    for (knn <- Seq(1, 2, 4, 7)) {
+    // 16 exercises the selection-formula merge at a width the chained-
+    // insert shape could not plan (its shared-carry DAG walks as
+    // ~C(2k,k) tree paths — the r12 review finding)
+    for (knn <- Seq(1, 2, 4, 7, 16)) {
       val (o, n) = (bits(oldShape(scored, knn)), bits(newShape(scored, knn)))
       assert(o == n, s"knn=$knn: fold diverged from the replaced shape")
     }
@@ -58,9 +61,11 @@ class KnnAMeanFoldSpec extends SparkSpec {
       math.cos(i * 1.3)))
     val scored = rows.toDF("__mq", "neighbor_id", "cos")
     // 64 partitions on 7 groups forces every group through many merges
-    val many = bits(newShape(scored.repartition(64), 4))
-    val one = bits(newShape(scored.coalesce(1), 4))
-    assert(many == one)
+    for (knn <- Seq(4, 16)) {
+      val many = bits(newShape(scored.repartition(64), knn))
+      val one = bits(newShape(scored.coalesce(1), knn))
+      assert(many == one, s"knn=$knn")
+    }
   }
 
   test("the plan aggregates on HashAggregate, never ObjectHashAggregate/SortAggregate") {
