@@ -4518,9 +4518,15 @@ object SparkEntry {
         r1.marginVersion.isDefined &&
         !r2.landed && r2.validated && !r2.verdictLanded &&
         r2.marginVersion.isEmpty
-      graft.sink.TxTable.read(s, verd)
+      val out = graft.sink.TxTable.read(s, verd)
         .select(col("vec_id").cast("long").as("vec_id"), col("kept"),
           lit(ok).as("validated"))
+        .localCheckpoint(true) // materialize, then the fixture can go:
+      // repeated gate/bench runs otherwise accumulate two index builds
+      // + a verdict table + a log store per invocation in the system
+      // temp dir, unbounded (r12 ADVICE, low)
+      graft.sink.TxTable.deleteDir(s, tmp)
+      out
     }),
   )
 

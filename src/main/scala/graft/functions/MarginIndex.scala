@@ -154,6 +154,17 @@ object MarginIndex {
             targetClusterSize: Long = Similarity.ImiTargetClusterSize,
             maxTrainRows: Long = Similarity.MaxTrainRows,
             maxRecordsPerFile: Long = 5000000L): Long = {
+    // The a-mean leg folds top-knn into FIXED aggregation-buffer slots
+    // ([[KnnAMeanFold]] — the design that keeps the pair stream on
+    // HashAggregateExec instead of an externally-sorted fallback), so
+    // knn is bounded by the slot count. Surface the contract here, at
+    // the API a user actually calls, not as an expression-construction
+    // error deep in the plan (r12 ADVICE, low). `append` inherits the
+    // bound through this index's meta.
+    require(knn >= 1 && knn <= 64,
+      s"MarginIndex supports knn in 1..64 (fixed-width a-mean fold slots); got $knn. " +
+        "For wider neighborhoods raise nProbe/targetClusterSize instead — the " +
+        "margin statistic is a mean over the closest neighbors and saturates well below 64.")
     val c0 = corpus.select(col(cId).cast("long").as("id"),
         Similarity.asDouble(col(cVec)).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -1930,6 +1930,8 @@ object Similarity {
                     targetClusterSize: Long = ImiTargetClusterSize,
                     maxTrainRows: Long = MaxTrainRows,
                     codebooksOpt: Option[(Array[Array[Double]], Array[Array[Double]])] = None): DataFrame = {
+    require(knn >= 1 && knn <= 64,
+      s"marginTopKImi supports knn in 1..64 (fixed-width a-mean fold slots); got $knn.")
     val c0 = corpus.select(col(cId).cast("long").as("id"), asDouble(col(cVec)).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = c0.count()

@@ -62,6 +62,16 @@ object TxTable {
   private def fsFor(spark: SparkSession, p: String): FileSystem =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Recursively delete a whole table/fixture directory. Gate and
+    * bench fixtures use this to reclaim their temp trees after the
+    * result is materialized — NOT a table operation (no log, no
+    * grace window); for in-place reclamation of dead files use
+    * [[vacuum]].
+    */
+  def deleteDir(spark: SparkSession, path: String): Unit = {
+    fsFor(spark, path).delete(new Path(path), true); ()
+  }
+
   /** Per-file column statistic: `typ` is L (long), D (double) or S
     * (string/ISO-timestamp — lexicographically ordered), `lo`/`hi` the
     * min/max rendered as strings. Stats ride in the commit (and
@@ -861,10 +871,19 @@ object TxTable {
     }
     subDirs(qRoot).foreach { d =>
       val rel = qRoot.toUri.relativize(d.toUri).getPath
-      if (!rel.startsWith("_graft_txn") &&
-          fs.getFileStatus(d).getModificationTime < cutoff &&
-          fs.listStatus(d).isEmpty && fs.delete(d, false))
-        deleted += rel
+      // A lost race — a cross-process writer landing a file between
+      // listStatus and delete — is NOT a soft `false` on every
+      // FileSystem: RawLocalFileSystem and HDFS throw
+      // (PathIsNotEmptyDirectory)IOException on a non-recursive delete
+      // of a non-empty dir, and getFileStatus throws if a concurrent
+      // vacuum already reaped it. Either way the right outcome is
+      // "dir kept / already gone, keep sweeping", never aborting the
+      // whole vacuum pass mid-run.
+      val reaped = !rel.startsWith("_graft_txn") && scala.util.Try {
+        fs.getFileStatus(d).getModificationTime < cutoff &&
+          fs.listStatus(d).isEmpty && fs.delete(d, false)
+      }.getOrElse(false)
+      if (reaped) deleted += rel
     }
     // log cleaning: commits at versions ≤ the latest checkpoint (and
     // older checkpoints) are replay-redundant — the snapshot carries

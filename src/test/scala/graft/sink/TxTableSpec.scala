@@ -123,4 +123,60 @@ class TxTableSpec extends SparkSpec {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(preCompact.forall(f => fs.exists(new org.apache.hadoop.fs.Path(s"$t/$f"))))
   }
+
+  test("vacuum survives a lost empty-dir race (FS that THROWS on non-recursive delete)") {
+    // RawLocalFileSystem and HDFS throw (IOException /
+    // PathIsNotEmptyDirectoryException) instead of returning false when
+    // a cross-process writer lands a file into an aged empty dir
+    // between vacuum's listStatus and its delete. The sweep must treat
+    // any delete failure as "dir kept" and keep going, not abort the
+    // whole vacuum pass (r12 ADVICE, medium).
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.throwdel.impl", classOf[ThrowingDeleteFileSystem].getName)
+    val t = "throwdel://" +
+      java.nio.file.Files.createTempDirectory("graft-throwdel").toString + "/tbl"
+    TxTable.append(spark, Seq(1L, 2L).toDF("id"), t)
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // one aged empty dir that "loses the race" (delete throws) and one
+    // that should be reaped normally, proving the sweep continued
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$t/racy-lost"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$t/batch-stale"))
+    Thread.sleep(5)
+    val gone = TxTable.vacuum(spark, t, minAgeMs = 0L)
+    assert(gone.contains("batch-stale"),
+      s"sweep must continue past the thrown delete: $gone")
+    assert(!gone.contains("racy-lost") &&
+      fs.exists(new org.apache.hadoop.fs.Path(s"$t/racy-lost")),
+      "a lost race keeps the dir")
+    assert(TxTable.read(spark, t).count() == 2, "data untouched")
+  }
+}
+
+/** `delete(recursive = false)` THROWS for dirs named `racy-*` — the
+  * HDFS/RawLocalFileSystem behavior when a dir stops being empty between
+  * a caller's emptiness check and its delete.
+  */
+class ThrowingDeleteFileSystem
+    extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "throwdel"
+  override def getUri: java.net.URI = java.net.URI.create("throwdel:///")
+  override def delete(f: org.apache.hadoop.fs.Path,
+                      recursive: Boolean): Boolean =
+    if (!recursive && f.getName.startsWith("racy-"))
+      throw new java.io.IOException(s"Directory $f is not empty")
+    else super.delete(f, recursive)
+  // RawLocalFileSystem statuses lazy-load permissions via
+  // `new java.io.File(uri)`, which rejects any scheme but "file:" —
+  // materialize them (the HostileFileSystem pattern)
+  private def eager(s: org.apache.hadoop.fs.FileStatus): org.apache.hadoop.fs.FileStatus =
+    new org.apache.hadoop.fs.FileStatus(s.getLen, s.isDirectory,
+      s.getReplication, s.getBlockSize, s.getModificationTime,
+      s.getModificationTime,
+      org.apache.hadoop.fs.permission.FsPermission.getDefault,
+      "graft", "graft", s.getPath)
+  override def getFileStatus(f: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileStatus =
+    eager(super.getFileStatus(f))
+  override def listStatus(f: org.apache.hadoop.fs.Path): Array[org.apache.hadoop.fs.FileStatus] =
+    super.listStatus(f).map(eager)
 }
