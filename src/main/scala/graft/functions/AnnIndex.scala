@@ -717,18 +717,14 @@ object AnnIndex {
     */
   def probedFiles(spark: SparkSession, table: String,
                   probed: Set[Long]): Seq[String] =
-    TxTable.currentFilesWithStats(spark, table).collect {
-      case (f, stats) if stats.find(_.col == "cid").forall { st =>
-        val (lo, hi) = (st.lo.toLong, st.hi.toLong)
-        // Hive layout ⇒ lo == hi: one hash lookup per file. The range
-        // scan over `probed` runs only for range-statted files (legacy
-        // or multi-cell), keeping driver pruning O(files) — not
-        // O(files · |probed|), which turns quadratic at the decade
-        // where both counts are the cell count (SCALE.md r12 math).
-        if (lo == hi) probed.contains(lo)
-        else probed.exists(c => lo <= c && c <= hi)
-      } => f
-    }
+    // One definition for every index family ([[TxTable.prunedFilesIn]]):
+    // a driver scan with one hash lookup per Hive-statted file at small
+    // scale, and — past [[TxTable.RelationalListingBytesKey]] — a
+    // RELATIONAL plan over the parquet files-checkpoint that collects
+    // only the matched paths, so driver memory is ∝ |probed files|,
+    // never ∝ |files| (the fourth-decade commit-log-listing wall,
+    // SCALE.md r12 → r13).
+    TxTable.prunedFilesIn(spark, table, "cid", probed)
 
   /** ADC top-k against the at-rest index: prune files to the probed
     * lists, then the exact [[Similarity.adcProbeScore]] +

@@ -517,6 +517,178 @@ object TxTable {
     }
   }
 
+  // ------------------------------------------- relational listing (scale)
+
+  /** Conf key: JSON-checkpoint byte size past which set-membership
+    * pruning ([[prunedFilesIn]]) plans RELATIONALLY from the parquet
+    * files-checkpoint instead of materializing every live file's stats
+    * on the driver. Default 8 MiB ≈ low-millions of files; at the IMI
+    * ceiling decade the listing is ~GBs (SCALE.md r12 math), where the
+    * driver Seq is the wall the relational path removes.
+    */
+  val RelationalListingBytesKey = "spark.graft.relationalListingBytes"
+  private val RelationalListingBytesDefault: Long = 8L * 1024 * 1024
+
+  private val FilesCkptName = """^(\d{8})\.files$""".r
+  private def listFilesCkpts(fs: FileSystem, table: String): Seq[(Long, Path)] = {
+    val dir = new Path(logDir(table))
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir).toSeq.map(_.getPath).flatMap(p => p.getName match {
+      case FilesCkptName(v) => Some(v.toLong -> p); case _ => None
+    }).sortBy(_._1)
+  }
+
+  private val EntriesSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("f", org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("scol", org.apache.spark.sql.types.StringType, nullable = true),
+    org.apache.spark.sql.types.StructField("styp", org.apache.spark.sql.types.StringType, nullable = true),
+    org.apache.spark.sql.types.StructField("lo", org.apache.spark.sql.types.StringType, nullable = true),
+    org.apache.spark.sql.types.StructField("hi", org.apache.spark.sql.types.StringType, nullable = true)))
+
+  private def entriesToDF(spark: SparkSession,
+                          entries: Seq[(String, Seq[ColStat])]): DataFrame = {
+    import org.apache.spark.sql.Row
+    // long form: one PRESENCE row (scol null) per file — a file's
+    // membership never depends on it having stats — plus one row per
+    // stat, so ANY stat column prunes relationally, not just cid
+    val rows = entries.flatMap { case (f, stats) =>
+      Row(f, null, null, null, null) +:
+        stats.map(st => Row(f, st.col, st.typ, st.lo, st.hi))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows,
+        math.max(1, rows.size / 2000000 + 1)), EntriesSchema)
+  }
+
+  /** Snapshot the live (file, stats) entries as a PARQUET relation at
+    * `_graft_txn/<version>.files/` — the commit-log listing an executor
+    * job can PRUNE (row groups sorted by (scol, lo); predicate pushdown
+    * on the stat column) instead of the driver scanning it. Best-effort
+    * like the JSON checkpoint: content is a deterministic function of
+    * the log at `version`, so a lost write or racer costs nothing.
+    * The entries are in hand at checkpoint time (the JSON checkpoint
+    * materializes them anyway); once a table outgrows the JSON render
+    * itself, the successor derives `<v+k>.files` from `<v>.files` MINUS
+    * the suffix's removals PLUS its additions — pure DataFrame algebra,
+    * no driver materialization (the recorded next seam, SCALE.md r13).
+    */
+  private def writeFilesCheckpoint(spark: SparkSession, table: String,
+                                   version: Long,
+                                   entries: Seq[(String, Seq[ColStat])]): Unit =
+    try {
+      val fs = fsFor(spark, table)
+      val target = new Path(f"${logDir(table)}/$version%08d.files")
+      if (fs.exists(target)) return // a racer's content is identical
+      val tmp = new Path(
+        s"${logDir(table)}/.tmpfiles-${java.util.UUID.randomUUID().toString.take(8)}")
+      entriesToDF(spark, entries)
+        .sortWithinPartitions("scol", "lo")
+        .write.mode("overwrite").option("compression", "snappy")
+        .parquet(tmp.toString)
+      if (!fs.rename(tmp, target)) fs.delete(tmp, true)
+    } catch { case _: Exception => () /* acceleration only */ }
+
+  /** The live (file, stats) entries as a DataFrame — `(f, scol, styp,
+    * lo, hi)` long form — planned from the newest parquet
+    * files-checkpoint plus the commit SUFFIX folded driver-side (the
+    * suffix is bounded by the checkpoint cadence; the base relation is
+    * never materialized on the driver). None when no parquet checkpoint
+    * exists or the suffix is non-contiguous (log cleaned past the
+    * parquet's version after a lost best-effort write) — callers fall
+    * back to the driver path, which is always correct.
+    */
+  def liveEntriesDF(spark: SparkSession, table: String): Option[DataFrame] = {
+    val fs = fsFor(spark, table)
+    listFilesCkpts(fs, table).lastOption.flatMap { case (v, p) =>
+      val (cs, _) = listLog(fs, table)
+      val suffixIdx = cs.filter(_._1 > v)
+      val head = (v +: suffixIdx.map(_._1)).max
+      if (suffixIdx.map(_._1) != (v + 1 to head)) None
+      else scala.util.Try {
+        val suffix = suffixIdx.map { case (_, cp) => parse(slurp(fs, cp)) }
+        val delta = scala.collection.mutable.LinkedHashMap[String, Seq[ColStat]]()
+        val gone = scala.collection.mutable.LinkedHashSet[String]()
+        suffix.foreach { c =>
+          val st = if (c.stats.isEmpty) c.added.map(_ => Seq.empty[ColStat])
+            else c.stats
+          c.added.zip(st).foreach { case (f, s) => delta(f) = s; gone -= f }
+          c.removed.foreach { f => delta.remove(f); gone += f }
+        }
+        val base = spark.read.schema(EntriesSchema).parquet(p.toString)
+        if (delta.isEmpty && gone.isEmpty) base
+        else {
+          import org.apache.spark.sql.functions.broadcast
+          val excluded = entriesToDF(spark,
+            (delta.keys ++ gone).toSeq.map(_ -> Seq.empty[ColStat]))
+            .select(col("f"))
+          base.join(broadcast(excluded), Seq("f"), "left_anti")
+            .unionByName(entriesToDF(spark, delta.toSeq))
+        }
+      }.toOption
+    }
+  }
+
+  /** Files whose `statCol` stat MAY hold one of `wanted` (set
+    * membership — the index families' probed-cell pruning). Stat-less
+    * files are kept (missing stats cost opens, never rows). Two plans,
+    * same result set:
+    *
+    *  - DRIVER (small tables): scan [[currentFilesWithStats]] — one
+    *    hash lookup per Hive-statted file (lo == hi), a range test
+    *    otherwise.
+    *  - RELATIONAL (past [[RelationalListingBytesKey]]): prune the
+    *    parquet files-checkpoint as an executor job and collect only
+    *    the MATCHED paths — driver memory ∝ |result|, not ∝ |files|,
+    *    which is what survives the decade where the listing itself is
+    *    ~GBs (the fourth-decade wall named by SCALE.md r12).
+    */
+  def prunedFilesIn(spark: SparkSession, table: String, statCol: String,
+                    wanted: Set[Long]): Seq[String] = {
+    val fs = fsFor(spark, table)
+    val thr = scala.util.Try(
+        spark.conf.get(RelationalListingBytesKey).toLong)
+      .getOrElse(RelationalListingBytesDefault)
+    val big = listLog(fs, table)._2.lastOption.exists { case (_, p) =>
+      scala.util.Try(fs.getFileStatus(p).getLen).getOrElse(0L) >= thr
+    }
+    val relational: Option[Seq[String]] =
+      if (!big) None
+      else liveEntriesDF(spark, table).map { live =>
+        import org.apache.spark.sql.functions.broadcast
+        val wantedStr = wanted.map(_.toString).toSeq
+        val statRows = live.filter(col("scol") === statCol)
+        // Hive layout (lo == hi): sargable string-equality IN — parquet
+        // row-group pruning does the work. Range-statted files (legacy
+        // or multi-cell) go through a broadcast semi-join on the cast.
+        val eqHits = statRows
+          .filter(col("lo") === col("hi") && col("lo").isin(wantedStr: _*))
+          .select(col("f"))
+        val wantedDF = {
+          import spark.implicits._
+          wanted.toSeq.toDF("__pc")
+        }
+        val rngHits = statRows.filter(col("lo") =!= col("hi"))
+          .join(broadcast(wantedDF),
+            col("lo").cast("long") <= col("__pc") &&
+              col("__pc") <= col("hi").cast("long"), "left_semi")
+          .select(col("f"))
+        val statless = live.filter(col("scol").isNull).select(col("f"))
+          .join(statRows.select(col("f")).distinct(), Seq("f"), "left_anti")
+        eqHits.unionByName(rngHits).unionByName(statless)
+          .distinct().sort("f")
+          .collect().map(_.getString(0)).toSeq
+      }
+    relational.getOrElse {
+      currentFilesWithStats(spark, table).collect {
+        case (f, stats) if stats.find(_.col == statCol).forall { st =>
+          val (lo, hi) = (st.lo.toLong, st.hi.toLong)
+          if (lo == hi) wanted.contains(lo)
+          else wanted.exists(c => lo <= c && c <= hi)
+        } => f
+      }
+    }
+  }
+
   /** Files that MAY hold rows with `colName` in [lo, hi] (inclusive;
     * None = unbounded): a file is skipped only when its committed stats
     * prove the range misses it. Files without a stat for `colName` are
@@ -896,6 +1068,14 @@ object TxTable {
           deleted += s"_graft_txn/${p.getName}"
       }
     }
+    // superseded parquet files-checkpoints: keep the newest (the
+    // relational-listing base), reap older ones past the grace window
+    listFilesCkpts(fs, table).dropRight(1).foreach { case (_, p) =>
+      val reaped = scala.util.Try {
+        fs.getFileStatus(p).getModificationTime < cutoff && fs.delete(p, true)
+      }.getOrElse(false)
+      if (reaped) deleted += s"_graft_txn/${p.getName}"
+    }
     deleted.toList
   }
 
@@ -1040,6 +1220,9 @@ object TxTable {
               allTxns(a) = math.max(v, allTxns.getOrElse(a, Long.MinValue)) }
             writeCheckpoint(fs, table,
               Checkpoint(version, live.keys.toSeq, live.values.toSeq, allTxns.toSeq))
+            // parquet twin of the live set, for relational listing —
+            // same entries, already in hand, best-effort like the JSON
+            writeFilesCheckpoint(spark, table, version, live.toSeq)
           }
           return Some(version)
         }

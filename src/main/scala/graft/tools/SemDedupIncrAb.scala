@@ -40,17 +40,37 @@ object SemDedupIncrAb {
     spark.sparkContext.setLogLevel("WARN")
     if (args.contains("gen")) { // the ImiScaleAb deck recipe
       val factor = args(args.indexOf("gen") + 1).toInt
+      // Optional ε (third arg after `gen`): deterministic per-(id,coord)
+      // multiplicative jitter. The plain rotation deck is
+      // duplicate-SATURATED past 64× (replicas 64 apart are EXACT twins
+      // → standing kth-kept cosines = 1.0 → the margin displacement
+      // screen can never fire, so 2M appends measured only the screen
+      // floor, SCALE.md r12). With jitter no two rows are identical:
+      // rotation-twins sit at cos ≈ 1-ε² with continuous spread, so
+      // appended twins land above ~half the standing kth-kept cosines —
+      // the ORGANIC fresh-near-neighbor deck that measures real
+      // displacement repair (VERDICT r12 → r13 item 2).
+      val eps = args.lift(args.indexOf("gen") + 2).map(_.toDouble).getOrElse(0.0)
       val base = graft.sources.Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
       val dim = 64
       (0 until factor).map { i =>
-        base.withColumn("vec_id", col("vec_id") + lit(i * 1000000L))
+        val rot = base.withColumn("vec_id", col("vec_id") + lit(i * 1000000L))
           .withColumn("embedding",
             if (i > 0) concat(slice(col("embedding"), i % dim + 1, dim - i % dim),
               slice(col("embedding"), 1, i % dim))
             else col("embedding"))
+        if (eps <= 0.0) rot
+        else rot.withColumn("embedding",
+          // h(id, j) ∈ [-1, 1] via murmur3 — deterministic, id includes
+          // the replica offset so rotation-twins jitter independently
+          transform(col("embedding"), (x, j) =>
+            (x * (lit(1.0) + lit(eps) *
+              ((pmod(hash(col("vec_id"), j), lit(2001)) - lit(1000))
+                .cast("double") / lit(1000.0)))).cast("float")))
       }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-      println(s"[incrAb] gen ${spark.read.parquet(s"$dir/embeddings.parquet").count()} vectors")
+      println(s"[incrAb] gen ${spark.read.parquet(s"$dir/embeddings.parquet").count()} vectors" +
+        (if (eps > 0.0) s" (jitter eps=$eps)" else ""))
     }
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
