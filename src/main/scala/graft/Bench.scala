@@ -173,7 +173,11 @@ object Bench {
       // margin self-kNN leg) and runs two full ticks inside the lambda —
       // the q40 lifecycle class; steady-state tick cost is priced by the
       // b242/b243/b244 twins
-      "q245_semantic_tick")
+      "q245_semantic_tick",
+      // r13: the rebuild-lifecycle gate is a build + 3 appends + a
+      // RETRAIN + parity legs inside the lambda — same lifecycle class;
+      // steady-state search/append economics are priced by b242/b243
+      "q246_rebuild_lifecycle")
     val streamingKind = Set("q41_stream_hourly", "q54_stream_distinct_pairs",
       "q63_stream_static_join", "q84_stream_stream_join", "q93_stream_neardup",
       "q155_stream_dedup", "q176_stream_trending", "q186_stream_jdbc_once",

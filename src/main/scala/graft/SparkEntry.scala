@@ -4528,6 +4528,82 @@ object SparkEntry {
       graft.sink.TxTable.deleteDir(s, tmp)
       out
     }),
+
+    // R — the rebuild LIFECYCLE executed on a live index (round 13,
+    // the r12 verdict's item 3: `rebuildWarranted` fired spec-pinned,
+    // but nothing walked signal → retrain → atomic swap → cleared
+    // history → queued appends → parity as ONE path). A maintainer
+    // drifts the index until the signal fires, VecIndex.rebuild
+    // retrains from the at-rest rows and swaps atomically, and every
+    // post-swap property an operator relies on lands as a flag row the
+    // oracle pins: the signal cleared WITH the geometry it measured,
+    // one new quantizer generation, no row lost, a queued maintainer
+    // append encoding on the NEW generation, a replayed pre-rebuild
+    // tick still skipping (writer watermarks ride the commit log
+    // through the replacing commit), at-rest search ≡ the in-session
+    // IMI path at the retrained frozen codebooks (the q243 parity
+    // shape), and exact twins still dropping against the rebuilt
+    // corpus. RebuildLifecycleSpec additionally drills the
+    // cross-process reader surviving the swap and appends RACING the
+    // retrain being repaired, not lost.
+    "q246_rebuild_lifecycle" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val corpus = ev.filter(col("vec_id") < 300)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q246").toString
+      val idx = s"$tmp/vec_idx"
+      functions.VecIndex.build(s, corpus, idx, kPerHalf = 4, iters = 0)
+      // drifted maintainer batches: 40 copies of one corpus vector with
+      // fresh monotone ids — single-cell occupancy, TV over the
+      // one-batch alarm, over the minBatchRows evidence gate
+      val one = corpus.filter(col("vec_id") === 7L)
+        .select(col("embedding")).localCheckpoint(true)
+      def drifted(from: Long) = s.range(40)
+        .select((col("id") + from).as("vec_id")).crossJoin(broadcast(one))
+      functions.VecIndex.appendOnce(s, drifted(1000L), idx, "q246", 0L)
+      functions.VecIndex.appendOnce(s, drifted(1040L), idx, "q246", 1L)
+      val warrantedBefore = functions.AnnIndex.rebuildWarranted(s, idx)
+      val oldHash = functions.AnnIndex.currentMetaHash(s, idx)
+      functions.VecIndex.rebuild(s, idx, kPerHalf = 4, iters = 1)
+      val warrantedAfter = functions.AnnIndex.rebuildWarranted(s, idx)
+      val newHash = functions.AnnIndex.currentMetaHash(s, idx)
+      val rowsAfter = graft.sink.TxTable.read(s, idx).count()
+      val queued = functions.VecIndex.appendOnce(s, drifted(1080L), idx, "q246", 2L)
+      val queuedOnNew = queued.isDefined &&
+        functions.AnnIndex.currentMetaHash(s, idx) == newHash
+      val rowsQueued = graft.sink.TxTable.read(s, idx).count()
+      val replaySkips =
+        functions.VecIndex.appendOnce(s, drifted(1000L), idx, "q246", 0L).isEmpty
+      val meta = functions.VecIndex.readMeta(s, idx)
+      val rows = graft.sink.TxTable.read(s, idx)
+        .select(col("id").as("vec_id"), col("v").as("embedding"))
+        .localCheckpoint(true)
+      val q = ev.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+        .localCheckpoint(true)
+      val atRest = functions.VecIndex.search(s, idx, q, k = 5)
+        .localCheckpoint(true)
+      val inSession = functions.Similarity.ivfTopKImi(q, rows, k = 5,
+        kPerHalf = 4, codebooksOpt = Some((meta.cb1, meta.cb2)))
+        .localCheckpoint(true)
+      val parityDiff = atRest.exceptAll(inSession)
+        .union(inSession.exceptAll(atRest)).count()
+      val twins = corpus.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 50000L).as("vec_id"), col("embedding"))
+      val twinSurvivors = functions.VecIndex.dedupBatch(s, idx, twins).count()
+      graft.sink.TxTable.deleteDir(s, tmp)
+      Seq(
+        ("new_generation", if (newHash != oldHash) 1L else 0L),
+        ("queued_on_new_gen", if (queuedOnNew) 1L else 0L),
+        ("replay_skips", if (replaySkips) 1L else 0L),
+        ("rows_after_queued", rowsQueued),
+        ("rows_after_rebuild", rowsAfter),
+        ("search_parity_diff", parityDiff),
+        ("twin_survivors", twinSurvivors),
+        ("warranted_after", if (warrantedAfter) 1L else 0L),
+        ("warranted_before", if (warrantedBefore) 1L else 0L)
+      ).toDF("metric", "value")
+    }),
   )
 
   // ----------------------------------------------------------- bench-only
@@ -7772,6 +7848,22 @@ object SparkEntry {
                 b.vec_id NOT IN (SELECT vec_id FROM losers) AS kept,
                 TRUE AS validated
          FROM bat b""",
+    // the rebuild lifecycle's observable outcomes are booleans/counts a
+    // correct walk of signal → retrain → swap → queued appends → parity
+    // determines exactly (the q244/q234 constant-pin pattern; the
+    // underlying search/dedup math is independently hash-replayed by
+    // q242/q243, and the at-rest↔in-session parity leg inside this gate
+    // is itself the q243 shape on the REBUILT generation)
+    "q246_rebuild_lifecycle" ->
+      """SELECT 'new_generation' AS metric, CAST(1 AS BIGINT) AS value
+         UNION ALL SELECT 'queued_on_new_gen', CAST(1 AS BIGINT)
+         UNION ALL SELECT 'replay_skips', CAST(1 AS BIGINT)
+         UNION ALL SELECT 'rows_after_queued', CAST(420 AS BIGINT)
+         UNION ALL SELECT 'rows_after_rebuild', CAST(380 AS BIGINT)
+         UNION ALL SELECT 'search_parity_diff', CAST(0 AS BIGINT)
+         UNION ALL SELECT 'twin_survivors', CAST(0 AS BIGINT)
+         UNION ALL SELECT 'warranted_after', CAST(0 AS BIGINT)
+         UNION ALL SELECT 'warranted_before', CAST(1 AS BIGINT)""",
     // q237's fixed-codebook assignment + the multi-sequence probe (top-8
     // cells by d1+d2, ties to the lowest composite cid — the padded
     // half distances differ from these by exact-zero products only) +

@@ -139,6 +139,81 @@ object VecIndex {
     v
   }
 
+  /** EXECUTE the rebuild the drift signal warrants (VERDICT r12 → r13
+    * item 3 — `rebuildWarranted` fired but nothing walked the path on a
+    * LIVE index): retrain the IMI geometry on the index's OWN current
+    * rows — the exact vectors are at rest, so no external corpus is
+    * needed — and land it through [[build]]'s one replacing
+    * conflict-checked commit. Everything an operator relies on falls
+    * out of the existing machinery, drilled end-to-end by
+    * RebuildLifecycleSpec and gate q246:
+    *
+    *  - the swap is ATOMIC (expectedHead replacing commit): readers
+    *    see wholly-old or wholly-new, never a generation mix;
+    *  - the drift history CLEARS with the geometry it measured
+    *    ([[build]] → [[AnnIndex.clearDriftStats]]), so the signal
+    *    doesn't demand the rebuild just performed;
+    *  - a cross-process reader mid-search survives: the superseded
+    *    rows stay on disk until vacuum's grace passes, and the old
+    *    sidecar keeps a SUPERSESSION-keyed grace
+    *    ([[AnnIndex.vacuumSidecars]]);
+    *  - queued maintainer appends land on the NEW generation: the
+    *    head-guarded append loop restages on the fresh `__qz`, and
+    *    writer-txn watermarks ride the commit log UNCHANGED through
+    *    the replacing commit, so a replayed pre-rebuild (appId, tick)
+    *    still skips exactly-once.
+    *
+    * `kPerHalf <= 0` re-derives the half-codebook count from the
+    * CURRENT corpus size — the point of rebuilding after growth or
+    * drift: cell geometry re-fits the data actually in the index.
+    * Returns the committed version.
+    *
+    * 100 TB shape: one bounded-sample train + one map-only re-assign +
+    * one |corpus| skinny shuffle — the same build-class unit of cost as
+    * the initial build, paid only when the operator acts on the signal.
+    */
+  def rebuild(spark: SparkSession, table: String,
+              kPerHalf: Int = 0, iters: Int = 3,
+              targetClusterSize: Long = Similarity.ImiTargetClusterSize,
+              maxTrainRows: Long = Similarity.MaxTrainRows,
+              maxRecordsPerFile: Long = 5000000L,
+              onCorpusPinned: () => Unit = () => ()): Long = {
+    // the corpus IS the table: (id, v) re-read from the live rows,
+    // PINNED at a version so the repair below has exact race math.
+    // `onCorpusPinned` is the race-injection seam RebuildLifecycleSpec
+    // drives (a maintainer append/compaction landing mid-retrain);
+    // production callers leave the no-op default.
+    val h0 = TxTable.headVersion(spark, table)
+    val corpus = TxTable.readAt(spark, table, h0)
+      .select(col("id").as("vec_id"), col("v").as("embedding"))
+    onCorpusPinned()
+    val v = build(spark, corpus, table, kPerHalf = kPerHalf, iters = iters,
+      targetClusterSize = targetClusterSize, maxTrainRows = maxTrainRows,
+      maxRecordsPerFile = maxRecordsPerFile)
+    // Maintainer appends RACING the retrain are never lost: build's
+    // replacing commit swapped out filesAt(v-1) — which includes any
+    // batch landed in (h0, v-1] — but the training corpus was pinned at
+    // h0, so those rows are absent from the new generation. Their data
+    // files are still on disk (vacuum grace), so re-land them through
+    // the ordinary head-guarded append, re-encoded with the NEW
+    // codebooks. (An append landing AFTER build's own head capture
+    // fails the swap loudly instead — expectedHead conflict — so the
+    // operator retries; nothing is ever silently dropped either way.)
+    if (v - 1 > h0) {
+      // the change FEED, not the file diff: a concurrent compaction in
+      // the window rewrites snapshot rows into fresh files, and naively
+      // re-landing those files would duplicate them — readChanges'
+      // multiset cancellation nets rewrites to zero and keeps exactly
+      // the genuinely appended rows
+      val missed = TxTable.readChanges(spark, table, h0, v - 1)
+        .filter(col("_change_type") === "insert")
+        .select(col("id").as("vec_id"), col("v").as("embedding"))
+        .localCheckpoint(true) // materialize before grace could lapse
+      if (!missed.isEmpty) append(spark, missed, table)
+    }
+    v
+  }
+
   /** Frozen-codebook incremental append — map-only encode, head-guarded
     * commit, drift-recorded ([[AnnIndex.appendLoop]]'s contract).
     */
