@@ -108,8 +108,12 @@ final class Orchestrator(spark: SparkSession, lakeRoot: String, logStore: LogSto
     AnnIndex.compactIfNeeded(spark, vecTable, maxFilesPerList = maxFilesPerList)
     marginTable.foreach(mt =>
       AnnIndex.compactIfNeeded(spark, mt, maxFilesPerList = maxFilesPerList))
+    // size-tiered: only the small-file tail folds — the verdict table
+    // is the append-only admissions audit (rows ∝ corpus by design);
+    // a full compact here would re-shuffle the whole history every
+    // maxVerdictFiles ticks, O(corpus) at fleet cadence (r13 item 7)
     if (TxTable.currentFiles(spark, verdictTable).size > maxVerdictFiles)
-      TxTable.compact(spark, verdictTable, targetRowsPerFile = 5000000L)
+      TxTable.foldSmallFiles(spark, verdictTable, targetRowsPerFile = 5000000L)
 
     val delta = vecRows() - vecBefore
     val expected = if (vecVer.isDefined) n else 0L

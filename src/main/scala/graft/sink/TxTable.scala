@@ -874,6 +874,40 @@ object TxTable {
       expectedHead = Some(head), stats = stats)
   }
 
+  /** Size-tiered fold for APPEND-ONLY relations that grow forever (the
+    * verdict audit log: one row per admitted vector, ∝ corpus by
+    * design): rewrite ONLY the current files still below
+    * `targetRowsPerFile` — per the commit log's [[RowCountStat]], zero
+    * data IO to plan; stat-less files count as small (they get folded
+    * and gain stats) — into at most the files their row sum needs.
+    * MATURE files are never rewritten, so at fleet cadence the
+    * amortized maintenance cost per tick is O(batch), not O(corpus):
+    * a full [[compact]] of a ceiling-decade verdict table (~270 GB,
+    * SCALE.md r13 math) every `maxVerdictFiles` ticks would otherwise
+    * re-shuffle the whole audit history forever (VERDICT r12 → r13
+    * item 7). Returns -1 when fewer than `minFilesToFold` small files
+    * exist (nothing worth a commit). Conflict-checked like compact.
+    */
+  def foldSmallFiles(spark: SparkSession, table: String,
+                     targetRowsPerFile: Long = 5000000L,
+                     minFilesToFold: Int = 2): Long = {
+    val (head, entries) = currentEntries(fsFor(spark, table), table)
+    val small = entries.filter { case (_, stats) =>
+      stats.find(_.col == RowCountStat).forall(_.lo.toLong < targetRowsPerFile)
+    }
+    if (small.size < minFilesToFold) return -1L
+    val before = small.map(_._1)
+    val df = readFiles(spark, table, before, mergeSchema = true)
+    val rows = df.count()
+    val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    val files = stageBatch(spark, df.repartition(nFiles), table)
+    val statCols = entries.flatMap(_._2.map(_.col)).distinct
+    val stats =
+      if (statCols.isEmpty) Nil else fileStats(spark, table, files, statCols)
+    commit(spark, table, added = files, removed = before,
+      expectedHead = Some(head), stats = stats)
+  }
+
   def compact(spark: SparkSession, table: String,
               targetRowsPerFile: Long = 5000000L,
               clusterBy: Option[String] = None,

@@ -436,9 +436,13 @@ object EventsStream {
         // the verdict table is flat (one small file per micro-batch —
         // the LogGcAb shape): fold it when the file count passes the
         // threshold so watermark/verdict reads stay O(1) listings
+        // size-tiered (foldSmallFiles, never compact): the verdict
+        // audit log grows ∝ corpus forever by design — only the
+        // small-file tail may fold, or the maintainer re-shuffles the
+        // whole history every maxVerdictFiles batches (r13 item 7)
         if (graft.sink.TxTable.currentFiles(spark, verdictTable).size >
             maxVerdictFiles)
-          graft.sink.TxTable.compact(spark, verdictTable,
+          graft.sink.TxTable.foldSmallFiles(spark, verdictTable,
             targetRowsPerFile = 5000000L)
         logDriftSignal(spark, indexTable, appId, batchId)
         ()

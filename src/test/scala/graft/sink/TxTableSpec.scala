@@ -151,6 +151,39 @@ class TxTableSpec extends SparkSpec {
       "a lost race keeps the dir")
     assert(TxTable.read(spark, t).count() == 2, "data untouched")
   }
+
+  test("foldSmallFiles: mature files are NEVER rewritten, only the small tail folds") {
+    // the append-only audit-log maintenance contract (r13 item 7): a
+    // table growing ∝ corpus forever must pay O(new rows), not
+    // O(corpus), per fold — so files at or past the target are immortal
+    val t = mk()
+    // 6 small appends of 10 rows; fold at target 30 → ~2 mature files
+    (0 until 6).foreach { i =>
+      TxTable.append(spark,
+        (i * 10L until i * 10L + 10L).toDF("id"), t, statsCols = Seq("id"))
+    }
+    assert(TxTable.foldSmallFiles(spark, t, targetRowsPerFile = 30L) > 0)
+    val mature = TxTable.currentFilesWithStats(spark, t).filter(_._2
+      .find(_.col == TxTable.RowCountStat).exists(_.lo.toLong >= 30L))
+      .map(_._1).toSet
+    assert(mature.nonEmpty, "the fold must produce at-target files")
+    assert(ids(t) == (0L until 60L).toSet, "fold preserves every row")
+    // more small appends + a second fold: the mature set is untouched
+    (6 until 9).foreach { i =>
+      TxTable.append(spark,
+        (i * 10L until i * 10L + 10L).toDF("id"), t, statsCols = Seq("id"))
+    }
+    assert(TxTable.foldSmallFiles(spark, t, targetRowsPerFile = 30L) > 0)
+    val after = TxTable.currentFiles(spark, t).toSet
+    assert(mature.subsetOf(after),
+      s"mature files must survive the fold untouched: ${mature -- after} rewrote")
+    assert(ids(t) == (0L until 90L).toSet)
+    // stats survive the fold (pruning must not silently turn off)
+    assert(TxTable.currentFilesWithStats(spark, t)
+      .forall(_._2.exists(_.col == "id")))
+    // a lone small file is not worth a commit
+    assert(TxTable.foldSmallFiles(spark, t, targetRowsPerFile = 30L) == -1L)
+  }
 }
 
 /** `delete(recursive = false)` THROWS for dirs named `racy-*` — the
