@@ -186,7 +186,8 @@ object MarginIndex {
     // the self-kNN a-mean leg IS marginTopKImi's — one shared
     // definition ([[Similarity.imiSelfKnnAMeans]]), so the at-rest
     // parity is structural, not copy-discipline
-    val nnMean = Similarity.imiSelfKnnAMeans(assigned, cb2p.length, nProbe, knn)
+    val nnMean = Similarity.imiSelfKnnAMeans(assigned, cb2p.length, nProbe,
+      knn, nCells = cb1p.length * cb2p.length)
 
     val head = TxTable.headVersion(spark, table)
     val prior = TxTable.currentFiles(spark, table)
@@ -398,7 +399,8 @@ object MarginIndex {
       batchAssigned.filter(col("cid").isInCollection(candCells))
         .select(col("cid"), col("id"), col("v"), col("__cn")))
     val newA = Similarity.imiKnnAMeansOver(needA, candMembers, k2,
-      meta.nProbe, meta.knn).localCheckpoint(true) // updated + newMain
+      meta.nProbe, meta.knn, nCells = cb1p.length * cb2p.length)
+      .localCheckpoint(true) // updated + newMain
 
     // 7. assemble the rewritten partitions + the batch's data/probe rows
     val outCols = Seq(col("id"), col("v"), col("cn"), col("a"), col("ck"),

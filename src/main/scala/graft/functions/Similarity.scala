@@ -1832,10 +1832,11 @@ object Similarity {
     * (id, v, cid, __cn, __s1, __s2) relation. Output (id, a).
     */
   private[functions] def imiSelfKnnAMeans(assigned: DataFrame, k2: Int,
-                                          nProbe: Int, knn: Int): DataFrame =
+                                          nProbe: Int, knn: Int,
+                                          nCells: Int): DataFrame =
     imiKnnAMeansOver(assigned,
       assigned.select(col("cid"), col("id"), col("v"), col("__cn")),
-      k2, nProbe, knn)
+      k2, nProbe, knn, nCells)
 
   /** The a-mean leg with an ASYMMETRIC candidate relation: `probeSide`
     * = the rows needing an a-mean (id, v, __cn, __s1, __s2 — probe
@@ -1856,7 +1857,8 @@ object Similarity {
     * ∝ everyone-who-probes-a-touched-cell.
     */
   private[functions] def imiKnnAMeansOver(probeSide: DataFrame, members: DataFrame,
-                                          k2: Int, nProbe: Int, knn: Int): DataFrame = {
+                                          k2: Int, nProbe: Int, knn: Int,
+                                          nCells: Int): DataFrame = {
     val probesV = probeSide
       .select(col("id").as("__qid"), col("v").as("__qv"), col("__cn").as("__qn"),
         explode_outer(imiProbeCellsOf(col("__s1"), col("__s2"), k2,
@@ -1866,8 +1868,22 @@ object Similarity {
     // 49.2 vs 48.5 s at the 198k build, appends slightly worse: the
     // join is NOT the bottleneck; the per-pair partial-aggregate probe
     // is. Left on Catalyst's default join choice.)
+    //
+    // The pair join partitions by CELL at ~one cell per partition
+    // (round 13): the fold's partial-aggregate maps then hold the
+    // probers of ONE cell (~nProbe · targetClusterSize groups) instead
+    // of n·nProbe/shufflePartitions — at the 2M deck with the default
+    // 32 partitions that is ~500k groups per map, and the per-pair
+    // hash-map probe (cache misses) dominated the build (SCALE.md r12;
+    // the 2048-partition A/B read 392 → 307 s). The clamp keeps
+    // gate-scale decks on the session default (no empty-task tax) and
+    // caps task count at the IMI codebook ceiling.
+    val sessionParts = members.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val nPart = math.min(4096, math.max(sessionParts, nCells))
     val selfScored = members
-      .join(probesV, Seq("cid"))
+      .repartition(nPart, col("cid"))
+      .join(probesV.repartition(nPart, col("cid")), Seq("cid"))
       .filter(col("__qid") =!= col("id"))
       .select(col("__qid").as("__mq"), col("id").as("neighbor_id"),
         cosineWithNorms(col("__qv"), col("v"), col("__qn"), col("__cn")).as("cos"))
@@ -1953,7 +1969,8 @@ object Similarity {
     c0.unpersist()
 
     val members = assigned.select(col("cid"), col("id"), col("v"), col("__cn"))
-    val nnMean = imiSelfKnnAMeans(assigned, cb2p.length, nProbe, knn)
+    val nnMean = imiSelfKnnAMeans(assigned, cb2p.length, nProbe, knn,
+        nCells = cb1p.length * cb2p.length)
       .localCheckpoint(true) // both margin join sides consume it
     val q = imiQueryProbes(queries, cb1p, cb2p, nProbe, qId, qVec)
     val candScored = members.join(broadcast(q), Seq("cid"))

@@ -33,18 +33,21 @@ import graft.sink.TxTable
   * readers (the grace window's correctness is the hostile spec's job).
   *
   * `runMain graft.tools.IndexGcAb [cycles=1000] [vacuumEvery=10]
-  * [marginCycles=cycles]`
+  * [marginCycles=cycles] [srcDir=/root/testdata/sf0.01]` — the source
+  * dir moves the probe up a data decade (r13 item 8: sf0.1 puts 10×
+  * the rows per cell, so compaction and vacuum move real bytes).
   */
 object IndexGcAb {
   def main(args: Array[String]): Unit = {
     val cycles = args.headOption.map(_.toInt).getOrElse(1000)
     val vacuumEvery = args.lift(1).map(_.toInt).getOrElse(10)
     val marginCycles = args.lift(2).map(_.toInt).getOrElse(cycles)
+    val srcDir = args.lift(3).getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val emb = graft.sources.Tables.load(spark, srcDir, "embeddings")
       .select(col("vec_id"), col("embedding"))
     val base = emb.localCheckpoint(true)
     val nBase = base.count()
