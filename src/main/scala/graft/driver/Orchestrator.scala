@@ -111,9 +111,13 @@ final class Orchestrator(spark: SparkSession, lakeRoot: String, logStore: LogSto
     // size-tiered: only the small-file tail folds — the verdict table
     // is the append-only admissions audit (rows ∝ corpus by design);
     // a full compact here would re-shuffle the whole history every
-    // maxVerdictFiles ticks, O(corpus) at fleet cadence (r13 item 7)
-    if (TxTable.currentFiles(spark, verdictTable).size > maxVerdictFiles)
-      TxTable.foldSmallFiles(spark, verdictTable, targetRowsPerFile = 5000000L)
+    // maxVerdictFiles ticks, O(corpus) at fleet cadence (r13 item 7).
+    // minFilesToFold = maxVerdictFiles so the growing not-yet-mature
+    // file rewrites once per maxVerdictFiles ticks, not every tick —
+    // per-fold cost is bounded by targetRowsPerFile (constant in
+    // corpus), and the small tail stays ≤ maxVerdictFiles files.
+    TxTable.foldSmallFiles(spark, verdictTable,
+      targetRowsPerFile = 5000000L, minFilesToFold = maxVerdictFiles)
 
     val delta = vecRows() - vecBefore
     val expected = if (vecVer.isDefined) n else 0L

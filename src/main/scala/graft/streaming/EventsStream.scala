@@ -439,11 +439,12 @@ object EventsStream {
         // size-tiered (foldSmallFiles, never compact): the verdict
         // audit log grows ∝ corpus forever by design — only the
         // small-file tail may fold, or the maintainer re-shuffles the
-        // whole history every maxVerdictFiles batches (r13 item 7)
-        if (graft.sink.TxTable.currentFiles(spark, verdictTable).size >
-            maxVerdictFiles)
-          graft.sink.TxTable.foldSmallFiles(spark, verdictTable,
-            targetRowsPerFile = 5000000L)
+        // whole history every maxVerdictFiles batches (r13 item 7).
+        // The fold fires when the small tail reaches maxVerdictFiles,
+        // so per-fold cost is bounded by targetRowsPerFile (constant
+        // in corpus) and paid once per maxVerdictFiles batches.
+        graft.sink.TxTable.foldSmallFiles(spark, verdictTable,
+          targetRowsPerFile = 5000000L, minFilesToFold = maxVerdictFiles)
         logDriftSignal(spark, indexTable, appId, batchId)
         ()
       }
