@@ -2,7 +2,7 @@ package graft.sink
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, when}
 
 /** Minimal transactional table: a versioned commit log over parquet —
   * the smallest useful form of the Delta/Iceberg core idea, built to
@@ -642,8 +642,16 @@ object TxTable {
     *    which is what survives the decade where the listing itself is
     *    ~GBs (the fourth-decade wall named by SCALE.md r12).
     */
-  def prunedFilesIn(spark: SparkSession, table: String, statCol: String,
-                    wanted: Set[Long]): Seq[String] = {
+  /** The shared relational-dispatch half of [[prunedFilesIn]] and
+    * [[prunedFiles]]: None below the size threshold or without a
+    * parquet files-checkpoint (callers run the driver scan, always
+    * correct); otherwise the pruned file set, where `hitsOf` maps the
+    * `statCol` stat rows to the matching ones and stat-less files are
+    * always kept (missing stats cost opens, never rows).
+    */
+  private def relationalPruneOpt(spark: SparkSession, table: String,
+                                 statCol: String,
+                                 hitsOf: DataFrame => DataFrame): Option[Seq[String]] = {
     val fs = fsFor(spark, table)
     val thr = scala.util.Try(
         spark.conf.get(RelationalListingBytesKey).toLong)
@@ -651,33 +659,40 @@ object TxTable {
     val big = listLog(fs, table)._2.lastOption.exists { case (_, p) =>
       scala.util.Try(fs.getFileStatus(p).getLen).getOrElse(0L) >= thr
     }
-    val relational: Option[Seq[String]] =
-      if (!big) None
-      else liveEntriesDF(spark, table).map { live =>
-        import org.apache.spark.sql.functions.broadcast
-        val wantedStr = wanted.map(_.toString).toSeq
-        val statRows = live.filter(col("scol") === statCol)
-        // Hive layout (lo == hi): sargable string-equality IN — parquet
-        // row-group pruning does the work. Range-statted files (legacy
-        // or multi-cell) go through a broadcast semi-join on the cast.
-        val eqHits = statRows
-          .filter(col("lo") === col("hi") && col("lo").isin(wantedStr: _*))
-          .select(col("f"))
-        val wantedDF = {
-          import spark.implicits._
-          wanted.toSeq.toDF("__pc")
-        }
-        val rngHits = statRows.filter(col("lo") =!= col("hi"))
-          .join(broadcast(wantedDF),
-            col("lo").cast("long") <= col("__pc") &&
-              col("__pc") <= col("hi").cast("long"), "left_semi")
-          .select(col("f"))
-        val statless = live.filter(col("scol").isNull).select(col("f"))
-          .join(statRows.select(col("f")).distinct(), Seq("f"), "left_anti")
-        eqHits.unionByName(rngHits).unionByName(statless)
-          .distinct().sort("f")
-          .collect().map(_.getString(0)).toSeq
+    if (!big) None
+    else liveEntriesDF(spark, table).map { live =>
+      val statRows = live.filter(col("scol") === statCol)
+      val hits = hitsOf(statRows).select(col("f"))
+      val statless = live.filter(col("scol").isNull).select(col("f"))
+        .join(statRows.select(col("f")).distinct(), Seq("f"), "left_anti")
+      hits.unionByName(statless)
+        .distinct().sort("f")
+        .collect().map(_.getString(0)).toSeq
+    }
+  }
+
+  def prunedFilesIn(spark: SparkSession, table: String, statCol: String,
+                    wanted: Set[Long]): Seq[String] = {
+    val relational = relationalPruneOpt(spark, table, statCol, statRows => {
+      import org.apache.spark.sql.functions.broadcast
+      val wantedStr = wanted.map(_.toString).toSeq
+      // Hive layout (lo == hi): sargable string-equality IN — parquet
+      // row-group pruning does the work. Range-statted files (legacy
+      // or multi-cell) go through a broadcast semi-join on the cast.
+      val eqHits = statRows
+        .filter(col("lo") === col("hi") && col("lo").isin(wantedStr: _*))
+        .select(col("f"))
+      val wantedDF = {
+        import spark.implicits._
+        wanted.toSeq.toDF("__pc")
       }
+      val rngHits = statRows.filter(col("lo") =!= col("hi"))
+        .join(broadcast(wantedDF),
+          col("lo").cast("long") <= col("__pc") &&
+            col("__pc") <= col("hi").cast("long"), "left_semi")
+        .select(col("f"))
+      eqHits.unionByName(rngHits)
+    })
     relational.getOrElse {
       currentFilesWithStats(spark, table).collect {
         case (f, stats) if stats.find(_.col == statCol).forall { st =>
@@ -698,16 +713,33 @@ object TxTable {
     */
   def prunedFiles(spark: SparkSession, table: String, colName: String,
                   lo: Option[String], hi: Option[String]): Seq[String] = {
-    def cmp(typ: String, a: String, b: String): Int = typ match {
-      case "L" => java.lang.Long.compare(a.toLong, b.toLong)
-      case "D" => java.lang.Double.compare(a.toDouble, b.toDouble)
-      case _ => a.compareTo(b)
-    }
-    currentFilesWithStats(spark, table).collect {
-      case (f, stats) if stats.find(_.col == colName).forall { st =>
-        hi.forall(h => cmp(st.typ, st.lo, h) <= 0) &&
-          lo.forall(l => cmp(st.typ, st.hi, l) >= 0)
-      } => f
+    // RELATIONAL dispatch past the listing threshold (the incremental
+    // watermark-read twin of [[prunedFilesIn]]'s probed-cell pruning —
+    // ingestion tables hit the same fourth-decade listing wall): the
+    // typed [min, max]-overlap test runs as a stat-typ-dispatched
+    // Column predicate over the parquet files-checkpoint. "S" stats
+    // (strings/ISO timestamps) compare lexicographically in both plans.
+    val relational = relationalPruneOpt(spark, table, colName, statRows => {
+      def leq(a: Column, b: Column): Column =
+        when(col("styp") === "L", a.cast("long") <= b.cast("long"))
+          .when(col("styp") === "D", a.cast("double") <= b.cast("double"))
+          .otherwise(a <= b)
+      val keepHi = hi.map(h => leq(col("lo"), lit(h))).getOrElse(lit(true))
+      val keepLo = lo.map(l => leq(lit(l), col("hi"))).getOrElse(lit(true))
+      statRows.filter(keepHi && keepLo)
+    })
+    relational.getOrElse {
+      def cmp(typ: String, a: String, b: String): Int = typ match {
+        case "L" => java.lang.Long.compare(a.toLong, b.toLong)
+        case "D" => java.lang.Double.compare(a.toDouble, b.toDouble)
+        case _ => a.compareTo(b)
+      }
+      currentFilesWithStats(spark, table).collect {
+        case (f, stats) if stats.find(_.col == colName).forall { st =>
+          hi.forall(h => cmp(st.typ, st.lo, h) <= 0) &&
+            lo.forall(l => cmp(st.typ, st.hi, l) >= 0)
+        } => f
+      }
     }
   }
 

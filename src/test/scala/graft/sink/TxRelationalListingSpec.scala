@@ -94,6 +94,39 @@ class TxRelationalListingSpec extends SparkSpec {
     assert(bothWays(t, Set(105L)).size == 1, "pruning still exact after vacuum")
   }
 
+  test("RANGE pruning (prunedFiles) dispatches relationally with the same file set") {
+    // the watermark-read twin: incremental ingestion tables pay the
+    // same listing wall, through typed [min, max] overlap instead of
+    // set membership
+    val t = mk()
+    (1 to 11).foreach { i =>
+      TxTable.append(spark,
+        Seq((i * 10L, s"r$i"), (i * 10L + 5L, s"s$i")).toDF("wm", "s"), t,
+        statsCols = Seq("wm"))
+    }
+    TxTable.append(spark, Seq((999L, "nostat")).toDF("wm", "s"), t) // stat-less
+    assert(TxTable.liveEntriesDF(spark, t).isDefined)
+    def both(lo: Option[String], hi: Option[String]): Set[String] = {
+      val key = TxTable.RelationalListingBytesKey
+      spark.conf.set(key, "1")
+      val rel =
+        try TxTable.prunedFiles(spark, t, "wm", lo, hi)
+        finally spark.conf.set(key, Long.MaxValue.toString)
+      val drv = TxTable.prunedFiles(spark, t, "wm", lo, hi)
+      spark.conf.unset(key)
+      assert(rel.toSet == drv.toSet, s"range [$lo, $hi]:\n $rel\n $drv")
+      rel.toSet
+    }
+    val mid = both(Some("30"), Some("55"))
+    // each append stages 2 part files; i = 3, 4, 5 overlap [30, 55] —
+    // 6 statted hits plus the stat-less file
+    assert(mid.size == 7, s"expected 6 hits + stat-less, got $mid")
+    assert(both(None, None) == TxTable.currentFiles(spark, t).toSet)
+    assert(both(Some("2000"), None).size == 1, "past the max: stat-less only")
+    // half-open from a watermark — the incremental-scan shape
+    assert(both(Some("100"), None).size == 5, "i = 10, 11 part files + stat-less")
+  }
+
   test("no parquet checkpoint yet → relational dispatch falls back to the driver path") {
     val t = mk()
     // 3 commits: a JSON log but no checkpoint at any cadence
