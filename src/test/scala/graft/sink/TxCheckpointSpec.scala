@@ -73,8 +73,11 @@ class TxCheckpointSpec extends SparkSpec {
 
     val gone = TxTable.vacuum(spark, t, minAgeMs = 0L)
     assert(gone.exists(_.contains("00000001.json")), "pre-checkpoint commits reclaimed")
-    // retained: commits 21..25 + the latest checkpoint only
-    assert(logNames == "00000020.ckpt" +: (21 to 25).map(v => f"$v%08d.json"),
+    // retained: commits 21..25 + the latest JSON checkpoint + its
+    // parquet files-checkpoint twin (the relational-listing base —
+    // vacuum keeps the newest, r13)
+    assert(logNames == Seq("00000020.ckpt", "00000020.files") ++
+        (21 to 25).map(v => f"$v%08d.json"),
       s"retained: $logNames")
 
     // state is intact from snapshot + suffix, and the log keeps working
