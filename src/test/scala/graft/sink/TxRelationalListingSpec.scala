@@ -127,6 +127,28 @@ class TxRelationalListingSpec extends SparkSpec {
     assert(both(Some("100"), None).size == 5, "i = 10, 11 part files + stat-less")
   }
 
+  test("the relational plan PUSHES the stat predicates into the parquet scan") {
+    // the sargability claim behind the flat ~20 MB driver profile
+    // (LogListAb): the (scol, lo) predicates must reach the
+    // files-checkpoint scan as PushedFilters, so parquet row-group
+    // stats — the checkpoint is written sorted by (scol, lo) — prune
+    // before any row is materialized
+    val t = mk()
+    (1 to 10).foreach { i => // exactly the cadence: ckpt at head, no suffix
+      TxTable.append(spark, Seq((i.toLong, s"x$i")).toDF("cid", "s"), t,
+        statsCols = Seq("cid"))
+    }
+    val live = TxTable.liveEntriesDF(spark, t)
+      .getOrElse(fail("files-checkpoint must exist at the cadence head"))
+    val plan = live
+      .filter(col("scol") === "cid" && col("lo") === col("hi") &&
+        col("lo").isin("1", "2"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("EqualTo(scol,cid)") && plan.contains("In(lo, ["),
+      s"stat predicates must push into the checkpoint scan:\n$plan")
+  }
+
   test("no parquet checkpoint yet → relational dispatch falls back to the driver path") {
     val t = mk()
     // 3 commits: a JSON log but no checkpoint at any cadence
