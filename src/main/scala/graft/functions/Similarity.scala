@@ -106,7 +106,12 @@ object Similarity {
                      cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
     val q = queries.select(col(qId), asDouble(col(qVec)).as("__qv"))
       .withColumn("__qn", l2norm(col("__qv")))
-    val c = corpus.select(col(cId), asDouble(col(cVec)).as("__cv"))
+    // the |corpus|·|queries| cosine stream inherits the corpus SCAN's
+    // parallelism — one file = one task with every other core idle
+    // (measured r13: the 4M-pair gold leg ran a single 2.9 s task).
+    // FanOut is a no-op once the corpus arrives in >= default-parallelism
+    // splits, so the floor is scale-adaptive, not a local[32] tune.
+    val c = graft.util.FanOut(corpus.select(col(cId), asDouble(col(cVec)).as("__cv")))
       .withColumn("__cn", l2norm(col("__cv")))
     topkOf(c.crossJoin(broadcast(q))
       .filter(col(qId) =!= col(cId)) // a vector is not its own neighbor
@@ -1710,7 +1715,10 @@ object Similarity {
                     cId: String = "vec_id", cVec: String = "embedding",
                     maxTrainRows: Long = MaxTrainRows,
                     useTablesOpt: Option[Boolean] = None): DataFrame = {
-    val c0 = corpus.select(col(cId).cast("long").as("id"), asDouble(col(cVec)).as("v"))
+    // FanOut: input-parallelism floor (one-file corpus = one task for
+    // the whole assignment/probe pipeline otherwise; no-op at scale)
+    val c0 = graft.util.FanOut(
+        corpus.select(col(cId).cast("long").as("id"), asDouble(col(cVec)).as("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = c0.count()
     // √n UNCAPPED-by-the-literal-tree: list size — and the self-join's
@@ -1758,7 +1766,14 @@ object Similarity {
           col("__cn").as("__qn"),
           explode_outer(floatProbeCids(centroids, col("v"), nProbe)).as("cid"))
         .filter(col("cid").isNotNull))
-    val selfScored = assigned.join(probesV, Seq("cid"))
+    // cell-partitioned pair join (the imiKnnAMeansOver idiom, r13):
+    // AQE's bytes-proxy coalescing serializes this small-input/
+    // huge-output join otherwise
+    val selfParts = math.min(4096,
+      math.max(assigned.sparkSession.conf
+        .get("spark.sql.shuffle.partitions").toInt, nC))
+    val selfScored = assigned.repartition(selfParts, col("cid"))
+      .join(probesV.repartition(selfParts, col("cid")), Seq("cid"))
       .filter(col("__qid") =!= col("id"))
       .select(col("__qid").as(qId), col("id").as("neighbor_id"),
         cosineWithNorms(col("__qv"), col("v"), col("__qn"), col("__cn")).as("cos"))
@@ -1998,7 +2013,11 @@ object Similarity {
                             cId: String = "vec_id", cVec: String = "embedding",
                             maxTrainRows: Long = MaxTrainRows): DataFrame = {
     require(knn == 4, s"margin fold is unrolled for knn = 4, got $knn")
-    val c0 = corpus.select(col(cId).cast("long").as("id"), asDouble(col(cVec)).as("v"))
+    // FanOut: the per-row matrix argmin/probe-slice assignment and every
+    // downstream leg inherit this relation's parallelism — a one-file
+    // corpus otherwise runs the whole path on one task (measured r13)
+    val c0 = graft.util.FanOut(
+        corpus.select(col(cId).cast("long").as("id"), asDouble(col(cVec)).as("v")))
       .withColumn("vi", toIntVec(col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = c0.count()
@@ -2022,7 +2041,14 @@ object Similarity {
         col("__cn").as("__qn"),
         explode_outer(intProbeCids(centroids, col("vi"), nProbe)).as("cid"))
       .filter(col("cid").isNotNull)
-    val selfScored = assigned.join(probesV, Seq("cid"))
+    // pair join partitioned by CELL at ~one cell per partition (the
+    // imiKnnAMeansOver idiom, r13): AQE's bytes-proxy coalescing would
+    // re-serialize this small-input/huge-output join onto 1-2 tasks
+    val selfParts = math.min(4096,
+      math.max(assigned.sparkSession.conf
+        .get("spark.sql.shuffle.partitions").toInt, nC))
+    val selfScored = assigned.repartition(selfParts, col("cid"))
+      .join(probesV.repartition(selfParts, col("cid")), Seq("cid"))
       .filter(col("__qid") =!= col("id"))
       .select(col("__qid").as(qId), col("id").as("neighbor_id"),
         cosineWithNorms(col("__qv"), col("v"), col("__qn"), col("__cn")).as("cos"))
@@ -2082,7 +2108,9 @@ object Similarity {
                             targetClusterSize: Long = ImiTargetClusterSize,
                             maxTrainRows: Long = MaxTrainRows): DataFrame = {
     require(knn == 4, s"margin fold is unrolled for knn = 4, got $knn")
-    val c0 = corpus.select(col(cId).cast("long").as("id"), asDouble(col(cVec)).as("v"))
+    // FanOut: same input-parallelism floor as marginTopKAnnPortable
+    val c0 = graft.util.FanOut(
+        corpus.select(col(cId).cast("long").as("id"), asDouble(col(cVec)).as("v")))
       .withColumn("vi", toIntVec(col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = c0.count()
@@ -2114,7 +2142,12 @@ object Similarity {
           nProbe)).as("cid"))
       .filter(col("cid").isNotNull)
     val members = assigned.select(col("cid"), col("id"), col("v"), col("__cn"))
-    val selfScored = members.join(probesV, Seq("cid"))
+    // cell-partitioned pair join (the imiKnnAMeansOver idiom, r13)
+    val selfParts = math.min(4096,
+      math.max(assigned.sparkSession.conf
+        .get("spark.sql.shuffle.partitions").toInt, kH * kH))
+    val selfScored = members.repartition(selfParts, col("cid"))
+      .join(probesV.repartition(selfParts, col("cid")), Seq("cid"))
       .filter(col("__qid") =!= col("id"))
       .select(col("__qid").as(qId), col("id").as("neighbor_id"),
         cosineWithNorms(col("__qv"), col("v"), col("__qn"), col("__cn")).as("cos"))
