@@ -89,7 +89,10 @@ object Dedup {
     */
   private[functions] def signatures(df: DataFrame, textCol: String, idCol: String,
                                     k: Int, shingleLen: Int): DataFrame =
-    df.select(col(idCol).as("id"), tokenHashes(col(textCol)).as("__th"))
+    // FanOut: the k-permutation hash kernel is the dominant map cost and
+    // inherits the scan's parallelism — one file = one task (guide §2.5)
+    graft.util.FanOut(df)
+      .select(col(idCol).as("id"), tokenHashes(col(textCol)).as("__th"))
       .select(col("id"), MinHashSig.minhashSig(col("__th"), k, shingleLen).as("sig"))
 
   /** Estimated Jaccard from two signatures: fraction of equal positions.
@@ -190,7 +193,7 @@ object Dedup {
     // banded self-join — unpersisted, the tokenize+simhash pipeline runs
     // once per side (the minhashCandidatePairs discipline; at corpus
     // scale write signatures to a table once instead)
-    val withSig = df.select(col(idCol).as("id"),
+    val withSig = graft.util.FanOut(df).select(col(idCol).as("id"),
       SimHash64.simhash64(tokens(col(textCol))).as("sim"))
       .localCheckpoint(true) // blocks release with the result (GC)
     // one pass: posexplode the 4 block buckets (a per-block union would
@@ -257,7 +260,9 @@ object Dedup {
   def simhash60Agg(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val bitSums = (0 until 60).map(b =>
       sum(shiftright(col("__h"), b).bitwiseAND(lit(1L))).as(s"__s$b"))
-    val votes = df
+    // FanOut: the md5 token hashing + 61 partial sums run in the SCAN
+    // stage — one file = one task without the floor (guide §2.5)
+    val votes = graft.util.FanOut(df)
       .select(col(idCol).as("id"), explode_outer(portableTokenHashes(col(textCol))).as("__h"))
       .groupBy(col("id"))
       .agg(count(col("__h")).as("__n"), bitSums: _*)
@@ -526,7 +531,10 @@ object Dedup {
     */
   private def gramWindows(df: DataFrame, textCol: String, idCol: String,
                           k: Int): DataFrame =
-    df.select(col(idCol).cast("long").as("doc_id"),
+    // FanOut: one md5 per k-token window — the heaviest per-row map in
+    // the dedup family; floor the scan parallelism (guide §2.5)
+    graft.util.FanOut(df)
+      .select(col(idCol).cast("long").as("doc_id"),
         split(trim(col(textCol)), "\\s+").as("__ws"))
       .withColumn("__n", size(col("__ws")))
       .filter(col("__n") >= k)

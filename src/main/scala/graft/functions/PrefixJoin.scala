@@ -111,8 +111,13 @@ object PrefixJoin {
           array_sort(transform(col("els"), e => struct(e.as("el")))).as("st")),
           None)
       }
-    val sorted = sorted0.localCheckpoint(true)
+    // FanOut after the checkpoint: the dfOrder branch lands the sorted
+    // relation through a shuffle AQE coalesces to 1-2 partitions (bytes
+    // proxy), and every downstream stage would inherit that (r13)
+    val sorted = graft.util.FanOut(sorted0.localCheckpoint(true))
     exploded0.foreach(_.unpersist())
+    val joinParts = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
 
     // prefix length p = n − ceil(t·n) + 1 (integer ceil in basis points;
     // `div`, not `/` — Spark's / is double division)
@@ -135,11 +140,26 @@ object PrefixJoin {
       col("n").as("nb"), col("pos").as("posB"))
     val alphaBp = // ceil(t · max(|a|,|b|)) in integer arithmetic
       expr(s"($tBp * cast(greatest(na, nb) as bigint) + 9999) div 10000")
-    val cand = a.join(b,
+    // explicit element-keyed partitioning on both candidate-join sides
+    // and pair-keyed partitioning under the distinct: user-specified
+    // repartitions satisfy the join/aggregate distributions (no extra
+    // exchange) but are exempt from AQE's bytes-proxy coalescing, which
+    // otherwise runs the huge-output candidate/verify stages on 1-2
+    // tasks (r13; same idiom as the margin pair joins)
+    // merge hint: Catalyst's size estimate for the checkpointed sorted
+    // relation undershoots and it BROADCASTS the exploded element list
+    // (a single-threaded ~1M-row build at gate scale; a driver-OOM shape
+    // at corpus scale — the element list is O(corpus)). The prefix join's
+    // contract is one SHUFFLED equi-join on prefix elements (guide §3.1:
+    // pick the strategy deliberately).
+    val cand = a.repartition(joinParts, col("elA"))
+      .hint("merge")
+      .join(b.repartition(joinParts, col("elB")),
         col("elA") === col("elB") && col("idA") < col("idB") &&
           least(col("na"), col("nb")) * 10000L >= lit(tBp.toLong) * greatest(col("na"), col("nb")) &&
           lit(1L) + least(col("na") - col("posA") - 1L, col("nb") - col("posB") - 1L) >= alphaBp)
-      .select(col("idA"), col("idB")).distinct()
+      .select(col("idA"), col("idB"))
+      .repartition(joinParts, col("idA"), col("idB")).distinct()
 
     // exact verify on the candidate set only; sets re-derived from the
     // PERSISTED sorted relation (sorted order doesn't affect intersect)
@@ -160,7 +180,12 @@ object PrefixJoin {
   def jaccardJoin(df: DataFrame, idCol: String, textCol: String,
                   threshold: Double, dfOrder: Boolean = false): DataFrame =
     jaccardJoinSets(
-      df.withColumn("__set", TextFunctions.tokens(col(textCol))),
+      // FanOut BELOW the set-building projection (here and in every
+      // wrapper): the tokenize/shingle/hash chain is the dominant map
+      // cost and inherits the scan's parallelism — one file = one task
+      // without the floor (guide §2.5); fanning df first puts the heavy
+      // projection ABOVE the exchange
+      graft.util.FanOut(df).withColumn("__set", TextFunctions.tokens(col(textCol))),
       idCol, "__set", threshold, dfOrder)
 
   /** Shingle-set variant: distinct word n-gram shingles as the set —
@@ -175,7 +200,8 @@ object PrefixJoin {
       // stage the token array: shingles references it several times and
       // an inlined tokens() would re-run per reference (graft.util.Explode
       // postmortem family)
-      df.withColumn("__pjt", TextFunctions.tokens(col(textCol)))
+      graft.util.FanOut(df)
+        .withColumn("__pjt", TextFunctions.tokens(col(textCol)))
         .withColumn("__set", TextFunctions.shingles(col("__pjt"), n)),
       idCol, "__set", threshold, dfOrder)
 
@@ -191,7 +217,8 @@ object PrefixJoin {
                              n: Int, threshold: Double,
                              dfOrder: Boolean = false): DataFrame =
     jaccardJoinSets(
-      df.withColumn("__pjt", TextFunctions.tokens(col(textCol)))
+      graft.util.FanOut(df)
+        .withColumn("__pjt", TextFunctions.tokens(col(textCol)))
         .withColumn("__set", transform(
           TextFunctions.shingles(col("__pjt"), n),
           s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))),
@@ -207,7 +234,8 @@ object PrefixJoin {
                              n: Int, threshold: Double,
                              dfOrder: Boolean = false): DataFrame =
     jaccardJoinSets(
-      df.withColumn("__pjt", TextFunctions.tokens(col(textCol)))
+      graft.util.FanOut(df)
+        .withColumn("__pjt", TextFunctions.tokens(col(textCol)))
         .withColumn("__set", transform(
           TextFunctions.shingles(col("__pjt"), n),
           s => xxhash64(s))),
@@ -268,8 +296,12 @@ object PrefixJoin {
         (docs.select(col("id"), size(col("els")).as("n"),
           array_sort(col("els")).as("els")), None)
       }
-    val sorted = sorted0.localCheckpoint(true)
+    // FanOut + explicit keyed partitioning: same parallelism floors as
+    // jaccardJoinSets above (r13)
+    val sorted = graft.util.FanOut(sorted0.localCheckpoint(true))
     exploded0.foreach(_.unpersist())
+    val joinParts = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
     val prefixLen =
       expr(s"cast(n - (($tBp * cast(n as bigint) + 9999) div 10000) + 1 as int)")
     val probe = sorted
@@ -278,10 +310,15 @@ object PrefixJoin {
     val cand = sorted
       .select(col("id").as("idB"), col("n").as("nb"),
         explode(col("els")).as("elB"))
-    val pairs = probe.join(cand,
+    // merge hint: same deliberate shuffle-join choice as jaccardJoinSets
+    // (the estimate otherwise broadcasts the full exploded element list)
+    val pairs = probe.repartition(joinParts, col("elA"))
+      .hint("merge")
+      .join(cand.repartition(joinParts, col("elB")),
         col("elA") === col("elB") && col("idA") =!= col("idB") &&
           col("nb") * 10000L >= lit(tBp.toLong) * col("na"))
-      .select(col("idA"), col("idB")).distinct()
+      .select(col("idA"), col("idB"))
+      .repartition(joinParts, col("idA"), col("idB")).distinct()
     val sets = sorted.select(col("id"), col("els"), col("n"))
     pairs
       .join(sets.select(col("id").as("idA"), col("els").as("ta"), col("n").as("na")), Seq("idA"))
@@ -299,7 +336,8 @@ object PrefixJoin {
                                  n: Int, threshold: Double,
                                  dfOrder: Boolean = false): DataFrame =
     containmentJoinSets(
-      df.withColumn("__pjt", TextFunctions.tokens(col(textCol)))
+      graft.util.FanOut(df)
+        .withColumn("__pjt", TextFunctions.tokens(col(textCol)))
         .withColumn("__set", transform(
           TextFunctions.shingles(col("__pjt"), n),
           s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))),

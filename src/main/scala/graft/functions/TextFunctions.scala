@@ -257,7 +257,11 @@ object TextFunctions {
     // unpersisted, the interpreted tokenize pipeline re-runs per branch
     // (2× here, ×4 more when a caller like q111 fans the score table
     // into a multi-pass ntile — the cross-branch audit's 8× finding)
-    val toksed = df.select(id.as("doc_id"), tokens(text).as("__t"))
+    // FanOut below the tokenize projection: the token/bigram explode and
+    // both count aggregates inherit this relation's parallelism — a
+    // one-file corpus otherwise runs them on 1-2 tasks (guide §2.5)
+    val toksed = graft.util.FanOut(df.select(id.as("doc_id"), text.as("__txt")))
+      .select(col("doc_id"), tokens(col("__txt")).as("__t"))
       .localCheckpoint(true) // blocks release with the result (GC)
     // explode_outer + null filter, NOT explode: InferFiltersFromGenerate
     // would inline the tokenization into an inferred pre-Generate filter

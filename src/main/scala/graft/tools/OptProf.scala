@@ -23,12 +23,13 @@ object OptProf {
 
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     val done = new java.util.concurrent.CopyOnWriteArrayList[(Int, Long, String)]()
-    val stageTasks = new java.util.concurrent.ConcurrentHashMap[Int, (Int, Long)]()
+    val stageTasks = new java.util.concurrent.ConcurrentHashMap[Int, (Int, Long, String)]()
     var collecting = false
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit =
         if (collecting) jobs.put(js.jobId,
-          (System.nanoTime(), Option(js.properties.getProperty("spark.job.description")).getOrElse("")))
+          (System.nanoTime(), "stages=" + js.stageIds.mkString(",") + " " +
+            Option(js.properties.getProperty("spark.job.description")).getOrElse("")))
       override def onJobEnd(je: SparkListenerJobEnd): Unit =
         if (collecting) Option(jobs.get(je.jobId)).foreach { case (t0, d) =>
           done.add((je.jobId, System.nanoTime() - t0, d))
@@ -36,7 +37,13 @@ object OptProf {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
         if (collecting) stageTasks.put(sc.stageInfo.stageId,
           (sc.stageInfo.numTasks,
-            sc.stageInfo.completionTime.getOrElse(0L) - sc.stageInfo.submissionTime.getOrElse(0L)))
+            sc.stageInfo.completionTime.getOrElse(0L) - sc.stageInfo.submissionTime.getOrElse(0L),
+            (sc.stageInfo.name.take(40) + " | " +
+              sc.stageInfo.details.split("\n").drop(1).filter(l =>
+                l.contains("graft.") || l.contains("Exchange") ||
+                  l.contains("Checkpoint") || l.contains("broadcast") ||
+                  l.contains("Subquery"))
+                .take(2).map(_.trim).mkString(" <- ")).take(200)))
     })
 
     val all = graft.SparkEntry.queries ++ graft.SparkEntry.benchOnly
@@ -69,11 +76,14 @@ object OptProf {
         }
         val tiny = arr.count(_._2 < 100000000L)
         println(s"[optprof]   jobs <100ms: $tiny of $jn")
+        if (sys.env.contains("OPTPROF_PLAN"))
+          println(df.queryExecution.executedPlan.toString.split("\n")
+            .map(_.take(160)).mkString("\n"))
         val st = stageTasks.entrySet().iterator()
-        val sarr = scala.collection.mutable.ArrayBuffer[(Int, Int, Long)]()
-        while (st.hasNext) { val e = st.next(); sarr += ((e.getKey, e.getValue._1, e.getValue._2)) }
-        sarr.sortBy(-_._3).take(10).foreach { case (sid, nt, ms) =>
-          println(f"[optprof]   stage $sid%4d ${ms / 1000.0}%7.3f s  tasks=$nt")
+        val sarr = scala.collection.mutable.ArrayBuffer[(Int, Int, Long, String)]()
+        while (st.hasNext) { val e = st.next(); sarr += ((e.getKey, e.getValue._1, e.getValue._2, e.getValue._3)) }
+        sarr.sortBy(-_._3).take(10).foreach { case (sid, nt, ms, d) =>
+          println(f"[optprof]   stage $sid%4d ${ms / 1000.0}%7.3f s  tasks=$nt  $d")
         }
         spark.catalog.clearCache()
       }

@@ -31,8 +31,25 @@ import org.apache.spark.sql.DataFrame
 object FanOut {
   def apply(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    // getNumPartitions plans the query but executes nothing; for the
-    // scan/checkpoint-rooted inputs this is called on, planning is cheap
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // Guard: only probe exchange-free (scan/checkpoint/local-rooted)
+    // plans. On those, `.rdd.getNumPartitions` is pure planning — no AQE
+    // wrapper, no job. A plan with joins/aggregates/repartitions would
+    // EXECUTE its upstream query stages when `.rdd` forces AQE's final
+    // plan, so such inputs are returned unchanged (their parallelism is
+    // the shuffle layer's business, fixed at the operator with explicit
+    // keyed repartitions — see the margin pair joins).
+    val hasExchange = df.queryExecution.analyzed.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Join => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.Distinct => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.Deduplicate => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.Sort => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.Window => true
+      case _ => false
+    }
+    if (hasExchange) df
+    else if (df.rdd.getNumPartitions < target) df.repartition(target)
+    else df
   }
 }
