@@ -569,8 +569,7 @@ object Similarity {
               cId: String = "vec_id", cVec: String = "embedding",
               maxTrainRows: Long = MaxTrainRows,
               imiCutoverRows: Long = MaxSingleLevelRows): DataFrame = {
-    val c0 = graft.util.FanOut(
-        corpus.select(col(cId).as("id"), asDouble(col(cVec)).as("v")))
+    val c0 = corpus.select(col(cId).as("id"), asDouble(col(cVec)).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = c0.count()
     if (nCentroids <= 0 && n > imiCutoverRows) {
@@ -631,8 +630,7 @@ object Similarity {
                  targetClusterSize: Long = ImiTargetClusterSize,
                  maxTrainRows: Long = MaxTrainRows,
                  codebooksOpt: Option[(Array[Array[Double]], Array[Array[Double]])] = None): DataFrame = {
-    val c0 = graft.util.FanOut(
-        corpus.select(col(cId).as("id"), asDouble(col(cVec)).as("v")))
+    val c0 = corpus.select(col(cId).as("id"), asDouble(col(cVec)).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     ivfTopKImiOn(queries, c0, c0.count(), k, kPerHalf, nProbe, iters,
       qId, qVec, maxTrainRows, targetClusterSize, codebooksOpt)
@@ -863,8 +861,7 @@ object Similarity {
                       qId: String = "query_id", qVec: String = "query_vec",
                       cId: String = "vec_id", cVec: String = "embedding",
                       maxTrainRows: Long = MaxTrainRows): DataFrame = {
-    val c0 = graft.util.FanOut(
-        corpus.select(col(cId).as("id"), asDouble(col(cVec)).as("v")))
+    val c0 = corpus.select(col(cId).as("id"), asDouble(col(cVec)).as("v"))
       .withColumn("vi", toIntVec(col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = c0.count()
@@ -1258,8 +1255,7 @@ object Similarity {
                       iters: Int = 2,
                       maxTrainRows: Long = MaxTrainRows,
                       imiCutoverRows: Long = MaxSingleLevelRows): DataFrame = {
-    val c0 = graft.util.FanOut(
-        df.select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v")))
+    val c0 = df.select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = c0.count()
     if (nClusters <= 0 && n > imiCutoverRows) {
@@ -1317,8 +1313,7 @@ object Similarity {
                               nClusters: Int = 0, threshold: Double = 0.95,
                               iters: Int = 3,
                               maxTrainRows: Long = MaxTrainRows): DataFrame = {
-    val c0 = graft.util.FanOut(
-        df.select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v")))
+    val c0 = df.select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("vi", toIntVec(col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = c0.count()
@@ -1528,8 +1523,7 @@ object Similarity {
                          iters: Int = 2,
                          targetClusterSize: Long = ImiTargetClusterSize,
                          maxTrainRows: Long = MaxTrainRows): DataFrame = {
-    val c0 = graft.util.FanOut(
-        df.select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v")))
+    val c0 = df.select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     semDedupTrainedImiOn(c0, c0.count(), kPerHalf, threshold, iters,
       targetClusterSize, maxTrainRows)
@@ -1576,8 +1570,7 @@ object Similarity {
                                  iters: Int = 3,
                                  targetClusterSize: Long = ImiTargetClusterSize,
                                  maxTrainRows: Long = MaxTrainRows): DataFrame = {
-    val c0 = graft.util.FanOut(
-        df.select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v")))
+    val c0 = df.select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("vi", toIntVec(col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = c0.count()
@@ -1722,10 +1715,7 @@ object Similarity {
                     cId: String = "vec_id", cVec: String = "embedding",
                     maxTrainRows: Long = MaxTrainRows,
                     useTablesOpt: Option[Boolean] = None): DataFrame = {
-    // FanOut: input-parallelism floor (one-file corpus = one task for
-    // the whole assignment/probe pipeline otherwise; no-op at scale)
-    val c0 = graft.util.FanOut(
-        corpus.select(col(cId).cast("long").as("id"), asDouble(col(cVec)).as("v")))
+    val c0 = corpus.select(col(cId).cast("long").as("id"), asDouble(col(cVec)).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = c0.count()
     // √n UNCAPPED-by-the-literal-tree: list size — and the self-join's
@@ -1970,8 +1960,7 @@ object Similarity {
                     codebooksOpt: Option[(Array[Array[Double]], Array[Array[Double]])] = None): DataFrame = {
     require(knn >= 1 && knn <= 64,
       s"marginTopKImi supports knn in 1..64 (fixed-width a-mean fold slots); got $knn.")
-    val c0 = graft.util.FanOut(
-        corpus.select(col(cId).cast("long").as("id"), asDouble(col(cVec)).as("v")))
+    val c0 = corpus.select(col(cId).cast("long").as("id"), asDouble(col(cVec)).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = c0.count()
     val kH = if (kPerHalf > 0) kPerHalf else imiHalfCentroids(n, targetClusterSize)
